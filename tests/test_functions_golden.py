@@ -1,0 +1,90 @@
+"""Exact-match tests of ocr_ray.functions against golden fixtures.
+
+Fixtures were produced by executing the reference's own source
+(tools/parity_check.py); these tests require neither Ray nor the
+reference checkout.
+"""
+
+import ocr_ray.functions as F
+
+
+def _corpus(golden):
+    return golden["corpus"]
+
+
+def test_preprocess_text(golden):
+    for text, want in zip(_corpus(golden), golden["cases"]["preprocess_text"]):
+        assert F.preprocess_text(text) == want
+
+
+def test_clean_extracted_text(golden):
+    for text, want in zip(_corpus(golden), golden["cases"]["clean_extracted_text"]):
+        assert F.clean_extracted_text(text) == want
+
+
+def test_score_ocr_result(golden):
+    for text, want in zip(_corpus(golden), golden["cases"]["score_ocr_result"]):
+        assert F.score_ocr_result(text) == want
+
+
+def test_score_result_01(golden):
+    for text, want in zip(_corpus(golden), golden["cases"]["score_result_01"]):
+        assert F.score_result_01(text) == want
+
+
+def test_extract_entities(golden):
+    for text, want in zip(_corpus(golden), golden["cases"]["extract_entities"]):
+        assert F.extract_entities(text) == want
+
+
+def test_chunking(golden):
+    for text, want in zip(_corpus(golden), golden["cases"]["split_text_into_chunks"]):
+        assert F.split_text_into_chunks(text) == want
+    for text, want in zip(_corpus(golden), golden["cases"]["get_text_chunks"]):
+        assert F.get_text_chunks(text) == want
+
+
+def test_formatting(golden):
+    for text, want in zip(_corpus(golden), golden["cases"]["format_md"]):
+        assert F.format_ocr_result(text, "markdown") == want
+    for text, want in zip(_corpus(golden), golden["cases"]["format_html"]):
+        assert F.format_ocr_result(text, "html") == want
+
+
+def test_language_fallback(golden):
+    for text, want in zip(_corpus(golden), golden["cases"]["detect_language"]):
+        assert F.detect_language_fallback(text) == want
+
+
+def test_keyword_search(golden):
+    inputs = golden["cases"]["keyword_search_inputs"]
+    wants = golden["cases"]["keyword_search"]
+    for case, want in zip(inputs, wants):
+        got = F.keyword_search(case["query"], case["chunks"], 3)
+        assert [[t, float(s)] for t, s in got] == want
+
+
+def test_layout_walks(golden):
+    pages = golden["cases"]["layout_pages"]
+    for page, want_a, want_f in zip(
+        pages, golden["cases"]["layout_adaptive"], golden["cases"]["layout_fixed20"]
+    ):
+        boxes = [tuple(b) for b in page["boxes"]]
+        assert F.group_boxes_into_lines(boxes, page_height=page["height"]) == want_a
+        assert F.group_boxes_into_lines(boxes, variant="fixed20") == want_f
+
+
+def test_concat_pages():
+    assert F.concat_pages(["a", "b"], "cli") == "--- Page 1 ---\na\n\n--- Page 2 ---\nb"
+    assert F.concat_pages(["a"], "upper") == "--- PAGE 1 ---\na\n\n"
+    assert F.concat_pages(["a", "b"], "plain") == "a\n\nb"
+
+
+def test_edge_cases():
+    assert F.preprocess_text("") == ""
+    assert F.preprocess_text(None) == ""
+    assert F.clean_extracted_text("") == ""
+    assert F.score_ocr_result("") == 0
+    assert F.split_text_into_chunks("") == []
+    assert F.get_text_chunks("") == []
+    assert F.group_boxes_into_lines([]) == ""
