@@ -1,0 +1,175 @@
+"""Main-content extraction from markup-laden payloads — the "OCR engines".
+
+The reference's OCR engines (Tesseract/EasyOCR/PaddleOCR wrappers,
+``ocr_app/core/ocr_engine.py:474-649``) define the *pipeline shape*: several
+independent extractors over the same input, a quality scorer picking the
+best result (``src/ocr_module.py:403-446``), and a fallback ladder
+(``src/ocr_module.py:216-249``).  In the transcript graft the "image" is a
+markup-laden text payload and the engines are rule-based main-content
+extractors (HTML boilerplate strip / DOM heuristics per the north rule):
+
+* :func:`extract_tagstrip`  — "tesseract analog": structural strip. Tokenizes
+  tags with a compiled regex, drops <script>/<style>/comment subtrees and any
+  element whose tag or class/id marks it as boilerplate (nav, footer, ...),
+  renders block-level boundaries as newlines, unescapes entities.
+* :func:`extract_density`   — "paddle analog": splits the payload into text
+  blocks and keeps those whose link/markup density is low and text share is
+  high (content-density heuristic in the spirit of boilerplate-removal
+  literature, e.g. Kohlschütter et al., boilerpipe).
+
+Both are pure; the actor-pool stage compiles nothing per call (module-level
+compiled regexes; classes in stages/extract.py hold config).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import List, Tuple
+
+# one tag-or-text tokenizer pass; comments and script/style handled first
+_COMMENT = re.compile(r"<!--.*?-->", re.S)
+_SCRIPT_STYLE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\s[^<>]*)?)>")
+_CLASS_OR_ID = re.compile(r"(?:class|id)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)", re.I)
+
+BOILERPLATE_TAGS = {"nav", "header", "footer", "aside", "form", "button", "iframe", "noscript"}
+BOILERPLATE_MARKER = re.compile(
+    r"nav|menu|footer|header|sidebar|banner|advert|\bads?\b|breadcrumb|copyright|cookie|promo|related|share|social",
+    re.I,
+)
+BLOCK_TAGS = {
+    "p", "div", "section", "article", "main", "body", "html", "head",
+    "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "table", "tr",
+    "td", "th", "blockquote", "pre", "br", "hr", "title",
+}
+
+_WS_LINE = re.compile(r"[ \t]+")
+_BLANK_LINES = re.compile(r"\n\s*\n+")
+
+
+def _is_boilerplate(tag: str, attrs: str) -> bool:
+    if tag in BOILERPLATE_TAGS:
+        return True
+    for m in _CLASS_OR_ID.finditer(attrs):
+        if BOILERPLATE_MARKER.search(m.group(1).strip("\"'")):
+            return True
+    return False
+
+
+def _render(pieces: List[str]) -> str:
+    text = "".join(pieces)
+    text = _html.unescape(text)
+    lines = [_WS_LINE.sub(" ", ln).strip() for ln in text.split("\n")]
+    text = "\n".join(lines)
+    text = _BLANK_LINES.sub("\n", text).strip()
+    return text
+
+
+def extract_tagstrip(payload: str) -> str:
+    """Structural boilerplate strip: drop unwanted subtrees, keep content text
+    with block boundaries as newlines."""
+    if not payload:
+        return ""
+    s = _COMMENT.sub("", payload)
+    s = _SCRIPT_STYLE.sub("", s)
+    out: List[str] = []
+    pos = 0
+    skip_depth = 0          # >0 while inside a dropped subtree
+    skip_stack: List[str] = []
+    for m in _TAG.finditer(s):
+        if skip_depth == 0 and m.start() > pos:
+            out.append(s[pos:m.start()])
+        closing, tag, attrs = m.group(1) == "/", m.group(2).lower(), m.group(3) or ""
+        self_closing = attrs.rstrip().endswith("/") or tag in ("br", "hr", "img", "input", "meta", "link")
+        if skip_depth > 0:
+            if closing and skip_stack and tag == skip_stack[-1]:
+                skip_stack.pop()
+                if not skip_stack:
+                    skip_depth = 0
+            elif not closing and not self_closing and skip_stack and tag == skip_stack[-1]:
+                skip_stack.append(tag)  # nested same-tag inside dropped subtree
+        else:
+            if not closing and _is_boilerplate(tag, attrs):
+                if self_closing:
+                    pass  # dropped already (no content)
+                else:
+                    skip_depth = 1
+                    skip_stack = [tag]
+            elif tag in BLOCK_TAGS:
+                out.append("\n")
+        pos = m.end()
+    if skip_depth == 0 and pos < len(s):
+        out.append(s[pos:])
+    return _render(out)
+
+
+_ANCHOR = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
+_ANY_TAG = re.compile(r"<[^>]+>")
+_BLOCK_SPLIT = re.compile(
+    r"<(?:/?)(?:p|div|section|article|main|h[1-6]|li|ul|ol|table|tr|blockquote|pre|br|hr|title|body|html|head|nav|header|footer|aside)\b[^>]*>",
+    re.I,
+)
+
+
+_BOILER_TEXT = re.compile(
+    r"copyright|©|\(c\)\s*\d{4}|all rights reserved|cookie|privacy policy|terms of (?:use|service)|skip to",
+    re.I,
+)
+
+
+def extract_density(payload: str, min_words: int = 3, max_link_density: float = 0.4) -> str:
+    """Content-density extractor: split on block tags, keep blocks with at
+    least ``min_words`` words, anchor-text share below ``max_link_density``,
+    and no boilerplate-text markers (copyright/cookie/... lines)."""
+    if not payload:
+        return ""
+    s = _COMMENT.sub("", payload)
+    s = _SCRIPT_STYLE.sub("", s)
+    kept: List[str] = []
+    for block in _BLOCK_SPLIT.split(s):
+        if not block or not block.strip():
+            continue
+        anchor_chars = sum(len(_ANY_TAG.sub("", a)) for a in _ANCHOR.findall(block))
+        text = _ANY_TAG.sub("", block)
+        text = _html.unescape(text)
+        text = _WS_LINE.sub(" ", text.replace("\n", " ")).strip()
+        if not text:
+            continue
+        words = text.split()
+        link_density = anchor_chars / max(1, len(text))
+        if len(words) >= min_words and link_density <= max_link_density and not _BOILER_TEXT.search(text):
+            kept.append(text)
+    return "\n".join(kept).strip()
+
+
+# ---------------------------------------------------------------- wrap repair
+_HYPHEN_WRAP = re.compile(r"(\w)-\n(\w)")
+_SOFT_WRAP = re.compile(r"(?<!\n)\n(?!\n)")
+
+
+def repair_wrapping(text: str) -> str:
+    """De-hyphenate hard wraps and join soft-wrapped lines (skew-correction
+    analog, SURVEY §2.2 M4): ``(\\w)-\\n(\\w)`` -> join, then single newlines
+    -> space; paragraph breaks (blank lines) survive."""
+    if not text:
+        return ""
+    text = _HYPHEN_WRAP.sub(r"\1\2", text)
+    return _SOFT_WRAP.sub(" ", text)
+
+
+# ---------------------------------------------------------------- kind sniff
+_HTMLISH = re.compile(r"<\s*(?:html|body|div|p|script|span|h[1-6]|ul|table|a)\b", re.I)
+_BOXED = re.compile(r'^\s*\{\s*"page_height"')
+
+
+def sniff_kind(payload: str) -> str:
+    """Payload-kind discriminator (orientation-detect analog, SURVEY M5):
+    'empty' | 'boxed' (serialized layout boxes) | 'html' | 'text'."""
+    if not payload or not payload.strip():
+        return "empty"
+    if _BOXED.match(payload):
+        return "boxed"
+    if _HTMLISH.search(payload):
+        return "html"
+    return "text"

@@ -1,0 +1,156 @@
+"""Flagship extraction pipeline (SURVEY §3.4).
+
+    read_parquet(transcripts)                          # blocks = Arrow tables
+      .map_batches(normalize_batch,  pyarrow)          # M1-M8, vectorized
+      .map_batches(Extractor, actor pool, pyarrow)     # A1-A3 + C1/C2
+      .map_batches(clean_batch,      pyarrow)          # M9/M10 exact-match
+      -> per-turn output (no shuffle), and optionally
+      .groupby(conv_id salted).map_groups(...)         # L1/L4 reassembly
+
+``run_extraction_job`` adds the scale scaffolding: deterministic
+fragment-group checkpointing with per-partition lineage + metrics
+(state/lineage.py), so a killed run resumes by skipping committed groups.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
+from ocr_ray.stages.cleanup import make_clean_batch
+from ocr_ray.stages.extract import Extractor
+from ocr_ray.stages.normalize import normalize_batch
+from ocr_ray.stages.reassemble import assemble_conversations
+from ocr_ray.state import lineage as L
+
+
+def _default_pool_size() -> int:
+    """Actor-pool size that leaves CPU headroom for read/write task pools —
+    a pool reserving every CPU starves the other stages (guide: Pitfalls)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, cpus - 2)
+
+
+def build_turn_pipeline(
+    paths: List[str] | str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    concurrency: Optional[int] = None,
+) -> "rd.Dataset":
+    """Lazy per-turn pipeline: transcripts parquet -> extracted+cleaned turns."""
+    ds = rd.read_parquet(paths, columns=list(config.read_columns))
+    ds = ds.map_batches(
+        normalize_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"config": config},
+    )
+    ds = ds.map_batches(
+        Extractor,
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=concurrency or min(config.extract_concurrency, _default_pool_size()),
+        num_cpus=1,
+        fn_constructor_kwargs={"config": config},
+    )
+    ds = ds.map_batches(make_clean_batch(config), batch_format="pyarrow")
+    return ds
+
+
+def _checksum_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial checksum: sum of row hashes over the key+value cols."""
+    df = batch.select(["conv_id", "turn_idx", "clean_text"]).to_pandas()
+    h = int(pd.util.hash_pandas_object(df, index=False).sum()) & 0xFFFFFFFFFFFFFFFF
+    return pa.table(
+        {
+            "hash_sum": pa.array([h], pa.uint64()),
+            "rows": pa.array([len(df)], pa.int64()),
+        }
+    )
+
+
+def run_extraction_job(
+    input_dir: str,
+    out_dir: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    with_conversations: bool = True,
+    resume: bool = True,
+) -> Dict:
+    """Checkpointed run over all fragments in ``input_dir``.
+
+    Output layout (resumable, SURVEY §4):
+        out_dir/turns/group=<gid>/*.parquet     per-turn extraction
+        out_dir/convs/group=<gid>/*.parquet     per-conversation documents
+        out_dir/turns/_lineage/group-<gid>.json lineage commit records
+    """
+    fragments = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not fragments:
+        raise FileNotFoundError(f"no parquet fragments under {input_dir}")
+    groups = L.group_fragments(fragments, config.fragment_group_size)
+    turns_dir = os.path.join(out_dir, "turns")
+    convs_dir = os.path.join(out_dir, "convs")
+
+    done = set(
+        L.completed_groups(turns_dir, len(groups), config.extractor_version)
+        if resume
+        else []
+    )
+    job_metrics: Dict = {"groups_total": len(groups), "groups_skipped": sorted(done)}
+    t_job = time.perf_counter()
+    total_rows = 0
+
+    for gid, frag_paths in enumerate(groups):
+        if gid in done:
+            continue
+        t0 = time.perf_counter()
+        gdir = L.group_out_dir(turns_dir, gid)
+        # a group without a lineage record is incomplete: clear any partial
+        # output so the rerun is deterministic (lineage write is the commit)
+        shutil.rmtree(gdir, ignore_errors=True)
+        shutil.rmtree(L.group_out_dir(convs_dir, gid), ignore_errors=True)
+        ds = build_turn_pipeline(frag_paths, config)
+        ds.write_parquet(gdir)
+
+        written = rd.read_parquet(gdir)
+        checks = written.map_batches(_checksum_batch, batch_format="pyarrow").to_pandas()
+        row_count = int(checks["rows"].sum())
+        checksum = f"{int(checks['hash_sum'].sum()) & 0xFFFFFFFFFFFFFFFF:016x}"
+
+        if with_conversations:
+            convs = assemble_conversations(written, config)
+            convs.write_parquet(L.group_out_dir(convs_dir, gid))
+
+        elapsed = time.perf_counter() - t0
+        metrics = {
+            "rows": row_count,
+            "elapsed_sec": round(elapsed, 3),
+            "turns_per_sec": round(row_count / elapsed, 1) if elapsed > 0 else None,
+        }
+        L.write_lineage(
+            turns_dir,
+            L.LineageRecord(
+                group_id=gid,
+                fragments=[os.path.basename(p) for p in frag_paths],
+                extractor_version=config.extractor_version,
+                row_count=row_count,
+                checksum=checksum,
+                metrics=metrics,
+            ),
+        )
+        total_rows += row_count
+
+    job_metrics["elapsed_sec"] = round(time.perf_counter() - t_job, 3)
+    job_metrics["rows_processed"] = total_rows
+    return job_metrics

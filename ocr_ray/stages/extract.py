@@ -1,0 +1,137 @@
+"""Stage 2 — the extractor actor pool (A1-A3 / C1 / C2 analogs).
+
+The reference runs several OCR engines over each page, scores every result
+and keeps the best (``src/ocr_module.py:403-446``), with a fallback ladder
+when engines fail (``src/ocr_module.py:216-249``) and in-band error strings
+as the last resort (``ocr_app/core/ocr_engine.py:413``).  Here the engines
+are rule-based main-content extractors over markup-laden transcript payloads
+(ocr_ray.functions.markup), the layout walk reassembles serialized box
+payloads (ocr_ray.functions.layout), and a whitespace-grid heuristic
+(table-detect analog, ``src/ocr_module.py:478-547``) forces the
+layout-preserving path for tabular text.
+
+Used as ``ds.map_batches(Extractor, concurrency=N, batch_size=B,
+batch_format="pyarrow", fn_constructor_kwargs={"config": cfg})`` — ruleset
+compiled once per actor in ``__init__``, per-batch work in ``__call__``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Callable, Dict, List, Tuple
+
+import pyarrow as pa
+
+from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
+from ocr_ray.functions.layout import group_boxes_into_lines
+from ocr_ray.functions.markup import (
+    _ANY_TAG,
+    extract_density,
+    extract_tagstrip,
+    repair_wrapping,
+)
+from ocr_ray.functions.scoring import score_ocr_result
+
+ERROR_TEXT = "Error: All OCR engines failed"  # parity: ocr_app/core/ocr_engine.py:413
+
+_DASH_LINE = re.compile(r"^\s*-{3,}\s*$", re.M)
+_PIPE = " | "
+
+ENGINES: Dict[str, Callable[[str], str]] = {
+    "tagstrip": extract_tagstrip,
+    "density": extract_density,
+}
+
+
+def detect_aligned_table(text: str) -> bool:
+    """Whitespace/pipe-grid heuristic (M16 graft): a payload is tabular when
+    at least two lines contain column pipes or a dash ruler line exists."""
+    if _DASH_LINE.search(text):
+        return True
+    pipe_lines = sum(1 for ln in text.split("\n") if _PIPE in ln)
+    return pipe_lines >= 2
+
+
+class Extractor:
+    """Best-of-N rule extractor with fallback ladder; one instance per actor."""
+
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+        self.config = config
+        self.engines: List[Tuple[str, Callable[[str], str]]] = [
+            (name, ENGINES[name]) for name in config.engines
+        ]
+        self.layout_variant = config.layout_variant
+
+    # ------------------------------------------------------------ per-kind
+    def _extract_html(self, payload: str) -> Tuple[str, str, str]:
+        best_text, best_engine, best_score = "", "none", float("-inf")
+        for name, fn in self.engines:
+            try:
+                text = fn(payload)
+            except Exception:
+                continue
+            score = score_ocr_result(text)
+            if score > best_score:
+                best_text, best_engine, best_score = text, name, score
+        if best_text:
+            return best_text, best_engine, ""
+        # fallback ladder: naive tag strip, then in-band error (C2)
+        naive = _ANY_TAG.sub("", payload).strip()
+        if naive:
+            return naive, "naive_strip", ""
+        return ERROR_TEXT, "error", "all_engines_empty"
+
+    def _extract_boxed(self, payload: str) -> Tuple[str, str, str]:
+        try:
+            doc = json.loads(payload)
+            boxes = [
+                (b["x0"], b["y0"], b["x1"], b["y1"], b["text"]) for b in doc["boxes"]
+            ]
+            text = group_boxes_into_lines(
+                boxes, page_height=doc.get("page_height", 1000.0), variant=self.layout_variant
+            )
+            return text, "layout_walk", ""
+        except Exception:
+            return ERROR_TEXT, "error", "boxed_parse_failed"
+
+    def _extract_text(self, payload: str) -> Tuple[str, str, str]:
+        if detect_aligned_table(payload):
+            return payload, "passthrough_table", ""
+        return repair_wrapping(payload), "wrap_repair", ""
+
+    # ------------------------------------------------------------ batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["norm_text"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        extracted: List[str] = []
+        engines: List[str] = []
+        errors: List[str] = []
+        has_table: List[bool] = []
+        for payload, kind in zip(texts, kinds):
+            if kind == "empty":
+                out, eng, err = "", "empty", ""
+                tab = False
+            elif kind == "boxed":
+                out, eng, err = self._extract_boxed(payload)
+                tab = False
+            elif kind == "html":
+                out, eng, err = self._extract_html(payload)
+                tab = False
+            else:
+                tab = detect_aligned_table(payload)
+                if tab:
+                    out, eng, err = payload, "passthrough_table", ""
+                else:
+                    out, eng, err = repair_wrapping(payload), "wrap_repair", ""
+            extracted.append(out)
+            engines.append(eng)
+            errors.append(err)
+            has_table.append(tab)
+
+        out_tbl = batch.drop_columns(["norm_text"])
+        out_tbl = out_tbl.append_column("extracted_text", pa.array(extracted, pa.string()))
+        out_tbl = out_tbl.append_column("engine", pa.array(engines, pa.string()))
+        out_tbl = out_tbl.append_column("error", pa.array(errors, pa.string()))
+        out_tbl = out_tbl.append_column("has_table", pa.array(has_table, pa.bool_()))
+        return out_tbl

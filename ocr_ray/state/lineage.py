@@ -1,0 +1,102 @@
+"""Checkpoint/resume via per-partition lineage records.
+
+Replaces the reference's content-insensitive disk cache
+(``ocr_app/utils/performance.py:190-268`` — a known pathology, SURVEY §4.2)
+with a deterministic fragment-group → output-partition mapping:
+
+* input Parquet fragments are split into deterministic *groups* (sorted
+  path order, fixed group size);
+* each group's output lands in ``out_dir/group=<gid>/`` and, once fully
+  written, a lineage record ``out_dir/_lineage/group-<gid>.json`` is
+  committed with input fragment ids, extractor version, row count and a
+  value checksum;
+* resume = skip every group whose lineage record exists, is
+  version-compatible, and whose output row count re-validates.
+
+The lineage write is the commit point: a crash mid-group leaves no record,
+so the rerun redoes that group into the same deterministic location.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+from typing import Dict, List
+
+import pyarrow.parquet as pq
+
+
+@dataclasses.dataclass
+class LineageRecord:
+    group_id: int
+    fragments: List[str]
+    extractor_version: str
+    row_count: int
+    checksum: str
+    metrics: Dict
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+
+def group_fragments(input_paths: List[str], group_size: int) -> List[List[str]]:
+    """Deterministic grouping: sort paths, chunk by fixed size."""
+    paths = sorted(input_paths)
+    return [paths[i : i + group_size] for i in range(0, len(paths), group_size)]
+
+
+def _lineage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage")
+
+
+def lineage_path(out_dir: str, group_id: int) -> str:
+    return os.path.join(_lineage_dir(out_dir), f"group-{group_id:05d}.json")
+
+
+def group_out_dir(out_dir: str, group_id: int) -> str:
+    return os.path.join(out_dir, f"group={group_id:05d}")
+
+
+def write_lineage(out_dir: str, record: LineageRecord) -> None:
+    os.makedirs(_lineage_dir(out_dir), exist_ok=True)
+    tmp = lineage_path(out_dir, record.group_id) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(record.to_json())
+    os.replace(tmp, lineage_path(out_dir, record.group_id))  # atomic commit
+
+
+def read_lineage(out_dir: str, group_id: int) -> LineageRecord | None:
+    path = lineage_path(out_dir, group_id)
+    if not os.path.exists(path):
+        return None
+    try:
+        return LineageRecord(**json.load(open(path)))
+    except Exception:
+        return None
+
+
+def validate_group(out_dir: str, record: LineageRecord, extractor_version: str) -> bool:
+    """A group is done iff its record matches the running version and the
+    written partition still holds exactly the recorded row count."""
+    if record.extractor_version != extractor_version:
+        return False
+    gdir = group_out_dir(out_dir, record.group_id)
+    files = glob.glob(os.path.join(gdir, "*.parquet"))
+    if not files:
+        return False
+    try:
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return False
+    return rows == record.row_count
+
+
+def completed_groups(out_dir: str, n_groups: int, extractor_version: str) -> List[int]:
+    done = []
+    for gid in range(n_groups):
+        rec = read_lineage(out_dir, gid)
+        if rec is not None and validate_group(out_dir, rec, extractor_version):
+            done.append(gid)
+    return done
