@@ -1,44 +1,73 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-extraction pipeline on a small
+deterministic synthetic transcript table; ``queries()`` exposes one callable
+per implemented operator (SURVEY §2) over the sf parquet tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
+query (rows-only entries: doc_fingerprint, dedup_minhash, ann_lsh,
+transcripts_extract).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_SF_CONVS = {"sf0.001": 100, "sf0.01": 400, "sf0.1": 1500}
+
+
+def _transcripts_for(sf_dir: str) -> str:
+    """Deterministic synthetic transcripts sized to the sf tier (the
+    transcript table is this engine's canonical input; TESTDATA tables don't
+    include one, so it is synthesized per BASELINE.json.input_hint)."""
+    from ocr_ray.sources.transcripts import generate_transcripts
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    n_convs = _SF_CONVS.get(tier, 100)
+    root = f"/tmp/graft_transcripts/{tier}-{n_convs}"
+    generate_transcripts(root, n_convs=n_convs, seed=42, n_shards=8)
+    return os.path.join(root, "transcripts")
+
+
+def _q_transcripts_extract(sf_dir: str):
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+
+    ds = build_turn_pipeline(_transcripts_for(sf_dir))
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "role", "kind", "engine", "error", "extracted_text", "clean_text"]
+    )
+
+
+def _q_transcripts_convs(sf_dir: str):
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.stages.reassemble import assemble_conversations
+
+    turns = build_turn_pipeline(_transcripts_for(sf_dir))
+    return assemble_conversations(turns)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on a deterministic sf0.001-scale transcript table."""
+    return _q_transcripts_extract("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_ray.pipelines.queries import queries as _queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = dict(_queries())
+    q["transcripts_extract"] = _q_transcripts_extract
+    q["transcripts_convs"] = _q_transcripts_convs
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,503 @@
+"""Driver-facing query surface: one callable per operator (SURVEY §2) plus
+the matching DuckDB oracle SQL (same column names, same value semantics).
+
+Conventions for oracle parity:
+* integer result columns are int64 on both sides (DuckDB sums cast to BIGINT);
+* float aggregates avoided — money/value sums use integer cents via
+  ``floor(x*100 + 0.5)`` (identical double op both sides);
+* per-row floats rounded to 6 dp on both sides after any ordering;
+* computed columns named identically in Ray code and SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable, Dict
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ocr_ray.functions.entities import extract_entities
+from ocr_ray.stages.analysis import (
+    STOP_WORDS,
+    chunk_docs_batch,
+    clean_docs_batch,
+    fingerprint_docs_batch,
+    quality_docs_batch,
+    score_docs_batch,
+)
+from ocr_ray.stages.dedup import (
+    MinHasher,
+    add_content_hash,
+    band_candidates,
+    build_token_matrix,
+    jaccard_pairs_matrix,
+)
+from ocr_ray.stages.similarity import CosineTopK, RandomProjectionLSH
+
+JACCARD_THRESHOLD = 0.95
+
+
+def _doc(sf_dir: str) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ================================================================ documents
+def q_doc_clean(sf_dir: str):
+    return _doc(sf_dir).map_batches(clean_docs_batch, batch_format="pandas")
+
+
+def q_doc_score(sf_dir: str):
+    return _doc(sf_dir).map_batches(score_docs_batch, batch_format="pandas")
+
+
+def q_doc_quality(sf_dir: str):
+    return _doc(sf_dir).map_batches(quality_docs_batch, batch_format="pandas")
+
+
+def q_doc_chunks_window(sf_dir: str):
+    return _doc(sf_dir).map_batches(chunk_docs_batch, batch_format="pandas")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    # rows-only check: rolling fingerprint is not SQL-expressible
+    return _doc(sf_dir).map_batches(fingerprint_docs_batch, batch_format="pandas")
+
+
+# ================================================================ entities
+_SYNTH_TAIL = "@example.com or call (555) 123-4567 on 12/31/2024 visit https://example.com/"
+_NON_ALNUM = re.compile(r"[^A-Za-z0-9]")
+
+
+def q_entities_customer(sf_dir: str):
+    """Entity extraction (M11) exercised on synthesized contact lines derived
+    from customer names (the base tables contain no entities)."""
+
+    def batch_fn(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"c_custkey": [], "email": [], "phone": [], "date_found": [],
+               "url": [], "n_emails": []}
+        for ck, name in zip(b["c_custkey"], b["c_name"]):
+            clean = _NON_ALNUM.sub("", name).lower()
+            synth = f"Contact {clean}{_SYNTH_TAIL}{clean}"
+            ents = extract_entities(synth)
+            out["c_custkey"].append(int(ck))
+            out["email"].append(ents["emails"][0] if ents["emails"] else "")
+            out["phone"].append(ents["phones"][0] if ents["phones"] else "")
+            out["date_found"].append(ents["dates"][0] if ents["dates"] else "")
+            out["url"].append(ents["urls"][0] if ents["urls"] else "")
+            out["n_emails"].append(len(ents["emails"]))
+        return pd.DataFrame(out)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    return ds.map_batches(batch_fn, batch_format="pandas")
+
+
+# ================================================================ dedup
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash each row (vectorized), hash-partition
+    groupby, keep the lowest doc_id per distinct text."""
+    ds = _doc(sf_dir).map_batches(add_content_hash, batch_format="pandas")
+    out = ds.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
+
+
+def q_dedup_jaccard(sf_dir: str):
+    """All-pairs word-set Jaccard >= threshold.  The token-set matrix of the
+    (small) right side is broadcast once via ray.put; the left side streams
+    through map_batches doing one matmul per batch.  At scale the candidate
+    set must come from MinHash-LSH (q_dedup_minhash) instead of all-pairs."""
+    docs = _doc(sf_dir).to_pandas()  # small side by design (dimension table)
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    m, sizes = build_token_matrix(list(docs["text"]))
+    ids = docs["doc_id"].to_numpy()
+    ref = ray.put((ids, m, sizes))
+
+    def pairs_batch(b: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_m, all_sizes = ray.get(ref)
+        pos = np.searchsorted(all_ids, b["doc_id"].to_numpy())
+        inter = all_m[pos] @ all_m.T
+        union = all_sizes[pos][:, None] + all_sizes[None, :] - inter
+        jac = inter / np.maximum(union, 1.0)
+        li, ri = np.nonzero(
+            (jac >= JACCARD_THRESHOLD) & (b["doc_id"].to_numpy()[:, None] < all_ids[None, :])
+        )
+        return pd.DataFrame(
+            {
+                "left_id": b["doc_id"].to_numpy()[li],
+                "right_id": all_ids[ri],
+                "jaccard": np.round(
+                    inter[li, ri].astype(np.float64) / union[li, ri].astype(np.float64), 6
+                ),
+            }
+        )
+
+    return _doc(sf_dir).map_batches(pairs_batch, batch_format="pandas")
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup candidates verified by true Jaccard (rows-only
+    oracle; recall vs all-pairs asserted in tests).  Pipeline: signature ->
+    band explode -> groupby bands -> candidate pairs -> dedupe -> verify."""
+    docs = _doc(sf_dir)
+    bands = docs.map_batches(
+        MinHasher, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"n_perm": 64, "n_bands": 16},
+    )
+    cands = bands.groupby(["band_id", "band_hash"]).map_groups(
+        band_candidates, batch_format="pandas"
+    )
+    cand_df = cands.to_pandas().drop_duplicates(["left_id", "right_id"])
+
+    # verify true jaccard on the candidate pairs (broadcast token matrix)
+    pdf = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    m, sizes = build_token_matrix(list(pdf["text"]))
+    ids = pdf["doc_id"].to_numpy()
+    lpos = np.searchsorted(ids, cand_df["left_id"].to_numpy())
+    rpos = np.searchsorted(ids, cand_df["right_id"].to_numpy())
+    inter = (m[lpos] * m[rpos]).sum(axis=1)
+    union = sizes[lpos] + sizes[rpos] - inter
+    jac = inter / np.maximum(union, 1.0)
+    keep = jac >= JACCARD_THRESHOLD
+    out = pd.DataFrame(
+        {
+            "left_id": cand_df["left_id"].to_numpy()[keep],
+            "right_id": cand_df["right_id"].to_numpy()[keep],
+            "jaccard": np.round(jac[keep], 6),
+        }
+    ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    return out
+
+
+# ================================================================ similarity
+def q_embed_knn(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector; broadcast
+    query, per-batch float64 matmul, global sort + limit."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path)
+    qrow = [r for r in ds.filter(lambda r: r["vec_id"] == 0).take(1)]
+    qref = ray.put(np.asarray(qrow[0]["embedding"], dtype=np.float64))
+
+    class RawCosine(CosineTopK):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in batch["embedding"]])
+            sims = (m @ self.qn.T).ravel() / np.maximum(np.linalg.norm(m, axis=1), 1e-30)
+            return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "sim": sims})
+
+    scored = ds.map_batches(RawCosine, batch_format="pandas", concurrency=2,
+                            fn_constructor_kwargs={"query_ref": qref})
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10).to_pandas()
+    top["sim"] = np.round(top["sim"], 6)
+    top["vec_id"] = top["vec_id"].astype("int64")
+    return top
+
+
+def q_embed_label_stats(sf_dir: str):
+    def norms_batch(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        return pd.DataFrame(
+            {"label": b["label"].astype("int64"), "norm": np.sqrt((m * m).sum(axis=1))}
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    agg = (
+        ds.map_batches(norms_batch, batch_format="pandas")
+        .groupby("label")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("norm", alias_name="min_norm"),
+            Max("norm", alias_name="max_norm"),
+        )
+        .to_pandas()
+    )
+    agg["label"] = agg["label"].astype("int64")
+    agg["n"] = agg["n"].astype("int64")
+    agg["min_norm"] = np.round(agg["min_norm"], 6)
+    agg["max_norm"] = np.round(agg["max_norm"], 6)
+    return agg
+
+
+def q_ann_lsh(sf_dir: str):
+    """Random-projection LSH buckets (rows-only; the ANN scale path)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(ds.take(1)[0]["embedding"])
+    out = ds.map_batches(
+        RandomProjectionLSH, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"dim": dim, "n_bits": 8},
+    ).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ================================================================ relational
+_CENTS = "CAST(sum(CAST(floor({col}*100+0.5) AS BIGINT)) AS BIGINT)"
+
+
+def q_q1_pricing(sf_dir: str):
+    """TPC-H Q1-style aggregate with per-batch partial aggregation before the
+    (tiny) global groupby — the combiner pattern for scale."""
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] <= cutoff]
+        if not len(b):
+            return pd.DataFrame(
+                {"l_returnflag": [], "l_linestatus": [], "sum_qty": [],
+                 "sum_base_cents": [], "n_rows": []}
+            )
+        g = b.assign(
+            sum_qty=b["l_quantity"].astype("int64"),
+            sum_base_cents=np.floor(b["l_extendedprice"] * 100 + 0.5).astype("int64"),
+            n_rows=1,
+        ).groupby(["l_returnflag", "l_linestatus"], as_index=False)[
+            ["sum_qty", "sum_base_cents", "n_rows"]
+        ].sum()
+        return g
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    for c in ["sum_qty", "sum_base_cents", "n_rows"]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_top_customers(sf_dir: str):
+    """Revenue top-10: pre-aggregate orders per custkey, broadcast-join the
+    (small) customer dimension via ray.put, global sort + limit."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(total_cents=np.floor(b["o_totalprice"] * 100 + 0.5).astype("int64"))
+        return b.groupby("o_custkey", as_index=False)[["total_cents"]].sum()
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    totals = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("total_cents", alias_name="total_cents"))
+    )
+
+    cust = pd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    name_ref = ray.put(dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"])))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        names = ray.get(name_ref)
+        return pd.DataFrame(
+            {
+                "c_custkey": b["o_custkey"].astype("int64"),
+                "c_name": [names[k] for k in b["o_custkey"]],
+                "total_cents": b["total_cents"].astype("int64"),
+            }
+        )
+
+    out = (
+        totals.map_batches(attach, batch_format="pandas")
+        .sort(["total_cents", "c_custkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return out
+
+
+def q_events_hourly(sf_dir: str):
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            hour=b["ts"].dt.floor("h"),
+            value_cents=np.floor(b["value"] * 100 + 0.5).astype("int64"),
+            n=1,
+        )
+        return b.groupby(["event_type", "hour"], as_index=False)[["n", "value_cents"]].sum()
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype("int64")
+    out["sum_value_cents"] = out["sum_value_cents"].astype("int64")
+    return out
+
+
+def q_events_sessions(sf_dir: str):
+    """30-minute-gap sessionization: per-user ordered walk inside map_groups
+    (the streaming-window pattern; ordering assumption: all rows of one user
+    fit one group and sort by ts there)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    return out
+
+
+# ================================================================ registry
+def queries() -> Dict[str, Callable]:
+    return {
+        "doc_clean": q_doc_clean,
+        "doc_score": q_doc_score,
+        "doc_quality": q_doc_quality,
+        "doc_chunks_window": q_doc_chunks_window,
+        "doc_fingerprint": q_doc_fingerprint,
+        "entities_customer": q_entities_customer,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "embed_knn": q_embed_knn,
+        "embed_label_stats": q_embed_label_stats,
+        "ann_lsh": q_ann_lsh,
+        "q1_pricing": q_q1_pricing,
+        "top_customers": q_top_customers,
+        "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
+    }
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOP_WORDS)
+
+ORACLE_SQL: Dict[str, str] = {
+    "doc_clean": rf"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+       '\n{{3,}}', chr(10)||chr(10), 'g'), '[^[:ascii:]]+', '', 'g')) AS clean_preprocess,
+  trim(regexp_replace(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+       '[^\x20-\x7E\n\t]', '', 'g'), '(\r\n|\r|\n){{3,}}', chr(10)||chr(10), 'g')) AS clean_extracted
+FROM documents
+""",
+    "doc_score": r"""
+SELECT doc_id,
+  round(
+    least(length(text)/100.0, 10)
+    + least(array_length(list_distinct(regexp_extract_all(lower(text), '\w+')))/10.0, 10)
+    + (length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / CAST(length(text) AS DOUBLE)) * 10
+    + CASE WHEN contains(text, chr(10)) THEN 5 ELSE 0 END
+    - CASE WHEN length(text) < 20 THEN 5 ELSE 0 END, 6) AS score
+FROM documents
+""",
+    "doc_quality": rf"""
+WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\w+') AS toks FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+  round(CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / greatest(1, len(toks)), 6) AS stop_ratio,
+  round(CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / greatest(1, len(toks)), 6) AS mean_token_len,
+  CASE WHEN length(text) < 20 THEN 'en'
+       WHEN regexp_matches(text, '[\x{{4e00}}-\x{{9fff}}]') THEN 'zh'
+       WHEN regexp_matches(text, '[\x{{3040}}-\x{{30ff}}]') THEN 'ja'
+       WHEN regexp_matches(text, '[\x{{ac00}}-\x{{d7af}}]') THEN 'ko'
+       WHEN regexp_matches(text, '[\x{{0600}}-\x{{06ff}}]') THEN 'ar'
+       WHEN regexp_matches(text, '[\x{{0400}}-\x{{04ff}}]') THEN 'ru'
+       ELSE 'en' END AS lang_fallback
+FROM t
+""",
+    "doc_chunks_window": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+     e AS (SELECT doc_id, w,
+                  unnest(generate_series(0, CAST(ceil(len(w)/80.0) AS INT) - 1)) AS ci
+           FROM t)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       array_to_string(w[ci*80+1 : ci*80+100], ' ') AS chunk
+FROM e
+""",
+    "entities_customer": r"""
+WITH v AS (
+  SELECT c_custkey,
+         'Contact ' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'))
+           || '@example.com or call (555) 123-4567 on 12/31/2024 visit https://example.com/'
+           || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) AS synth
+  FROM customer)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+  regexp_extract(synth, '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b') AS email,
+  regexp_extract(synth, '\b(?:\+\d{1,3}[- ]?)?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b') AS phone,
+  regexp_extract(synth, '(?i)\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b') AS date_found,
+  regexp_extract(synth, 'https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+') AS url,
+  CAST(len(regexp_extract_all(synth, '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b')) AS BIGINT) AS n_emails
+FROM v
+""",
+    "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "dedup_jaccard": rf"""
+WITH s AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+  round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.w, b.w))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.w, b.w))) >= {JACCARD_THRESHOLD}
+""",
+    "embed_knn": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+LIMIT 10
+""",
+    "embed_label_stats": """
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+  round(min(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))), 6) AS min_norm,
+  round(max(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)))), 6) AS max_norm
+FROM embeddings GROUP BY label
+""",
+    "q1_pricing": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  {_CENTS.format(col='l_extendedprice')} AS sum_base_cents,
+  count(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "top_customers": f"""
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+  {_CENTS.format(col='o.o_totalprice')} AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_cents DESC, c.c_custkey
+LIMIT 10
+""",
+    "events_hourly": f"""
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+  {_CENTS.format(col='value')} AS sum_value_cents
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+    "events_sessions": """
+WITH d AS (SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  CAST(1 + sum(CASE WHEN prev IS NOT NULL AND ts - prev > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM d GROUP BY user_id
+""",
+}

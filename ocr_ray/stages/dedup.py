@@ -1,0 +1,193 @@
+"""Deduplication operators — first-class components for training-data
+pipelines at 100 TB (exact, word-set Jaccard, MinHash+LSH, SimHash).
+
+Scale notes (each operator documents its partitioning assumption):
+
+* exact dedup — content hash in a vectorized ``map_batches``, then
+  ``groupby(hash)`` keep-first: one all-to-all on the 16-byte hash key.
+* Jaccard all-pairs — the *verification* kernel. The broadcast variant here
+  (`jaccard_pairs_broadcast`) ships the token-set matrix once via
+  ``ray.put`` and streams the left side; correct for a small-side table
+  (dimension-table pattern). At 100 TB the candidate set must come from
+  LSH (below), never all-pairs.
+* MinHash+LSH — shingle → minhash signature per row (vectorized numpy) →
+  explode to (band_id, band_hash) rows → ``groupby`` bands → candidate
+  pairs → verify true Jaccard.  Only near-dup rows shuffle.
+* SimHash — 64-bit signature per row; near-dup candidates via bucketing on
+  bit-band keys (4 x 16-bit bands, Hamming distance <= 3 verified).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+_TOKEN = re.compile(r"\S+")
+
+# ---------------------------------------------------------------- exact
+def add_content_hash(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
+    batch = batch.copy()
+    batch["content_hash"] = [
+        hashlib.sha256(t.encode()).hexdigest()[:16] for t in batch[col]
+    ]
+    return batch
+
+
+def keep_first_by_hash(g: pd.DataFrame, order_col: str = "doc_id") -> pd.DataFrame:
+    return g.sort_values(order_col).head(1)
+
+
+# ---------------------------------------------------------------- token sets
+def tokenize_set(text: str) -> List[str]:
+    return sorted(set(text.split()))
+
+
+def build_token_matrix(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """Boolean doc x vocab matrix + per-doc set sizes (for vectorized
+    intersection via matmul)."""
+    vocab: Dict[str, int] = {}
+    rows, cols = [], []
+    for i, t in enumerate(texts):
+        for tok in set(t.split()):
+            j = vocab.setdefault(tok, len(vocab))
+            rows.append(i)
+            cols.append(j)
+    m = np.zeros((len(texts), len(vocab)), dtype=np.float32)
+    m[rows, cols] = 1.0
+    return m, m.sum(axis=1)
+
+
+def jaccard_pairs_matrix(ids: np.ndarray, m: np.ndarray, sizes: np.ndarray,
+                         threshold: float) -> pd.DataFrame:
+    """All-pairs word-set Jaccard >= threshold via one matmul (small side)."""
+    inter = m @ m.T
+    union = sizes[:, None] + sizes[None, :] - inter
+    jac = inter / np.maximum(union, 1.0)
+    iu = np.triu_indices(len(ids), k=1)
+    keep = jac[iu] >= threshold
+    li, ri = iu[0][keep], iu[1][keep]
+    return pd.DataFrame(
+        {
+            "left_id": ids[li],
+            "right_id": ids[ri],
+            "jaccard": np.round(
+                inter[li, ri].astype(np.float64) / union[li, ri].astype(np.float64), 6
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------- minhash/LSH
+def _hash_tokens(tokens: List[str]) -> np.ndarray:
+    return np.array(
+        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+         for t in tokens],
+        dtype=np.uint64,
+    )
+
+
+class MinHasher:
+    """n_perm universal hashes h_i(x) = (a_i * x + b_i) mod p over token
+    hashes; signature = per-permutation minimum.  Stateful setup (the random
+    coefficient matrix) happens once per actor in ``__init__``."""
+
+    def __init__(self, n_perm: int = 64, n_bands: int = 16, seed: int = 7,
+                 shingle_k: int = 0, text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.RandomState(seed)
+        self.p = np.uint64((1 << 61) - 1)
+        self.a = rng.randint(1, 1 << 32, size=n_perm).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 32, size=n_perm).astype(np.uint64)
+        self.n_perm = n_perm
+        self.n_bands = n_bands
+        self.rows_per_band = n_perm // n_bands
+        self.shingle_k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _features(self, text: str) -> List[str]:
+        toks = text.split()
+        if self.shingle_k and len(toks) >= self.shingle_k:
+            return [" ".join(toks[i:i + self.shingle_k])
+                    for i in range(len(toks) - self.shingle_k + 1)]
+        return toks
+
+    def signature(self, text: str) -> np.ndarray:
+        feats = list(set(self._features(text)))
+        if not feats:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        x = _hash_tokens(feats)  # (F,)
+        with np.errstate(over="ignore"):
+            hv = (x[None, :] * self.a[:, None] + self.b[:, None]) % self.p  # (P, F)
+        return hv.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Explode each row into n_bands (band_id, band_hash) bucket rows."""
+        ids: List = []
+        band_ids: List[int] = []
+        band_hashes: List[str] = []
+        for rid, text in zip(batch[self.id_col], batch[self.text_col]):
+            sig = self.signature(text)
+            for b in range(self.n_bands):
+                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                ids.append(rid)
+                band_ids.append(b)
+                band_hashes.append(h)
+        return pd.DataFrame(
+            {self.id_col: ids, "band_id": band_ids, "band_hash": band_hashes}
+        )
+
+
+def band_candidates(g: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    """All id pairs sharing one (band_id, band_hash) bucket."""
+    ids = sorted(g[id_col].unique())
+    if len(ids) < 2:
+        return pd.DataFrame({"left_id": [], "right_id": []})
+    pairs = list(itertools.combinations(ids, 2))
+    return pd.DataFrame(
+        {"left_id": [p[0] for p in pairs], "right_id": [p[1] for p in pairs]}
+    )
+
+
+# ---------------------------------------------------------------- simhash
+class SimHasher:
+    """64-bit SimHash over word features; near-dups share band keys."""
+
+    def __init__(self, n_bands: int = 4, text_col: str = "text", id_col: str = "doc_id"):
+        self.n_bands = n_bands
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def signature(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in set(text.split()):
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+            acc += 2 * bits - 1
+        sig = 0
+        for i in range(64):
+            if acc[i] > 0:
+                sig |= 1 << i
+        return sig
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = {self.id_col: [], "simhash": [], "band_id": [], "band_key": []}
+        for rid, text in zip(batch[self.id_col], batch[self.text_col]):
+            sig = self.signature(text)
+            for b in range(self.n_bands):
+                key = (sig >> (b * 16)) & 0xFFFF
+                out[self.id_col].append(rid)
+                out["simhash"].append(np.uint64(sig))
+                out["band_id"].append(b)
+                out["band_key"].append(key)
+        return pd.DataFrame(out)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(int(a) ^ int(b)).count("1")

@@ -1,0 +1,67 @@
+"""Query surface tests: every queries() entry vs its DuckDB oracle at
+sf0.001, plus operator-specific invariants (dedup recall, ANN sanity)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_all_queries_match_oracles(ray_session):
+    from tools.check_oracles import run_checks
+
+    failures = run_checks(SF)
+    assert not failures, failures
+
+
+def test_minhash_recall_vs_exact(ray_session):
+    """LSH candidates must recover every true-Jaccard pair at the working
+    threshold (16 bands x 4 rows: P(miss at j=0.95) ~ (1-0.95^4)^16 ~ 4e-9)."""
+    from ocr_ray.pipelines.queries import q_dedup_jaccard, q_dedup_minhash
+
+    exact = q_dedup_jaccard(SF).to_pandas()
+    lsh = q_dedup_minhash(SF)
+    exact_pairs = set(zip(exact["left_id"], exact["right_id"]))
+    lsh_pairs = set(zip(lsh["left_id"], lsh["right_id"]))
+    assert lsh_pairs == exact_pairs
+
+
+def test_simhash_similar_docs_close(ray_session):
+    """Near-identical texts must land within small Hamming distance."""
+    import pandas as pd
+
+    from ocr_ray.stages.dedup import SimHasher, hamming64
+
+    a = "the quick brown fox jumps over the lazy dog " * 10
+    b = a + "extra token"
+    c = "completely different words entirely unrelated content here"
+    sa, sb, sc = (SimHasher.signature(t) for t in (a, b, c))
+    assert hamming64(sa, sb) <= 6
+    assert hamming64(sa, sc) > 10
+
+
+def test_ann_lsh_buckets_group_similar(ray_session):
+    """Identical vectors share a bucket; bucket ids are deterministic."""
+    from ocr_ray.pipelines.queries import q_ann_lsh
+
+    out1 = q_ann_lsh(SF)
+    out2 = q_ann_lsh(SF)
+    assert (out1["bucket"].to_numpy() == out2["bucket"].to_numpy()).all()
+    assert out1["bucket"].nunique() > 1
+
+
+def test_entry_contract(ray_session):
+    import __ray_entry__ as e
+
+    res = e.entry()
+    df = res.to_pandas()
+    assert len(df) > 0
+    assert {"conv_id", "turn_idx", "extracted_text", "clean_text"} <= set(df.columns)
+    qs, sql = e.queries(), e.oracle_sql()
+    assert set(sql) <= set(qs)
+    assert len(qs) >= 16

@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and its oracle SQL at a given sf dir, compare row count + (sorted-column)
+values order-insensitively.  Usage: python tools/check_oracles.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import ray.data as rd
+    import pyarrow as pa
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = np.round(df[c].astype("float64"), 9)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def run_checks(sf_dir: str, names=None) -> list[str]:
+    """Compare every queries() entry against its oracle; returns failure
+    messages (empty = all green).  Assumes a live Ray session."""
+    from ocr_ray.pipelines.queries import ORACLE_SQL, queries
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures: list[str] = []
+    for name, fn in queries().items():
+        if names is not None and name not in names:
+            continue
+        try:
+            got = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            failures.append(f"{name}: ray side raised {type(e).__name__}: {e}")
+            print(f"FAIL {name}: ray side raised {type(e).__name__}: {e}")
+            continue
+        if name not in ORACLE_SQL:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            continue
+        try:
+            want = canon(con.execute(ORACLE_SQL[name]).df())
+        except Exception as e:
+            failures.append(f"{name}: oracle sql raised {e}")
+            print(f"FAIL {name}: oracle sql raised {e}")
+            continue
+        status = []
+        if len(got) != len(want):
+            status.append(f"rows {len(got)} != {len(want)}")
+        if list(got.columns) != list(want.columns):
+            status.append(f"cols {list(got.columns)} != {list(want.columns)}")
+        if not status:
+            try:
+                pd.testing.assert_frame_equal(got, want, check_dtype=True, rtol=0, atol=0)
+            except AssertionError as e:
+                status.append("values differ: " + str(e).split("\n")[0])
+                # show first difference
+                for c in got.columns:
+                    neq = ~(got[c].eq(want[c]) | (got[c].isna() & want[c].isna()))
+                    if neq.any():
+                        i = int(np.argmax(neq.to_numpy()))
+                        status.append(f"  first diff col={c} row={i}: {got[c].iloc[i]!r} vs {want[c].iloc[i]!r}")
+                        break
+        if status:
+            msg = f"{name}: " + "; ".join(status)
+            failures.append(msg)
+            print("FAIL " + msg)
+        else:
+            print(f"ok   {name}: {len(got)} rows match oracle")
+    return failures
+
+
+def main(sf_dir: str) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    failures = run_checks(sf_dir)
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(main(sf))
