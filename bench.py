@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline transcript-extraction pipeline plus every
+queries() entry over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+prints ONE JSON line::
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns": N, "turns_per_sec": N}
+
+``--scaling``: runs the headline pipeline in two fresh processes
+(num_cpus=8 and 32) on the same input and prints both throughputs plus the
+scaling efficiency ``(T8/T32)/4``.
+
+Env knobs: GRAFT_SF_DIR, RAY_GRAFT_CPUS, GRAFT_BENCH_CONVS (transcript
+conversations; default 12000), GRAFT_HEADLINE_ONLY=1 (skip per-query timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "12000"))
+
+
+def _bench_transcripts(n_convs: int) -> str:
+    """Deterministic bench transcript table (generated once, cached in /tmp)."""
+    from ocr_ray.sources.transcripts import generate_transcripts
+
+    root = f"/tmp/graft_bench_transcripts/c{n_convs}"
+    generate_transcripts(
+        root, n_convs=n_convs, seed=42, n_shards=32, with_oracle=False, parallel=True
+    )
+    return os.path.join(root, "transcripts")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+
+    tdir = _bench_transcripts(N_CONVS)
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    n_turns = rd.read_parquet(tdir).count()
+
+    out_dir = f"/tmp/graft_bench_out/turns-{NCPU}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_turn_pipeline(tdir).write_parquet(out_dir, min_rows_per_file=200_000)
+    headline = time.perf_counter() - t0
+
+    result = {
+        "metric": "transcript extraction wall time (read->normalize->extract->clean->write)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+        "queries": {},
+    }
+
+    if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
+        import __ray_entry__ as entry_mod
+
+        for name, fn in entry_mod.queries().items():
+            t0 = time.perf_counter()
+            res = fn(SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            result["queries"][name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_HEADLINE_ONLY="1",
+            GRAFT_SF_DIR=SF_DIR,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    # generation + one warm pass happen inside each child; same input both runs
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (N vs 4N cpus, same input)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns": r_hi["turns"],
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -17,7 +17,7 @@ class PipelineConfig:
 
     # execution
     batch_size: int = 2048                    # rows per extractor batch
-    extract_concurrency: int = 8              # actor-pool size for the extractor stage
+    extract_concurrency: int | None = None    # extractor pool size; None = cpus-2
     salt_span: int = 1000                     # turns per reassembly sub-group (skew salt)
     read_columns: tuple = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 

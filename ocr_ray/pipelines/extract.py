@@ -61,7 +61,7 @@ def build_turn_pipeline(
         Extractor,
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=concurrency or min(config.extract_concurrency, _default_pool_size()),
+        concurrency=concurrency or config.extract_concurrency or _default_pool_size(),
         num_cpus=1,
         fn_constructor_kwargs={"config": config},
     )

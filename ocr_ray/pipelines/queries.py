@@ -362,6 +362,109 @@ def q_events_sessions(sf_dir: str):
     return out
 
 
+# ================================================================ joins
+def q_segment_revenue(sf_dir: str):
+    """Both-sides hash join (orders x customer via Dataset.join) then a tiny
+    groupby over market segments."""
+    from ocr_ray.stages.join import hash_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", n_partitions=8)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            total_cents=np.floor(b["o_totalprice"] * 100 + 0.5).astype("int64"), n_orders=1
+        )
+        return b.groupby("c_mktsegment", as_index=False)[["n_orders", "total_cents"]].sum()
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
+        .to_pandas()
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out
+
+
+# ================================================================ rag
+RAG_QUERY = "data pipeline value"
+
+
+def q_rag_keyword_topk(sf_dir: str):
+    from ocr_ray.stages.rag import KeywordTopK
+
+    ds = _doc(sf_dir)
+    out = ds.map_batches(
+        KeywordTopK, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"query": RAG_QUERY, "k": 3},
+    ).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
+def q_rag_answer(sf_dir: str):
+    from ocr_ray.stages.rag import AnswerExtractor
+
+    return _doc(sf_dir).map_batches(
+        AnswerExtractor, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"query": "what is the value"},
+    )
+
+
+def q_doc_chunks_para(sf_dir: str):
+    from ocr_ray.stages.rag import para_chunk_batch
+
+    return _doc(sf_dir).map_batches(para_chunk_batch, batch_format="pandas")
+
+
+def q_doc_langs_distinct(sf_dir: str):
+    vals = sorted(_doc(sf_dir).unique("lang"))
+    return pd.DataFrame({"lang": vals})
+
+
+# ================================================================ multimodal
+def q_multimodal_meta(sf_dir: str):
+    """Binary-column plumbing demo (rows-only): text payloads as opaque
+    bytes through the stubbed image-decode actor stage."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.multimodal import DecodeImageStub
+
+    def to_binary(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": b["doc_id"], "payload": pc.cast(b["text"], pa.binary())}
+        )
+
+    ds = _doc(sf_dir).map_batches(to_binary, batch_format="pyarrow")
+    decoded = ds.map_batches(
+        DecodeImageStub, batch_format="pyarrow", batch_size=64, concurrency=2,
+        fn_constructor_kwargs={"real_decode": False},
+    )
+
+    def flatten(b: pa.Table) -> pd.DataFrame:
+        meta = b["image_meta"].to_pylist()
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_pylist(),
+                "content_hash": b["content_hash"].to_pylist(),
+                "width": [m["width"] for m in meta],
+                "height": [m["height"] for m in meta],
+                "mode": [m["mode"] for m in meta],
+            }
+        )
+
+    return decoded.map_batches(flatten, batch_format="pyarrow")
+
+
 # ================================================================ registry
 def queries() -> Dict[str, Callable]:
     return {
@@ -381,6 +484,12 @@ def queries() -> Dict[str, Callable]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
+        "segment_revenue": q_segment_revenue,
+        "rag_keyword_topk": q_rag_keyword_topk,
+        "rag_answer": q_rag_answer,
+        "doc_chunks_para": q_doc_chunks_para,
+        "doc_langs_distinct": q_doc_langs_distinct,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -490,6 +599,37 @@ LIMIT 10
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
   {_CENTS.format(col='value')} AS sum_value_cents
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+    "segment_revenue": f"""
+SELECT c.c_mktsegment, CAST(sum(1) AS BIGINT) AS n_orders,
+  {_CENTS.format(col='o.o_totalprice')} AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    "doc_langs_distinct": "SELECT DISTINCT lang FROM documents",
+    "rag_keyword_topk": r"""
+WITH c AS (
+  WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+       e AS (SELECT doc_id, w,
+                    unnest(generate_series(0, CAST(ceil(len(w)/80.0) AS INT) - 1)) AS ci
+             FROM t)
+  SELECT doc_id, ci AS chunk_idx, array_to_string(w[ci*80+1 : ci*80+100], ' ') AS chunk FROM e),
+s AS (
+  SELECT doc_id, chunk_idx, chunk,
+    0.5 * len(list_intersect(list_distinct(regexp_extract_all(lower(chunk), '\w+')),
+                             ['data','pipeline','value']))
+    + (CASE WHEN contains(lower(chunk), 'data') THEN 1 ELSE 0 END
+       + CASE WHEN contains(lower(chunk), 'pipeline') THEN 1 ELSE 0 END
+       + CASE WHEN contains(lower(chunk), 'value') THEN 1 ELSE 0 END) AS score
+  FROM c),
+m AS (SELECT doc_id, max(score) AS mx FROM s GROUP BY doc_id),
+r AS (SELECT s.doc_id, s.chunk_idx, s.chunk, s.score, m.mx,
+             row_number() OVER (PARTITION BY s.doc_id ORDER BY s.score DESC, s.chunk_idx DESC) AS rn
+      FROM s JOIN m ON s.doc_id = m.doc_id)
+SELECT doc_id, CAST(rn - 1 AS BIGINT) AS rank, chunk,
+       CASE WHEN mx > 0 THEN round(score / mx, 6) ELSE 0.1 END AS rel_score
+FROM r
+WHERE rn <= 3 AND (score > 0 OR mx = 0)
 """,
     "events_sessions": """
 WITH d AS (SELECT user_id, ts,

@@ -322,6 +322,7 @@ def generate_transcripts(
     mega_share: float = 0.0,
     with_oracle: bool = True,
     force: bool = False,
+    parallel: bool = False,
 ) -> str:
     """Write ``out_dir/transcripts/shard-XXXXX.parquet`` (+ ``oracle/``).
 
@@ -337,6 +338,7 @@ def generate_transcripts(
         "seed": seed,
         "n_shards": n_shards,
         "mega_share": mega_share,
+        "with_oracle": with_oracle,
         "version": 3,
     }
     if not force and os.path.exists(marker):
@@ -360,23 +362,52 @@ def generate_transcripts(
         normal_total = avg * (n_convs - 1)
         mega_turns = int(mega_share * normal_total / (1 - mega_share))
 
-    for s in range(n_shards):
-        turns: List[Dict] = []
-        oracle: List[Dict] = []
-        for conv_idx in range(s, n_convs, n_shards):
-            override = mega_turns if (conv_idx == 0 and mega_turns > 0) else None
-            t, o = make_conv(conv_idx, seed, n_turns_override=override)
-            turns.extend(t)
-            oracle.extend(o)
-        rng = random.Random(seed * 1000 + s)
-        order = list(range(len(turns)))
-        rng.shuffle(order)
-        turns = [turns[i] for i in order]
-        tt, ot = _rows_to_tables(turns, oracle)
-        pq.write_table(tt, os.path.join(tdir, f"shard-{s:05d}.parquet"))
-        if with_oracle:
-            pq.write_table(ot, os.path.join(odir, f"shard-{s:05d}.parquet"))
+    if parallel:
+        import ray
+
+        shard_fn = ray.remote(_write_shard)
+        ray.get(
+            [
+                shard_fn.remote(
+                    s, n_convs, n_shards, seed, mega_turns, tdir,
+                    odir if with_oracle else None,
+                )
+                for s in range(n_shards)
+            ]
+        )
+    else:
+        for s in range(n_shards):
+            _write_shard(
+                s, n_convs, n_shards, seed, mega_turns, tdir,
+                odir if with_oracle else None,
+            )
 
     with open(marker, "w") as f:
         json.dump(params, f)
     return out_dir
+
+
+def _write_shard(
+    s: int,
+    n_convs: int,
+    n_shards: int,
+    seed: int,
+    mega_turns: int,
+    tdir: str,
+    odir: str | None,
+) -> None:
+    turns: List[Dict] = []
+    oracle: List[Dict] = []
+    for conv_idx in range(s, n_convs, n_shards):
+        override = mega_turns if (conv_idx == 0 and mega_turns > 0) else None
+        t, o = make_conv(conv_idx, seed, n_turns_override=override)
+        turns.extend(t)
+        oracle.extend(o)
+    rng = random.Random(seed * 1000 + s)
+    order = list(range(len(turns)))
+    rng.shuffle(order)
+    turns = [turns[i] for i in order]
+    tt, ot = _rows_to_tables(turns, oracle)
+    pq.write_table(tt, os.path.join(tdir, f"shard-{s:05d}.parquet"))
+    if odir is not None:
+        pq.write_table(ot, os.path.join(odir, f"shard-{s:05d}.parquet"))

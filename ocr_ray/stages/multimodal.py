@@ -1,0 +1,93 @@
+"""Multimodal column plumbing (image/audio/video as opaque binary).
+
+The decode kernels themselves are STUBBED (no image/audio libraries in this
+environment — see ``DecodeImageStub``): the Ray-side plumbing is real and
+tested — binary schema in/out, small batches for wide rows, actor-pool
+signature with per-actor setup, typed metadata struct output.
+
+At scale: binary payloads make rows wide, so these stages run with small
+``batch_size`` (payload_bytes x batch_size x concurrency must fit worker
+heaps) and ``batch_format="pyarrow"`` end-to-end (binary round-trips
+through pandas degrade to object dtype).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+DECODERS_AVAILABLE = False  # no PIL/cv2/av in this environment
+
+
+class DecodeImageStub:
+    """Actor-pool stage: binary image -> (width, height, mode) metadata +
+    a deterministic feature vector.
+
+    Real decode raises ``NotImplementedError`` (libs absent); the
+    deterministic fake derives pseudo-dimensions from the payload hash so
+    the downstream schema/plumbing is exercised honestly.
+    """
+
+    def __init__(self, real_decode: bool = False, n_features: int = 8):
+        if real_decode and not DECODERS_AVAILABLE:
+            raise NotImplementedError(
+                "image decode requires PIL/cv2 which are not available; "
+                "run with real_decode=False for the deterministic stub"
+            )
+        self.real_decode = real_decode
+        self.n_features = n_features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        widths, heights, modes, feats, hashes = [], [], [], [], []
+        for raw in payloads:
+            raw = raw or b""
+            digest = hashlib.sha256(raw).digest()
+            hashes.append(digest[:8].hex())
+            widths.append(64 + digest[0] % 192)       # deterministic fake dims
+            heights.append(64 + digest[1] % 192)
+            modes.append("RGB" if digest[2] % 2 else "L")
+            rng = np.frombuffer(digest[:self.n_features * 4][: self.n_features * 4],
+                                dtype=np.uint32).astype(np.float32)
+            feats.append((rng / np.float32(2**32)).tolist())
+        meta = pa.StructArray.from_arrays(
+            [
+                pa.array(widths, pa.int32()),
+                pa.array(heights, pa.int32()),
+                pa.array(modes, pa.string()),
+            ],
+            names=["width", "height", "mode"],
+        )
+        out = batch.append_column("image_meta", meta)
+        out = out.append_column("content_hash", pa.array(hashes, pa.string()))
+        out = out.append_column(
+            "features", pa.array(feats, pa.list_(pa.float32(), self.n_features))
+        )
+        return out
+
+
+class FrameSampleStub:
+    """Video frame-sampling plumbing: one input row -> N frame rows with
+    (frame_idx, frame_payload) — the flat-map shape of a real sampler."""
+
+    def __init__(self, every_n: int = 10):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for rid, raw in zip(batch["doc_id"].to_pylist(), batch["payload"].to_pylist()):
+            raw = raw or b""
+            n_frames = max(1, len(raw) // 1024)
+            for f in range(0, n_frames, self.every_n):
+                ids.append(rid)
+                idxs.append(f)
+                frames.append(raw[f * 1024 : (f + 1) * 1024])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame_payload": pa.array(frames, pa.binary()),
+            }
+        )
