@@ -24,21 +24,32 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from ocr_ray.functions.entities import extract_entities
 from ocr_ray.stages.analysis import (
+    BPE_PATTERN,
     STOP_WORDS,
     chunk_docs_batch,
     clean_docs_batch,
     fingerprint_docs_batch,
+    format_docs_batch,
     quality_docs_batch,
     score_docs_batch,
+    table_detect_batch,
+    token_count_batch,
 )
 from ocr_ray.stages.dedup import (
     MinHasher,
+    SimHasher,
     add_content_hash,
     band_candidates,
     build_token_matrix,
+    hamming64,
     jaccard_pairs_matrix,
 )
-from ocr_ray.stages.similarity import CosineTopK, RandomProjectionLSH
+from ocr_ray.stages.similarity import (
+    CosineTopK,
+    IVFAssign,
+    RandomProjectionLSH,
+    kmeans_fit,
+)
 
 JACCARD_THRESHOLD = 0.95
 
@@ -67,6 +78,18 @@ def q_doc_chunks_window(sf_dir: str):
 def q_doc_fingerprint(sf_dir: str):
     # rows-only check: rolling fingerprint is not SQL-expressible
     return _doc(sf_dir).map_batches(fingerprint_docs_batch, batch_format="pandas")
+
+
+def q_doc_tokens(sf_dir: str):
+    return _doc(sf_dir).map_batches(token_count_batch, batch_format="pandas")
+
+
+def q_doc_format(sf_dir: str):
+    return _doc(sf_dir).map_batches(format_docs_batch, batch_format="pandas")
+
+
+def q_doc_tables(sf_dir: str):
+    return _doc(sf_dir).map_batches(table_detect_batch, batch_format="pandas")
 
 
 # ================================================================ entities
@@ -175,6 +198,94 @@ def q_dedup_minhash(sf_dir: str):
     return out
 
 
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup (rows-only): docs unioned with mutated copies
+    (doc_id+1_000_000, last word dropped — deterministic positives), 64-bit
+    shingle signatures, 8x8-bit band bucketing (guarantees candidates for
+    Hamming < 8), groupby bands -> candidates, Hamming <= 16 verified on the
+    full signatures.  Scale notes: only co-bucketed rows
+    shuffle; the signature side-table is per-candidate lookups (here a
+    driver-side dict because the table is small; at 100 TB a hash-partitioned
+    join on candidate ids)."""
+
+    def mutate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["doc_id"] % 10 == 0
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"][keep] + 1_000_000,
+                "text": [" ".join(t.split()[:-1]) for t in b["text"][keep]],
+            }
+        )
+
+    docs = _doc(sf_dir).select_columns(["doc_id", "text"])
+    both = docs.union(docs.map_batches(mutate, batch_format="pandas"))
+    sig_rows = both.map_batches(
+        SimHasher, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"n_bands": 8, "shingle_k": 3},
+    )
+    cands = (
+        sig_rows.groupby(["band_id", "band_key"])
+        .map_groups(band_candidates, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["left_id", "right_id"])
+    )
+    sigs = dict(
+        sig_rows.select_columns(["doc_id", "simhash"])
+        .to_pandas()
+        .drop_duplicates("doc_id")
+        .itertuples(index=False, name=None)
+    )
+    ham = np.array(
+        [hamming64(sigs[l], sigs[r]) for l, r in zip(cands["left_id"], cands["right_id"])],
+        dtype=np.int64,
+    ) if len(cands) else np.array([], dtype=np.int64)
+    keep = ham <= 16
+    out = pd.DataFrame(
+        {
+            "left_id": cands["left_id"].to_numpy()[keep] if len(cands) else [],
+            "right_id": cands["right_id"].to_numpy()[keep] if len(cands) else [],
+            "hamming": ham[keep],
+        }
+    ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    out["left_id"] = out["left_id"].astype("int64")
+    out["right_id"] = out["right_id"].astype("int64")
+    return out
+
+
+EMBED_DUP_THRESHOLD = 0.4
+
+
+def q_dedup_embed(sf_dir: str):
+    """Embedding-cosine near-dup: pairs with cosine >= threshold.  The
+    normalized matrix of the (small-side) table is broadcast once via
+    ray.put; the left side streams through map_batches doing one matmul per
+    batch (same pattern as dedup_jaccard).  At 100 TB the candidate set comes
+    from ann_ivf / ann_lsh buckets instead of all-pairs."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pdf = pd.read_parquet(path).sort_values("vec_id").reset_index(drop=True)
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    ids = pdf["vec_id"].to_numpy()
+    ref = ray.put((ids, mn))
+
+    def pairs_batch(b: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_mn = ray.get(ref)
+        bm = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        sims = bm @ all_mn.T
+        bids = b["vec_id"].to_numpy()
+        li, ri = np.nonzero((sims >= EMBED_DUP_THRESHOLD) & (bids[:, None] < all_ids[None, :]))
+        return pd.DataFrame(
+            {
+                "left_id": bids[li].astype("int64"),
+                "right_id": all_ids[ri].astype("int64"),
+                "sim": np.round(sims[li, ri], 6),
+            }
+        )
+
+    return rd.read_parquet(path).map_batches(pairs_batch, batch_format="pandas")
+
+
 # ================================================================ similarity
 def q_embed_knn(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 query vector; broadcast
@@ -233,6 +344,58 @@ def q_ann_lsh(sf_dir: str):
     ).to_pandas()
     out["vec_id"] = out["vec_id"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN (rows-only; recall vs brute force asserted in tests): seeded
+    k-means centroids fit on a driver-side sample (tiny k x dim matrix,
+    broadcast via ray.put), per-batch nearest-centroid assignment, query
+    probes the nprobe nearest cells and ranks exact cosine only there."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path)
+    sample = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in ds.take(256)]
+    )
+    cent = kmeans_fit(sample, n_centroids=16)
+    cref = ray.put(cent)
+
+    qvec = np.asarray(
+        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"], dtype=np.float64
+    )
+    assigner = IVFAssign(cent)
+    qcell_d = (assigner.cent_sq - 2.0 * (cent @ qvec))
+    probe = set(np.argsort(qcell_d)[:4].tolist())
+    qn = qvec / np.linalg.norm(qvec)
+    qref = ray.put(qn)
+
+    class ProbeScore:
+        def __init__(self, centroids_ref, query_ref, probe_cells):
+            self.assign = IVFAssign(centroids_ref)
+            self.qn = ray.get(query_ref)
+            self.probe = probe_cells
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+            cells = self.assign.assign(m)
+            mask = np.isin(cells, list(self.probe))
+            if not mask.any():
+                return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                     "sim": pd.Series([], dtype="float64")})
+            mm = m[mask]
+            sims = (mm @ self.qn) / np.maximum(np.linalg.norm(mm, axis=1), 1e-30)
+            return pd.DataFrame(
+                {"vec_id": b["vec_id"].to_numpy()[mask].astype("int64"),
+                 "sim": np.round(sims, 6)}
+            )
+
+    scored = ds.map_batches(
+        ProbeScore, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"centroids_ref": cref, "query_ref": qref,
+                               "probe_cells": probe},
+    )
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10).to_pandas()
+    top["vec_id"] = top["vec_id"].astype("int64")
+    return top
 
 
 # ================================================================ relational
@@ -473,13 +636,19 @@ def queries() -> Dict[str, Callable]:
         "doc_quality": q_doc_quality,
         "doc_chunks_window": q_doc_chunks_window,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_tokens": q_doc_tokens,
+        "doc_format": q_doc_format,
+        "doc_tables": q_doc_tables,
         "entities_customer": q_entities_customer,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embed": q_dedup_embed,
         "embed_knn": q_embed_knn,
         "embed_label_stats": q_embed_label_stats,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -554,6 +723,52 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
   regexp_extract(synth, 'https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+') AS url,
   CAST(len(regexp_extract_all(synth, '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b')) AS BIGINT) AS n_emails
 FROM v
+""",
+    "doc_tokens": rf"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num
+FROM documents
+""",
+    "doc_format": r"""
+WITH s AS (
+  SELECT doc_id,
+    upper(array_to_string((string_split_regex(trim(text), '\s+'))[1:4], ' '))
+      || chr(10) || text AS synth
+  FROM documents),
+l AS (SELECT doc_id, string_split(synth, chr(10)) AS lines FROM s)
+SELECT doc_id,
+  array_to_string(list_transform(lines, x ->
+    CASE WHEN trim(x) = upper(trim(x)) AND trim(x) <> lower(trim(x))
+              AND length(trim(x)) > 3 AND length(trim(x)) < 50
+         THEN '## ' || x ELSE x END), chr(10)) AS md,
+  '<div class="ocr-text">' || chr(10)
+    || array_to_string(list_transform(lines, x ->
+         CASE WHEN trim(x) = '' THEN '<br>' ELSE '<p>' || x || '</p>' END), chr(10))
+    || chr(10) || '</div>' AS html
+FROM l
+""",
+    "doc_tables": r"""
+WITH s AS (SELECT doc_id,
+    text || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || '| a | b |' || chr(10) || '| 1 | 2 |' || chr(10) || '| 3 | 4 |'
+                 ELSE '' END AS synth
+  FROM documents)
+SELECT doc_id,
+  CAST(len(list_filter(string_split(synth, chr(10)),
+           x -> len(regexp_extract_all(x, '\|')) >= 2)) AS BIGINT) AS n_pipe_lines,
+  len(list_filter(string_split(synth, chr(10)),
+      x -> len(regexp_extract_all(x, '\|')) >= 2)) >= 3 AS has_table
+FROM s
+""",
+    "dedup_embed": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS left_id, CAST(b.vec_id AS BIGINT) AS right_id,
+  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {EMBED_DUP_THRESHOLD}
 """,
     "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "dedup_jaccard": rf"""

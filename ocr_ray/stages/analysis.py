@@ -84,6 +84,76 @@ def chunk_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": doc_ids, "chunk_idx": idxs, "chunk": chunks})
 
 
+# BPE-ish tokenizer classes (subset shared verbatim with the SQL oracle so
+# both sides count identical tokens; RE2-safe, no lookarounds)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE = re.compile(BPE_PATTERN)
+_ALPHA = re.compile(r"[A-Za-z]+")
+_NUM = re.compile(r"[0-9]+")
+
+
+def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Token counting (training-data-pipeline op): whitespace tokens plus a
+    BPE-ish regex class count — vectorizable, one output row per doc."""
+    out = {"doc_id": [], "n_ws_tokens": [], "n_bpe_tokens": [], "n_alpha": [], "n_num": []}
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        out["doc_id"].append(doc_id)
+        out["n_ws_tokens"].append(len(text.split()))
+        out["n_bpe_tokens"].append(len(_BPE.findall(text)))
+        out["n_alpha"].append(len(_ALPHA.findall(text)))
+        out["n_num"].append(len(_NUM.findall(text)))
+    return pd.DataFrame(out)
+
+
+def synth_structured(text: str) -> str:
+    """Deterministic structured payload derived from a flat doc text: an
+    ALL-CAPS heading line over the body (the test tables are flat word runs,
+    so formatter/table heuristics need synthesized line structure; the SQL
+    oracle applies the identical synthesis)."""
+    heading = " ".join(text.split()[:4]).upper()
+    return heading + "\n" + text
+
+
+def format_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """M13 output formatter (``ocr_app/utils/text_utils.py:233-276``) over the
+    synthesized structured payload: markdown header promotion + html wrap."""
+    from ocr_ray.functions.formatting import format_ocr_result
+
+    out = {"doc_id": [], "md": [], "html": []}
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        synth = synth_structured(text)
+        out["doc_id"].append(doc_id)
+        out["md"].append(format_ocr_result(synth, "markdown"))
+        out["html"].append(format_ocr_result(synth, "html"))
+    return pd.DataFrame(out)
+
+
+_TABLE_BLOCK = "| a | b |\n| 1 | 2 |\n| 3 | 4 |"
+_PIPE = re.compile(r"\|")
+
+
+def synth_with_table(text: str, doc_id: int) -> str:
+    """Append a deterministic pipe-table block to every 5th doc (positives for
+    the table detector; identical synthesis in the SQL oracle)."""
+    if int(doc_id) % 5 == 0:
+        return text + "\n" + _TABLE_BLOCK
+    return text
+
+
+def table_detect_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """M16 graft (``ocr_app/core/image_processor.py:115-167``): detect
+    tabular/aligned blocks — a line with >=2 pipe chars is a "grid line";
+    >=3 grid lines (the reference's h-line/v-line count>3 analog) => table."""
+    out = {"doc_id": [], "n_pipe_lines": [], "has_table": []}
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        synth = synth_with_table(text, doc_id)
+        n = sum(1 for ln in synth.split("\n") if len(_PIPE.findall(ln)) >= 2)
+        out["doc_id"].append(doc_id)
+        out["n_pipe_lines"].append(n)
+        out["has_table"].append(n >= 3)
+    return pd.DataFrame(out)
+
+
 def fingerprint_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Document fingerprinting: deterministic 64-bit content hash + a rolling
     polynomial hash over the token stream (Rabin-Karp style)."""

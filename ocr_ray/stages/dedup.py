@@ -156,17 +156,33 @@ def band_candidates(g: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
 
 # ---------------------------------------------------------------- simhash
 class SimHasher:
-    """64-bit SimHash over word features; near-dups share band keys."""
+    """64-bit SimHash; near-dups share band keys.  Features are words
+    (``shingle_k=0``) or k-word shingles — shingles make signatures
+    distinctive even when documents share most of their vocabulary (word-set
+    features saturate on small shared vocabularies).  Banding with
+    ``n_bands`` equal-width bands guarantees candidate generation for pairs
+    with Hamming distance < n_bands (pigeonhole); verify with
+    :func:`hamming64` after the band groupby."""
 
-    def __init__(self, n_bands: int = 4, text_col: str = "text", id_col: str = "doc_id"):
+    def __init__(self, n_bands: int = 8, shingle_k: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        assert 64 % n_bands == 0
         self.n_bands = n_bands
+        self.band_width = 64 // n_bands
+        self.shingle_k = shingle_k
         self.text_col = text_col
         self.id_col = id_col
 
     @staticmethod
-    def signature(text: str) -> int:
+    def signature(text: str, shingle_k: int = 0) -> int:
+        toks = text.split()
+        if shingle_k and toks:
+            feats = {" ".join(toks[i:i + shingle_k])
+                     for i in range(max(1, len(toks) - shingle_k + 1))}
+        else:
+            feats = set(toks)
         acc = np.zeros(64, dtype=np.int64)
-        for tok in set(text.split()):
+        for tok in feats:
             h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
             bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
             acc += 2 * bits - 1
@@ -178,10 +194,11 @@ class SimHasher:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {self.id_col: [], "simhash": [], "band_id": [], "band_key": []}
+        mask = (1 << self.band_width) - 1
         for rid, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.signature(text)
+            sig = self.signature(text, self.shingle_k)
             for b in range(self.n_bands):
-                key = (sig >> (b * 16)) & 0xFFFF
+                key = (sig >> (b * self.band_width)) & mask
                 out[self.id_col].append(rid)
                 out["simhash"].append(np.uint64(sig))
                 out["band_id"].append(b)

@@ -49,6 +49,49 @@ class CosineTopK:
         )
 
 
+def kmeans_fit(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
+               seed: int = 29) -> np.ndarray:
+    """Deterministic Lloyd k-means on a (small, driver-side) sample — the
+    coarse quantizer for IVF.  At 100 TB the sample comes from
+    ``ds.random_sample``; the centroid matrix stays tiny (k x dim) and is
+    broadcast via ``ray.put``."""
+    rng = np.random.RandomState(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                cent[c] = sample[mask].mean(axis=0)
+    return cent
+
+
+class IVFAssign:
+    """IVF cell assignment: nearest-centroid id per vector (one matmul per
+    batch against the broadcast centroid matrix).  Emits (id, cell, sim-ready
+    normalized vector untouched).  The query path probes only the ``nprobe``
+    cells nearest the query centroid."""
+
+    def __init__(self, centroids_ref, id_col: str = "vec_id", vec_col: str = "embedding"):
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.cent = np.asarray(c, dtype=np.float64)
+        self.cent_sq = (self.cent ** 2).sum(axis=1)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        # argmin ||v - c||^2 = argmin (||c||^2 - 2 v.c); ||v||^2 constant per row
+        return (self.cent_sq[None, :] - 2.0 * (m @ self.cent.T)).argmin(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(batch[self.vec_col])
+        return pd.DataFrame(
+            {self.id_col: batch[self.id_col].to_numpy(), "cell": self.assign(m)}
+        )
+
+
 class RandomProjectionLSH:
     """Signed-random-projection bucketer: ``bucket = bits(sign(R @ v))``.
 

@@ -55,6 +55,33 @@ def test_ann_lsh_buckets_group_similar(ray_session):
     assert out1["bucket"].nunique() > 1
 
 
+def test_simhash_query_finds_mutated_dups(ray_session):
+    """The dedup_simhash query must pair every mutated copy (doc_id+1e6,
+    last word dropped) with its original."""
+    from ocr_ray.pipelines.queries import q_dedup_simhash
+
+    out = q_dedup_simhash(SF)
+    pairs = set(zip(out["left_id"], out["right_id"]))
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    expected = {
+        (int(d), int(d) + 1_000_000) for d in docs["doc_id"] if int(d) % 10 == 0
+    }
+    assert expected <= pairs
+
+
+def test_ann_ivf_recall_vs_brute_force(ray_session):
+    """IVF with nprobe=4/16 cells must recover most of the brute-force
+    top-10 for the query vector (recall >= 0.5; exact path stays embed_knn)."""
+    from ocr_ray.pipelines.queries import q_ann_ivf, q_embed_knn
+
+    brute = set(q_embed_knn(SF)["vec_id"])
+    ivf = set(q_ann_ivf(SF)["vec_id"])
+    assert len(brute & ivf) / len(brute) >= 0.5
+    assert 0 in ivf  # the query vector itself lives in the probed cell
+
+
 def test_entry_contract(ray_session):
     import __ray_entry__ as e
 
