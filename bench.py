@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "12000"))
+N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "100000"))
 
 
 def _bench_transcripts(n_convs: int) -> str:
@@ -39,7 +39,7 @@ def _bench_transcripts(n_convs: int) -> str:
 
     root = f"/tmp/graft_bench_transcripts/c{n_convs}"
     generate_transcripts(
-        root, n_convs=n_convs, seed=42, n_shards=32, with_oracle=False, parallel=True
+        root, n_convs=n_convs, seed=42, n_shards=64, with_oracle=False, parallel=True
     )
     return os.path.join(root, "transcripts")
 
@@ -71,7 +71,9 @@ def run_bench() -> dict:
     out_dir = f"/tmp/graft_bench_out/turns-{NCPU}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    build_turn_pipeline(tdir).write_parquet(out_dir, min_rows_per_file=200_000)
+    # min_rows_per_file sized so write tasks stay parallel at bench scale
+    # (200k would coalesce the whole output into one serial write task)
+    build_turn_pipeline(tdir).write_parquet(out_dir, min_rows_per_file=20_000)
     headline = time.perf_counter() - t0
 
     result = {

@@ -26,7 +26,6 @@ import pyarrow as pa
 import ray.data as rd
 
 from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
-from ocr_ray.stages.cleanup import make_clean_batch
 from ocr_ray.stages.extract import Extractor
 from ocr_ray.stages.normalize import normalize_batch
 from ocr_ray.stages.reassemble import assemble_conversations
@@ -57,15 +56,17 @@ def build_turn_pipeline(
         batch_format="pyarrow",
         fn_kwargs={"config": config},
     )
+    # cleanup (M9/M10) is fused into the extractor actor call: the actor pool
+    # reserves most CPUs for the whole execution, so a separate downstream
+    # clean stage would run on the leftover CPUs and serialize the job
     ds = ds.map_batches(
         Extractor,
         batch_format="pyarrow",
         batch_size=config.batch_size,
         concurrency=concurrency or config.extract_concurrency or _default_pool_size(),
         num_cpus=1,
-        fn_constructor_kwargs={"config": config},
+        fn_constructor_kwargs={"config": config, "with_clean": True},
     )
-    ds = ds.map_batches(make_clean_batch(config), batch_format="pyarrow")
     return ds
 
 

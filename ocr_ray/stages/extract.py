@@ -54,14 +54,27 @@ def detect_aligned_table(text: str) -> bool:
 
 
 class Extractor:
-    """Best-of-N rule extractor with fallback ladder; one instance per actor."""
+    """Best-of-N rule extractor with fallback ladder; one instance per actor.
 
-    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+    ``with_clean=True`` additionally applies the M9/M10 cleanup inside the
+    same actor call (identical semantics to the standalone cleanup stage).
+    Fusing it here matters for throughput: a mid-pipeline actor pool reserves
+    its CPUs for the whole execution, so any non-trivial task-pool stage
+    scheduled after it runs on the few CPUs left over and serializes the job.
+    """
+
+    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG, with_clean: bool = False):
         self.config = config
         self.engines: List[Tuple[str, Callable[[str], str]]] = [
             (name, ENGINES[name]) for name in config.engines
         ]
         self.layout_variant = config.layout_variant
+        if with_clean:
+            from ocr_ray.functions.textops import CLEANUP_MODES
+
+            self.clean: Callable[[str], str] | None = CLEANUP_MODES[config.cleanup_mode]
+        else:
+            self.clean = None
 
     # ------------------------------------------------------------ per-kind
     def _extract_html(self, payload: str) -> Tuple[str, str, str]:
@@ -134,4 +147,8 @@ class Extractor:
         out_tbl = out_tbl.append_column("engine", pa.array(engines, pa.string()))
         out_tbl = out_tbl.append_column("error", pa.array(errors, pa.string()))
         out_tbl = out_tbl.append_column("has_table", pa.array(has_table, pa.bool_()))
+        if self.clean is not None:
+            out_tbl = out_tbl.append_column(
+                "clean_text", pa.array([self.clean(t) for t in extracted], pa.string())
+            )
         return out_tbl
