@@ -124,10 +124,13 @@ def q_entities_customer(sf_dir: str):
 
 # ================================================================ dedup
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: content-hash each row (vectorized), hash-partition
-    groupby, keep the lowest doc_id per distinct text."""
+    """Exact dedup: content-hash each row (vectorized), two-level hash
+    aggregation (stages/aggregate.py), keep the lowest doc_id per distinct
+    text."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
     ds = _doc(sf_dir).map_batches(add_content_hash, batch_format="pandas")
-    out = ds.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    out = hash_aggregate(ds, keys=["content_hash"], aggs={"doc_id": "min"})
     return out.select_columns(["doc_id"])
 
 
@@ -164,37 +167,58 @@ def q_dedup_jaccard(sf_dir: str):
     return _doc(sf_dir).map_batches(pairs_batch, batch_format="pandas")
 
 
+MINHASH_SHINGLE_K = 3
+
+
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup candidates verified by true Jaccard (rows-only
-    oracle; recall vs all-pairs asserted in tests).  Pipeline: signature ->
-    band explode -> groupby bands -> candidate pairs -> dedupe -> verify."""
+    """MinHash+LSH near-dup candidates over k-word shingles, verified by true
+    shingle Jaccard (rows-only oracle; recall vs all-pairs asserted in
+    tests).  Pipeline: shingle -> signature -> band explode -> groupby bands
+    -> candidate pairs -> dedupe -> verify.
+
+    Shingles, not unigrams: unigram minhash saturates on a small shared
+    vocabulary — every doc pair looks ~0.8-similar, band buckets degenerate
+    to the whole table and candidate generation explodes quadratically
+    (observed 48M pairs on the 5k-doc table).  Shingle sets of unrelated
+    docs are near-disjoint, so buckets hold only true near-dups (the
+    standard design in training-data dedup, cf. Lee et al. 2022)."""
+    from ocr_ray.stages.dedup import jaccard_sets, shingle_set
+
     docs = _doc(sf_dir)
     bands = docs.map_batches(
         MinHasher, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"n_perm": 64, "n_bands": 16},
-    )
-    cands = bands.groupby(["band_id", "band_hash"]).map_groups(
-        band_candidates, batch_format="pandas"
-    )
+        fn_constructor_kwargs={
+            "n_perm": 64, "n_bands": 16, "shingle_k": MINHASH_SHINGLE_K,
+        },
+    ).materialize()
+    from ocr_ray.stages.dedup import bucket_pairs
+
+    cands = bucket_pairs(bands, ["band_id", "band_hash"])
     cand_df = cands.to_pandas().drop_duplicates(["left_id", "right_id"])
 
-    # verify true jaccard on the candidate pairs (broadcast token matrix)
-    pdf = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    m, sizes = build_token_matrix(list(pdf["text"]))
-    ids = pdf["doc_id"].to_numpy()
-    lpos = np.searchsorted(ids, cand_df["left_id"].to_numpy())
-    rpos = np.searchsorted(ids, cand_df["right_id"].to_numpy())
-    inter = (m[lpos] * m[rpos]).sum(axis=1)
-    union = sizes[lpos] + sizes[rpos] - inter
-    jac = inter / np.maximum(union, 1.0)
+    # verify true shingle jaccard on the (few) candidate pairs; the text
+    # lookup is a driver-side dict here (small side) — at scale, a
+    # hash-partitioned join of candidate ids against the doc table
+    pdf = docs.select_columns(["doc_id", "text"]).to_pandas()
+    sets = {
+        int(i): shingle_set(t, MINHASH_SHINGLE_K)
+        for i, t in zip(pdf["doc_id"], pdf["text"])
+    }
+    jac = np.array(
+        [jaccard_sets(sets[int(l)], sets[int(r)])
+         for l, r in zip(cand_df["left_id"], cand_df["right_id"])],
+        dtype=np.float64,
+    ) if len(cand_df) else np.array([], dtype=np.float64)
     keep = jac >= JACCARD_THRESHOLD
     out = pd.DataFrame(
         {
-            "left_id": cand_df["left_id"].to_numpy()[keep],
-            "right_id": cand_df["right_id"].to_numpy()[keep],
+            "left_id": cand_df["left_id"].to_numpy()[keep] if len(cand_df) else [],
+            "right_id": cand_df["right_id"].to_numpy()[keep] if len(cand_df) else [],
             "jaccard": np.round(jac[keep], 6),
         }
     ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
+    out["left_id"] = out["left_id"].astype("int64")
+    out["right_id"] = out["right_id"].astype("int64")
     return out
 
 
@@ -219,26 +243,38 @@ def q_dedup_simhash(sf_dir: str):
 
     docs = _doc(sf_dir).select_columns(["doc_id", "text"])
     both = docs.union(docs.map_batches(mutate, batch_format="pandas"))
+    # materialized once: consumed by both the band groupby and the signature
+    # lookup (lazy datasets re-execute per consumer); the signature table is
+    # small (n_bands rows/doc, ints only)
     sig_rows = both.map_batches(
         SimHasher, batch_format="pandas", concurrency=2,
         fn_constructor_kwargs={"n_bands": 8, "shingle_k": 3},
-    )
+    ).materialize()
+    from ocr_ray.stages.dedup import bucket_pairs
+
     cands = (
-        sig_rows.groupby(["band_id", "band_key"])
-        .map_groups(band_candidates, batch_format="pandas")
+        bucket_pairs(sig_rows, ["band_id", "band_key"])
         .to_pandas()
         .drop_duplicates(["left_id", "right_id"])
     )
-    sigs = dict(
+    sig_df = (
         sig_rows.select_columns(["doc_id", "simhash"])
         .to_pandas()
         .drop_duplicates("doc_id")
-        .itertuples(index=False, name=None)
     )
-    ham = np.array(
-        [hamming64(sigs[l], sigs[r]) for l, r in zip(cands["left_id"], cands["right_id"])],
-        dtype=np.int64,
-    ) if len(cands) else np.array([], dtype=np.int64)
+    sigs = pd.Series(
+        sig_df["simhash"].to_numpy(dtype=np.uint64), index=sig_df["doc_id"]
+    )
+    if len(cands):
+        xor = (
+            sigs.loc[cands["left_id"]].to_numpy()
+            ^ sigs.loc[cands["right_id"]].to_numpy()
+        )
+        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1, dtype=np.int64
+        )
+    else:
+        ham = np.array([], dtype=np.int64)
     keep = ham <= 16
     out = pd.DataFrame(
         {
@@ -427,16 +463,13 @@ def q_q1_pricing(sf_dir: str):
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
     )
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_cents", alias_name="sum_base_cents"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
-        .to_pandas()
-    )
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={"sum_qty": "sum", "sum_base_cents": "sum", "n_rows": "sum"},
+    ).to_pandas()
     for c in ["sum_qty", "sum_base_cents", "n_rows"]:
         out[c] = out[c].astype("int64")
     return out
@@ -450,13 +483,15 @@ def q_top_customers(sf_dir: str):
         b = b.assign(total_cents=np.floor(b["o_totalprice"] * 100 + 0.5).astype("int64"))
         return b.groupby("o_custkey", as_index=False)[["total_cents"]].sum()
 
+    from ocr_ray.stages.aggregate import hash_aggregate
+
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
-    totals = (
-        orders.map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("total_cents", alias_name="total_cents"))
+    totals = hash_aggregate(
+        orders.map_batches(partial, batch_format="pandas"),
+        keys=["o_custkey"],
+        aggs={"total_cents": "sum"},
     )
 
     cust = pd.read_parquet(
@@ -487,20 +522,23 @@ def q_events_hourly(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(
             hour=b["ts"].dt.floor("h"),
-            value_cents=np.floor(b["value"] * 100 + 0.5).astype("int64"),
+            sum_value_cents=np.floor(b["value"] * 100 + 0.5).astype("int64"),
             n=1,
         )
-        return b.groupby(["event_type", "hour"], as_index=False)[["n", "value_cents"]].sum()
+        return b.groupby(["event_type", "hour"], as_index=False)[
+            ["n", "sum_value_cents"]
+        ].sum()
+
+    from ocr_ray.stages.aggregate import hash_aggregate
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
     )
-    out = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
-        .to_pandas()
-    )
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "hour"],
+        aggs={"n": "sum", "sum_value_cents": "sum"},
+    ).to_pandas()
     out["n"] = out["n"].astype("int64")
     out["sum_value_cents"] = out["sum_value_cents"].astype("int64")
     return out

@@ -47,6 +47,25 @@ def tokenize_set(text: str) -> List[str]:
     return sorted(set(text.split()))
 
 
+def shingle_set(text: str, k: int = 3) -> frozenset:
+    """k-word shingle set.  Near-dup detection over shingles (not unigrams)
+    is the standard in training-data dedup: unigram sets saturate on small
+    shared vocabularies, making every document pair look similar."""
+    toks = text.split()
+    if not toks:
+        return frozenset()
+    if len(toks) < k:
+        return frozenset({" ".join(toks)})
+    return frozenset(" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1))
+
+
+def jaccard_sets(a: frozenset, b: frozenset) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
 def build_token_matrix(texts: List[str]) -> Tuple[np.ndarray, np.ndarray]:
     """Boolean doc x vocab matrix + per-doc set sizes (for vectorized
     intersection via matmul)."""
@@ -154,6 +173,41 @@ def band_candidates(g: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
     )
 
 
+def bucket_pairs(
+    bucket_rows: "object",
+    bucket_cols: List[str],
+    id_col: str = "doc_id",
+    n_partitions: int = 64,
+) -> "object":
+    """Candidate pairs from co-bucketed rows, shuffling into a *bounded*
+    number of groups: ``Dataset.groupby`` degrades with distinct-key count,
+    so buckets are hashed into ``n_partitions`` partitions and each
+    partition enumerates its buckets' pairs locally (a whole bucket shares a
+    partition, so no pair is lost)."""
+
+    def add_pk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        pk = sum(pd.util.hash_pandas_object(b[c], index=False) for c in bucket_cols)
+        b["_pk"] = (pk % n_partitions).astype("int32")
+        return b
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out_l: List = []
+        out_r: List = []
+        for _, bucket in g.groupby(bucket_cols, sort=False):
+            ids = sorted(bucket[id_col].unique())
+            for a, b in itertools.combinations(ids, 2):
+                out_l.append(a)
+                out_r.append(b)
+        return pd.DataFrame({"left_id": out_l, "right_id": out_r})
+
+    return (
+        bucket_rows.map_batches(add_pk, batch_format="pandas")
+        .groupby("_pk")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------- simhash
 class SimHasher:
     """64-bit SimHash; near-dups share band keys.  Features are words
@@ -181,16 +235,21 @@ class SimHasher:
                      for i in range(max(1, len(toks) - shingle_k + 1))}
         else:
             feats = set(toks)
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in feats:
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += 2 * bits - 1
-        sig = 0
-        for i in range(64):
-            if acc[i] > 0:
-                sig |= 1 << i
-        return sig
+        if not feats:
+            return 0
+        # vectorized: 8-byte digests -> bit matrix -> column majority vote
+        digests = b"".join(
+            hashlib.blake2b(f.encode(), digest_size=8).digest() for f in feats
+        )
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(len(feats), 8), axis=1
+        ).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(feats)  # (+1/-1 vote per feature)
+        sig_bits = (votes > 0).astype(np.uint8)
+        sig_bytes = np.packbits(sig_bits).tobytes()
+        # bit order must match int.from_bytes(digest, "big") of the old layout:
+        # unpackbits is MSB-first per byte, packbits reverses it symmetrically
+        return int.from_bytes(sig_bytes, "big")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         out = {self.id_col: [], "simhash": [], "band_id": [], "band_key": []}

@@ -20,15 +20,46 @@ def test_all_queries_match_oracles(ray_session):
 
 
 def test_minhash_recall_vs_exact(ray_session):
-    """LSH candidates must recover every true-Jaccard pair at the working
-    threshold (16 bands x 4 rows: P(miss at j=0.95) ~ (1-0.95^4)^16 ~ 4e-9)."""
-    from ocr_ray.pipelines.queries import q_dedup_jaccard, q_dedup_minhash
+    """LSH candidates must recover every true shingle-Jaccard pair at the
+    working threshold (16 bands x 4 rows: P(miss at j=0.95) ~ (1-0.95^4)^16
+    ~ 4e-9), verified against driver-side all-pairs brute force."""
+    import itertools
 
-    exact = q_dedup_jaccard(SF).to_pandas()
+    import pandas as pd
+
+    from ocr_ray.pipelines.queries import (
+        JACCARD_THRESHOLD,
+        MINHASH_SHINGLE_K,
+        q_dedup_minhash,
+    )
+    from ocr_ray.stages.dedup import jaccard_sets, shingle_set
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    sets = {
+        int(i): shingle_set(t, MINHASH_SHINGLE_K)
+        for i, t in zip(docs["doc_id"], docs["text"])
+    }
+    exact_pairs = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if jaccard_sets(sets[a], sets[b]) >= JACCARD_THRESHOLD
+    }
     lsh = q_dedup_minhash(SF)
-    exact_pairs = set(zip(exact["left_id"], exact["right_id"]))
     lsh_pairs = set(zip(lsh["left_id"], lsh["right_id"]))
     assert lsh_pairs == exact_pairs
+
+    # synthetic positive: a doc and its one-word-dropped copy must co-bucket
+    from ocr_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(n_perm=64, n_bands=16, shingle_k=MINHASH_SHINGLE_K)
+    t = docs["text"].iloc[0]
+    sig_a, sig_b = mh.signature(t), mh.signature(" ".join(t.split()[:-1]))
+    rpb = mh.rows_per_band
+    shared = sum(
+        (sig_a[b * rpb:(b + 1) * rpb] == sig_b[b * rpb:(b + 1) * rpb]).all()
+        for b in range(mh.n_bands)
+    )
+    assert shared >= 1
 
 
 def test_simhash_similar_docs_close(ray_session):
