@@ -3,68 +3,195 @@
 Restores stable turn ordering per conversation and joins turns into a
 single conversation document (page-concat analog,
 ``ocr_app/ui/cli.py:163-168``).  Ordering is explicit — Ray Data does not
-guarantee row order through shuffles — so each group sorts by ``turn_idx``
-before joining.
+guarantee row order through shuffles — so turns sort by ``turn_idx`` before
+joining.
 
-Skew handling (SURVEY §4): conversation length is heavy-tailed, so the
-shuffle key is salted as ``(conv_id, turn_idx // salt_span)``.  Phase 1
-reassembles contiguous sub-ranges; phase 2 concatenates the (few) sub-range
+Skew handling (SURVEY §4): conversation length is heavy-tailed, so phase 1
+exchanges on the *salted* key ``hash(conv_id) + turn_idx // salt_span`` and
+assembles contiguous sub-ranges; phase 2 concatenates the (few) sub-range
 rows per conversation in salt order.  Valid because joining a contiguous
-turn range with a fixed separator is associative under turn ordering.
+turn range with a fixed separator is associative under turn ordering.  A
+mega-conversation's sub-ranges land in *different* phase-1 partitions, so no
+single task ever holds more than ``salt_span`` of its turns.
+
+Shuffle mechanics — an explicit two-stage hash exchange over raw Ray tasks
+(the SURVEY §2 "last resort" tier, justified by measurement at 1.27M turns /
+2.9 GB on 32 CPUs):
+
+* ``Dataset.groupby(key).map_groups``: 240 s keyed by conv_id (100k distinct
+  keys), 49 s keyed by a bounded partition id — the sort-based shuffle
+  dominates either way (``sort(conv_id)`` alone: 72 s).
+* this exchange: split each input block by partition id into *compacted*
+  Arrow sub-tables (``combine_chunks`` — a zero-copy slice would serialize
+  its entire parent buffer, re-shipping every block P times), one reduce
+  task per partition concatenates its pieces and assembles vectorized:
+  ~10 s end-to-end.
+
+Partitioning assumption: all rows of one (conv_id, salt) pair meet in one
+phase-1 partition and all parts of one conv_id in one phase-2 partition —
+guaranteed by the deterministic hash.  ``n_partitions`` bounds per-task
+memory: size so total_bytes / n_partitions fits a worker heap.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+from typing import List, Tuple
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
 import ray.data
 
 from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
 
 _SEP = "\n\n"
+_COLS = ["conv_id", "turn_idx", "role", "clean_text"]
 
 
-def _format_turn(role: str, text: str) -> str:
-    return f"[{role}] {text}"
+def _split_table(t: pa.Table, pk: np.ndarray, n_partitions: int) -> Tuple[pa.Table, ...]:
+    """Split an Arrow table into compacted per-partition sub-tables."""
+    order = np.argsort(pk, kind="stable")
+    sorted_t = t.take(order)
+    spk = pk[order]
+    bounds = np.searchsorted(spk, np.arange(n_partitions + 1))
+    return tuple(
+        sorted_t.slice(bounds[j], bounds[j + 1] - bounds[j]).combine_chunks()
+        for j in range(n_partitions)
+    )
 
 
-def _assemble_part(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("turn_idx")
-    part = _SEP.join(_format_turn(r, t) for r, t in zip(g["role"], g["clean_text"]))
-    return pd.DataFrame(
+@ray.remote
+def _split_turns(t: pa.Table, n_partitions: int, span: int) -> Tuple[pa.Table, ...]:
+    t = t.select(_COLS)
+    salt = (t["turn_idx"].to_numpy() // span).astype(np.int32)
+    h = pd.util.hash_pandas_object(t["conv_id"].to_pandas(), index=False).to_numpy()
+    pk = ((h + salt.astype(np.uint64)) % n_partitions).astype(np.int32)
+    return _split_table(t.append_column("salt", pa.array(salt)), pk, n_partitions)
+
+
+def _as_array(col) -> pa.Array:
+    """Flatten a (possibly chunked) column to a single pa.Array."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 0:
+            return pa.array([], type=col.type)
+        if col.num_chunks == 1:
+            return col.chunk(0)
+        return pa.concat_arrays(col.chunks)
+    return col
+
+
+def _group_offsets(*key_arrays: np.ndarray) -> np.ndarray:
+    """Offsets of consecutive-equal-key runs over pre-sorted key arrays."""
+    n = len(key_arrays[0])
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for k in key_arrays:
+        change |= k[1:] != k[:-1]
+    return np.concatenate(([0], np.nonzero(change)[0] + 1, [n]))
+
+
+def _join_groups(fmt: pa.Array, offsets: np.ndarray) -> pa.Array:
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int64()).cast(pa.int32()), fmt)
+    return pa.compute.binary_join(la, _SEP)
+
+
+@ray.remote
+def _assemble_parts(*pieces: pa.Table) -> pa.Table:
+    """Per-partition phase 1: join each (conv_id, salt) sub-range in
+    turn_idx order.  Pure Arrow kernels (sort_by / binary_join) — no Python
+    string objects are ever created."""
+    import pyarrow.compute as pc
+
+    t = pa.concat_tables(pieces)
+    st = t.sort_by(
+        [("conv_id", "ascending"), ("salt", "ascending"), ("turn_idx", "ascending")]
+    )
+    fmt = _as_array(
+        pc.binary_join_element_wise(
+            "[", _as_array(st["role"]), "] ", _as_array(st["clean_text"]), ""
+        )
+    )
+    conv_codes = _as_array(st["conv_id"]).dictionary_encode().indices.to_numpy()
+    salts = st["salt"].to_numpy()
+    off = _group_offsets(conv_codes, salts)
+    starts = pa.array(off[:-1])
+    return pa.table(
         {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "salt": [g["salt"].iloc[0]],
-            "n_turns": [len(g)],
-            "part_text": [part],
+            "conv_id": _as_array(st["conv_id"]).take(starts),
+            "salt": _as_array(st["salt"]).take(starts),
+            "n_turns": pa.array(np.diff(off).astype(np.int64)),
+            "part_text": _join_groups(fmt, off),
         }
     )
 
 
-def _assemble_final(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values("salt")
-    return pd.DataFrame(
+@ray.remote
+def _split_parts(t: pa.Table, n_partitions: int) -> Tuple[pa.Table, ...]:
+    h = pd.util.hash_pandas_object(t["conv_id"].to_pandas(), index=False).to_numpy()
+    return _split_table(t, (h % n_partitions).astype(np.int32), n_partitions)
+
+
+@ray.remote
+def _assemble_final(*pieces: pa.Table) -> pa.Table:
+    """Per-partition phase 2: concatenate sub-ranges in salt order (pure
+    Arrow, as in phase 1)."""
+    t = pa.concat_tables(pieces)
+    st = t.sort_by([("conv_id", "ascending"), ("salt", "ascending")])
+    conv_codes = _as_array(st["conv_id"]).dictionary_encode().indices.to_numpy()
+    off = _group_offsets(conv_codes)
+    starts = off[:-1]
+    if len(starts):
+        n_turns = np.add.reduceat(st["n_turns"].to_numpy(), starts).astype(np.int64)
+    else:
+        n_turns = np.array([], dtype=np.int64)
+    return pa.table(
         {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "n_turns": [int(g["n_turns"].sum())],
-            "conv_text": [_SEP.join(g["part_text"])],
+            "conv_id": _as_array(st["conv_id"]).take(pa.array(starts)),
+            "n_turns": pa.array(n_turns),
+            "conv_text": _join_groups(_as_array(st["part_text"]), off),
         }
     )
 
 
 def assemble_conversations(
-    turns: "ray.data.Dataset", config: PipelineConfig = DEFAULT_CONFIG
+    turns: "ray.data.Dataset",
+    config: PipelineConfig = DEFAULT_CONFIG,
+    n_partitions: int = 64,
 ) -> "ray.data.Dataset":
     """turns (conv_id, turn_idx, role, clean_text, ...) -> one row per conv."""
     span = config.salt_span
+    mat = turns.materialize()
+    refs = mat.to_arrow_refs()
+    # coarsen tiny blocks so the exchange stays O(blocks x partitions) small
+    if len(refs) > 4 * n_partitions:
+        refs = mat.repartition(n_partitions).to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "conv_text": pa.array([], pa.string()),
+                }
+            )
+        )
 
-    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["conv_id", "turn_idx", "role", "clean_text"]].copy()
-        out["salt"] = (out["turn_idx"] // span).astype("int32")
-        return out
-
-    salted = turns.map_batches(add_salt, batch_format="pandas")
-    parts = salted.groupby(["conv_id", "salt"]).map_groups(
-        _assemble_part, batch_format="pandas"
-    )
-    return parts.groupby("conv_id").map_groups(_assemble_final, batch_format="pandas")
+    splits: List = [
+        _split_turns.options(num_returns=n_partitions).remote(r, n_partitions, span)
+        for r in refs
+    ]
+    part_refs = [
+        _assemble_parts.remote(*[s[j] for s in splits]) for j in range(n_partitions)
+    ]
+    part_splits: List = [
+        _split_parts.options(num_returns=n_partitions).remote(r, n_partitions)
+        for r in part_refs
+    ]
+    conv_refs = [
+        _assemble_final.remote(*[s[j] for s in part_splits])
+        for j in range(n_partitions)
+    ]
+    return ray.data.from_arrow_refs(conv_refs)
