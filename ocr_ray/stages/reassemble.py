@@ -159,11 +159,14 @@ def _assemble_final(*pieces: pa.Table) -> pa.Table:
 def assemble_conversations(
     turns: "ray.data.Dataset",
     config: PipelineConfig = DEFAULT_CONFIG,
-    n_partitions: int = 64,
+    n_partitions: int | None = None,
 ) -> "ray.data.Dataset":
     """turns (conv_id, turn_idx, role, clean_text, ...) -> one row per conv."""
     span = config.salt_span
     mat = turns.materialize()
+    if n_partitions is None:
+        # ~64 MB per reduce partition, bounded; small inputs stay cheap
+        n_partitions = max(8, min(256, int(mat.size_bytes() // (64 << 20)) + 1))
     refs = mat.to_arrow_refs()
     # coarsen tiny blocks so the exchange stays O(blocks x partitions) small
     if len(refs) > 4 * n_partitions:
