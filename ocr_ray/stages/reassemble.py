@@ -171,7 +171,7 @@ def assemble_conversations(
     # coarsen tiny blocks so the exchange stays O(blocks x partitions) small
     if len(refs) > 4 * n_partitions:
         refs = mat.repartition(n_partitions).to_arrow_refs()
-    if not refs:
+    if not refs or mat.count() == 0:
         return ray.data.from_arrow(
             pa.table(
                 {

@@ -1,0 +1,126 @@
+"""Unit tests for the distributed primitives added for scale: two-level
+hash aggregation, bounded-partition bucket pair generation, and the
+Arrow-native reassembly exchange edge cases."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_hash_aggregate_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 500, size=10_000),
+            "v": rng.randint(-100, 100, size=10_000).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        hash_aggregate(ds, keys=["k"], aggs={"v": "sum", "n": "count"})
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.assign(n=1)
+        .groupby("k", as_index=False)
+        .agg({"v": "sum", "n": "sum"})
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"v": "int64", "n": "int64"}), exp.astype({"v": "int64", "n": "int64"})
+    )
+
+
+def test_hash_aggregate_min_max_multikey(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    df = pd.DataFrame(
+        {
+            "a": ["x", "x", "y", "y", "y"],
+            "b": [1, 1, 2, 2, 3],
+            "v": [5, -2, 10, 20, 7],
+        }
+    )
+    got = (
+        hash_aggregate(rd.from_pandas(df).repartition(3), ["a", "b"], {"v": "min"})
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    exp = df.groupby(["a", "b"], as_index=False).agg({"v": "min"})
+    pd.testing.assert_frame_equal(got.astype({"v": "int64"}), exp.astype({"v": "int64"}))
+
+
+def test_bucket_pairs_complete_and_exact(ray_session):
+    """Every co-bucketed pair appears exactly once per bucket; nothing else."""
+    import itertools
+
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import bucket_pairs
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "band_id": [0, 0, 0, 0, 1, 1, 1],
+            "band_hash": ["a", "a", "a", "b", "c", "c", "d"],
+        }
+    )
+    got = (
+        bucket_pairs(rd.from_pandas(rows).repartition(3), ["band_id", "band_hash"],
+                     n_partitions=4)
+        .to_pandas()
+    )
+    got_pairs = sorted(map(tuple, got[["left_id", "right_id"]].to_numpy()))
+    exp = []
+    for _, g in rows.groupby(["band_id", "band_hash"]):
+        exp.extend(itertools.combinations(sorted(g["doc_id"]), 2))
+    assert got_pairs == sorted(exp)
+
+
+def test_assemble_conversations_empty(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.stages.reassemble import assemble_conversations
+
+    empty = rd.from_pandas(
+        pd.DataFrame(
+            {"conv_id": pd.Series([], dtype="str"),
+             "turn_idx": pd.Series([], dtype="int32"),
+             "role": pd.Series([], dtype="str"),
+             "clean_text": pd.Series([], dtype="str")}
+        )
+    )
+    out = assemble_conversations(empty)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"conv_id", "n_turns", "conv_text"}
+
+
+def test_assemble_conversations_single_turn(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.stages.reassemble import assemble_conversations
+
+    one = rd.from_pandas(
+        pd.DataFrame(
+            {"conv_id": ["c1"], "turn_idx": [0], "role": ["user"],
+             "clean_text": ["hello"]}
+        )
+    )
+    out = assemble_conversations(one).to_pandas()
+    assert len(out) == 1
+    assert out["conv_text"].iloc[0] == "[user] hello"
+    assert int(out["n_turns"].iloc[0]) == 1
