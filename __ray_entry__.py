@@ -45,6 +45,35 @@ def _q_transcripts_extract(sf_dir: str):
     )
 
 
+def _q_transcripts_segments(sf_dir: str):
+    """Flat detected-segments table (rows-only): one row per segment with
+    (conv_id, turn_idx, seg_idx, seg_kind, seg_text, conf)."""
+    import pyarrow as pa
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+
+    ds = build_turn_pipeline(_transcripts_for(sf_dir), emit_segments=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        rows = {"conv_id": [], "turn_idx": [], "seg_idx": [], "seg_kind": [],
+                "seg_text": [], "conf": []}
+        for conv, ti, segs in zip(
+            t["conv_id"].to_pylist(), t["turn_idx"].to_pylist(), t["segments"].to_pylist()
+        ):
+            for s in segs:
+                rows["conv_id"].append(conv)
+                rows["turn_idx"].append(ti)
+                rows["seg_idx"].append(s["seg_idx"])
+                rows["seg_kind"].append(s["kind"])
+                rows["seg_text"].append(s["text"])
+                rows["conf"].append(round(float(s["conf"]), 6))
+        return pa.Table.from_pydict(rows)
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def _q_transcripts_convs(sf_dir: str):
     from ocr_ray.pipelines.extract import build_turn_pipeline
     from ocr_ray.stages.reassemble import assemble_conversations
@@ -64,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q = dict(_queries())
     q["transcripts_extract"] = _q_transcripts_extract
     q["transcripts_convs"] = _q_transcripts_convs
+    q["transcripts_segments"] = _q_transcripts_segments
     return q
 
 

@@ -51,8 +51,12 @@ def build_turn_pipeline(
     paths: List[str] | str,
     config: PipelineConfig = DEFAULT_CONFIG,
     concurrency: Optional[int] = None,
+    emit_segments: bool = False,
 ) -> "rd.Dataset":
-    """Lazy per-turn pipeline: transcripts parquet -> extracted+cleaned turns."""
+    """Lazy per-turn pipeline: transcripts parquet -> extracted+cleaned turns.
+
+    ``emit_segments=True`` adds the detected-text-element column
+    ``segments: list<struct<seg_idx,kind,text,conf>>`` (SURVEY §1.2)."""
     ds = rd.read_parquet(paths, columns=list(config.read_columns))
     ds = ds.map_batches(
         normalize_batch,
@@ -68,7 +72,11 @@ def build_turn_pipeline(
         batch_size=config.batch_size,
         concurrency=concurrency or config.extract_concurrency or _default_pool_size(),
         num_cpus=1,
-        fn_constructor_kwargs={"config": config, "with_clean": True},
+        fn_constructor_kwargs={
+            "config": config,
+            "with_clean": True,
+            "emit_segments": emit_segments,
+        },
     )
     return ds
 

@@ -63,12 +63,18 @@ class Extractor:
     scheduled after it runs on the few CPUs left over and serializes the job.
     """
 
-    def __init__(self, config: PipelineConfig = DEFAULT_CONFIG, with_clean: bool = False):
+    def __init__(
+        self,
+        config: PipelineConfig = DEFAULT_CONFIG,
+        with_clean: bool = False,
+        emit_segments: bool = False,
+    ):
         self.config = config
         self.engines: List[Tuple[str, Callable[[str], str]]] = [
             (name, ENGINES[name]) for name in config.engines
         ]
         self.layout_variant = config.layout_variant
+        self.emit_segments = emit_segments
         if with_clean:
             from ocr_ray.functions.textops import CLEANUP_MODES
 
@@ -113,6 +119,49 @@ class Extractor:
             return payload, "passthrough_table", ""
         return repair_wrapping(payload), "wrap_repair", ""
 
+    # ------------------------------------------------------------ segments
+    SEGMENT_TYPE = pa.list_(
+        pa.struct(
+            [
+                ("seg_idx", pa.int32()),
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("conf", pa.float32()),
+            ]
+        )
+    )
+
+    @staticmethod
+    def _conf(text: str) -> float:
+        # length-based confidence heuristic, parity: ocr_core/dolphin_reader.py:29
+        return min(1.0, len(text) / 100.0)
+
+    def _segments_for(self, kind: str, payload: str, extracted: str) -> List[dict]:
+        """Detected-text-element view of one turn (SURVEY §1.2: the
+        box/text/conf tuples of the reference's engines become a
+        list<struct> column)."""
+        if kind == "empty" or not extracted or extracted == ERROR_TEXT:
+            return []
+        if kind == "boxed":
+            try:
+                boxes = json.loads(payload)["boxes"]
+            except Exception:
+                return []
+            return [
+                {
+                    "seg_idx": i,
+                    "kind": "box",
+                    "text": b.get("text", ""),
+                    "conf": float(b.get("conf", 0.0)),
+                }
+                for i, b in enumerate(boxes)
+            ]
+        seg_kind = "block" if kind == "html" else "text"
+        return [
+            {"seg_idx": i, "kind": seg_kind, "text": ln, "conf": self._conf(ln)}
+            for i, ln in enumerate(extracted.split("\n"))
+        ]
+
     # ------------------------------------------------------------ batch
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["norm_text"].to_pylist()
@@ -147,6 +196,14 @@ class Extractor:
         out_tbl = out_tbl.append_column("engine", pa.array(engines, pa.string()))
         out_tbl = out_tbl.append_column("error", pa.array(errors, pa.string()))
         out_tbl = out_tbl.append_column("has_table", pa.array(has_table, pa.bool_()))
+        if self.emit_segments:
+            segs = [
+                self._segments_for(k, p, e)
+                for k, p, e in zip(kinds, texts, extracted)
+            ]
+            out_tbl = out_tbl.append_column(
+                "segments", pa.array(segs, self.SEGMENT_TYPE)
+            )
         if self.clean is not None:
             out_tbl = out_tbl.append_column(
                 "clean_text", pa.array([self.clean(t) for t in extracted], pa.string())

@@ -109,6 +109,33 @@ def test_assemble_conversations_empty(ray_session):
     assert set(out.schema().names) == {"conv_id", "n_turns", "conv_text"}
 
 
+def test_segments_column(ray_session):
+    """emit_segments adds list<struct> detected elements: boxed turns carry
+    the payload's per-box conf, block/text segments re-join to the
+    extracted text."""
+    import os
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.sources.transcripts import generate_transcripts
+
+    root = "/tmp/graft_transcripts/sf0.001-100"
+    generate_transcripts(root, n_convs=100, seed=42, n_shards=8)
+    ds = build_turn_pipeline(os.path.join(root, "transcripts"), emit_segments=True)
+    df = ds.to_pandas()
+    assert "segments" in df.columns
+    boxed = df[df["kind"] == "boxed"]
+    assert len(boxed) > 0
+    for _, row in boxed.head(5).iterrows():
+        assert all(s["kind"] == "box" for s in row["segments"])
+        assert all(0.0 <= s["conf"] <= 1.0 for s in row["segments"])
+    html = df[(df["kind"] == "html") & (df["error"] == "")]
+    for _, row in html.head(5).iterrows():
+        rejoined = "\n".join(s["text"] for s in row["segments"])
+        assert rejoined == row["extracted_text"]
+    empty = df[df["kind"] == "empty"]
+    assert all(len(s) == 0 for s in empty["segments"])
+
+
 def test_assemble_conversations_single_turn(ray_session):
     import ray.data as rd
 
