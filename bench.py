@@ -101,6 +101,44 @@ def run_bench() -> dict:
     return result
 
 
+def run_skew() -> dict:
+    """Mega-conversation skew evidence: same conv count, ~30% of all turns
+    in one conversation, through extraction + salted reassembly."""
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.sources.transcripts import generate_transcripts
+    from ocr_ray.stages.reassemble import assemble_conversations
+
+    n_convs = max(2000, N_CONVS // 5)
+    out = {}
+    for label, mega in [("uniform", 0.0), ("mega30", 0.3)]:
+        root = f"/tmp/graft_skew_transcripts/{label}-c{n_convs}"
+        generate_transcripts(root, n_convs=n_convs, seed=42, n_shards=32,
+                             mega_share=mega, with_oracle=False, parallel=True)
+        tdir = os.path.join(root, "transcripts")
+        import ray.data as rd
+
+        n = rd.read_parquet(tdir).count()
+        t0 = time.perf_counter()
+        turns = build_turn_pipeline(tdir)
+        convs = assemble_conversations(turns).materialize()
+        el = time.perf_counter() - t0
+        out[label] = {"turns": n, "convs": convs.count(), "sec": round(el, 3),
+                      "turns_per_sec": round(n / el, 1)}
+    out["metric"] = "extract+reassemble under mega-conversation skew"
+    out["skew_slowdown"] = round(
+        (out["mega30"]["sec"] / out["mega30"]["turns"])
+        / (out["uniform"]["sec"] / out["uniform"]["turns"]), 3)
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(
@@ -136,5 +174,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_bench()))

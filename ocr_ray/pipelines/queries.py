@@ -545,19 +545,34 @@ def q_events_hourly(sf_dir: str):
 
 
 def q_events_sessions(sf_dir: str):
-    """30-minute-gap sessionization: per-user ordered walk inside map_groups
-    (the streaming-window pattern; ordering assumption: all rows of one user
-    fit one group and sort by ts there)."""
+    """30-minute-gap sessionization (streaming-window pattern).  Users are
+    hashed into a bounded number of partitions (per-user map_groups would
+    pay the distinct-key groupby cost); each partition sessionizes all its
+    users vectorized (sort by user+ts, one diff, one groupby-sum).
+    Partitioning assumption: all events of one user share a partition."""
+
+    def add_pk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_pk"] = (b["user_id"] % 64).astype("int32")
+        return b
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff() > pd.Timedelta(minutes=30)
+        g = g.sort_values(["user_id", "ts"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        starts = (new_user | gap).astype("int64")
+        out = starts.groupby(g["user_id"].to_numpy()).sum()
         return pd.DataFrame(
-            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [int(gaps.sum()) + 1]}
+            {"user_id": out.index.astype("int64"), "n_sessions": out.to_numpy()}
         )
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    out = (
+        ds.map_batches(add_pk, batch_format="pandas")
+        .groupby("_pk")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
     out["user_id"] = out["user_id"].astype("int64")
     out["n_sessions"] = out["n_sessions"].astype("int64")
     return out

@@ -136,6 +136,39 @@ def test_segments_column(ray_session):
     assert all(len(s) == 0 for s in empty["segments"])
 
 
+def test_cross_parallelism_determinism(ray_session, tmp_path):
+    """Identical results regardless of actor-pool size / batch size — output
+    is a pure function of the input, not of the execution layout."""
+    import os
+
+    import ray.data as rd
+
+    from ocr_ray.config import PipelineConfig
+    from ocr_ray.pipelines.extract import run_extraction_job
+    from ocr_ray.sources.transcripts import generate_transcripts
+
+    in_dir = str(tmp_path / "in")
+    generate_transcripts(in_dir, n_convs=30, seed=5, n_shards=4)
+    tdir = os.path.join(in_dir, "transcripts")
+
+    frames = []
+    for i, (conc, bs) in enumerate([(1, 64), (3, 512)]):
+        out = str(tmp_path / f"out{i}")
+        run_extraction_job(
+            tdir, out,
+            PipelineConfig(extract_concurrency=conc, batch_size=bs,
+                           fragment_group_size=2),
+        )
+        df = (
+            rd.read_parquet(os.path.join(out, "turns"))
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        frames.append(df[["conv_id", "turn_idx", "engine", "extracted_text", "clean_text"]])
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+
+
 def test_assemble_conversations_single_turn(ray_session):
     import ray.data as rd
 
