@@ -120,6 +120,19 @@ def build_corpus(seed: int = 42, n: int = 400) -> list[str]:
         "due 12/31/2024 or 2024-01-02 or Jan 3, 2025 or march 14 1592",
         "mixed​zero‌width⁠chars", "  padded  ",
         "word " * 300, ("para one. " * 30 + "\n\n" + "para two! " * 40),
+        # markdown header heuristic boundaries (len(strip) in (3,50) exclusive)
+        "ABC", "ABCD", "A" * 49, "A" * 50, " ABCD ", "AB12", "1234",
+        "lower\nUPPER HEADER\nlower again", "MIXeD CASE",
+        # newline-flavor edge cases for the \n{3,} / (\r\n|\r|\n){3,} rules
+        "a\r\n\r\n\r\nb", "a\r\r\r\rb", "a\n\r\n\rb", "a" + "\n" * 10 + "b",
+        # emoji / astral plane (non-ASCII strip must drop whole codepoints)
+        "emoji 🙂 test 🎉 done", "🙂🙂🙂",
+        # entity-ish html remnants
+        "5 &lt; 6 &amp; 7 &gt; 4", "<p>not stripped here</p>",
+        # hyphen wraps
+        "hyphen-\nwrap and an end-\n", "-\n-", "pre -\n post",
+        # numbers & punctuation density extremes
+        "1 2 3 4 5 6 7 8 9 0", "!!! ??? ... ;;; :::", ". ",
     ]
     corpus = list(specials)
     for _ in range(n - len(specials)):
