@@ -39,10 +39,7 @@ from ocr_ray.stages.dedup import (
     MinHasher,
     SimHasher,
     add_content_hash,
-    band_candidates,
     build_token_matrix,
-    hamming64,
-    jaccard_pairs_matrix,
 )
 from ocr_ray.stages.similarity import (
     CosineTopK,
