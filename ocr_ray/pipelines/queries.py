@@ -436,12 +436,17 @@ _CENTS = "CAST(sum(CAST(floor({col}*100+0.5) AS BIGINT)) AS BIGINT)"
 
 
 def q_q1_pricing(sf_dir: str):
-    """TPC-H Q1-style aggregate with per-batch partial aggregation before the
-    (tiny) global groupby — the combiner pattern for scale."""
+    """TPC-H Q1-style aggregate: date predicate pushed into the parquet scan
+    (row-group pruning — only qualifying rows leave storage), per-batch
+    partial aggregation, then the (tiny) global groupby — the combiner
+    pattern for scale."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
     cutoff = pd.Timestamp("1998-09-02")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"] <= cutoff]
+        b = b[b["l_shipdate"] <= cutoff]  # exact residual filter post-scan
         if not len(b):
             return pd.DataFrame(
                 {"l_returnflag": [], "l_linestatus": [], "sum_qty": [],
@@ -459,6 +464,7 @@ def q_q1_pricing(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+        filter=pads.field("l_shipdate") <= pa.scalar(cutoff),
     )
     from ocr_ray.stages.aggregate import hash_aggregate
 
