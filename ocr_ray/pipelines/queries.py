@@ -25,7 +25,9 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ocr_ray.functions.entities import extract_entities
 from ocr_ray.stages.analysis import (
     BPE_PATTERN,
+    LANG_MARKERS,
     STOP_WORDS,
+    langid_docs_batch,
     chunk_docs_batch,
     clean_docs_batch,
     fingerprint_docs_batch,
@@ -87,6 +89,10 @@ def q_doc_format(sf_dir: str):
 
 def q_doc_tables(sf_dir: str):
     return _doc(sf_dir).map_batches(table_detect_batch, batch_format="pandas")
+
+
+def q_doc_langid(sf_dir: str):
+    return _doc(sf_dir).map_batches(langid_docs_batch, batch_format="pandas")
 
 
 # ================================================================ entities
@@ -695,6 +701,7 @@ def queries() -> Dict[str, Callable]:
         "doc_tokens": q_doc_tokens,
         "doc_format": q_doc_format,
         "doc_tables": q_doc_tables,
+        "doc_langid": q_doc_langid,
         "entities_customer": q_entities_customer,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -818,6 +825,21 @@ SELECT doc_id,
   len(list_filter(string_split(synth, chr(10)),
       x -> len(regexp_extract_all(x, '\|')) >= 2)) >= 3 AS has_table
 FROM s
+""",
+    "doc_langid": rf"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks FROM documents),
+c AS (SELECT doc_id,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in LANG_MARKERS['en'])}))) AS BIGINT) AS n_en,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in LANG_MARKERS['de'])}))) AS BIGINT) AS n_de,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in LANG_MARKERS['fr'])}))) AS BIGINT) AS n_fr,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in LANG_MARKERS['es'])}))) AS BIGINT) AS n_es
+ FROM t)
+SELECT doc_id, n_en, n_de, n_fr, n_es,
+  CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+       WHEN n_fr >= n_es THEN 'fr'
+       ELSE 'es' END AS lang_guess
+FROM c
 """,
     "dedup_embed": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -84,6 +84,41 @@ def chunk_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": doc_ids, "chunk_idx": idxs, "chunk": chunks})
 
 
+# language-ID marker profiles: common function words per language (n-gram /
+# stopword-profile heuristic; the deterministic complement to the reference's
+# unicode-range fallback, which only separates scripts, src/utils.py:105-122)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es": ("el", "los", "las", "una", "por", "para", "con", "del", "como", "pero"),
+}
+_LANG_SETS = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+_LANG_ORDER = ("en", "de", "fr", "es")  # >= tie-break priority
+
+
+def langid_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Stopword-profile language ID: per-language marker-token counts,
+    argmax with fixed priority (all-zero -> 'en').  Shared semantics with
+    the SQL oracle (same token regex, same marker sets, same tie-break)."""
+    out: Dict[str, List] = {"doc_id": [], "lang_guess": []}
+    for lang in _LANG_ORDER:
+        out[f"n_{lang}"] = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        toks = _WORD.findall(text.lower())
+        counts = {lang: sum(t in _LANG_SETS[lang] for t in toks) for lang in _LANG_ORDER}
+        guess = "en"
+        for lang in _LANG_ORDER:
+            if all(counts[lang] >= counts[o] for o in _LANG_ORDER if o != lang):
+                guess = lang
+                break
+        out["doc_id"].append(doc_id)
+        out["lang_guess"].append(guess)
+        for lang in _LANG_ORDER:
+            out[f"n_{lang}"].append(counts[lang])
+    return pd.DataFrame(out)
+
+
 # BPE-ish tokenizer classes (subset shared verbatim with the SQL oracle so
 # both sides count identical tokens; RE2-safe, no lookarounds)
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
