@@ -618,6 +618,47 @@ def q_segment_revenue(sf_dir: str):
     return out
 
 
+def q_supplier_regions(sf_dir: str):
+    """Multi-way broadcast join: supplier -> nation -> region (both
+    dimensions tiny, shipped once via ray.put) + account-balance aggregate
+    per region."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    nation = pd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pd.read_parquet(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    n2r = dict(zip(nation["n_nationkey"].astype("int64"),
+                   nation["n_regionkey"].astype("int64")))
+    r2name = dict(zip(region["r_regionkey"].astype("int64"), region["r_name"]))
+    ref = ray.put((n2r, r2name))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        n2r_, r2name_ = ray.get(ref)
+        rkey = b["s_nationkey"].map(n2r_)
+        return pd.DataFrame(
+            {
+                "r_name": rkey.map(r2name_),
+                "n_suppliers": 1,
+                "acct_cents": np.floor(b["s_acctbal"] * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_nationkey", "s_acctbal"]
+    )
+    out = hash_aggregate(
+        ds.map_batches(attach, batch_format="pandas"),
+        keys=["r_name"],
+        aggs={"n_suppliers": "sum", "acct_cents": "sum"},
+    ).to_pandas()
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    out["acct_cents"] = out["acct_cents"].astype("int64")
+    return out
+
+
 # ================================================================ rag
 RAG_QUERY = "data pipeline value"
 
@@ -717,6 +758,7 @@ def queries() -> Dict[str, Callable]:
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "segment_revenue": q_segment_revenue,
+        "supplier_regions": q_supplier_regions,
         "rag_keyword_topk": q_rag_keyword_topk,
         "rag_answer": q_rag_answer,
         "doc_chunks_para": q_doc_chunks_para,
@@ -900,6 +942,14 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
     "doc_langs_distinct": "SELECT DISTINCT lang FROM documents",
+    "supplier_regions": """
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+  CAST(sum(CAST(floor(s.s_acctbal*100+0.5) AS BIGINT)) AS BIGINT) AS acct_cents
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
     "rag_keyword_topk": r"""
 WITH c AS (
   WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
