@@ -618,6 +618,51 @@ def q_segment_revenue(sf_dir: str):
     return out
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join: each purchase event attributed to the user's most recent
+    signup at-or-before it (backward merge_asof over a two-sided hash
+    exchange, ocr_ray/stages/join.py:asof_join)."""
+    from ocr_ray.stages.join import asof_join
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    purchases = rd.read_parquet(ev, columns=["user_id", "ts", "event_type", "value"]).filter(
+        expr="event_type == 'purchase'"
+    )
+    signups = rd.read_parquet(ev, columns=["user_id", "ts", "event_type"]).filter(
+        expr="event_type == 'signup'"
+    )
+
+    def strip_l(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["user_id", "ts", "value"]]
+
+    def strip_r(b: pd.DataFrame) -> pd.DataFrame:
+        # merge_asof drops the right's `on` column: carry it as a value col
+        return pd.DataFrame(
+            {"user_id": b["user_id"], "ts": b["ts"], "signup_ts": b["ts"]}
+        )
+
+    joined = asof_join(
+        purchases.map_batches(strip_l, batch_format="pandas"),
+        signups.map_batches(strip_r, batch_format="pandas"),
+        by="user_id",
+        on="ts",
+        n_partitions=16,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        gap = (b["ts"] - b["signup_ts"]).dt.total_seconds() // 60
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts": b["ts"],
+                "value_cents": np.floor(b["value"] * 100 + 0.5).astype("int64"),
+                "gap_min": gap.fillna(-1).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def q_supplier_regions(sf_dir: str):
     """Multi-way broadcast join: supplier -> nation -> region (both
     dimensions tiny, shipped once via ray.put) + account-balance aggregate
@@ -759,6 +804,7 @@ def queries() -> Dict[str, Callable]:
         "events_sessions": q_events_sessions,
         "segment_revenue": q_segment_revenue,
         "supplier_regions": q_supplier_regions,
+        "events_asof": q_events_asof,
         "rag_keyword_topk": q_rag_keyword_topk,
         "rag_answer": q_rag_answer,
         "doc_chunks_para": q_doc_chunks_para,
@@ -942,6 +988,14 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
     "doc_langs_distinct": "SELECT DISTINCT lang FROM documents",
+    "events_asof": """
+WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+SELECT CAST(p.user_id AS BIGINT) AS user_id, p.ts,
+  CAST(floor(p.value*100+0.5) AS BIGINT) AS value_cents,
+  CAST(coalesce(floor(epoch(p.ts - s.ts) / 60), -1) AS BIGINT) AS gap_min
+FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
     "supplier_regions": """
 SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
   CAST(sum(CAST(floor(s.s_acctbal*100+0.5) AS BIGINT)) AS BIGINT) AS acct_cents

@@ -35,6 +35,74 @@ def broadcast_join(
     return large.map_batches(merge_batch, batch_format="pandas")
 
 
+@ray.remote
+def _split_by_key(t, by: str, n_partitions: int):
+    import pyarrow as pa  # noqa: F401
+
+    from ocr_ray.stages.reassemble import _split_table
+
+    h = pd.util.hash_pandas_object(t[by].to_pandas(), index=False).to_numpy()
+    return _split_table(t, (h % n_partitions).astype(np.int32), n_partitions)
+
+
+@ray.remote
+def _merge_asof_partition(n_left: int, by: str, on: str, direction: str,
+                          suffix: str, *pieces):
+    import pyarrow as pa
+
+    lt = pa.concat_tables(pieces[:n_left])
+    rt = pa.concat_tables(pieces[n_left:])
+    left = lt.to_pandas().sort_values(on)
+    right = rt.to_pandas().sort_values(on)
+    if not len(left):
+        # keep the merged schema stable across empty partitions
+        extra = [c for c in right.columns if c not in (by, on)]
+        out = left.copy()
+        for c in extra:
+            out[c + (suffix if c in left.columns else "")] = right[c].iloc[:0]
+        return pa.Table.from_pandas(out, preserve_index=False)
+    out = pd.merge_asof(left, right, on=on, by=by, direction=direction,
+                        suffixes=("", suffix))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def asof_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    by: str,
+    on: str,
+    n_partitions: int = 64,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> "rd.Dataset":
+    """As-of join (an operator Ray Data lacks — SURVEY §2 custom-operator
+    tier (c): explicit two-sided hash exchange over raw Ray tasks, the same
+    mechanism as the reassembly shuffle).
+
+    For each left row, attach the right row with the same ``by`` key whose
+    ``on`` value is the nearest at-or-before (``backward``) / at-or-after
+    (``forward``) the left's.  Both sides are hashed on ``by`` into a
+    bounded number of partitions (all rows of one key meet in one
+    partition); each partition merges vectorized via ``pandas.merge_asof``.
+    Skewed ``by`` keys concentrate in one partition — acceptable while a
+    single key's rows fit a worker; beyond that, range-partition ``on``
+    within the hot key (not needed at current scales)."""
+    lrefs = left.materialize().to_arrow_refs()
+    rrefs = right.materialize().to_arrow_refs()
+    lsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
+               for r in lrefs]
+    rsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
+               for r in rrefs]
+    out_refs = [
+        _merge_asof_partition.remote(
+            len(lsplits), by, on, direction, suffix,
+            *[s[j] for s in lsplits], *[s[j] for s in rsplits],
+        )
+        for j in range(n_partitions)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
 def hash_join(
     left: "rd.Dataset",
     right: "rd.Dataset",
