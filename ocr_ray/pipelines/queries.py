@@ -618,6 +618,43 @@ def q_segment_revenue(sf_dir: str):
     return out
 
 
+def q_events_window(sf_dir: str):
+    """Sliding-window aggregate: per event type, events in the trailing
+    3-hour window at each active hour.  Plan: hourly pre-aggregate (tiny)
+    -> per-type time-based rolling sum (pandas rolling('3h') on the sparse
+    hourly series == SQL RANGE frame over discrete hours)."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(hour=b["ts"].dt.floor("h"), n=1)
+        return b.groupby(["event_type", "hour"], as_index=False)[["n"]].sum()
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"])
+    hourly = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "hour"],
+        aggs={"n": "sum"},
+    )
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour")
+        roll = (
+            g.set_index("hour")["n"].rolling("3h").sum().astype("int64").to_numpy()
+        )
+        return pd.DataFrame(
+            {"event_type": g["event_type"].to_numpy(), "hour": g["hour"].to_numpy(),
+             "n_3h": roll}
+        )
+
+    out = (
+        hourly.groupby("event_type")  # few distinct types: cheap groupby
+        .map_groups(window, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_3h"] = out["n_3h"].astype("int64")
+    return out
+
+
 def q_events_asof(sf_dir: str):
     """As-of join: each purchase event attributed to the user's most recent
     signup at-or-before it (backward merge_asof over a two-sided hash
@@ -805,6 +842,7 @@ def queries() -> Dict[str, Callable]:
         "segment_revenue": q_segment_revenue,
         "supplier_regions": q_supplier_regions,
         "events_asof": q_events_asof,
+        "events_window": q_events_window,
         "rag_keyword_topk": q_rag_keyword_topk,
         "rag_answer": q_rag_answer,
         "doc_chunks_para": q_doc_chunks_para,
@@ -988,6 +1026,14 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
     "doc_langs_distinct": "SELECT DISTINCT lang FROM documents",
+    "events_window": """
+WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+           FROM events GROUP BY event_type, date_trunc('hour', ts))
+SELECT event_type, hour,
+  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
+       RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h
+FROM h
+""",
     "events_asof": """
 WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
      s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
