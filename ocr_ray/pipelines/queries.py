@@ -813,6 +813,47 @@ def q_multimodal_meta(sf_dir: str):
     return decoded.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Video frame-sampling plumbing (rows-only): one row per sampled
+    frame through the actor-pool flat-map stub, then a per-doc frame count
+    (binary payloads, small batches)."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.multimodal import FrameSampleStub
+
+    def to_binary(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"doc_id": b["doc_id"], "payload": pc.cast(b["text"], pa.binary())})
+
+    frames = (
+        _doc(sf_dir)
+        .map_batches(to_binary, batch_format="pyarrow")
+        .map_batches(
+            FrameSampleStub, batch_format="pyarrow", batch_size=64, concurrency=2,
+            fn_constructor_kwargs={"every_n": 4},
+        )
+    )
+
+    def count_frames(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("doc_id", as_index=False).agg(
+            n_frames=("frame_idx", "size"), max_frame=("frame_idx", "max")
+        )
+        return g
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    out = hash_aggregate(
+        frames.map_batches(count_frames, batch_format="pandas"),
+        keys=["doc_id"],
+        aggs={"n_frames": "sum", "max_frame": "max"},
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_frames"] = out["n_frames"].astype("int64")
+    out["max_frame"] = out["max_frame"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ================================================================ registry
 def queries() -> Dict[str, Callable]:
     return {
@@ -848,6 +889,7 @@ def queries() -> Dict[str, Callable]:
         "doc_chunks_para": q_doc_chunks_para,
         "doc_langs_distinct": q_doc_langs_distinct,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1041,6 +1083,15 @@ SELECT CAST(p.user_id AS BIGINT) AS user_id, p.ts,
   CAST(floor(p.value*100+0.5) AS BIGINT) AS value_cents,
   CAST(coalesce(floor(epoch(p.ts - s.ts) / 60), -1) AS BIGINT) AS gap_min
 FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    "multimodal_frames": """
+WITH t AS (SELECT doc_id,
+    greatest(1, CAST(floor(octet_length(encode(text))/1024) AS BIGINT)) AS nf
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(ceil(nf/4.0) AS BIGINT) AS n_frames,
+  CAST(4*(ceil(nf/4.0)-1) AS BIGINT) AS max_frame
+FROM t
 """,
     "supplier_regions": """
 SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_suppliers,

@@ -68,6 +68,59 @@ class DecodeImageStub:
         return out
 
 
+class ResizeImageStub:
+    """Image-resize plumbing: binary in -> binary out + resize metadata.
+    The fake 'resize' is a deterministic truncate/pad to a size proportional
+    to target area; a real kernel would swap in PIL.Image.resize here with
+    the identical signature."""
+
+    def __init__(self, max_dim: int = 2048):  # cap per reference M6 (performance.py:55-90)
+        self.max_dim = max_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payloads, out_w, out_h, scaled = [], [], [], []
+        for raw in batch["payload"].to_pylist():
+            raw = raw or b""
+            digest = hashlib.sha256(raw).digest()
+            w, h = 64 + digest[0] * 16, 64 + digest[1] * 16  # fake source dims
+            factor = min(1.0, self.max_dim / max(w, h))
+            nw, nh = int(w * factor), int(h * factor)
+            target_len = max(1, int(len(raw) * factor * factor)) if raw else 0
+            out_payloads.append(raw[:target_len])
+            out_w.append(nw)
+            out_h.append(nh)
+            scaled.append(factor < 1.0)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("payload", pa.array(out_payloads, pa.binary()))
+        out = out.append_column("width", pa.array(out_w, pa.int32()))
+        out = out.append_column("height", pa.array(out_h, pa.int32()))
+        out = out.append_column("scaled", pa.array(scaled, pa.bool_()))
+        return out
+
+
+class AudioFeatureStub:
+    """Audio feature-extraction plumbing: binary in -> fixed-size
+    MFCC-shaped float vector + duration metadata (deterministic fake; a real
+    kernel would swap in librosa/torchaudio with the same signature)."""
+
+    def __init__(self, n_mfcc: int = 13, sample_rate: int = 16000):
+        self.n_mfcc = n_mfcc
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, durations = [], []
+        for raw in batch["payload"].to_pylist():
+            raw = raw or b""
+            durations.append(round(len(raw) / (2 * self.sample_rate), 6))
+            digest = hashlib.sha512(raw).digest()
+            v = np.frombuffer(digest[: self.n_mfcc * 4], dtype=np.uint32)
+            feats.append((v.astype(np.float32) / np.float32(2**32)).tolist())
+        out = batch.append_column(
+            "mfcc", pa.array(feats, pa.list_(pa.float32(), self.n_mfcc))
+        )
+        return out.append_column("duration_sec", pa.array(durations, pa.float64()))
+
+
 class FrameSampleStub:
     """Video frame-sampling plumbing: one input row -> N frame rows with
     (frame_idx, frame_payload) — the flat-map shape of a real sampler."""
