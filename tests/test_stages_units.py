@@ -169,6 +169,38 @@ def test_cross_parallelism_determinism(ray_session, tmp_path):
     pd.testing.assert_frame_equal(frames[0], frames[1])
 
 
+def test_multimodal_stub_schemas(ray_session):
+    """Binary-column plumbing: resize keeps payload binary + adds dims;
+    audio features are fixed-size float lists; real decode refuses cleanly."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from ocr_ray.stages.multimodal import (
+        AudioFeatureStub,
+        DecodeImageStub,
+        ResizeImageStub,
+    )
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([b"x" * 5000, b""], pa.binary())})
+    ds = rd.from_arrow(t)
+
+    resized = ds.map_batches(ResizeImageStub, batch_format="pyarrow", batch_size=2,
+                             concurrency=1,
+                             fn_constructor_kwargs={"max_dim": 256}).to_pandas()
+    assert {"payload", "width", "height", "scaled"} <= set(resized.columns)
+    assert (resized["width"] <= 256).all() and (resized["height"] <= 256).all()
+
+    audio = ds.map_batches(AudioFeatureStub, batch_format="pyarrow", batch_size=2,
+                           concurrency=1).to_pandas()
+    assert all(len(v) == 13 for v in audio["mfcc"])
+    assert audio["duration_sec"].iloc[1] == 0.0
+
+    with pytest.raises(NotImplementedError):
+        DecodeImageStub(real_decode=True)
+
+
 def test_assemble_conversations_single_turn(ray_session):
     import ray.data as rd
 
