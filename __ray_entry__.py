@@ -2,10 +2,12 @@
 
 ``entry()`` runs the flagship transcript-extraction pipeline on a small
 deterministic synthetic transcript table; ``queries()`` exposes one callable
-per implemented operator (SURVEY §2) over the sf parquet tables;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible
-query (rows-only entries: doc_fingerprint, dedup_minhash, ann_lsh,
-transcripts_extract).
+per implemented operator (SURVEY §2 / COVERAGE.md) over the sf parquet
+tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query.  Rows-only entries (non-SQL-expressible, covered by
+pytest instead): doc_fingerprint, doc_chunks_para, dedup_minhash,
+dedup_simhash, ann_lsh, ann_ivf, rag_answer, multimodal_meta, and the
+transcripts_* pipelines.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
