@@ -392,8 +392,10 @@ def q_ann_ivf(sf_dir: str):
     probes the nprobe nearest cells and ranks exact cosine only there."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(path)
+    # seeded random sample (first-blocks take() would bias the quantizer)
+    sample_rows = ds.random_sample(0.6, seed=17).take(256)
     sample = np.asarray(
-        [np.asarray(r["embedding"], dtype=np.float64) for r in ds.take(256)]
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample_rows]
     )
     cent = kmeans_fit(sample, n_centroids=16)
     cref = ray.put(cent)
