@@ -140,12 +140,18 @@ def run_skew() -> dict:
 
 
 def run_scaling() -> dict:
+    # larger input than the default bench so fixed per-execution overhead
+    # (actor-pool spawn ~3-5s) stays <10% of wall time at 32 CPUs —
+    # efficiency at small inputs measures startup noise, not scaling
+    scaling_convs = os.environ.get("GRAFT_SCALING_CONVS", str(max(N_CONVS, 250_000)))
+
     def one(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_HEADLINE_ONLY="1",
             GRAFT_SF_DIR=SF_DIR,
+            GRAFT_BENCH_CONVS=scaling_convs,
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -169,6 +169,44 @@ def test_cross_parallelism_determinism(ray_session, tmp_path):
     pd.testing.assert_frame_equal(frames[0], frames[1])
 
 
+def test_facade_api(ray_session):
+    """The user-facing facade wires through the stage layer correctly."""
+    import ray.data as rd
+
+    import ocr_ray.api as ocr
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog again and again",
+                "the quick brown fox jumps over the lazy dog again and again",
+                "completely different words entirely unrelated content here now",
+                "the quick brown fox jumps over the lazy dog again and",
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(2)
+
+    exact = ocr.dedup_pairs(ds, method="exact")
+    assert set(zip(exact["left_id"], exact["right_id"])) == {(1, 2)}
+
+    mh = ocr.dedup_pairs(ds, method="minhash", threshold=0.5)
+    assert (1, 2) in set(zip(mh["left_id"], mh["right_id"]))
+
+    sh = ocr.dedup_pairs(ds, method="simhash")
+    assert (1, 2) in set(zip(sh["left_id"], sh["right_id"]))
+
+    emb = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": [0, 1, 2],
+             "embedding": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]]}
+        )
+    )
+    top = ocr.cosine_topk(emb, [1.0, 0.0], k=2)
+    assert list(top["vec_id"]) == [0, 1]
+
+
 def test_multimodal_stub_schemas(ray_session):
     """Binary-column plumbing: resize keeps payload binary + adds dims;
     audio features are fixed-size float lists; real decode refuses cleanly."""
