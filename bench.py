@@ -162,12 +162,13 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
     # generation + one warm pass happen inside each child; same input both runs
     r_lo, r_hi = one(lo), one(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "scaling efficiency (N vs 4N cpus, same input)",
+        "cpus": [lo, hi],
         "sec_8": r_lo["value"],
         "sec_32": r_hi["value"],
         "turns": r_hi["turns"],
