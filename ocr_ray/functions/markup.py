@@ -66,13 +66,19 @@ def _render(pieces: List[str]) -> str:
     return text
 
 
-def extract_tagstrip(payload: str) -> str:
+def strip_noise(payload: str) -> str:
+    """Comment + script/style removal — the shared first pass of both
+    engines; callers holding a pre-stripped payload pass
+    ``prestripped=True`` to the extractors to avoid repeating it."""
+    return _SCRIPT_STYLE.sub("", _COMMENT.sub("", payload))
+
+
+def extract_tagstrip(payload: str, prestripped: bool = False) -> str:
     """Structural boilerplate strip: drop unwanted subtrees, keep content text
     with block boundaries as newlines."""
     if not payload:
         return ""
-    s = _COMMENT.sub("", payload)
-    s = _SCRIPT_STYLE.sub("", s)
+    s = payload if prestripped else strip_noise(payload)
     out: List[str] = []
     pos = 0
     skip_depth = 0          # >0 while inside a dropped subtree
@@ -118,14 +124,14 @@ _BOILER_TEXT = re.compile(
 )
 
 
-def extract_density(payload: str, min_words: int = 3, max_link_density: float = 0.4) -> str:
+def extract_density(payload: str, min_words: int = 3, max_link_density: float = 0.4,
+                    prestripped: bool = False) -> str:
     """Content-density extractor: split on block tags, keep blocks with at
     least ``min_words`` words, anchor-text share below ``max_link_density``,
     and no boilerplate-text markers (copyright/cookie/... lines)."""
     if not payload:
         return ""
-    s = _COMMENT.sub("", payload)
-    s = _SCRIPT_STYLE.sub("", s)
+    s = payload if prestripped else strip_noise(payload)
     kept: List[str] = []
     for block in _BLOCK_SPLIT.split(s):
         if not block or not block.strip():
@@ -154,6 +160,8 @@ def repair_wrapping(text: str) -> str:
     -> space; paragraph breaks (blank lines) survive."""
     if not text:
         return ""
+    if "\n" not in text:  # both regexes are no-ops without a newline
+        return text
     text = _HYPHEN_WRAP.sub(r"\1\2", text)
     return _SOFT_WRAP.sub(" ", text)
 

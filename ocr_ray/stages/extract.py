@@ -47,6 +47,8 @@ ENGINES: Dict[str, Callable[[str], str]] = {
 def detect_aligned_table(text: str) -> bool:
     """Whitespace/pipe-grid heuristic (M16 graft): a payload is tabular when
     at least two lines contain column pipes or a dash ruler line exists."""
+    if _PIPE not in text and "-" not in text:  # cheap reject for the common case
+        return False
     if _DASH_LINE.search(text):
         return True
     pipe_lines = sum(1 for ln in text.split("\n") if _PIPE in ln)
@@ -84,10 +86,13 @@ class Extractor:
 
     # ------------------------------------------------------------ per-kind
     def _extract_html(self, payload: str) -> Tuple[str, str, str]:
+        from ocr_ray.functions.markup import strip_noise
+
+        pre = strip_noise(payload) if payload else payload  # shared first pass
         best_text, best_engine, best_score = "", "none", float("-inf")
         for name, fn in self.engines:
             try:
-                text = fn(payload)
+                text = fn(pre, prestripped=True)
             except Exception:
                 continue
             score = score_ocr_result(text)
