@@ -702,6 +702,46 @@ def q_events_asof(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def q_events_range_join(sf_dir: str):
+    """Range join: assign every event to the session interval containing it.
+    Session intervals (30-min gap, per user) are built as a separate
+    Dataset, then ``range_join`` (two-sided hash exchange + per-key binary
+    search, ocr_ray/stages/join.py) attaches session_idx to each event."""
+    from ocr_ray.stages.join import range_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
+
+    def add_pk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_pk"] = (b["user_id"] % 32).astype("int32")
+        return b
+
+    def session_intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        new_u = g["user_id"].ne(g["user_id"].shift())
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        new_s = new_u | gap
+        sidx = (new_s.groupby(g["user_id"].to_numpy()).cumsum() - 1).astype("int64")
+        df = pd.DataFrame({"user_id": g["user_id"], "ts": g["ts"], "session_idx": sidx})
+        return df.groupby(["user_id", "session_idx"], as_index=False).agg(
+            start_ts=("ts", "min"), end_ts=("ts", "max")
+        )
+
+    intervals = (
+        ev.map_batches(add_pk, batch_format="pandas")
+        .groupby("_pk")
+        .map_groups(session_intervals, batch_format="pandas")
+    )
+    out = range_join(
+        ev, intervals, by="user_id", point_col="ts",
+        start_col="start_ts", end_col="end_ts", idx_col="session_idx",
+        n_partitions=16,
+    ).to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    out["session_idx"] = out["session_idx"].astype("int64")
+    return out
+
+
 def q_supplier_regions(sf_dir: str):
     """Multi-way broadcast join: supplier -> nation -> region (both
     dimensions tiny, shipped once via ray.put) + account-balance aggregate
@@ -886,6 +926,7 @@ def queries() -> Dict[str, Callable]:
         "supplier_regions": q_supplier_regions,
         "events_asof": q_events_asof,
         "events_window": q_events_window,
+        "events_range_join": q_events_range_join,
         "rag_keyword_topk": q_rag_keyword_topk,
         "rag_answer": q_rag_answer,
         "doc_chunks_para": q_doc_chunks_para,
@@ -1077,6 +1118,15 @@ SELECT event_type, hour,
   CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour
        RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h
 FROM h
+""",
+    "events_range_join": """
+WITH d AS (SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT) AS session_idx
+FROM d
 """,
     "events_asof": """
 WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),

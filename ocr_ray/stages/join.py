@@ -35,12 +35,17 @@ def broadcast_join(
     return large.map_batches(merge_batch, batch_format="pandas")
 
 
+from ocr_ray.stages.reassemble import nonempty_arrow_refs
+
+
 @ray.remote
 def _split_by_key(t, by: str, n_partitions: int):
-    import pyarrow as pa  # noqa: F401
+    import pyarrow as pa
 
     from ocr_ray.stages.reassemble import _split_table
 
+    if isinstance(t, pd.DataFrame):  # internal refs may hold pandas blocks
+        t = pa.Table.from_pandas(t, preserve_index=False)
     h = pd.util.hash_pandas_object(t[by].to_pandas(), index=False).to_numpy()
     return _split_table(t, (h % n_partitions).astype(np.int32), n_partitions)
 
@@ -87,8 +92,8 @@ def asof_join(
     Skewed ``by`` keys concentrate in one partition — acceptable while a
     single key's rows fit a worker; beyond that, range-partition ``on``
     within the hot key (not needed at current scales)."""
-    lrefs = left.materialize().to_arrow_refs()
-    rrefs = right.materialize().to_arrow_refs()
+    lrefs = nonempty_arrow_refs(left)
+    rrefs = nonempty_arrow_refs(right)
     lsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
                for r in lrefs]
     rsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
@@ -96,6 +101,70 @@ def asof_join(
     out_refs = [
         _merge_asof_partition.remote(
             len(lsplits), by, on, direction, suffix,
+            *[s[j] for s in lsplits], *[s[j] for s in rsplits],
+        )
+        for j in range(n_partitions)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+@ray.remote
+def _range_assign_partition(n_left: int, by: str, point_col: str, start_col: str,
+                            end_col: str, idx_col: str, *pieces):
+    import pyarrow as pa
+
+    points = pa.concat_tables(pieces[:n_left]).to_pandas()
+    ivals = pa.concat_tables(pieces[n_left:]).to_pandas()
+    if not len(points):
+        out = points.copy()
+        out[idx_col] = pd.Series([], dtype="int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+    points = points.sort_values([by, point_col], kind="stable").reset_index(drop=True)
+    ivals = ivals.sort_values([by, start_col], kind="stable")
+    assigned = np.full(len(points), -1, dtype=np.int64)
+    ival_groups = {k: g for k, g in ivals.groupby(by, sort=False)}
+    for key, g in points.groupby(by, sort=False):
+        iv = ival_groups.get(key)
+        if iv is None:
+            continue
+        starts = iv[start_col].to_numpy()
+        ends = iv[end_col].to_numpy()
+        idxs = iv[idx_col].to_numpy()
+        pos = np.searchsorted(starts, g[point_col].to_numpy(), side="right") - 1
+        ok = (pos >= 0) & (g[point_col].to_numpy() <= ends[np.maximum(pos, 0)])
+        vals = np.where(ok, idxs[np.maximum(pos, 0)], -1)
+        assigned[g.index.to_numpy()] = vals
+    points[idx_col] = assigned
+    return pa.Table.from_pandas(points, preserve_index=False)
+
+
+def range_join(
+    points: "rd.Dataset",
+    intervals: "rd.Dataset",
+    by: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    idx_col: str = "interval_idx",
+    n_partitions: int = 64,
+) -> "rd.Dataset":
+    """Range (interval-containment) join — an operator Ray Data lacks,
+    implemented like :func:`asof_join` as a two-sided hash exchange.
+
+    Each point row gains ``idx_col`` = the id of the same-key interval
+    containing it (``start <= point <= end``), or -1.  Intervals of one key
+    must be NON-OVERLAPPING (the containing interval is found by binary
+    search over sorted starts); overlapping-interval semantics would return
+    multiple rows and need an explicit flat-map variant instead."""
+    lrefs = nonempty_arrow_refs(points)
+    rrefs = nonempty_arrow_refs(intervals)
+    lsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
+               for r in lrefs]
+    rsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
+               for r in rrefs]
+    out_refs = [
+        _range_assign_partition.remote(
+            len(lsplits), by, point_col, start_col, end_col, idx_col,
             *[s[j] for s in lsplits], *[s[j] for s in rsplits],
         )
         for j in range(n_partitions)

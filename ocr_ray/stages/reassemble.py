@@ -63,12 +63,29 @@ def _split_table(t: pa.Table, pk: np.ndarray, n_partitions: int) -> Tuple[pa.Tab
 
 
 @ray.remote
-def _split_turns(t: pa.Table, n_partitions: int, span: int) -> Tuple[pa.Table, ...]:
+def _split_turns(t, n_partitions: int, span: int) -> Tuple[pa.Table, ...]:
+    if isinstance(t, pd.DataFrame):  # internal refs may hold pandas blocks
+        t = pa.Table.from_pandas(t, preserve_index=False)
     t = t.select(_COLS)
     salt = (t["turn_idx"].to_numpy() // span).astype(np.int32)
     h = pd.util.hash_pandas_object(t["conv_id"].to_pandas(), index=False).to_numpy()
     pk = ((h + salt.astype(np.uint64)) % n_partitions).astype(np.int32)
     return _split_table(t.append_column("salt", pa.array(salt)), pk, n_partitions)
+
+
+def nonempty_arrow_refs(ds: "ray.data.Dataset") -> list:
+    """Arrow block refs of a dataset, skipping zero-row blocks.
+
+    ``groupby().map_groups`` emits ZERO-COLUMN empty blocks for empty
+    groups (observed at higher parallelism); feeding those to a key-split
+    task raises KeyError.  Filtering on block *metadata* costs no fetch."""
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    return refs if refs else mat.to_arrow_refs()[:1]
 
 
 def _as_array(col) -> pa.Array:
@@ -167,7 +184,7 @@ def assemble_conversations(
     if n_partitions is None:
         # ~64 MB per reduce partition, bounded; small inputs stay cheap
         n_partitions = max(8, min(256, int(mat.size_bytes() // (64 << 20)) + 1))
-    refs = mat.to_arrow_refs()
+    refs = nonempty_arrow_refs(mat)
     # coarsen tiny blocks so the exchange stays O(blocks x partitions) small
     if len(refs) > 4 * n_partitions:
         refs = mat.repartition(n_partitions).to_arrow_refs()
