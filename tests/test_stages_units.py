@@ -207,6 +207,48 @@ def test_facade_api(ray_session):
     assert list(top["vec_id"]) == [0, 1]
 
 
+def test_asof_and_range_join_semantics(ray_session):
+    """Generic operator semantics: backward/forward as-of, -1 for
+    uncontained points, keys never cross."""
+    import ray.data as rd
+
+    from ocr_ray.stages.join import asof_join, range_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2], "t": [10, 25, 10], "v": ["a", "b", "c"]}
+    )).repartition(2)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2], "t": [5, 20, 50], "rv": [100, 200, 300]}
+    )).repartition(2)
+
+    back = (
+        asof_join(left, right, by="k", on="t", n_partitions=4)
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    # k=1: t=10 -> rv@5=100; t=25 -> rv@20=200.  k=2: t=10 has no earlier -> NaN
+    assert list(back["rv"].fillna(-1).astype("int64")) == [100, 200, -1]
+
+    fwd = (
+        asof_join(left, right, by="k", on="t", direction="forward", n_partitions=4)
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    assert list(fwd["rv"].fillna(-1).astype("int64")) == [200, -1, 300]
+
+    points = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 1, 2], "t": [3, 12, 30, 12]}
+    )).repartition(2)
+    ivals = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 1, 2], "lo": [0, 20, 100], "hi": [10, 25, 110], "iid": [7, 8, 9]}
+    )).repartition(2)
+    rj = (
+        range_join(points, ivals, by="k", point_col="t", start_col="lo",
+                   end_col="hi", idx_col="iid", n_partitions=4)
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    # t=3 in [0,10] -> 7; t=12 uncontained -> -1; t=30 past [20,25] -> -1; k=2 t=12 -> -1
+    assert list(rj["iid"]) == [7, -1, -1, -1]
+
+
 def test_multimodal_stub_schemas(ray_session):
     """Binary-column plumbing: resize keeps payload binary + adds dims;
     audio features are fixed-size float lists; real decode refuses cleanly."""
