@@ -68,12 +68,9 @@ def dedup_pairs(
     candidates verified by Hamming <= 16.
     """
     from ocr_ray.stages.dedup import (
-        MinHasher,
-        SimHasher,
         add_content_hash,
-        bucket_pairs,
-        jaccard_sets,
-        shingle_set,
+        minhash_dedup_pairs,
+        simhash_dedup_pairs,
     )
 
     if method == "exact":
@@ -87,49 +84,18 @@ def dedup_pairs(
             out_r.extend(ids[1:])
         return pd.DataFrame({"left_id": out_l, "right_id": out_r})
 
-    if method in ("minhash", "simhash"):
-        cls = MinHasher if method == "minhash" else SimHasher
-        kwargs = (
-            {"n_perm": 64, "n_bands": 16, "shingle_k": 3}
-            if method == "minhash"
-            else {"n_bands": 8, "shingle_k": 3}
-        )
-        rows = docs.map_batches(
-            cls, batch_format="pandas", concurrency=2,
-            fn_constructor_kwargs={**kwargs, "text_col": text_col, "id_col": id_col},
-        ).materialize()
-        bucket_cols = (
-            ["band_id", "band_hash"] if method == "minhash" else ["band_id", "band_key"]
-        )
-        cands = (
-            bucket_pairs(rows, bucket_cols, id_col=id_col)
-            .to_pandas()
-            .drop_duplicates(["left_id", "right_id"])
-        )
-        pdf = docs.select_columns([id_col, text_col]).to_pandas()
-        if method == "minhash":
-            sets = {i: shingle_set(t, 3) for i, t in zip(pdf[id_col], pdf[text_col])}
-            jac = np.array(
-                [jaccard_sets(sets[l], sets[r])
-                 for l, r in zip(cands["left_id"], cands["right_id"])]
-            ) if len(cands) else np.array([])
-            keep = jac >= threshold
-        else:
-            sig_df = rows.to_pandas().drop_duplicates(id_col)
-            sigs = pd.Series(sig_df["simhash"].to_numpy(dtype=np.uint64),
-                             index=sig_df[id_col])
-            if len(cands):
-                xor = (sigs.loc[cands["left_id"]].to_numpy()
-                       ^ sigs.loc[cands["right_id"]].to_numpy())
-                ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-                keep = ham <= 16
-            else:
-                keep = np.array([], dtype=bool)
-        return (
-            cands[keep].reset_index(drop=True)
-            if len(cands)
-            else pd.DataFrame({"left_id": [], "right_id": []})
-        )
+    # both LSH paths are end-to-end distributed (stages/dedup.py); the facade
+    # materializes only the (small) verified pair table
+    if method == "minhash":
+        return minhash_dedup_pairs(
+            docs, shingle_k=3, threshold=threshold,
+            text_col=text_col, id_col=id_col, n_partitions=8,
+        ).to_pandas()
+    if method == "simhash":
+        return simhash_dedup_pairs(
+            docs, n_bands=8, shingle_k=3, max_hamming=16,
+            text_col=text_col, id_col=id_col, n_partitions=8,
+        ).to_pandas()
 
     raise ValueError(f"unknown dedup method: {method}")
 

@@ -174,10 +174,12 @@ MINHASH_SHINGLE_K = 3
 
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup candidates over k-word shingles, verified by true
-    shingle Jaccard (rows-only oracle; recall vs all-pairs asserted in
-    tests).  Pipeline: shingle -> signature -> band explode -> groupby bands
-    -> candidate pairs -> dedupe -> verify.
+    """MinHash+LSH near-dup pairs over k-word shingles, verified by true
+    shingle Jaccard — END-TO-END DISTRIBUTED (stages/dedup.py:
+    minhash_dedup_pairs): shingle -> signature -> band explode -> bounded
+    band groupby -> candidate pairs -> distributed pair dedupe -> hash-join
+    texts on left_id/right_id -> per-partition verify.  No driver-side
+    materialization of any full table.
 
     Shingles, not unigrams: unigram minhash saturates on a small shared
     vocabulary — every doc pair looks ~0.8-similar, band buckets degenerate
@@ -185,55 +187,26 @@ def q_dedup_minhash(sf_dir: str):
     (observed 48M pairs on the 5k-doc table).  Shingle sets of unrelated
     docs are near-disjoint, so buckets hold only true near-dups (the
     standard design in training-data dedup, cf. Lee et al. 2022)."""
-    from ocr_ray.stages.dedup import jaccard_sets, shingle_set
+    from ocr_ray.stages.dedup import minhash_dedup_pairs
 
-    docs = _doc(sf_dir)
-    bands = docs.map_batches(
-        MinHasher, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={
-            "n_perm": 64, "n_bands": 16, "shingle_k": MINHASH_SHINGLE_K,
-        },
-    ).materialize()
-    from ocr_ray.stages.dedup import bucket_pairs
-
-    cands = bucket_pairs(bands, ["band_id", "band_hash"])
-    cand_df = cands.to_pandas().drop_duplicates(["left_id", "right_id"])
-
-    # verify true shingle jaccard on the (few) candidate pairs; the text
-    # lookup is a driver-side dict here (small side) — at scale, a
-    # hash-partitioned join of candidate ids against the doc table
-    pdf = docs.select_columns(["doc_id", "text"]).to_pandas()
-    sets = {
-        int(i): shingle_set(t, MINHASH_SHINGLE_K)
-        for i, t in zip(pdf["doc_id"], pdf["text"])
-    }
-    jac = np.array(
-        [jaccard_sets(sets[int(l)], sets[int(r)])
-         for l, r in zip(cand_df["left_id"], cand_df["right_id"])],
-        dtype=np.float64,
-    ) if len(cand_df) else np.array([], dtype=np.float64)
-    keep = jac >= JACCARD_THRESHOLD
-    out = pd.DataFrame(
-        {
-            "left_id": cand_df["left_id"].to_numpy()[keep] if len(cand_df) else [],
-            "right_id": cand_df["right_id"].to_numpy()[keep] if len(cand_df) else [],
-            "jaccard": np.round(jac[keep], 6),
-        }
-    ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
-    out["left_id"] = out["left_id"].astype("int64")
-    out["right_id"] = out["right_id"].astype("int64")
-    return out
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return minhash_dedup_pairs(
+        docs, n_perm=64, n_bands=16, shingle_k=MINHASH_SHINGLE_K,
+        threshold=JACCARD_THRESHOLD, n_partitions=16,
+    )
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dup (rows-only): docs unioned with mutated copies
-    (doc_id+1_000_000, last word dropped — deterministic positives), 64-bit
-    shingle signatures, 8x8-bit band bucketing (guarantees candidates for
-    Hamming < 8), groupby bands -> candidates, Hamming <= 16 verified on the
-    full signatures.  Scale notes: only co-bucketed rows
-    shuffle; the signature side-table is per-candidate lookups (here a
-    driver-side dict because the table is small; at 100 TB a hash-partitioned
-    join on candidate ids)."""
+    """SimHash near-dup: docs unioned with mutated copies (doc_id+1_000_000,
+    last word dropped — deterministic positives), 64-bit shingle signatures,
+    8x8-bit band bucketing (guarantees candidates for Hamming < 8), then the
+    fully distributed verify (stages/dedup.py: simhash_dedup_pairs) —
+    candidates hash-join the (id, simhash) side table on left_id/right_id
+    and each partition verifies Hamming <= 16 vectorized.  No driver-side
+    signature lookup."""
+    from ocr_ray.stages.dedup import simhash_dedup_pairs
 
     def mutate(b: pd.DataFrame) -> pd.DataFrame:
         keep = b["doc_id"] % 10 == 0
@@ -244,51 +217,13 @@ def q_dedup_simhash(sf_dir: str):
             }
         )
 
-    docs = _doc(sf_dir).select_columns(["doc_id", "text"])
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
     both = docs.union(docs.map_batches(mutate, batch_format="pandas"))
-    # materialized once: consumed by both the band groupby and the signature
-    # lookup (lazy datasets re-execute per consumer); the signature table is
-    # small (n_bands rows/doc, ints only)
-    sig_rows = both.map_batches(
-        SimHasher, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"n_bands": 8, "shingle_k": 3},
-    ).materialize()
-    from ocr_ray.stages.dedup import bucket_pairs
-
-    cands = (
-        bucket_pairs(sig_rows, ["band_id", "band_key"])
-        .to_pandas()
-        .drop_duplicates(["left_id", "right_id"])
+    return simhash_dedup_pairs(
+        both, n_bands=8, shingle_k=3, max_hamming=16, n_partitions=16
     )
-    sig_df = (
-        sig_rows.select_columns(["doc_id", "simhash"])
-        .to_pandas()
-        .drop_duplicates("doc_id")
-    )
-    sigs = pd.Series(
-        sig_df["simhash"].to_numpy(dtype=np.uint64), index=sig_df["doc_id"]
-    )
-    if len(cands):
-        xor = (
-            sigs.loc[cands["left_id"]].to_numpy()
-            ^ sigs.loc[cands["right_id"]].to_numpy()
-        )
-        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(
-            axis=1, dtype=np.int64
-        )
-    else:
-        ham = np.array([], dtype=np.int64)
-    keep = ham <= 16
-    out = pd.DataFrame(
-        {
-            "left_id": cands["left_id"].to_numpy()[keep] if len(cands) else [],
-            "right_id": cands["right_id"].to_numpy()[keep] if len(cands) else [],
-            "hamming": ham[keep],
-        }
-    ).sort_values(["left_id", "right_id"]).reset_index(drop=True)
-    out["left_id"] = out["left_id"].astype("int64")
-    out["right_id"] = out["right_id"].astype("int64")
-    return out
 
 
 EMBED_DUP_THRESHOLD = 0.4
@@ -329,9 +264,13 @@ def q_dedup_embed(sf_dir: str):
 def q_embed_knn(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 query vector; broadcast
     query, per-batch float64 matmul, global sort + limit."""
+    import pyarrow.dataset as pads
+
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(path)
-    qrow = [r for r in ds.filter(lambda r: r["vec_id"] == 0).take(1)]
+    # the query vector: a parquet predicate scan (row-group pruning), never a
+    # per-row Python filter over the whole dataset
+    qrow = rd.read_parquet(path, filter=pads.field("vec_id") == 0).take(1)
     qref = ray.put(np.asarray(qrow[0]["embedding"], dtype=np.float64))
 
     class RawCosine(CosineTopK):
@@ -390,6 +329,8 @@ def q_ann_ivf(sf_dir: str):
     k-means centroids fit on a driver-side sample (tiny k x dim matrix,
     broadcast via ray.put), per-batch nearest-centroid assignment, query
     probes the nprobe nearest cells and ranks exact cosine only there."""
+    import pyarrow.dataset as pads
+
     path = os.path.join(sf_dir, "embeddings.parquet")
     ds = rd.read_parquet(path)
     # seeded random sample (first-blocks take() would bias the quantizer)
@@ -401,7 +342,8 @@ def q_ann_ivf(sf_dir: str):
     cref = ray.put(cent)
 
     qvec = np.asarray(
-        ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"], dtype=np.float64
+        rd.read_parquet(path, filter=pads.field("vec_id") == 0).take(1)[0]["embedding"],
+        dtype=np.float64,
     )
     assigner = IVFAssign(cent)
     qcell_d = (assigner.cent_sq - 2.0 * (cent @ qvec))

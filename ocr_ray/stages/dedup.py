@@ -11,23 +11,30 @@ Scale notes (each operator documents its partitioning assumption):
   (dimension-table pattern). At 100 TB the candidate set must come from
   LSH (below), never all-pairs.
 * MinHash+LSH — shingle → minhash signature per row (vectorized numpy) →
-  explode to (band_id, band_hash) rows → ``groupby`` bands → candidate
-  pairs → verify true Jaccard.  Only near-dup rows shuffle.
-* SimHash — 64-bit signature per row; near-dup candidates via bucketing on
-  bit-band keys (4 x 16-bit bands, Hamming distance <= 3 verified).
+  explode to (band_id, band_hash) rows → bounded-partition band groupby →
+  candidate pairs → pair dedupe (hash aggregation) → *distributed* verify:
+  candidates hash-join the doc table on left_id then right_id, true shingle
+  Jaccard computed per partition.  No driver-side materialization anywhere.
+* SimHash — 64-bit signature per row; candidates via bit-band bucketing,
+  verified by Hamming distance over a hash-joined signature side table.
+
+Token/shingle hashing is vectorized: one ``pandas.util.hash_array`` call
+per batch (C-level SipHash over the flat token array, deterministic across
+processes — fixed default hash key) plus numpy rolling-polynomial combine
+for k-word shingles.  No per-shingle ``hashlib`` calls in any hot path.
 """
 
 from __future__ import annotations
 
 import hashlib
 import itertools
-import re
 from typing import Dict, List, Tuple
 
 import numpy as np
 import pandas as pd
 
-_TOKEN = re.compile(r"\S+")
+_SHINGLE_PRIME = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
+
 
 # ---------------------------------------------------------------- exact
 def add_content_hash(batch: pd.DataFrame, col: str = "text") -> pd.DataFrame:
@@ -101,19 +108,58 @@ def jaccard_pairs_matrix(ids: np.ndarray, m: np.ndarray, sizes: np.ndarray,
     )
 
 
-# ---------------------------------------------------------------- minhash/LSH
-def _hash_tokens(tokens: List[str]) -> np.ndarray:
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-         for t in tokens],
-        dtype=np.uint64,
+# ------------------------------------------------------- vectorized hashing
+def hash_tokens_flat(tokens: List[str]) -> np.ndarray:
+    """uint64 hash per token — ONE C-level pass (pandas SipHash with the
+    library's fixed default key: deterministic across runs and workers)."""
+    if not tokens:
+        return np.array([], dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object))
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Rolling-polynomial k-shingle hashes over a row's token-hash array.
+
+    k <= 1: unigram features (each token hash is its own feature);
+    n >= k: n-k+1 shingles; 0 < n < k: one shingle combining all tokens
+    (mirrors :func:`shingle_set`'s short-document case); n == 0: empty.
+    uint64 wraparound multiply is the mix (same trick as FxHash)."""
+    n = token_hashes.size
+    if n == 0 or k <= 1:
+        return token_hashes
+    with np.errstate(over="ignore"):
+        if n < k:
+            v = np.uint64(0)
+            for x in token_hashes:
+                v = v * _SHINGLE_PRIME + x
+            return np.array([v], dtype=np.uint64)
+        sh = token_hashes[: n - k + 1].copy()
+        for j in range(1, k):
+            sh = sh * _SHINGLE_PRIME + token_hashes[j: n - k + 1 + j]
+    return sh
+
+
+def _batch_shingle_hashes(texts, k: int) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Per-row shingle-hash arrays for a batch: one flat hash_array call,
+    then numpy slicing per row (no per-token Python hashing)."""
+    tok_lists = [t.split() for t in texts]
+    flat = list(itertools.chain.from_iterable(tok_lists))
+    th = hash_tokens_flat(flat)
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    return (
+        [shingle_hashes(th[starts[i]:starts[i + 1]], k) for i in range(len(tok_lists))],
+        counts,
     )
 
 
+# ---------------------------------------------------------------- minhash/LSH
 class MinHasher:
-    """n_perm universal hashes h_i(x) = (a_i * x + b_i) mod p over token
+    """n_perm universal hashes h_i(x) = (a_i * x + b_i) mod p over shingle
     hashes; signature = per-permutation minimum.  Stateful setup (the random
-    coefficient matrix) happens once per actor in ``__init__``."""
+    coefficient matrix) happens once per actor in ``__init__``; per batch the
+    work is one flat token-hash pass + numpy matrix min-reductions."""
 
     def __init__(self, n_perm: int = 64, n_bands: int = 16, seed: int = 7,
                  shingle_k: int = 0, text_col: str = "text", id_col: str = "doc_id"):
@@ -128,37 +174,42 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
 
-    def _features(self, text: str) -> List[str]:
-        toks = text.split()
-        if self.shingle_k and len(toks) >= self.shingle_k:
-            return [" ".join(toks[i:i + self.shingle_k])
-                    for i in range(len(toks) - self.shingle_k + 1)]
-        return toks
+    def _sig_from_shingles(self, sh: np.ndarray) -> np.ndarray:
+        if sh.size == 0:
+            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            hv = (sh[None, :] * self.a[:, None] + self.b[:, None]) % self.p  # (P, S)
+        return hv.min(axis=1)
 
     def signature(self, text: str) -> np.ndarray:
-        feats = list(set(self._features(text)))
-        if not feats:
-            return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        x = _hash_tokens(feats)  # (F,)
+        th = hash_tokens_flat(text.split())
+        return self._sig_from_shingles(shingle_hashes(th, self.shingle_k))
+
+    def _band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """uint64 key per band: rolling-polynomial combine of the band's
+        signature rows (replaces the old per-band hashlib call)."""
+        sig2d = sig.reshape(self.n_bands, self.rows_per_band)
+        bk = np.zeros(self.n_bands, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            hv = (x[None, :] * self.a[:, None] + self.b[:, None]) % self.p  # (P, F)
-        return hv.min(axis=1)
+            for i in range(self.rows_per_band):
+                bk = bk * _SHINGLE_PRIME + sig2d[:, i]
+        return bk
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Explode each row into n_bands (band_id, band_hash) bucket rows."""
-        ids: List = []
-        band_ids: List[int] = []
-        band_hashes: List[str] = []
-        for rid, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.signature(text)
-            for b in range(self.n_bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                ids.append(rid)
-                band_ids.append(b)
-                band_hashes.append(h)
+        texts = list(batch[self.text_col])
+        per_row, _ = _batch_shingle_hashes(texts, self.shingle_k)
+        n = len(texts)
+        keys = np.empty((n, self.n_bands), dtype=np.uint64)
+        for i, sh in enumerate(per_row):
+            keys[i] = self._band_keys(self._sig_from_shingles(sh))
+        ids = np.repeat(np.asarray(batch[self.id_col]), self.n_bands)
         return pd.DataFrame(
-            {self.id_col: ids, "band_id": band_ids, "band_hash": band_hashes}
+            {
+                self.id_col: ids,
+                "band_id": np.tile(np.arange(self.n_bands, dtype=np.int32), n),
+                "band_hash": keys.ravel(),
+            }
         )
 
 
@@ -199,13 +250,213 @@ def bucket_pairs(
             for a, b in itertools.combinations(ids, 2):
                 out_l.append(a)
                 out_r.append(b)
-        return pd.DataFrame({"left_id": out_l, "right_id": out_r})
+        return pd.DataFrame(
+            {
+                "left_id": pd.Series(out_l, dtype="int64"),
+                "right_id": pd.Series(out_r, dtype="int64"),
+            }
+        )
 
     return (
         bucket_rows.map_batches(add_pk, batch_format="pandas")
         .groupby("_pk")
         .map_groups(pairs_in_partition, batch_format="pandas")
     )
+
+
+def dedupe_pairs(cands: "object", n_partitions: int = 64) -> "object":
+    """Distinct (left_id, right_id) rows via the two-level hash aggregation
+    (the same pair may surface from several LSH bands/partitions).  Fully
+    distributed — replaces the former driver-side ``drop_duplicates``."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_n"] = 1
+        return b
+
+    deduped = hash_aggregate(
+        cands.map_batches(mark, batch_format="pandas"),
+        keys=["left_id", "right_id"],
+        aggs={"_n": "sum"},
+        n_partitions=n_partitions,
+    )
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "left_id": b["left_id"].astype("int64"),
+                "right_id": b["right_id"].astype("int64"),
+            }
+        )
+
+    return deduped.map_batches(strip, batch_format="pandas")
+
+
+def _attach_texts(cands: "object", docs: "object", text_col: str, id_col: str,
+                  n_partitions: int) -> "object":
+    """Hash-join candidate pairs against the doc table on left_id then
+    right_id (two bounded all-to-alls on the id key; the doc table is read
+    twice column-pruned — never materialized on the driver)."""
+    from ocr_ray.stages.join import exchange_join
+
+    def as_left(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"left_id": b[id_col].astype("int64"), "_ltext": b[text_col]}
+        )
+
+    def as_right(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"right_id": b[id_col].astype("int64"), "_rtext": b[text_col]}
+        )
+
+    j = exchange_join(
+        cands, docs.map_batches(as_left, batch_format="pandas"),
+        on="left_id", n_partitions=n_partitions,
+    )
+    return exchange_join(
+        j, docs.map_batches(as_right, batch_format="pandas"),
+        on="right_id", n_partitions=n_partitions,
+    )
+
+
+def minhash_dedup_pairs(
+    docs: "object",
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 64,
+    concurrency: int = 2,
+) -> "object":
+    """MinHash+LSH near-dup pairs, end-to-end distributed.
+
+    shingle → signature → band explode → bounded-partition band groupby →
+    candidate pairs → pair dedupe → hash-join texts → per-partition true
+    shingle-Jaccard verify (>= threshold).  Returns a Dataset of
+    (left_id, right_id, jaccard); no stage materializes a full table on the
+    driver.  Partitioning assumptions: a band bucket fits one partition
+    (near-dup buckets are small by construction) and one id's doc text fits
+    a join partition."""
+    bands = docs.map_batches(
+        MinHasher, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs={
+            "n_perm": n_perm, "n_bands": n_bands, "shingle_k": shingle_k,
+            "text_col": text_col, "id_col": id_col,
+        },
+    )
+    cands = dedupe_pairs(
+        bucket_pairs(bands, ["band_id", "band_hash"], id_col=id_col,
+                     n_partitions=n_partitions),
+        n_partitions,
+    )
+    joined = _attach_texts(cands, docs, text_col, id_col, n_partitions)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        jac = np.array(
+            [
+                jaccard_sets(shingle_set(lt, shingle_k), shingle_set(rt, shingle_k))
+                for lt, rt in zip(b["_ltext"], b["_rtext"])
+            ],
+            dtype=np.float64,
+        ) if len(b) else np.array([], dtype=np.float64)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "left_id": b["left_id"].to_numpy(dtype="int64")[keep]
+                if len(b) else pd.Series([], dtype="int64"),
+                "right_id": b["right_id"].to_numpy(dtype="int64")[keep]
+                if len(b) else pd.Series([], dtype="int64"),
+                "jaccard": np.round(jac[keep], 6),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
+def simhash_dedup_pairs(
+    docs: "object",
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    max_hamming: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 64,
+    concurrency: int = 2,
+) -> "object":
+    """SimHash near-dup pairs, end-to-end distributed: 64-bit signatures,
+    bit-band bucketing (pigeonhole guarantees candidates for Hamming <
+    n_bands), candidate dedupe, then Hamming verification over a hash-joined
+    signature side table (vectorized xor + popcount per partition)."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    sig_rows = docs.map_batches(
+        SimHasher, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs={
+            "n_bands": n_bands, "shingle_k": shingle_k,
+            "text_col": text_col, "id_col": id_col,
+        },
+    ).materialize()  # consumed twice: band groupby + signature side table
+
+    cands = dedupe_pairs(
+        bucket_pairs(sig_rows, ["band_id", "band_key"], id_col=id_col,
+                     n_partitions=n_partitions),
+        n_partitions,
+    )
+
+    # one (id, simhash) row per doc — signatures repeat per band row
+    def sig_only(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: b[id_col].astype("int64"),
+             "simhash": b["simhash"].astype("uint64")}
+        )
+
+    sigs = hash_aggregate(
+        sig_rows.map_batches(sig_only, batch_format="pandas"),
+        keys=[id_col], aggs={"simhash": "max"}, n_partitions=n_partitions,
+    )
+
+    def as_left(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"left_id": b[id_col].astype("int64"),
+             "_lsig": b["simhash"].astype("uint64")}
+        )
+
+    def as_right(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"right_id": b[id_col].astype("int64"),
+             "_rsig": b["simhash"].astype("uint64")}
+        )
+
+    j = exchange_join(cands, sigs.map_batches(as_left, batch_format="pandas"),
+                      on="left_id", n_partitions=n_partitions)
+    j = exchange_join(j, sigs.map_batches(as_right, batch_format="pandas"),
+                      on="right_id", n_partitions=n_partitions)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"left_id": pd.Series([], dtype="int64"),
+                 "right_id": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+        xor = b["_lsig"].to_numpy(dtype=np.uint64) ^ b["_rsig"].to_numpy(dtype=np.uint64)
+        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1, dtype=np.int64
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "left_id": b["left_id"].to_numpy(dtype="int64")[keep],
+                "right_id": b["right_id"].to_numpy(dtype="int64")[keep],
+                "hamming": ham[keep],
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------- simhash
@@ -216,7 +467,10 @@ class SimHasher:
     features saturate on small shared vocabularies).  Banding with
     ``n_bands`` equal-width bands guarantees candidate generation for pairs
     with Hamming distance < n_bands (pigeonhole); verify with
-    :func:`hamming64` after the band groupby."""
+    :func:`hamming64` after the band groupby.
+
+    Feature hashing is the vectorized pipeline above (flat SipHash pass +
+    rolling-polynomial shingles); the bit-majority vote is numpy."""
 
     def __init__(self, n_bands: int = 8, shingle_k: int = 3,
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -228,41 +482,41 @@ class SimHasher:
         self.id_col = id_col
 
     @staticmethod
-    def signature(text: str, shingle_k: int = 0) -> int:
-        toks = text.split()
-        if shingle_k and toks:
-            feats = {" ".join(toks[i:i + shingle_k])
-                     for i in range(max(1, len(toks) - shingle_k + 1))}
-        else:
-            feats = set(toks)
-        if not feats:
+    def _sig_from_shingles(sh: np.ndarray) -> int:
+        feats = np.unique(sh)  # set semantics: each distinct shingle votes once
+        if feats.size == 0:
             return 0
-        # vectorized: 8-byte digests -> bit matrix -> column majority vote
-        digests = b"".join(
-            hashlib.blake2b(f.encode(), digest_size=8).digest() for f in feats
-        )
         bits = np.unpackbits(
-            np.frombuffer(digests, dtype=np.uint8).reshape(len(feats), 8), axis=1
+            feats.view(np.uint8).reshape(feats.size, 8), axis=1
         ).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(feats)  # (+1/-1 vote per feature)
+        votes = bits.sum(axis=0) * 2 - feats.size  # (+1/-1 vote per feature)
         sig_bits = (votes > 0).astype(np.uint8)
-        sig_bytes = np.packbits(sig_bits).tobytes()
-        # bit order must match int.from_bytes(digest, "big") of the old layout:
-        # unpackbits is MSB-first per byte, packbits reverses it symmetrically
-        return int.from_bytes(sig_bytes, "big")
+        return int.from_bytes(np.packbits(sig_bits).tobytes(), "little")
+
+    @staticmethod
+    def signature(text: str, shingle_k: int = 0) -> int:
+        th = hash_tokens_flat(text.split())
+        return SimHasher._sig_from_shingles(shingle_hashes(th, shingle_k))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = {self.id_col: [], "simhash": [], "band_id": [], "band_key": []}
-        mask = (1 << self.band_width) - 1
-        for rid, text in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.signature(text, self.shingle_k)
-            for b in range(self.n_bands):
-                key = (sig >> (b * self.band_width)) & mask
-                out[self.id_col].append(rid)
-                out["simhash"].append(np.uint64(sig))
-                out["band_id"].append(b)
-                out["band_key"].append(key)
-        return pd.DataFrame(out)
+        texts = list(batch[self.text_col])
+        per_row, _ = _batch_shingle_hashes(texts, self.shingle_k)
+        n = len(texts)
+        sigs = np.fromiter(
+            (self._sig_from_shingles(sh) for sh in per_row),
+            dtype=np.uint64, count=n,
+        )
+        mask = np.uint64((1 << self.band_width) - 1)
+        shifts = (np.arange(self.n_bands, dtype=np.uint64) * np.uint64(self.band_width))
+        keys = (sigs[:, None] >> shifts[None, :]) & mask  # (n, n_bands)
+        return pd.DataFrame(
+            {
+                self.id_col: np.repeat(np.asarray(batch[self.id_col]), self.n_bands),
+                "simhash": np.repeat(sigs, self.n_bands),
+                "band_id": np.tile(np.arange(self.n_bands, dtype=np.int32), n),
+                "band_key": keys.ravel(),
+            }
+        )
 
 
 def hamming64(a: int, b: int) -> int:

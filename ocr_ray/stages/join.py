@@ -46,7 +46,15 @@ def _split_by_key(t, by: str, n_partitions: int):
 
     if isinstance(t, pd.DataFrame):  # internal refs may hold pandas blocks
         t = pa.Table.from_pandas(t, preserve_index=False)
-    h = pd.util.hash_pandas_object(t[by].to_pandas(), index=False).to_numpy()
+    key = t[by].to_pandas()
+    # canonicalize numeric key dtype before hashing: int32 vs int64 (or int
+    # vs float) sides would hash equal logical keys to different partitions
+    # and silently drop matches
+    if pd.api.types.is_integer_dtype(key):
+        key = key.astype("int64")
+    elif pd.api.types.is_float_dtype(key):
+        key = key.astype("float64")
+    h = pd.util.hash_pandas_object(key, index=False).to_numpy()
     return _split_table(t, (h % n_partitions).astype(np.int32), n_partitions)
 
 
@@ -191,3 +199,47 @@ def hash_join(
         on=(on,),
         right_on=(right_on,) if right_on else None,
     )
+
+
+@ray.remote
+def _merge_equi_partition(n_left: int, on: str, right_on: str, how: str, *pieces):
+    import pyarrow as pa
+
+    lt = pa.concat_tables(pieces[:n_left]).to_pandas()
+    rt = pa.concat_tables(pieces[n_left:]).to_pandas()
+    out = lt.merge(rt, left_on=on, right_on=right_on, how=how)
+    if right_on != on and right_on in out.columns:
+        out = out.drop(columns=[right_on])
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def exchange_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    n_partitions: int = 16,
+    how: str = "inner",
+) -> "rd.Dataset":
+    """Equi-join over the explicit two-sided hash exchange (same mechanism
+    as :func:`asof_join`): both sides split on the key hash by plain Ray
+    tasks, one merge task per partition.  Lighter-weight than the native
+    ``Dataset.join`` (no shuffle-aggregator actor pool to spin up) — the
+    right choice for mid-pipeline joins of bounded-size tables such as
+    dedup-candidate verification; prefer :func:`hash_join` when both sides
+    are huge and long-lived aggregator actors amortize."""
+    ron = right_on or on
+    lrefs = nonempty_arrow_refs(left)
+    rrefs = nonempty_arrow_refs(right)
+    lsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, on, n_partitions)
+               for r in lrefs]
+    rsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, ron, n_partitions)
+               for r in rrefs]
+    out_refs = [
+        _merge_equi_partition.remote(
+            len(lsplits), on, ron, how,
+            *[s[j] for s in lsplits], *[s[j] for s in rsplits],
+        )
+        for j in range(n_partitions)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -44,7 +44,7 @@ def test_minhash_recall_vs_exact(ray_session):
         for a, b in itertools.combinations(sorted(sets), 2)
         if jaccard_sets(sets[a], sets[b]) >= JACCARD_THRESHOLD
     }
-    lsh = q_dedup_minhash(SF)
+    lsh = q_dedup_minhash(SF).to_pandas()
     lsh_pairs = set(zip(lsh["left_id"], lsh["right_id"]))
     assert lsh_pairs == exact_pairs
 
@@ -91,7 +91,7 @@ def test_simhash_query_finds_mutated_dups(ray_session):
     last word dropped) with its original."""
     from ocr_ray.pipelines.queries import q_dedup_simhash
 
-    out = q_dedup_simhash(SF)
+    out = q_dedup_simhash(SF).to_pandas()
     pairs = set(zip(out["left_id"], out["right_id"]))
     import pandas as pd
 
