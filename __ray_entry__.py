@@ -5,9 +5,11 @@ deterministic synthetic transcript table; ``queries()`` exposes one callable
 per implemented operator (SURVEY §2 / COVERAGE.md) over the sf parquet
 tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
 SQL-expressible query.  Rows-only entries (non-SQL-expressible, covered by
-pytest instead): doc_fingerprint, doc_chunks_para, dedup_minhash,
-dedup_simhash, ann_lsh, ann_ivf, rag_answer, multimodal_meta, and the
-transcripts_* pipelines.
+pytest instead): doc_fingerprint (blake2b rolling hash), dedup_simhash
+(blake-vote signature), ann_lsh / ann_ivf / ann_lsh_topk (approximate by
+design — recall pytests), and the transcripts_* pipelines (inputs are
+synthesized transcripts, not the registered sf views; generator-oracle
+parity is pytest-checked).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.

@@ -917,7 +917,8 @@ SELECT doc_id,
 FROM t
 """,
     "doc_chunks_window": r"""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents WHERE trim(text) <> ''),
      e AS (SELECT doc_id, w,
                   unnest(generate_series(0, CAST(ceil(len(w)/80.0) AS INT) - 1)) AS ci
            FROM t)
@@ -1002,6 +1003,119 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {EMBED_DUP_THRESHOLD}
 """,
     "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    # true shingle-Jaccard all-pairs: the LSH pipeline's output must equal it
+    # exactly at this threshold (band recall ~1-4e-9 per true pair; the
+    # recall pytest asserts set equality independently)
+    "dedup_minhash": rf"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(w) < {MINHASH_SHINGLE_K} THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(w)-{MINHASH_SHINGLE_K - 1}),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+      FROM t)
+SELECT CAST(a.doc_id AS BIGINT) AS left_id, CAST(b.doc_id AS BIGINT) AS right_id,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+""",
+    # greedy char-budget packer with word overlap (R1): the sequential pack
+    # loop is a recursive CTE over the per-doc cumulative word-length array —
+    # state (s, jnext) = buffer start + scan position, one emitted chunk per
+    # recursion step (ocr_ray/functions/chunking.py:split_text_into_chunks)
+    "doc_chunks_para": r"""
+WITH RECURSIVE
+clean AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(text, '\s+', ' ', 'g'),
+         '\n{3,}', chr(10)||chr(10), 'g'), '[^[:ascii:]]+', '', 'g')) AS p
+  FROM documents),
+-- paragraphs at or under the char budget are emitted VERBATIM (possibly
+-- with double spaces left by the non-ascii strip); only longer ones go
+-- through the word packer, which re-joins with single spaces
+short AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS chunk_idx, p AS chunk
+  FROM clean WHERE length(p) <= 200),
+w AS (SELECT doc_id, list_filter(string_split(p, ' '), x -> x <> '') AS words
+      FROM clean WHERE length(p) > 200),
+e AS (SELECT doc_id, unnest(words) AS wd, generate_subscripts(words, 1) AS i FROM w),
+carr AS (
+  SELECT e.doc_id,
+         list(length(wd) + 1 ORDER BY i) AS lens,
+         list(wd ORDER BY i) AS words
+  FROM e GROUP BY e.doc_id),
+cums AS (
+  SELECT doc_id, words,
+    list_transform(generate_series(1, len(lens)), m -> list_sum(lens[1:m])) AS cum,
+    len(words) AS n
+  FROM carr),
+rec AS (
+  SELECT doc_id, words, cum, n, 0 AS chunk_idx, 1 AS s, 1 AS jnext,
+         CAST(NULL AS VARCHAR) AS chunk
+  FROM cums
+  UNION ALL
+  SELECT doc_id, words, cum, n, chunk_idx + 1,
+    (js + 1 - least(50, js - s + 1)) AS s,
+    js + 1 AS jnext,
+    array_to_string(words[s:js], ' ') AS chunk
+  FROM (
+    SELECT *,
+      greatest(jnext,
+        len(list_filter(cum, x -> x <= (CASE WHEN s = 1 THEN 0 ELSE cum[s-1] END) + 200))
+      ) AS js
+    FROM rec
+  )
+  WHERE jnext <= n
+)
+SELECT doc_id, CAST(chunk_idx - 1 AS BIGINT) AS chunk_idx, chunk
+FROM rec WHERE chunk IS NOT NULL
+UNION ALL
+SELECT doc_id, chunk_idx, chunk FROM short
+""",
+    # sentence-scoring answer heuristic (R5): RE2 has no lookbehind, so the
+    # reference's (?<=[.!?])\s+ sentence split is emulated by marking the
+    # boundary with a sentinel and splitting on it
+    "rag_answer": r"""
+WITH s AS (
+  SELECT doc_id, text,
+    string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS sents
+  FROM documents),
+r AS (
+  SELECT doc_id, text,
+    list_filter(sents, x -> contains(lower(x), 'what') OR contains(lower(x), 'value')) AS rel
+  FROM s),
+sc AS (
+  SELECT doc_id, text, rel,
+    list_transform(rel, x ->
+      (CASE WHEN contains(lower(x), 'what') THEN 1 ELSE 0 END)
+      + (CASE WHEN contains(lower(x), 'value') THEN 1 ELSE 0 END)) AS scores
+  FROM r)
+SELECT doc_id,
+  CASE WHEN len(rel) = 0 THEN text
+       ELSE regexp_replace(rel[list_position(scores, list_max(scores))], '^\s+|\s+$', '', 'g')
+  END AS answer
+FROM sc
+""",
+    # the image-decode stub's deterministic fake is sha256-derived, which
+    # DuckDB can replicate exactly (hex-pair -> byte value via strpos)
+    "multimodal_meta": r"""
+WITH h AS (SELECT doc_id, sha256(text) AS hx FROM documents),
+b AS (
+  SELECT doc_id, hx,
+    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS b0,
+    (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS b1,
+    (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(hx, 6, 1)) - 1 AS b2
+  FROM h)
+SELECT doc_id, substr(hx, 1, 16) AS content_hash,
+  CAST(64 + b0 % 192 AS BIGINT) AS width,
+  CAST(64 + b1 % 192 AS BIGINT) AS height,
+  CASE WHEN b2 % 2 = 1 THEN 'RGB' ELSE 'L' END AS mode
+FROM b
+""",
     "dedup_jaccard": rf"""
 WITH s AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w FROM documents)
 SELECT a.doc_id AS left_id, b.doc_id AS right_id,
@@ -1097,7 +1211,8 @@ GROUP BY r.r_name
 """,
     "rag_keyword_topk": r"""
 WITH c AS (
-  WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+  WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             FROM documents WHERE trim(text) <> ''),
        e AS (SELECT doc_id, w,
                     unnest(generate_series(0, CAST(ceil(len(w)/80.0) AS INT) - 1)) AS ci
              FROM t)
