@@ -260,6 +260,74 @@ def q_dedup_embed(sf_dir: str):
     return rd.read_parquet(path).map_batches(pairs_batch, batch_format="pandas")
 
 
+# ====================================================== text -> embedding
+EMBED_DIM = 64
+
+
+def q_embed_docs(sf_dir: str):
+    """A7 analog: compute embeddings FROM text (deterministic feature-hash
+    embedder, stages/embed.py) as an actor-pool map_batches; emits the
+    SQL-checkable derived columns (pre-norm norm, nonzero count, first
+    normalized component)."""
+    from ocr_ray.stages.embed import HashingEmbedder
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(
+        HashingEmbedder, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"dim": EMBED_DIM},
+    )
+
+    def derived(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "emb_norm": b["emb_norm"].astype("float64"),
+                "nnz": b["nnz"].astype("int64"),
+                "e0": b["e0"].astype("float64"),
+            }
+        )
+
+    return out.map_batches(derived, batch_format="pandas")
+
+
+def q_embed_text_knn(sf_dir: str):
+    """Full text -> vector -> similarity loop: embed every document AND the
+    query string with the same hash embedder, cosine top-10 (broadcast query
+    vector, per-batch dot, global sort + limit)."""
+    from ocr_ray.stages.embed import HashingEmbedder, embed_query
+
+    qv = embed_query(RAG_QUERY, dim=EMBED_DIM)
+    qref = ray.put(qv)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    embedded = ds.map_batches(
+        HashingEmbedder, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"dim": EMBED_DIM},
+    )
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        sims = m @ q if len(b) else np.array([], dtype=np.float64)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "sim": sims}
+        )
+
+    top = (
+        embedded.map_batches(score, batch_format="pandas")
+        .sort(["sim", "doc_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    top["sim"] = np.round(top["sim"], 6)
+    top["doc_id"] = top["doc_id"].astype("int64")
+    return top
+
+
 # ================================================================ similarity
 def q_embed_knn(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 query vector; broadcast
@@ -750,6 +818,30 @@ def q_rag_answer(sf_dir: str):
     )
 
 
+def q_rag_embed_answer(sf_dir: str):
+    """R6 full RAG orchestration (rows-only; replica-checked in pytest):
+    chunk -> hash-embed -> cosine top-3 -> heuristic answer, all inside one
+    actor-pool stage (per-doc work, no shuffle)."""
+    from ocr_ray.stages.rag import EmbedRAG
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(
+        EmbedRAG, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"query": "what is the value", "k": 3,
+                               "dim": EMBED_DIM},
+    )
+
+    def typed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["doc_id"] = b["doc_id"].astype("int64")
+        b["n_chunks"] = b["n_chunks"].astype("int64")
+        return b
+
+    return out.map_batches(typed, batch_format="pandas")
+
+
 def q_doc_chunks_para(sf_dir: str):
     from ocr_ray.stages.rag import para_chunk_batch
 
@@ -856,6 +948,8 @@ def queries() -> Dict[str, Callable]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
+        "embed_docs": q_embed_docs,
+        "embed_text_knn": q_embed_text_knn,
         "embed_knn": q_embed_knn,
         "embed_label_stats": q_embed_label_stats,
         "ann_lsh": q_ann_lsh,
@@ -871,6 +965,7 @@ def queries() -> Dict[str, Callable]:
         "events_range_join": q_events_range_join,
         "rag_keyword_topk": q_rag_keyword_topk,
         "rag_answer": q_rag_answer,
+        "rag_embed_answer": q_rag_embed_answer,
         "doc_chunks_para": q_doc_chunks_para,
         "doc_langs_distinct": q_doc_langs_distinct,
         "multimodal_meta": q_multimodal_meta,
@@ -1124,6 +1219,59 @@ SELECT a.doc_id AS left_id, b.doc_id AS right_id,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
       / len(list_distinct(list_concat(a.w, b.w))) >= {JACCARD_THRESHOLD}
+""",
+    # feature-hash embedding pipeline (A7 analog): bucket sums per doc from
+    # the codepoint-polynomial token hash — bit-identical to
+    # ocr_ray/stages/embed.py:hash_token
+    "embed_docs": """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             FROM documents),
+h AS (SELECT doc_id,
+        list_reduce(list_prepend(7, list_transform(string_split(tok, ''), c -> unicode(c))),
+                    (a, b) -> (a * 31 + b) % 1000003) AS hv
+      FROM tok),
+f AS (SELECT doc_id, hv % 64 AS bucket,
+             CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign FROM h),
+vb AS (SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS v FROM f GROUP BY doc_id, bucket),
+agg AS (
+  SELECT doc_id,
+    round(sqrt(sum(v*v)), 6) AS emb_norm,
+    CAST(count(*) FILTER (WHERE v <> 0) AS BIGINT) AS nnz,
+    round(coalesce(sum(v) FILTER (WHERE bucket = 0), 0) / sqrt(sum(v*v)), 6) AS e0
+  FROM vb GROUP BY doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  coalesce(a.emb_norm, 0.0) AS emb_norm,
+  coalesce(a.nnz, 0) AS nnz,
+  coalesce(a.e0, 0.0) AS e0
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""",
+    "embed_text_knn": """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+             FROM documents),
+h AS (SELECT doc_id,
+        list_reduce(list_prepend(7, list_transform(string_split(tok, ''), c -> unicode(c))),
+                    (a, b) -> (a * 31 + b) % 1000003) AS hv
+      FROM tok),
+f AS (SELECT doc_id, hv % 64 AS bucket,
+             CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign FROM h),
+vb AS (SELECT doc_id, bucket, CAST(sum(sign) AS DOUBLE) AS v FROM f GROUP BY doc_id, bucket),
+nd AS (SELECT doc_id, sqrt(sum(v*v)) AS nrm FROM vb GROUP BY doc_id),
+qtok AS (SELECT unnest(regexp_extract_all(lower('data pipeline value'), '[a-z0-9]+')) AS tok),
+qh AS (SELECT list_reduce(list_prepend(7, list_transform(string_split(tok, ''), c -> unicode(c))),
+                          (a, b) -> (a * 31 + b) % 1000003) AS hv FROM qtok),
+qf AS (SELECT hv % 64 AS bucket,
+              CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sign FROM qh),
+qvb AS (SELECT bucket, CAST(sum(sign) AS DOUBLE) AS qv FROM qf GROUP BY bucket),
+qn AS (SELECT sqrt(sum(qv*qv)) AS qnrm FROM qvb),
+sims AS (
+  SELECT vb.doc_id, sum((vb.v / nd.nrm) * (qvb.qv / qn.qnrm)) AS sim
+  FROM vb JOIN nd USING (doc_id) JOIN qvb ON vb.bucket = qvb.bucket CROSS JOIN qn
+  GROUP BY vb.doc_id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  round(coalesce(s.sim, 0.0), 6) AS sim
+FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id
+ORDER BY coalesce(s.sim, 0.0) DESC, d.doc_id
+LIMIT 10
 """,
     "embed_knn": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)

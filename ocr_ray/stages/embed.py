@@ -1,0 +1,112 @@
+"""Text → embedding computation (A7 analog).
+
+The reference embeds text with a SentenceTransformer held by its model
+manager (``ocr_app/models/model_manager.py:159-245``: lazy model load, then
+``encode(chunks)`` → ndarray).  This environment has no model weights, so
+the engine ships a **deterministic feature-hash embedder** with the same
+pipeline role and the same actor shape: the "model" (hash spec) is built
+once per actor in ``__init__``; ``__call__`` embeds a batch.
+
+The hash is chosen to be *SQL-replicable* so the embedding pipeline gets a
+real value-level DuckDB oracle (not just a rows-only check):
+
+    token   = [a-z0-9]+ runs of lower(text)
+    h(tok)  = fold over codepoints:  h = (h*31 + code) % 1000003,  h0 = 7
+    bucket  = h % dim
+    sign    = +1 if (h // dim) even else -1
+    v[bucket] += sign  per token occurrence;  embedding = v / ||v||
+
+Per-token hashes are memoized in the actor (the cache persists across
+batches — the point of an actor pool over a stateless task pool); bucket
+accumulation is one ``np.add.at`` per row.
+
+Downstream consumers: ``embed_docs`` (oracle-checked), ``embed_text_knn``
+(query-string → embedding → cosine top-k, oracle-checked), and the full
+RAG orchestration in stages/rag.py (chunk → embed → retrieve → answer,
+``ocr_app/rag/rag_processor.py:33-165`` analog).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+_TOKEN = re.compile(r"[a-z0-9]+")
+
+HASH_MOD = 1000003
+HASH_INIT = 7
+HASH_MULT = 31
+
+
+def hash_token(tok: str) -> int:
+    """Polynomial codepoint hash — bit-identical to the DuckDB oracle's
+    ``list_reduce(list_prepend(7, codes), (a,b) -> (a*31+b) % 1000003)``."""
+    h = HASH_INIT
+    for ch in tok:
+        h = (h * HASH_MULT + ord(ch)) % HASH_MOD
+    return h
+
+
+class HashingEmbedder:
+    """Actor-pool stage: adds ``embedding`` (float64 list, L2-normalized),
+    ``emb_norm`` (pre-normalization norm), ``nnz`` and ``e0`` (first
+    normalized component) columns to a text batch."""
+
+    def __init__(self, dim: int = 64, text_col: str = "text",
+                 id_col: str = "doc_id", keep_text: bool = False):
+        self.dim = dim
+        self.text_col = text_col
+        self.id_col = id_col
+        self.keep_text = keep_text
+        self._cache: Dict[str, Tuple[int, float]] = {}
+
+    def _feature(self, tok: str) -> Tuple[int, float]:
+        f = self._cache.get(tok)
+        if f is None:
+            h = hash_token(tok)
+            f = (h % self.dim, 1.0 if (h // self.dim) % 2 == 0 else -1.0)
+            self._cache[tok] = f
+        return f
+
+    def embed_one(self, text: str) -> Tuple[np.ndarray, float]:
+        """(normalized embedding, pre-normalization norm) for one string."""
+        v = np.zeros(self.dim, dtype=np.float64)
+        toks = _TOKEN.findall(text.lower())
+        if toks:
+            feats = [self._feature(t) for t in toks]
+            buckets = np.fromiter((f[0] for f in feats), dtype=np.int64,
+                                  count=len(feats))
+            signs = np.fromiter((f[1] for f in feats), dtype=np.float64,
+                                count=len(feats))
+            np.add.at(v, buckets, signs)
+        norm = float(np.sqrt((v * v).sum()))
+        if norm > 0:
+            return v / norm, norm
+        return v, 0.0
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        embs: List[List[float]] = []
+        norms: List[float] = []
+        nnzs: List[int] = []
+        e0s: List[float] = []
+        for text in batch[self.text_col]:
+            nv, norm = self.embed_one(text)
+            embs.append(nv.tolist())
+            norms.append(round(norm, 6))
+            nnzs.append(int(np.count_nonzero(nv)))
+            e0s.append(round(float(nv[0]), 6))
+        out = {self.id_col: batch[self.id_col].to_numpy()}
+        if self.keep_text:
+            out[self.text_col] = batch[self.text_col].to_numpy()
+        out.update({"embedding": embs, "emb_norm": norms, "nnz": nnzs, "e0": e0s})
+        return pd.DataFrame(out)
+
+
+def embed_query(query: str, dim: int = 64) -> np.ndarray:
+    """Driver-side one-off: the normalized embedding of a query string
+    (broadcast via ``ray.put`` to retrieval stages)."""
+    emb, _ = HashingEmbedder(dim=dim).embed_one(query)
+    return emb

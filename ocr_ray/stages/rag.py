@@ -68,3 +68,48 @@ class AnswerExtractor:
                 ],
             }
         )
+
+
+class EmbedRAG:
+    """R6 full RAG orchestration (``ocr_app/rag/rag_processor.py:33-110``):
+    per document, paragraph-chunk -> embed chunks AND the query with the
+    same embedder -> cosine retrieve top-k (``text_utils.py:158-169``:
+    ``np.argsort(sims)[-k:][::-1]`` — reference tie order kept verbatim) ->
+    context = top chunks joined with ' ' -> heuristic answer extraction
+    (the QA-model slot).  Confidence = best cosine, per the reference's
+    result dict shape.
+
+    Actor-pool stage: the embedder (with its token cache) and the query
+    vector are built once per actor; everything per batch is local to the
+    batch — no shuffle."""
+
+    def __init__(self, query: str, k: int = 3, dim: int = 64):
+        import numpy as np
+
+        from ocr_ray.stages.embed import HashingEmbedder
+
+        self.np = np
+        self.embedder = HashingEmbedder(dim=dim)
+        self.qv, _ = self.embedder.embed_one(query)
+        self.query = query
+        self.k = k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        np = self.np
+        out = {"doc_id": [], "answer": [], "confidence": [], "n_chunks": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            chunks = split_text_into_chunks(text)
+            if not chunks:
+                answer, conf = "No text available to answer the question.", 0.0
+            else:
+                m = np.stack([self.embedder.embed_one(c)[0] for c in chunks])
+                sims = m @ self.qv
+                top = np.argsort(sims)[-self.k:][::-1]
+                context = " ".join(chunks[i] for i in top)
+                answer = extract_answer_from_context(self.query, context)
+                conf = float(sims[top[0]])
+            out["doc_id"].append(doc_id)
+            out["answer"].append(answer)
+            out["confidence"].append(round(conf, 6))
+            out["n_chunks"].append(len(chunks))
+        return pd.DataFrame(out)

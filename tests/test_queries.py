@@ -123,3 +123,56 @@ def test_entry_contract(ray_session):
     qs, sql = e.queries(), e.oracle_sql()
     assert set(sql) <= set(qs)
     assert len(qs) >= 16
+
+
+def test_embed_docs_semantics(ray_session):
+    """Hash embedder: deterministic, L2-normalized, oracle-checked derived
+    columns; token cache gives identical vectors for identical texts."""
+    import numpy as np
+
+    from ocr_ray.stages.embed import HashingEmbedder, embed_query, hash_token
+
+    e = HashingEmbedder(dim=64)
+    v1, n1 = e.embed_one("data pipeline value data")
+    v2, _ = HashingEmbedder(dim=64).embed_one("data pipeline value data")
+    assert np.allclose(v1, v2) and abs(np.linalg.norm(v1) - 1.0) < 1e-12
+    # 4 tokens, 'data' twice in its bucket: sqrt(2^2 + 1 + 1) = sqrt(6)
+    assert abs(n1 - np.sqrt(6.0)) < 1e-12
+    assert hash_token("data") == (((((7 * 31 + 100) % 1000003) * 31 + 97)
+                                   % 1000003 * 31 + 116) % 1000003 * 31 + 97) % 1000003
+    assert np.linalg.norm(embed_query("x")) > 0
+
+
+def test_rag_embed_answer_matches_replica(ray_session):
+    """The distributed R6 pipeline equals a pure-Python per-doc replica."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.functions.answers import extract_answer_from_context
+    from ocr_ray.functions.chunking import split_text_into_chunks
+    from ocr_ray.pipelines.queries import q_rag_embed_answer
+    from ocr_ray.stages.embed import HashingEmbedder
+
+    got = q_rag_embed_answer(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    emb = HashingEmbedder(dim=64)
+    qv, _ = emb.embed_one("what is the value")
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        chunks = split_text_into_chunks(t)
+        if not chunks:
+            rows.append((int(d), "No text available to answer the question.", 0.0, 0))
+            continue
+        m = np.stack([emb.embed_one(c)[0] for c in chunks])
+        sims = m @ qv
+        top = np.argsort(sims)[-3:][::-1]
+        ans = extract_answer_from_context(
+            "what is the value", " ".join(chunks[i] for i in top)
+        )
+        rows.append((int(d), ans, round(float(sims[top[0]]), 6), len(chunks)))
+    want = pd.DataFrame(rows, columns=["doc_id", "answer", "confidence", "n_chunks"])
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "answer", "confidence", "n_chunks"]], want, check_dtype=False
+    )
