@@ -9,8 +9,10 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class PipelineConfig:
-    # extraction
-    engines: tuple = ("tagstrip", "density")  # best-of-N order; first wins ties
+    # extraction: best-of-N order, first wins ties (the reference's
+    # auto-selection ladder paddle > easy > tesseract analog,
+    # ocr_app/core/ocr_engine.py:337-355)
+    engines: tuple = ("tagstrip", "density", "domtree")
     cleanup_mode: str = "extracted"           # 'extracted' (src/utils.py) | 'preprocess' (text_utils)
     layout_variant: str = "adaptive"          # 'adaptive' | 'fixed20'
     payload_cap: int = 32768                  # chars per turn (resize/optimize analog, M6)

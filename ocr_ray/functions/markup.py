@@ -149,6 +149,107 @@ def extract_density(payload: str, min_words: int = 3, max_link_density: float = 
     return "\n".join(kept).strip()
 
 
+# ---------------------------------------------------------------- domtree
+CONTAINER_TAGS = {"div", "section", "article", "main", "body", "td", "blockquote"}
+
+
+def extract_domtree(payload: str, prestripped: bool = False) -> str:
+    """Third engine ("readability analog", A3): container selection.
+
+    Unlike :func:`extract_tagstrip` (global strip) and
+    :func:`extract_density` (flat block filter), this engine builds the
+    element tree with a stack parser, accumulates rendered text and
+    anchor-text length into each node's NEAREST enclosing container (direct
+    parent, not every ancestor — so wrapper containers don't absorb their
+    children's score), drops boilerplate subtrees, and returns the text of
+    the best-scoring container — score = text_length * (1 - link_density),
+    the core readability heuristic (Arc90 readability / Kohlschuetter et
+    al.); ties go to the earliest-opened container.  Documents whose
+    containers hold no text fall back to the residual (root) render."""
+    if not payload:
+        return ""
+    s = payload if prestripped else strip_noise(payload)
+
+    # open-container frames: [tag, pieces, text_len, anchor_len, order]
+    root = ["", [], 0, 0, -1]
+    open_containers: List[list] = [root]
+    closed: List[list] = []
+    stack: List[str] = []          # open container tags (for matching closes)
+    skip_depth = 0
+    skip_stack: List[str] = []
+    anchor_depth = 0
+    order = 0
+
+    def add_text(txt: str) -> None:
+        fr = open_containers[-1]   # nearest enclosing container only
+        fr[1].append(txt)
+        fr[2] += len(txt)
+        if anchor_depth > 0:
+            fr[3] += len(txt)
+
+    def add_break() -> None:
+        open_containers[-1][1].append("\n")
+
+    pos = 0
+    for m in _TAG.finditer(s):
+        if skip_depth == 0 and m.start() > pos:
+            add_text(s[pos:m.start()])
+        closing, tag, attrs = m.group(1) == "/", m.group(2).lower(), m.group(3) or ""
+        self_closing = attrs.rstrip().endswith("/") or tag in (
+            "br", "hr", "img", "input", "meta", "link"
+        )
+        if skip_depth > 0:
+            if closing and skip_stack and tag == skip_stack[-1]:
+                skip_stack.pop()
+                if not skip_stack:
+                    skip_depth = 0
+            elif not closing and not self_closing and skip_stack and tag == skip_stack[-1]:
+                skip_stack.append(tag)
+        elif not closing and _is_boilerplate(tag, attrs):
+            if not self_closing:
+                skip_depth = 1
+                skip_stack = [tag]
+        else:
+            if tag in BLOCK_TAGS:
+                add_break()
+            if not closing and not self_closing:
+                if tag == "a":
+                    anchor_depth += 1
+                if tag in CONTAINER_TAGS:
+                    open_containers.append([tag, [], 0, 0, order])
+                    stack.append(tag)
+                    order += 1
+            elif closing:
+                if tag == "a" and anchor_depth > 0:
+                    anchor_depth -= 1
+                if tag in CONTAINER_TAGS and tag in stack:
+                    # unwind to the matching open container (malformed-nesting
+                    # tolerant, same spirit as the other engines)
+                    while stack:
+                        t = stack.pop()
+                        closed.append(open_containers.pop())
+                        if t == tag:
+                            break
+        pos = m.end()
+    if skip_depth == 0 and pos < len(s):
+        add_text(s[pos:])
+    while stack:  # close dangling containers at EOF
+        stack.pop()
+        closed.append(open_containers.pop())
+
+    best_text, best_score, best_order = "", float("-inf"), -1
+    for tag, pieces, text_len, anchor_len, order_i in closed:
+        text = _render(pieces)
+        if not text:
+            continue
+        score = len(text) * (1.0 - anchor_len / max(1, text_len))
+        if score > best_score or (score == best_score and order_i < best_order):
+            best_text, best_score, best_order = text, score, order_i
+    if best_text:
+        return best_text
+    return _render(root[1])  # no containers: whole-page fallback
+
+
 # ---------------------------------------------------------------- wrap repair
 _HYPHEN_WRAP = re.compile(r"(\w)-\n(\w)")
 _SOFT_WRAP = re.compile(r"(?<!\n)\n(?!\n)")

@@ -28,6 +28,7 @@ from ocr_ray.functions.layout import group_boxes_into_lines
 from ocr_ray.functions.markup import (
     _ANY_TAG,
     extract_density,
+    extract_domtree,
     extract_tagstrip,
     repair_wrapping,
 )
@@ -39,8 +40,9 @@ _DASH_LINE = re.compile(r"^\s*-{3,}\s*$", re.M)
 _PIPE = " | "
 
 ENGINES: Dict[str, Callable[[str], str]] = {
-    "tagstrip": extract_tagstrip,
-    "density": extract_density,
+    "tagstrip": extract_tagstrip,   # A1: global structural strip
+    "density": extract_density,     # A2: flat block link-density filter
+    "domtree": extract_domtree,     # A3: readability-style container selection
 }
 
 

@@ -296,3 +296,42 @@ def test_assemble_conversations_single_turn(ray_session):
     assert len(out) == 1
     assert out["conv_text"].iloc[0] == "[user] hello"
     assert int(out["n_turns"].iloc[0]) == 1
+
+
+def test_best_of_three_engine_attribution(ray_session):
+    """C1/C3 with three engines: per-row attribution varies and the argmax
+    picks the engine whose output actually scores highest (payloads crafted
+    so each engine strictly wins one row; ties go to config order)."""
+    import itertools
+
+    import pyarrow as pa
+
+    from ocr_ray.config import DEFAULT_CONFIG
+    from ocr_ray.functions.scoring import score_ocr_result
+    from ocr_ray.stages.extract import ENGINES, Extractor
+
+    assert set(DEFAULT_CONFIG.engines) == {"tagstrip", "density", "domtree"}
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+             "oscar", "papa", "quebec", "romeo"]
+    clean = [a + b for a, b in itertools.product(words, words)]
+    para1 = " ".join(clean[:80]) + "."
+    para2 = " ".join(clean[80:160]) + "."
+    p_dom = ("<html><body><div><p>" + para1 + "</p><p>" + para2 + "</p></div>"
+             + "<div>" + "<p>@@@@ #### $$$$ %%%% ^^^^ &amp;&amp; **** (((( ))))</p>" * 14
+             + "</div></body></html>")
+    p_den = ("<p>" + para1 + "</p><p>" + para2 + "</p>" + "<p>## !!</p>" * 40)
+    p_tag = "<p>one two</p><p>three four</p>"
+
+    batch = pa.table(
+        {"norm_text": [p_dom, p_den, p_tag], "kind": ["html"] * 3}
+    )
+    out = Extractor(DEFAULT_CONFIG)(batch)
+    engines = out["engine"].to_pylist()
+    texts = out["extracted_text"].to_pylist()
+    assert engines == ["domtree", "density", "tagstrip"]
+    # argmax correctness: each winner's text scores >= every engine's output
+    for payload, text in zip([p_dom, p_den, p_tag], texts):
+        best = max(score_ocr_result(fn(payload)) for fn in ENGINES.values())
+        assert score_ocr_result(text) == best
