@@ -70,6 +70,14 @@ def q_doc_quality(sf_dir: str):
     return _doc(sf_dir).map_batches(quality_docs_batch, batch_format="pandas")
 
 
+def q_doc_quality_score(sf_dir: str):
+    """M15 parity: weighted quality_score (0.3/0.2/0.3/0.1/0.1) + issue
+    tags grafted onto text-payload signals (stages/analysis.py)."""
+    from ocr_ray.stages.analysis import quality_score_batch
+
+    return _doc(sf_dir).map_batches(quality_score_batch, batch_format="pandas")
+
+
 def q_doc_chunks_window(sf_dir: str):
     return _doc(sf_dir).map_batches(chunk_docs_batch, batch_format="pandas")
 
@@ -390,6 +398,38 @@ def q_ann_lsh(sf_dir: str):
     ).to_pandas()
     out["vec_id"] = out["vec_id"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """LSH ANN end-to-end query path (rows-only; recall vs brute force
+    asserted in tests): 4-bit signed random projections, multi-probe the
+    query's bucket plus Hamming<=1 neighbors (5 of 16 buckets), exact
+    cosine ranking inside the probed buckets, global top-10."""
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.similarity import LSHProbeScore, RandomProjectionLSH
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path)
+    qvec = np.asarray(
+        rd.read_parquet(path, filter=pads.field("vec_id") == 0).take(1)[0]["embedding"],
+        dtype=np.float64,
+    )
+    n_bits = 4
+    lsh = RandomProjectionLSH(len(qvec), n_bits=n_bits)
+    probe = lsh.probe_set(qvec, max_hamming=1)
+    qn = qvec / np.linalg.norm(qvec)
+    probe_ref = ray.put(probe)
+    qref = ray.put(qn)
+
+    scored = ds.map_batches(
+        LSHProbeScore, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"dim": len(qvec), "n_bits": n_bits,
+                               "probe_ref": probe_ref, "query_ref": qref},
+    )
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10).to_pandas()
+    top["vec_id"] = top["vec_id"].astype("int64")
+    return top
 
 
 def q_ann_ivf(sf_dir: str):
@@ -936,6 +976,7 @@ def queries() -> Dict[str, Callable]:
         "doc_clean": q_doc_clean,
         "doc_score": q_doc_score,
         "doc_quality": q_doc_quality,
+        "doc_quality_score": q_doc_quality_score,
         "doc_chunks_window": q_doc_chunks_window,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_tokens": q_doc_tokens,
@@ -953,6 +994,7 @@ def queries() -> Dict[str, Callable]:
         "embed_knn": q_embed_knn,
         "embed_label_stats": q_embed_label_stats,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf": q_ann_ivf,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
@@ -1010,6 +1052,41 @@ SELECT doc_id,
        WHEN regexp_matches(text, '[\x{{0400}}-\x{{04ff}}]') THEN 'ru'
        ELSE 'en' END AS lang_fallback
 FROM t
+""",
+    # M15 weighted quality score + issue tags: intermediates are exact
+    # integer sums, so both sides produce bit-identical doubles; floats are
+    # deliberately UNROUNDED (the driver's canonical 9-dp round compares)
+    "doc_quality_score": r"""
+WITH c AS (
+  SELECT doc_id, text,
+    list_transform(string_split(text, ''), ch -> unicode(ch)) AS codes
+  FROM documents),
+m AS (
+  SELECT doc_id, text, len(codes) AS n,
+    CAST(len(list_distinct(codes)) AS DOUBLE) AS contrast,
+    CAST(list_sum(codes) AS DOUBLE) / len(codes) AS brightness,
+    CAST(list_sum(list_transform(codes, x -> CAST(x AS BIGINT) * x)) AS DOUBLE) / len(codes)
+      - (CAST(list_sum(codes) AS DOUBLE) / len(codes))
+        * (CAST(list_sum(codes) AS DOUBLE) / len(codes)) AS sharpness,
+    100.0 * len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) / len(codes) AS noise_level,
+    CAST(list_max(codes) - list_min(codes) AS DOUBLE) AS spread,
+    least(1.0, len(codes) / 1000.0) AS res
+  FROM c),
+s AS (
+  SELECT *,
+    (CASE WHEN contrast < 40 THEN contrast/40 WHEN contrast > 80 THEN 1.0 ELSE (contrast-40)/(80-40) END) * 0.3
+    + (CASE WHEN brightness < 100 THEN brightness/100 WHEN brightness > 200 THEN 1.0 ELSE (brightness-100)/(200-100) END) * 0.2
+    + (CASE WHEN sharpness < 50 THEN sharpness/50 WHEN sharpness > 200 THEN 1.0 ELSE (sharpness-50)/(200-50) END) * 0.3
+    + (1.0 - (CASE WHEN noise_level > 10 THEN 1.0 ELSE (noise_level-0)/(10-0) END)) * 0.1
+    + res * 0.1 AS quality_score
+  FROM m)
+SELECT doc_id, contrast, brightness, sharpness, noise_level, quality_score,
+  array_to_string(list_filter([
+    CASE WHEN n < 1000 THEN 'low_resolution' ELSE '' END,
+    CASE WHEN sharpness < 100 THEN 'blurry' ELSE '' END,
+    CASE WHEN spread < 50 THEN 'low_contrast' ELSE '' END,
+    CASE WHEN noise_level > 20 THEN 'noise' ELSE '' END], x -> x <> ''), ',') AS issues
+FROM s
 """,
     "doc_chunks_window": r"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -189,6 +189,85 @@ def table_detect_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _normalize_ref(value: float, min_val: float, max_val: float) -> float:
+    """The reference's 0-1 normalizer (ocr_app/core/image_processor.py:236-241):
+    below min -> value/min; above max -> 1.0; else linear."""
+    if value < min_val:
+        return value / min_val
+    if value > max_val:
+        return 1.0
+    return (value - min_val) / (max_val - min_val)
+
+
+# ASCII punctuation class — identical regex both here and in the SQL oracle
+_NOISE_CHARS = re.compile(r"[!-/:-@\[-`{-~]")
+
+
+def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """M15 parity: the reference's weighted quality_score
+    (0.3 contrast + 0.2 brightness + 0.3 sharpness + 0.1 inv-noise +
+    0.1 resolution, ``ocr_app/core/image_processor.py:211-232``) and issue
+    tags (``src/ocr_module.py:549-587``) grafted onto text-payload signals:
+
+      contrast   = distinct characters            (intensity spread analog)
+      brightness = mean codepoint                 (mean intensity analog)
+      sharpness  = codepoint variance             (Laplacian-variance analog)
+      noise      = 100 * punct_chars / chars      (high-pass noise analog)
+      resolution = min(1, chars/1000)             (min-dimension analog)
+
+    Issue tags use the reference's thresholds verbatim: low_resolution
+    (<1000), blurry (sharpness<100), low_contrast (codepoint spread<50),
+    noise (noise level>20).  All intermediate sums are exact integers so
+    the DuckDB oracle reproduces identical doubles branch-for-branch."""
+    out: Dict[str, List] = {
+        "doc_id": [], "contrast": [], "brightness": [], "sharpness": [],
+        "noise_level": [], "quality_score": [], "issues": [],
+    }
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        n = len(codes)
+        if n == 0:
+            contrast = brightness = sharpness = noise = 0.0
+            spread = 0.0
+            res = 0.0
+        else:
+            sx = int(codes.sum(dtype=np.uint64))
+            sxx = int((codes.astype(np.uint64) ** 2).sum(dtype=np.uint64))
+            contrast = float(len(np.unique(codes)))
+            brightness = sx / n
+            sharpness = sxx / n - brightness * brightness
+            noise = 100.0 * len(_NOISE_CHARS.findall(text)) / n
+            spread = float(int(codes.max()) - int(codes.min()))
+            res = min(1.0, n / 1000.0)
+        score = (
+            _normalize_ref(contrast, 40, 80) * 0.3
+            + _normalize_ref(brightness, 100, 200) * 0.2
+            + _normalize_ref(sharpness, 50, 200) * 0.3
+            + (1.0 - _normalize_ref(noise, 0, 10)) * 0.1
+            + res * 0.1
+        )
+        issues = []
+        if n < 1000:
+            issues.append("low_resolution")
+        if sharpness < 100:
+            issues.append("blurry")
+        if spread < 50:
+            issues.append("low_contrast")
+        if noise > 20:
+            issues.append("noise")
+        # floats left UNROUNDED: both sides compute bit-identical doubles
+        # (exact-int intermediates); rounding here would re-introduce
+        # rounding-MODE divergence (Python half-even vs DuckDB half-away)
+        out["doc_id"].append(doc_id)
+        out["contrast"].append(contrast)
+        out["brightness"].append(brightness)
+        out["sharpness"].append(sharpness)
+        out["noise_level"].append(noise)
+        out["quality_score"].append(score)
+        out["issues"].append(",".join(issues))
+    return pd.DataFrame(out)
+
+
 def fingerprint_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
     """Document fingerprinting: deterministic 64-bit content hash + a rolling
     polynomial hash over the token stream (Rabin-Karp style)."""

@@ -103,9 +103,25 @@ class RandomProjectionLSH:
                  id_col: str = "vec_id", vec_col: str = "embedding"):
         rng = np.random.RandomState(seed)
         self.r = rng.normal(size=(dim, n_bits))
+        self.n_bits = n_bits
         self.id_col = id_col
         self.vec_col = vec_col
         self.weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def bucket_of(self, v: np.ndarray) -> int:
+        bits = (np.asarray(v, dtype=np.float64) @ self.r) > 0
+        return int(bits.astype(np.int64) @ self.weights)
+
+    def probe_set(self, v: np.ndarray, max_hamming: int = 1) -> set:
+        """Multi-probe bucket set: the query's bucket plus every bucket
+        within ``max_hamming`` bit flips (2^n_bits small by construction)."""
+        qb = self.bucket_of(v)
+        all_b = np.arange(1 << self.n_bits, dtype=np.int64)
+        xor = all_b ^ qb
+        ham = np.unpackbits(
+            xor.view(np.uint8).reshape(len(all_b), 8), axis=1
+        ).sum(axis=1)
+        return set(all_b[ham <= max_hamming].tolist())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         m = _as_matrix(batch[self.vec_col])
@@ -113,4 +129,39 @@ class RandomProjectionLSH:
         buckets = bits.astype(np.int64) @ self.weights
         return pd.DataFrame(
             {self.id_col: batch[self.id_col].to_numpy(), "bucket": buckets}
+        )
+
+
+class LSHProbeScore:
+    """End-to-end LSH ANN query stage: per batch, bucket each vector with
+    the same seeded projection, keep only rows whose bucket is in the
+    broadcast multi-probe set, and score exact cosine vs the query there —
+    the scale path answers a KNN query while touching only ~(probed/2^bits)
+    of the data."""
+
+    def __init__(self, dim: int, n_bits: int, probe_ref, query_ref,
+                 seed: int = 13, id_col: str = "vec_id", vec_col: str = "embedding"):
+        import ray
+
+        self.lsh = RandomProjectionLSH(dim, n_bits=n_bits, seed=seed,
+                                       id_col=id_col, vec_col=vec_col)
+        self.probe = ray.get(probe_ref) if isinstance(probe_ref, ray.ObjectRef) else probe_ref
+        qn = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.qn = np.asarray(qn, dtype=np.float64)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(batch[self.vec_col])
+        bits = (m @ self.lsh.r) > 0
+        buckets = bits.astype(np.int64) @ self.lsh.weights
+        mask = np.isin(buckets, list(self.probe))
+        if not mask.any():
+            return pd.DataFrame({self.id_col: pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        mm = m[mask]
+        sims = (mm @ self.qn) / np.maximum(np.linalg.norm(mm, axis=1), 1e-30)
+        return pd.DataFrame(
+            {self.id_col: batch[self.id_col].to_numpy()[mask].astype("int64"),
+             "sim": np.round(sims, 6)}
         )

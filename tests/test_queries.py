@@ -176,3 +176,14 @@ def test_rag_embed_answer_matches_replica(ray_session):
     pd.testing.assert_frame_equal(
         got[["doc_id", "answer", "confidence", "n_chunks"]], want, check_dtype=False
     )
+
+
+def test_ann_lsh_topk_recall_vs_brute_force(ray_session):
+    """Multi-probe LSH (Hamming<=1 of 16 buckets) must recover most of the
+    brute-force top-10 and always the query vector itself."""
+    from ocr_ray.pipelines.queries import q_ann_lsh_topk, q_embed_knn
+
+    brute = set(q_embed_knn(SF)["vec_id"])
+    lsh = set(q_ann_lsh_topk(SF)["vec_id"])
+    assert len(brute & lsh) / len(brute) >= 0.5
+    assert 0 in lsh
