@@ -3,8 +3,12 @@
 * :func:`keyword_search`          — ``ocr_app/utils/text_utils.py:117-155``
 * :func:`fallback_keyword_search` — ``src/utils.py:60-78``
 
-Both are pure; numpy argsort (stable) ties and the final-score floor
-behavior are part of the contract.
+Both are pure; tie order among equal scores follows numpy's DEFAULT
+``argsort`` (quicksort — not stable in general, though it coincides with
+insertion-sort order for the small chunk counts here; the
+``rag_keyword_topk`` oracle encodes the observed last-index-first tie
+order and bounds chunk counts accordingly).  The final-score floor
+behavior is part of the contract.
 """
 
 from __future__ import annotations
@@ -20,8 +24,8 @@ _NON_WORD_SPACE = re.compile(r"[^\w\s]")
 
 def keyword_search(query: str, chunks: List[str], k: int = 3) -> List[Tuple[str, float]]:
     """Score = 0.5*|query∩chunk words| + substring hits of >3-char query words;
-    top-k by stable argsort, normalized by max score; floor-0.1 fallback when
-    nothing scores > 0."""
+    top-k by numpy default argsort (reference parity — NOT kind='stable'),
+    normalized by max score; floor-0.1 fallback when nothing scores > 0."""
     query = query.lower()
     query_words = set(_WORD.findall(query))
     scores: List[float] = []

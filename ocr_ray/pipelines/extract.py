@@ -81,14 +81,23 @@ def build_turn_pipeline(
     return ds
 
 
-def _checksum_batch(batch: pa.Table) -> pa.Table:
-    """Per-batch partial checksum: sum of row hashes over the key+value cols."""
+def _add_row_hash(batch: pa.Table) -> pa.Table:
+    """Append a per-row value hash over the key+value cols.  Computed in the
+    write pass and persisted, so the post-write checksum validation reads
+    ONLY this 8-byte column back — not the whole group (the former full
+    re-read was a 2x read amplification per group)."""
     df = batch.select(["conv_id", "turn_idx", "clean_text"]).to_pandas()
-    h = int(pd.util.hash_pandas_object(df, index=False).sum()) & 0xFFFFFFFFFFFFFFFF
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return batch.append_column("row_hash", pa.array(h, pa.uint64()))
+
+
+def _checksum_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial checksum from the persisted row_hash column."""
+    h = int(batch["row_hash"].to_pandas().sum()) & 0xFFFFFFFFFFFFFFFF
     return pa.table(
         {
             "hash_sum": pa.array([h], pa.uint64()),
-            "rows": pa.array([len(df)], pa.int64()),
+            "rows": pa.array([batch.num_rows], pa.int64()),
         }
     )
 
@@ -114,11 +123,16 @@ def run_extraction_job(
     turns_dir = os.path.join(out_dir, "turns")
     convs_dir = os.path.join(out_dir, "convs")
 
-    done = set(
-        L.completed_groups(turns_dir, len(groups), config.extractor_version)
-        if resume
-        else []
-    )
+    done = set()
+    if resume:
+        for gid in L.completed_groups(turns_dir, len(groups), config.extractor_version):
+            # a group committed by a run with with_conversations=False must
+            # not be skipped when this run also needs the convs partition
+            if with_conversations and not glob.glob(
+                os.path.join(L.group_out_dir(convs_dir, gid), "*.parquet")
+            ):
+                continue
+            done.add(gid)
     job_metrics: Dict = {"groups_total": len(groups), "groups_skipped": sorted(done)}
     t_job = time.perf_counter()
     total_rows = 0
@@ -132,16 +146,26 @@ def run_extraction_job(
         # output so the rerun is deterministic (lineage write is the commit)
         shutil.rmtree(gdir, ignore_errors=True)
         shutil.rmtree(L.group_out_dir(convs_dir, gid), ignore_errors=True)
-        ds = build_turn_pipeline(frag_paths, config)
-        ds.write_parquet(gdir)
+        # one materialization per group (bounded by fragment_group_size, and
+        # the object store spills): feeds BOTH the parquet write and the
+        # convs assembly without re-reading or re-extracting the group
+        mat = build_turn_pipeline(frag_paths, config).map_batches(
+            _add_row_hash, batch_format="pyarrow"
+        ).materialize()
+        mat.write_parquet(gdir)
 
-        written = rd.read_parquet(gdir)
-        checks = written.map_batches(_checksum_batch, batch_format="pyarrow").to_pandas()
+        # checksum validates the WRITTEN files via a column-pruned read of
+        # the 8-byte row_hash column only (~1% of a full group re-read)
+        checks = (
+            rd.read_parquet(gdir, columns=["row_hash"])
+            .map_batches(_checksum_batch, batch_format="pyarrow")
+            .to_pandas()
+        )
         row_count = int(checks["rows"].sum())
         checksum = f"{int(checks['hash_sum'].sum()) & 0xFFFFFFFFFFFFFFFF:016x}"
 
         if with_conversations:
-            convs = assemble_conversations(written, config)
+            convs = assemble_conversations(mat, config)
             convs.write_parquet(L.group_out_dir(convs_dir, gid))
 
         elapsed = time.perf_counter() - t0
@@ -149,6 +173,7 @@ def run_extraction_job(
             "rows": row_count,
             "elapsed_sec": round(elapsed, 3),
             "turns_per_sec": round(row_count / elapsed, 1) if elapsed > 0 else None,
+            "with_conversations": with_conversations,
         }
         L.write_lineage(
             turns_dir,

@@ -157,3 +157,77 @@ def test_lineage_records_complete(small_run):
         assert len(rec["checksum"]) == 16
         total += rec["row_count"]
     assert total == len(turns)
+
+
+def test_resume_recomputes_missing_convs(small_run, tmp_path):
+    """A group committed with with_conversations=False must be recomputed by
+    a later run that needs the convs partition (lineage alone is not
+    sufficient evidence of completeness)."""
+    from ocr_ray.pipelines.extract import run_extraction_job
+
+    _, in_dir, _, _, _, _ = small_run
+    tdir = os.path.join(in_dir, "transcripts")
+    out_dir = str(tmp_path / "out_noconvs")
+
+    m1 = run_extraction_job(tdir, out_dir, CFG, with_conversations=False)
+    assert m1["rows_processed"] > 0
+    assert not glob.glob(os.path.join(out_dir, "convs", "*", "*.parquet"))
+
+    m2 = run_extraction_job(tdir, out_dir, CFG, with_conversations=True)
+    assert m2["groups_skipped"] == []          # nothing may be skipped
+    assert m2["rows_processed"] == m1["rows_processed"]
+    assert glob.glob(os.path.join(out_dir, "convs", "*", "*.parquet"))
+
+    m3 = run_extraction_job(tdir, out_dir, CFG, with_conversations=True)
+    assert m3["rows_processed"] == 0           # now genuinely complete
+
+
+def test_config_file_surface(ray_session, tmp_path):
+    """§2.9 parity: a pipeline is assembled from a JSON config file with
+    dot-path overrides (ocr_app/config/settings.py:94-133 analog) — and an
+    engine flipped off via the file actually changes extraction."""
+    import json
+
+    import pyarrow as pa
+
+    from ocr_ray.config import (
+        DEFAULT_CONFIG,
+        config_get,
+        config_set,
+        config_to_dict,
+        load_config,
+        save_config,
+    )
+    from ocr_ray.stages.extract import Extractor
+
+    # round trip
+    path = str(tmp_path / "config.json")
+    save_config(DEFAULT_CONFIG, path)
+    assert load_config(path) == DEFAULT_CONFIG
+
+    # dot-path get/set
+    d = config_to_dict(DEFAULT_CONFIG)
+    assert config_get(d, "extraction.cleanup_mode") == "extracted"
+    assert config_get(d, "no.such.path", "fallback") == "fallback"
+    config_set(d, "extraction.engines", ["density"])
+    assert config_get(d, "extraction.engines") == ["density"]
+
+    # file + overrides -> pipeline behavior change: only 'density' runs, so
+    # a sparse-words payload (density extracts nothing) falls to naive_strip
+    with open(path, "w") as f:
+        json.dump(d, f)
+    cfg = load_config(path, {"execution.batch_size": 128})
+    assert cfg.engines == ("density",) and cfg.batch_size == 128
+
+    batch = pa.table({"norm_text": ["<p>one two</p>"], "kind": ["html"]})
+    out_density = Extractor(cfg)(batch)
+    out_default = Extractor(DEFAULT_CONFIG)(batch)
+    assert out_density["engine"].to_pylist() == ["naive_strip"]
+    assert out_default["engine"].to_pylist() == ["tagstrip"]
+
+    # unknown override paths are typo-protected
+    try:
+        load_config(path, {"extraction.enginez": ["x"]})
+        assert False, "expected KeyError"
+    except KeyError:
+        pass
