@@ -59,7 +59,7 @@ def _doc(sf_dir: str) -> "rd.Dataset":
 
 # ================================================================ documents
 def q_doc_clean(sf_dir: str):
-    return _doc(sf_dir).map_batches(clean_docs_batch, batch_format="pandas")
+    return _doc(sf_dir).map_batches(clean_docs_batch, batch_format="pyarrow")
 
 
 def q_doc_score(sf_dir: str):
@@ -88,7 +88,7 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_doc_tokens(sf_dir: str):
-    return _doc(sf_dir).map_batches(token_count_batch, batch_format="pandas")
+    return _doc(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
 
 
 def q_doc_format(sf_dir: str):

@@ -31,13 +31,23 @@ STOP_WORDS = (
 _STOP_SET = frozenset(STOP_WORDS)
 
 
-def clean_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "doc_id": batch["doc_id"],
-            "clean_preprocess": [preprocess_text(t) for t in batch["text"]],
-            "clean_extracted": [clean_extracted_text(t) for t in batch["text"]],
-        }
+def clean_docs_batch(batch: pa.Table) -> pa.Table:
+    """M9/M10 cleanup as pure Arrow RE2 kernels (zero Python-object rows).
+
+    Semantic notes vs the scalar reference functions (textops.py): the
+    ``\\n{3,}`` / break-run rules are dead after the leading ``\\s+``
+    collapse (reference quirk, kept); RE2's ``\\s`` is ASCII-only where
+    Python's is Unicode — no payload in the corpus distinguishes them
+    (both the batch-vs-scalar pytest and the RE2-based DuckDB oracle gate
+    this), and the non-ASCII strip removes the residue either way."""
+    import pyarrow.compute as pc
+
+    txt = batch["text"]
+    ws = pc.replace_substring_regex(txt, r"\s+", " ")
+    pre = pc.utf8_trim_whitespace(pc.replace_substring_regex(ws, r"[^\x00-\x7F]+", ""))
+    ext = pc.utf8_trim_whitespace(pc.replace_substring_regex(ws, r"[^\x20-\x7E\n\t]", ""))
+    return pa.table(
+        {"doc_id": batch["doc_id"], "clean_preprocess": pre, "clean_extracted": ext}
     )
 
 
@@ -127,17 +137,26 @@ _ALPHA = re.compile(r"[A-Za-z]+")
 _NUM = re.compile(r"[0-9]+")
 
 
-def token_count_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Token counting (training-data-pipeline op): whitespace tokens plus a
-    BPE-ish regex class count — vectorizable, one output row per doc."""
-    out = {"doc_id": [], "n_ws_tokens": [], "n_bpe_tokens": [], "n_alpha": [], "n_num": []}
-    for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        out["doc_id"].append(doc_id)
-        out["n_ws_tokens"].append(len(text.split()))
-        out["n_bpe_tokens"].append(len(_BPE.findall(text)))
-        out["n_alpha"].append(len(_ALPHA.findall(text)))
-        out["n_num"].append(len(_NUM.findall(text)))
-    return pd.DataFrame(out)
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Token counting (training-data-pipeline op) as Arrow RE2 count
+    kernels — one ``count_substring_regex`` pass per counter, no Python
+    loop (batch-vs-scalar parity gated in pytest)."""
+    import pyarrow.compute as pc
+
+    txt = batch["text"]
+
+    def cnt(pattern: str):
+        return pc.cast(pc.count_substring_regex(txt, pattern), pa.int64())
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": cnt(r"\S+"),
+            "n_bpe_tokens": cnt(BPE_PATTERN),
+            "n_alpha": cnt(r"[A-Za-z]+"),
+            "n_num": cnt(r"[0-9]+"),
+        }
+    )
 
 
 def synth_structured(text: str) -> str:

@@ -335,3 +335,35 @@ def test_best_of_three_engine_attribution(ray_session):
     for payload, text in zip([p_dom, p_den, p_tag], texts):
         best = max(score_ocr_result(fn(payload)) for fn in ENGINES.values())
         assert score_ocr_result(text) == best
+
+
+def test_vectorized_clean_and_tokens_match_scalar(ray_session):
+    """The Arrow-kernel batch paths (clean_docs_batch / token_count_batch)
+    must equal the per-row scalar reference functions on real corpus data —
+    the gate for RE2-vs-Python regex class differences."""
+    import re
+
+    import pyarrow as pa
+
+    from ocr_ray.functions.textops import clean_extracted_text, preprocess_text
+    from ocr_ray.stages.analysis import _BPE, clean_docs_batch, token_count_batch
+
+    docs = pd.read_parquet("/root/testdata/sf0.01/documents.parquet")
+    # add transcript payloads (markup / noisy unicode / boxed json / empty)
+    from ocr_ray.sources.transcripts import make_conv
+
+    payloads = []
+    for i in range(50):
+        payloads.extend(t["text"] for t in make_conv(i, seed=7)[0])
+    texts = list(docs["text"]) + payloads
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    got = clean_docs_batch(t)
+    assert got["clean_preprocess"].to_pylist() == [preprocess_text(x) for x in texts]
+    assert got["clean_extracted"].to_pylist() == [clean_extracted_text(x) for x in texts]
+
+    tok = token_count_batch(t)
+    assert tok["n_ws_tokens"].to_pylist() == [len(x.split()) for x in texts]
+    assert tok["n_bpe_tokens"].to_pylist() == [len(_BPE.findall(x)) for x in texts]
+    assert tok["n_alpha"].to_pylist() == [len(re.findall(r"[A-Za-z]+", x)) for x in texts]
+    assert tok["n_num"].to_pylist() == [len(re.findall(r"[0-9]+", x)) for x in texts]
