@@ -78,6 +78,16 @@ def _q_transcripts_segments(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _q_transcripts_benchmark(sf_dir: str):
+    """Accuracy benchmark (src/ocr_benchmark.py analog, rows-only): every
+    engine x layout mode over every turn, scored vs the generator oracle."""
+    from ocr_ray.stages.benchmark import benchmark_engines
+
+    tdir = _transcripts_for(sf_dir)
+    odir = os.path.join(os.path.dirname(tdir), "oracle")
+    return benchmark_engines(tdir, odir)
+
+
 def _q_transcripts_convs(sf_dir: str):
     from ocr_ray.pipelines.extract import build_turn_pipeline
     from ocr_ray.stages.reassemble import assemble_conversations
@@ -98,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_extract"] = _q_transcripts_extract
     q["transcripts_convs"] = _q_transcripts_convs
     q["transcripts_segments"] = _q_transcripts_segments
+    q["transcripts_benchmark"] = _q_transcripts_benchmark
     return q
 
 

@@ -39,6 +39,8 @@ def group_boxes_into_lines(
         return ""
     if variant == "fixed20":
         return _walk_fixed20(boxes)
+    if variant == "lex10":
+        return _walk_lex10(boxes)
     return _walk_adaptive(boxes, page_height)
 
 
@@ -80,6 +82,30 @@ def _walk_fixed20(boxes: Sequence[Box]) -> str:
     if current:
         current.sort(key=lambda w: w[0])
         lines.append(" ".join(w[1] for w in current))
+    return "\n".join(lines)
+
+
+def _walk_lex10(boxes: Sequence[Box]) -> str:
+    """L3 variant (``src/core/ocr_engine.py:72-100``): sort by (top_y, x)
+    LEXICOGRAPHICALLY, then walk comparing each top-y to the LINE ANCHOR
+    (the y of the line's first box — unlike the adaptive walk's
+    previous-element drift), threshold 10; no within-line re-sort (the
+    lexicographic sort already ordered by x within equal y)."""
+    ordered = sorted(boxes, key=lambda b: (b[1], b[0]))
+    current_y = ordered[0][1]
+    lines: List[str] = []
+    current: List[str] = []
+    for box in ordered:
+        y = box[1]
+        if abs(y - current_y) > 10:
+            if current:
+                lines.append(" ".join(current))
+            current = [box[4]]
+            current_y = y
+        else:
+            current.append(box[4])
+    if current:
+        lines.append(" ".join(current))
     return "\n".join(lines)
 
 

@@ -110,3 +110,28 @@ def embed_query(query: str, dim: int = 64) -> np.ndarray:
     (broadcast via ``ray.put`` to retrieval stages)."""
     emb, _ = HashingEmbedder(dim=dim).embed_one(query)
     return emb
+
+
+# ---------------------------------------------------------------- store (S7)
+def embed_documents(docs, dim: int = 64, text_col: str = "text",
+                    id_col: str = "doc_id", concurrency: int = 2):
+    """Text table -> embedding table (id, embedding, emb_norm, nnz, e0)."""
+    return docs.map_batches(
+        HashingEmbedder, batch_format="pandas", concurrency=concurrency,
+        fn_constructor_kwargs={"dim": dim, "text_col": text_col, "id_col": id_col},
+    )
+
+
+def save_embedding_store(embedded, path: str) -> None:
+    """Persist an embedding table as a Parquet side table — the engine's
+    analog of the reference's pickle store
+    (``ocr_app/models/model_manager.py:204-245``): resumable, columnar,
+    readable by any stage via ``load_embedding_store`` (no Python-object
+    pickles in the data plane)."""
+    embedded.write_parquet(path)
+
+
+def load_embedding_store(path: str):
+    import ray.data as rd
+
+    return rd.read_parquet(path)

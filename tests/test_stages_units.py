@@ -367,3 +367,86 @@ def test_vectorized_clean_and_tokens_match_scalar(ray_session):
     assert tok["n_bpe_tokens"].to_pylist() == [len(_BPE.findall(x)) for x in texts]
     assert tok["n_alpha"].to_pylist() == [len(re.findall(r"[A-Za-z]+", x)) for x in texts]
     assert tok["n_num"].to_pylist() == [len(re.findall(r"[0-9]+", x)) for x in texts]
+
+
+def test_lex10_walk_variant(ray_session):
+    """L3 lexicographic walk: (y,x) sort, line-anchor tolerance 10, no
+    within-line re-sort (src/core/ocr_engine.py:72-100 semantics)."""
+    from ocr_ray.functions.layout import group_boxes_into_lines
+
+    boxes = [
+        (50.0, 12.0, 90.0, 24.0, "world"),   # same line as y=10 (|12-10|<=10)
+        (10.0, 10.0, 40.0, 22.0, "hello"),
+        (10.0, 40.0, 60.0, 52.0, "second"),  # new line anchor y=40
+        (70.0, 48.0, 99.0, 60.0, "line"),    # |48-40|<=10 -> same line
+        (10.0, 61.0, 40.0, 73.0, "third"),   # |61-40|>10 -> new line
+    ]
+    assert group_boxes_into_lines(boxes, variant="lex10") == "hello world\nsecond line\nthird"
+    # anchor semantics: drift chains in adaptive, breaks in lex10
+    drift = [(10.0, float(y), 40.0, float(y + 12), f"w{i}")
+             for i, y in enumerate(range(0, 40, 8))]
+    assert "\n" in group_boxes_into_lines(drift, variant="lex10")
+    assert "\n" not in group_boxes_into_lines(drift, page_height=1000.0, variant="adaptive")
+
+
+def test_benchmark_operator(ray_session):
+    """Accuracy benchmark (src/ocr_benchmark.py analog): 6 rows per turn
+    (3 engines x 2 layout modes), best engine hits accuracy 1.0 on markup
+    turns, summary aggregates per engine x mode."""
+    import os
+
+    from ocr_ray.sources.transcripts import generate_transcripts
+    from ocr_ray.stages.benchmark import benchmark_engines, benchmark_summary
+
+    root = "/tmp/graft_bench_test/c20"
+    generate_transcripts(root, n_convs=20, seed=11, n_shards=2)
+    res = benchmark_engines(
+        os.path.join(root, "transcripts"), os.path.join(root, "oracle")
+    )
+    df = res.to_pandas()
+    n_turns = df[["conv_id", "turn_idx"]].drop_duplicates().shape[0]
+    assert len(df) == n_turns * 6
+    assert set(df["engine"]) == {"tagstrip", "density", "domtree"}
+
+    # markup turns: at least one engine reproduces ground truth exactly
+    import pandas as pd
+
+    oracle = pd.read_parquet(os.path.join(root, "oracle"))
+    markup_keys = set(
+        zip(oracle[oracle["kind"] == "markup"]["conv_id"],
+            oracle[oracle["kind"] == "markup"]["turn_idx"])
+    )
+    assert markup_keys
+    m = df[[ (c, t) in markup_keys for c, t in zip(df["conv_id"], df["turn_idx"]) ]]
+    best = m[m["layout_preserved"]].groupby(["conv_id", "turn_idx"])["accuracy"].max()
+    assert (best == 1.0).all()
+
+    summary = benchmark_summary(res)
+    assert len(summary) == 6
+    assert {"n", "mean_accuracy", "mean_time"} <= set(summary.columns)
+    assert (summary["n"] == n_turns).all()
+
+
+def test_embedding_store_roundtrip(ray_session, tmp_path):
+    """S7 analog: embed -> parquet side table -> reload -> cosine_topk."""
+    import ray.data as rd
+
+    import ocr_ray.api as ocr
+    from ocr_ray.stages.embed import (
+        embed_documents,
+        embed_query,
+        load_embedding_store,
+        save_embedding_store,
+    )
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3],
+         "text": ["data pipeline value", "unrelated words here", "data pipeline"]}
+    ))
+    store = str(tmp_path / "emb_store")
+    save_embedding_store(embed_documents(docs), store)
+    loaded = load_embedding_store(store)
+    assert loaded.count() == 3
+    top = ocr.cosine_topk(loaded, embed_query("data pipeline value"), k=2,
+                          id_col="doc_id", vec_col="embedding")
+    assert list(top["doc_id"])[0] == 1
