@@ -59,7 +59,8 @@ def _is_boilerplate(tag: str, attrs: str) -> bool:
 
 def _render(pieces: List[str]) -> str:
     text = "".join(pieces)
-    text = _html.unescape(text)
+    if "&" in text:  # unescape is a no-op (and not free) otherwise
+        text = _html.unescape(text)
     lines = [_WS_LINE.sub(" ", ln).strip() for ln in text.split("\n")]
     text = "\n".join(lines)
     text = _BLANK_LINES.sub("\n", text).strip()
@@ -136,9 +137,15 @@ def extract_density(payload: str, min_words: int = 3, max_link_density: float = 
     for block in _BLOCK_SPLIT.split(s):
         if not block or not block.strip():
             continue
-        anchor_chars = sum(len(_ANY_TAG.sub("", a)) for a in _ANCHOR.findall(block))
+        # cheap prechecks: anchors need a '<a'/'<A' and unescape a '&' —
+        # both regex/unescape passes are no-ops otherwise
+        if "<a" in block or "<A" in block:
+            anchor_chars = sum(len(_ANY_TAG.sub("", a)) for a in _ANCHOR.findall(block))
+        else:
+            anchor_chars = 0
         text = _ANY_TAG.sub("", block)
-        text = _html.unescape(text)
+        if "&" in text:
+            text = _html.unescape(text)
         text = _WS_LINE.sub(" ", text.replace("\n", " ")).strip()
         if not text:
             continue

@@ -10,6 +10,14 @@ import re
 
 _WORD = re.compile(r"\b\w+\b")
 
+# byte -> 1 if ASCII alphanumeric: C-speed alnum counting via
+# bytes.translate + count for the (dominant) all-ASCII case; identical to
+# per-char str.isalnum for ASCII inputs
+_ALNUM_TBL = bytes(
+    1 if (48 <= b <= 57 or 65 <= b <= 90 or 97 <= b <= 122) else 0
+    for b in range(256)
+)
+
 
 def score_ocr_result(text: str) -> float:
     """Additive quality score; higher is better.
@@ -24,7 +32,10 @@ def score_ocr_result(text: str) -> float:
     score += min(len(text) / 100, 10)
     distinct = set(_WORD.findall(text.lower()))
     score += min(len(distinct) / 10, 10)
-    alnum = sum(c.isalnum() for c in text)
+    if text.isascii():
+        alnum = text.encode().translate(_ALNUM_TBL).count(1)
+    else:
+        alnum = sum(c.isalnum() for c in text)
     if len(text) > 0:
         score += (alnum / len(text)) * 10
     if "\n" in text:

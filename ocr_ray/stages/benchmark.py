@@ -35,13 +35,20 @@ def calculate_similarity(a: str, b: str) -> float:
 class EngineBenchmark:
     """Actor-pool stage: per turn, run every configured engine with and
     without layout preservation (plain mode collapses newlines — the
-    non-layout OCR analog), score vs ground truth."""
+    non-layout OCR analog), score vs ground truth.
 
-    def __init__(self, engines: tuple = ("tagstrip", "density", "domtree")):
+    ``max_chars`` bounds the quadratic ``SequenceMatcher`` cost per record
+    (both sides truncated): the reference scores page-sized OCR outputs;
+    unbounded ratio() on 32 KB oversized payloads is O(n^2) and would
+    dominate the whole benchmark at scale."""
+
+    def __init__(self, engines: tuple = ("tagstrip", "density", "domtree"),
+                 max_chars: int = 4096):
         from ocr_ray.stages.extract import ENGINES, detect_aligned_table
 
         self.engines = [(name, ENGINES[name]) for name in engines]
         self.detect_table = detect_aligned_table
+        self.max_chars = max_chars
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         rows: List[dict] = []
@@ -64,6 +71,9 @@ class EngineBenchmark:
                     (False, plain, plain_time),
                 ):
                     gt_cmp = gt if preserved else " ".join(gt.split())
+                    acc = calculate_similarity(
+                        text[: self.max_chars], gt_cmp[: self.max_chars]
+                    )
                     rows.append(
                         {
                             "conv_id": conv_id,
@@ -72,7 +82,7 @@ class EngineBenchmark:
                             "layout_preserved": preserved,
                             "processing_time": round(secs, 6),
                             "text_length": len(text),
-                            "accuracy": round(calculate_similarity(text, gt_cmp), 6),
+                            "accuracy": round(acc, 6),
                             "has_table": has_table,
                         }
                     )

@@ -293,12 +293,151 @@ def dedupe_pairs(cands: "object", n_partitions: int = 64) -> "object":
     return deduped.map_batches(strip, batch_format="pandas")
 
 
-def _attach_texts(cands: "object", docs: "object", text_col: str, id_col: str,
-                  n_partitions: int) -> "object":
-    """Hash-join candidate pairs against the doc table on left_id then
-    right_id (two bounded all-to-alls on the id key; the doc table is read
-    twice column-pruned — never materialized on the driver)."""
-    from ocr_ray.stages.join import exchange_join
+# --------------------------------------------- task-pool hasher functions
+# Hashers as plain map_batches FUNCTIONS with a per-worker-process instance
+# cache: same amortized setup as an actor pool (the coefficient matrix is
+# built once per process) without pinning a fixed-size pool — the task pool
+# scales to all free CPUs and costs no actor spin-up per query.
+_HASHER_CACHE: Dict[tuple, object] = {}
+
+
+def minhash_bands_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
+    key = ("minhash", tuple(sorted(kw.items())))
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE.setdefault(key, MinHasher(**kw))
+    return h(batch)
+
+
+def simhash_bands_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
+    key = ("simhash", tuple(sorted(kw.items())))
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE.setdefault(key, SimHasher(**kw))
+    return h(batch)
+
+
+# --------------------------------------------- exchange-based LSH dedup
+# Pure two-sided hash exchanges over raw Ray tasks (the reassembly-shuffle
+# mechanism, SURVEY §2 last-resort tier, justified by measurement: each
+# Dataset.groupby stage carries ~1-2 s fixed sort-shuffle cost, and the
+# former pipeline had two of them plus four exchange materializations).
+
+def _pairs_from_bucket_partition(g: pd.DataFrame, bucket_cols: List[str],
+                                 id_col: str) -> pd.DataFrame:
+    out_l: List = []
+    out_r: List = []
+    for _, bucket in g.groupby(bucket_cols, sort=False):
+        ids = sorted(bucket[id_col].unique())
+        for a, b in itertools.combinations(ids, 2):
+            out_l.append(a)
+            out_r.append(b)
+    return pd.DataFrame(
+        {
+            "left_id": pd.Series(out_l, dtype="int64"),
+            "right_id": pd.Series(out_r, dtype="int64"),
+        }
+    )
+
+
+
+def _concat_pd(pieces) -> pd.DataFrame:
+    """Concat per-partition Arrow pieces to pandas, skipping zero-row
+    pieces: empty partitions carry null-typed columns that would fail
+    concat_tables schema unification."""
+    import pyarrow as pa
+
+    tables = [t for t in pieces if t.num_rows]
+    if not tables:
+        return pieces[0].to_pandas()
+    return pa.concat_tables(tables).to_pandas()
+
+
+def _exchange(refs: List, by, n_partitions: int) -> List[List]:
+    """Split every block ref by key hash; returns per-input lists of
+    per-partition sub-table refs."""
+    import ray
+
+    from ocr_ray.stages.join import _split_by_key
+
+    return [
+        _split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
+        for r in refs
+    ]
+
+
+def minhash_dedup_pairs(
+    docs: "object",
+    n_perm: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 16,
+    concurrency: int = 2,  # kept for API compat; task pool self-scales
+) -> "object":
+    """MinHash+LSH near-dup pairs, end-to-end distributed.
+
+    shingle → signature → band explode (task pool), then three raw-task
+    hash exchanges: (1) band buckets → candidate pairs, (2) pairs+docs on
+    left_id → per-partition pair dedupe + left-text attach (fused — every
+    duplicate of a pair shares its left_id, so partition-local
+    drop_duplicates is exact), (3) on right_id → right-text attach + true
+    shingle-Jaccard verify.  Returns a Dataset of (left_id, right_id,
+    jaccard); nothing materializes on the driver.  Partitioning
+    assumptions: a band bucket fits one partition (near-dup buckets are
+    small by construction) and one id's rows fit a join partition."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from ocr_ray.stages.reassemble import nonempty_arrow_refs
+
+    @ray.remote
+    def pairs_task(*pieces):
+        g = _concat_pd(pieces)
+        out = _pairs_from_bucket_partition(g, ["band_id", "band_hash"], id_col)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @ray.remote
+    def dedupe_attach_left(n_pairs: int, *pieces):
+        cands = _concat_pd(pieces[:n_pairs])
+        ldocs = _concat_pd(pieces[n_pairs:])
+        cands = cands.drop_duplicates(["left_id", "right_id"])
+        out = cands.merge(ldocs, on="left_id", how="inner")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @ray.remote
+    def attach_right_verify(n_left: int, *pieces):
+        left = _concat_pd(pieces[:n_left])
+        rdocs = _concat_pd(pieces[n_left:])
+        b = left.merge(rdocs, on="right_id", how="inner")
+        jac = np.array(
+            [
+                jaccard_sets(shingle_set(lt, shingle_k), shingle_set(rt, shingle_k))
+                for lt, rt in zip(b["_ltext"], b["_rtext"])
+            ],
+            dtype=np.float64,
+        ) if len(b) else np.array([], dtype=np.float64)
+        keep = jac >= threshold
+        out = pd.DataFrame(
+            {
+                "left_id": b["left_id"].to_numpy(dtype="int64")[keep]
+                if len(b) else pd.Series([], dtype="int64"),
+                "right_id": b["right_id"].to_numpy(dtype="int64")[keep]
+                if len(b) else pd.Series([], dtype="int64"),
+                "jaccard": np.round(jac[keep], 6),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    bands = docs.map_batches(
+        minhash_bands_batch, batch_format="pandas",
+        fn_kwargs={"n_perm": n_perm, "n_bands": n_bands, "shingle_k": shingle_k,
+                   "text_col": text_col, "id_col": id_col},
+    )
 
     def as_left(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -310,70 +449,30 @@ def _attach_texts(cands: "object", docs: "object", text_col: str, id_col: str,
             {"right_id": b[id_col].astype("int64"), "_rtext": b[text_col]}
         )
 
-    j = exchange_join(
-        cands, docs.map_batches(as_left, batch_format="pandas"),
-        on="left_id", n_partitions=n_partitions,
-    )
-    return exchange_join(
-        j, docs.map_batches(as_right, batch_format="pandas"),
-        on="right_id", n_partitions=n_partitions,
-    )
+    P = n_partitions
+    bsplit = _exchange(nonempty_arrow_refs(bands), ["band_id", "band_hash"], P)
+    pair_refs = [pairs_task.remote(*[s[j] for s in bsplit]) for j in range(P)]
 
-
-def minhash_dedup_pairs(
-    docs: "object",
-    n_perm: int = 64,
-    n_bands: int = 16,
-    shingle_k: int = 3,
-    threshold: float = 0.95,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_partitions: int = 64,
-    concurrency: int = 2,
-) -> "object":
-    """MinHash+LSH near-dup pairs, end-to-end distributed.
-
-    shingle → signature → band explode → bounded-partition band groupby →
-    candidate pairs → pair dedupe → hash-join texts → per-partition true
-    shingle-Jaccard verify (>= threshold).  Returns a Dataset of
-    (left_id, right_id, jaccard); no stage materializes a full table on the
-    driver.  Partitioning assumptions: a band bucket fits one partition
-    (near-dup buckets are small by construction) and one id's doc text fits
-    a join partition."""
-    bands = docs.map_batches(
-        MinHasher, batch_format="pandas", concurrency=concurrency,
-        fn_constructor_kwargs={
-            "n_perm": n_perm, "n_bands": n_bands, "shingle_k": shingle_k,
-            "text_col": text_col, "id_col": id_col,
-        },
-    )
-    cands = dedupe_pairs(
-        bucket_pairs(bands, ["band_id", "band_hash"], id_col=id_col,
-                     n_partitions=n_partitions),
-        n_partitions,
-    )
-    joined = _attach_texts(cands, docs, text_col, id_col, n_partitions)
-
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
-        jac = np.array(
-            [
-                jaccard_sets(shingle_set(lt, shingle_k), shingle_set(rt, shingle_k))
-                for lt, rt in zip(b["_ltext"], b["_rtext"])
-            ],
-            dtype=np.float64,
-        ) if len(b) else np.array([], dtype=np.float64)
-        keep = jac >= threshold
-        return pd.DataFrame(
-            {
-                "left_id": b["left_id"].to_numpy(dtype="int64")[keep]
-                if len(b) else pd.Series([], dtype="int64"),
-                "right_id": b["right_id"].to_numpy(dtype="int64")[keep]
-                if len(b) else pd.Series([], dtype="int64"),
-                "jaccard": np.round(jac[keep], 6),
-            }
+    lrefs = nonempty_arrow_refs(docs.map_batches(as_left, batch_format="pandas"))
+    psplit = _exchange(pair_refs, "left_id", P)
+    lsplit = _exchange(lrefs, "left_id", P)
+    j1_refs = [
+        dedupe_attach_left.remote(
+            len(psplit), *[s[j] for s in psplit], *[s[j] for s in lsplit]
         )
+        for j in range(P)
+    ]
 
-    return joined.map_batches(verify, batch_format="pandas")
+    rrefs = nonempty_arrow_refs(docs.map_batches(as_right, batch_format="pandas"))
+    j1split = _exchange(j1_refs, "right_id", P)
+    rsplit = _exchange(rrefs, "right_id", P)
+    out_refs = [
+        attach_right_verify.remote(
+            len(j1split), *[s[j] for s in j1split], *[s[j] for s in rsplit]
+        )
+        for j in range(P)
+    ]
+    return rd.from_arrow_refs(out_refs)
 
 
 def simhash_dedup_pairs(
@@ -383,41 +482,67 @@ def simhash_dedup_pairs(
     max_hamming: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 64,
-    concurrency: int = 2,
+    n_partitions: int = 16,
+    concurrency: int = 2,  # kept for API compat; task pool self-scales
 ) -> "object":
     """SimHash near-dup pairs, end-to-end distributed: 64-bit signatures,
     bit-band bucketing (pigeonhole guarantees candidates for Hamming <
-    n_bands), candidate dedupe, then Hamming verification over a hash-joined
-    signature side table (vectorized xor + popcount per partition)."""
-    from ocr_ray.stages.aggregate import hash_aggregate
-    from ocr_ray.stages.join import exchange_join
+    n_bands), then the same three raw-task exchanges as
+    :func:`minhash_dedup_pairs` — the signature side table (one row per
+    band, deduped per partition) replaces doc texts and each partition
+    verifies Hamming <= max_hamming vectorized (xor + popcount)."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from ocr_ray.stages.reassemble import nonempty_arrow_refs
+
+    @ray.remote
+    def pairs_task(*pieces):
+        g = _concat_pd(pieces)
+        out = _pairs_from_bucket_partition(g, ["band_id", "band_key"], id_col)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @ray.remote
+    def dedupe_attach_left(n_pairs: int, *pieces):
+        cands = _concat_pd(pieces[:n_pairs])
+        sigs = _concat_pd(pieces[n_pairs:]).drop_duplicates("left_id")
+        cands = cands.drop_duplicates(["left_id", "right_id"])
+        out = cands.merge(sigs, on="left_id", how="inner")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @ray.remote
+    def attach_right_verify(n_left: int, *pieces):
+        left = _concat_pd(pieces[:n_left])
+        sigs = _concat_pd(pieces[n_left:]).drop_duplicates("right_id")
+        b = left.merge(sigs, on="right_id", how="inner")
+        if not len(b):
+            out = pd.DataFrame(
+                {"left_id": pd.Series([], dtype="int64"),
+                 "right_id": pd.Series([], dtype="int64"),
+                 "hamming": pd.Series([], dtype="int64")}
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+        xor = b["_lsig"].to_numpy(dtype=np.uint64) ^ b["_rsig"].to_numpy(dtype=np.uint64)
+        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1, dtype=np.int64
+        )
+        keep = ham <= max_hamming
+        out = pd.DataFrame(
+            {
+                "left_id": b["left_id"].to_numpy(dtype="int64")[keep],
+                "right_id": b["right_id"].to_numpy(dtype="int64")[keep],
+                "hamming": ham[keep],
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     sig_rows = docs.map_batches(
-        SimHasher, batch_format="pandas", concurrency=concurrency,
-        fn_constructor_kwargs={
-            "n_bands": n_bands, "shingle_k": shingle_k,
-            "text_col": text_col, "id_col": id_col,
-        },
-    ).materialize()  # consumed twice: band groupby + signature side table
-
-    cands = dedupe_pairs(
-        bucket_pairs(sig_rows, ["band_id", "band_key"], id_col=id_col,
-                     n_partitions=n_partitions),
-        n_partitions,
-    )
-
-    # one (id, simhash) row per doc — signatures repeat per band row
-    def sig_only(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {id_col: b[id_col].astype("int64"),
-             "simhash": b["simhash"].astype("uint64")}
-        )
-
-    sigs = hash_aggregate(
-        sig_rows.map_batches(sig_only, batch_format="pandas"),
-        keys=[id_col], aggs={"simhash": "max"}, n_partitions=n_partitions,
-    )
+        simhash_bands_batch, batch_format="pandas",
+        fn_kwargs={"n_bands": n_bands, "shingle_k": shingle_k,
+                   "text_col": text_col, "id_col": id_col},
+    ).materialize()  # consumed three times: buckets + both signature sides
 
     def as_left(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -431,32 +556,31 @@ def simhash_dedup_pairs(
              "_rsig": b["simhash"].astype("uint64")}
         )
 
-    j = exchange_join(cands, sigs.map_batches(as_left, batch_format="pandas"),
-                      on="left_id", n_partitions=n_partitions)
-    j = exchange_join(j, sigs.map_batches(as_right, batch_format="pandas"),
-                      on="right_id", n_partitions=n_partitions)
+    P = n_partitions
+    srefs = nonempty_arrow_refs(sig_rows)
+    bsplit = _exchange(srefs, ["band_id", "band_key"], P)
+    pair_refs = [pairs_task.remote(*[s[j] for s in bsplit]) for j in range(P)]
 
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
-        if not len(b):
-            return pd.DataFrame(
-                {"left_id": pd.Series([], dtype="int64"),
-                 "right_id": pd.Series([], dtype="int64"),
-                 "hamming": pd.Series([], dtype="int64")}
-            )
-        xor = b["_lsig"].to_numpy(dtype=np.uint64) ^ b["_rsig"].to_numpy(dtype=np.uint64)
-        ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(
-            axis=1, dtype=np.int64
+    lrefs = nonempty_arrow_refs(sig_rows.map_batches(as_left, batch_format="pandas"))
+    psplit = _exchange(pair_refs, "left_id", P)
+    lsplit = _exchange(lrefs, "left_id", P)
+    j1_refs = [
+        dedupe_attach_left.remote(
+            len(psplit), *[s[j] for s in psplit], *[s[j] for s in lsplit]
         )
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {
-                "left_id": b["left_id"].to_numpy(dtype="int64")[keep],
-                "right_id": b["right_id"].to_numpy(dtype="int64")[keep],
-                "hamming": ham[keep],
-            }
-        )
+        for j in range(P)
+    ]
 
-    return j.map_batches(verify, batch_format="pandas")
+    rrefs = nonempty_arrow_refs(sig_rows.map_batches(as_right, batch_format="pandas"))
+    j1split = _exchange(j1_refs, "right_id", P)
+    rsplit = _exchange(rrefs, "right_id", P)
+    out_refs = [
+        attach_right_verify.remote(
+            len(j1split), *[s[j] for s in j1split], *[s[j] for s in rsplit]
+        )
+        for j in range(P)
+    ]
+    return rd.from_arrow_refs(out_refs)
 
 
 # ---------------------------------------------------------------- simhash

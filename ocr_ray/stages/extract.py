@@ -92,12 +92,16 @@ class Extractor:
 
         pre = strip_noise(payload) if payload else payload  # shared first pass
         best_text, best_engine, best_score = "", "none", float("-inf")
-        for name, fn in self.engines:
+        seen_scores: Dict[str, float] = {}  # engines often tie on identical
+        for name, fn in self.engines:       # text — score each output once
             try:
                 text = fn(pre, prestripped=True)
             except Exception:
                 continue
-            score = score_ocr_result(text)
+            score = seen_scores.get(text)
+            if score is None:
+                score = score_ocr_result(text)
+                seen_scores[text] = score
             if score > best_score:
                 best_text, best_engine, best_score = text, name, score
         if best_text:

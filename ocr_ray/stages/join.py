@@ -38,23 +38,33 @@ def broadcast_join(
 from ocr_ray.stages.reassemble import nonempty_arrow_refs
 
 
+def _canon_key(col: pd.Series) -> pd.Series:
+    """Canonicalize numeric key dtype before hashing: int32 vs int64 (or
+    int vs float) sides would hash equal logical keys to different
+    partitions and silently drop matches."""
+    if pd.api.types.is_integer_dtype(col):
+        return col.astype("int64")
+    if pd.api.types.is_float_dtype(col):
+        return col.astype("float64")
+    return col
+
+
 @ray.remote
-def _split_by_key(t, by: str, n_partitions: int):
+def _split_by_key(t, by, n_partitions: int):
+    """Split one block into per-partition sub-tables by key hash.
+    ``by``: one column name or a list (multi-column keys hash as the sum of
+    per-column hashes — both sides of an exchange must use the same form)."""
     import pyarrow as pa
 
     from ocr_ray.stages.reassemble import _split_table
 
     if isinstance(t, pd.DataFrame):  # internal refs may hold pandas blocks
         t = pa.Table.from_pandas(t, preserve_index=False)
-    key = t[by].to_pandas()
-    # canonicalize numeric key dtype before hashing: int32 vs int64 (or int
-    # vs float) sides would hash equal logical keys to different partitions
-    # and silently drop matches
-    if pd.api.types.is_integer_dtype(key):
-        key = key.astype("int64")
-    elif pd.api.types.is_float_dtype(key):
-        key = key.astype("float64")
-    h = pd.util.hash_pandas_object(key, index=False).to_numpy()
+    cols = [by] if isinstance(by, str) else list(by)
+    h = sum(
+        pd.util.hash_pandas_object(_canon_key(t[c].to_pandas()), index=False).to_numpy()
+        for c in cols
+    )
     return _split_table(t, (h % n_partitions).astype(np.int32), n_partitions)
 
 
