@@ -52,6 +52,20 @@ from ocr_ray.stages.similarity import (
 
 JACCARD_THRESHOLD = 0.95
 
+# hard cap for the two driver-side all-pairs VERIFICATION kernels
+# (dedup_jaccard / dedup_embed): they are O(N^2) small-side tools by
+# design; beyond this the LSH/ANN pipelines are the only sanctioned path
+ALLPAIRS_ROW_CAP = 100_000
+
+
+def _guard_allpairs(n_rows: int, name: str, scale_alt: str) -> None:
+    if n_rows > ALLPAIRS_ROW_CAP:
+        raise ValueError(
+            f"{name} is the all-pairs verification kernel (O(N^2), "
+            f"driver-side matrix): input has {n_rows} rows > cap "
+            f"{ALLPAIRS_ROW_CAP}; use {scale_alt} at scale"
+        )
+
 
 def _doc(sf_dir: str) -> "rd.Dataset":
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -151,6 +165,7 @@ def q_dedup_jaccard(sf_dir: str):
     through map_batches doing one matmul per batch.  At scale the candidate
     set must come from MinHash-LSH (q_dedup_minhash) instead of all-pairs."""
     docs = _doc(sf_dir).to_pandas()  # small side by design (dimension table)
+    _guard_allpairs(len(docs), "dedup_jaccard", "dedup_minhash (LSH)")
     docs = docs.sort_values("doc_id").reset_index(drop=True)
     m, sizes = build_token_matrix(list(docs["text"]))
     ids = docs["doc_id"].to_numpy()
@@ -245,6 +260,7 @@ def q_dedup_embed(sf_dir: str):
     from ann_ivf / ann_lsh buckets instead of all-pairs."""
     path = os.path.join(sf_dir, "embeddings.parquet")
     pdf = pd.read_parquet(path).sort_values("vec_id").reset_index(drop=True)
+    _guard_allpairs(len(pdf), "dedup_embed", "ann_ivf / ann_lsh_topk buckets")
     m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
     mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     ids = pdf["vec_id"].to_numpy()
@@ -282,9 +298,10 @@ def q_embed_docs(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    from ocr_ray.stages.taskpool import task_pool
+
     out = ds.map_batches(
-        HashingEmbedder, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"dim": EMBED_DIM},
+        task_pool(HashingEmbedder, dim=EMBED_DIM), batch_format="pandas"
     )
 
     def derived(b: pd.DataFrame) -> pd.DataFrame:
@@ -312,9 +329,10 @@ def q_embed_text_knn(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    from ocr_ray.stages.taskpool import task_pool
+
     embedded = ds.map_batches(
-        HashingEmbedder, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"dim": EMBED_DIM},
+        task_pool(HashingEmbedder, dim=EMBED_DIM), batch_format="pandas"
     )
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
@@ -355,8 +373,10 @@ def q_embed_knn(sf_dir: str):
             sims = (m @ self.qn.T).ravel() / np.maximum(np.linalg.norm(m, axis=1), 1e-30)
             return pd.DataFrame({"vec_id": batch["vec_id"].to_numpy(), "sim": sims})
 
-    scored = ds.map_batches(RawCosine, batch_format="pandas", concurrency=2,
-                            fn_constructor_kwargs={"query_ref": qref})
+    from ocr_ray.stages.taskpool import task_pool
+
+    scored = ds.map_batches(task_pool(RawCosine, query_ref=qref),
+                            batch_format="pandas")
     top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10).to_pandas()
     top["sim"] = np.round(top["sim"], 6)
     top["vec_id"] = top["vec_id"].astype("int64")
@@ -392,9 +412,10 @@ def q_ann_lsh(sf_dir: str):
     """Random-projection LSH buckets (rows-only; the ANN scale path)."""
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     dim = len(ds.take(1)[0]["embedding"])
+    from ocr_ray.stages.taskpool import task_pool
+
     out = ds.map_batches(
-        RandomProjectionLSH, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"dim": dim, "n_bits": 8},
+        task_pool(RandomProjectionLSH, dim=dim, n_bits=8), batch_format="pandas"
     ).to_pandas()
     out["vec_id"] = out["vec_id"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
@@ -422,10 +443,12 @@ def q_ann_lsh_topk(sf_dir: str):
     probe_ref = ray.put(probe)
     qref = ray.put(qn)
 
+    from ocr_ray.stages.taskpool import task_pool
+
     scored = ds.map_batches(
-        LSHProbeScore, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"dim": len(qvec), "n_bits": n_bits,
-                               "probe_ref": probe_ref, "query_ref": qref},
+        task_pool(LSHProbeScore, dim=len(qvec), n_bits=n_bits,
+                  probe_ref=probe_ref, query_ref=qref),
+        batch_format="pandas",
     )
     top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10).to_pandas()
     top["vec_id"] = top["vec_id"].astype("int64")
@@ -479,10 +502,12 @@ def q_ann_ivf(sf_dir: str):
                  "sim": np.round(sims, 6)}
             )
 
+    from ocr_ray.stages.taskpool import task_pool
+
     scored = ds.map_batches(
-        ProbeScore, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"centroids_ref": cref, "query_ref": qref,
-                               "probe_cells": probe},
+        task_pool(ProbeScore, centroids_ref=cref, query_ref=qref,
+                  probe_cells=frozenset(probe)),
+        batch_format="pandas",
     )
     top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10).to_pandas()
     top["vec_id"] = top["vec_id"].astype("int64")
@@ -841,9 +866,10 @@ def q_rag_keyword_topk(sf_dir: str):
     from ocr_ray.stages.rag import KeywordTopK
 
     ds = _doc(sf_dir)
+    from ocr_ray.stages.taskpool import task_pool
+
     out = ds.map_batches(
-        KeywordTopK, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"query": RAG_QUERY, "k": 3},
+        task_pool(KeywordTopK, query=RAG_QUERY, k=3), batch_format="pandas"
     ).to_pandas()
     out["rank"] = out["rank"].astype("int64")
     return out
@@ -852,9 +878,11 @@ def q_rag_keyword_topk(sf_dir: str):
 def q_rag_answer(sf_dir: str):
     from ocr_ray.stages.rag import AnswerExtractor
 
+    from ocr_ray.stages.taskpool import task_pool
+
     return _doc(sf_dir).map_batches(
-        AnswerExtractor, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"query": "what is the value"},
+        task_pool(AnswerExtractor, query="what is the value"),
+        batch_format="pandas",
     )
 
 
@@ -867,10 +895,11 @@ def q_rag_embed_answer(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
+    from ocr_ray.stages.taskpool import task_pool
+
     out = ds.map_batches(
-        EmbedRAG, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"query": "what is the value", "k": 3,
-                               "dim": EMBED_DIM},
+        task_pool(EmbedRAG, query="what is the value", k=3, dim=EMBED_DIM),
+        batch_format="pandas",
     )
 
     def typed(b: pd.DataFrame) -> pd.DataFrame:
@@ -909,9 +938,11 @@ def q_multimodal_meta(sf_dir: str):
         )
 
     ds = _doc(sf_dir).map_batches(to_binary, batch_format="pyarrow")
+    from ocr_ray.stages.taskpool import task_pool
+
     decoded = ds.map_batches(
-        DecodeImageStub, batch_format="pyarrow", batch_size=64, concurrency=2,
-        fn_constructor_kwargs={"real_decode": False},
+        task_pool(DecodeImageStub, real_decode=False),
+        batch_format="pyarrow", batch_size=64,
     )
 
     def flatten(b: pa.Table) -> pd.DataFrame:
@@ -936,6 +967,7 @@ def q_multimodal_frames(sf_dir: str):
     import pyarrow as pa
 
     from ocr_ray.stages.multimodal import FrameSampleStub
+    from ocr_ray.stages.taskpool import task_pool
 
     def to_binary(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -946,8 +978,8 @@ def q_multimodal_frames(sf_dir: str):
         _doc(sf_dir)
         .map_batches(to_binary, batch_format="pyarrow")
         .map_batches(
-            FrameSampleStub, batch_format="pyarrow", batch_size=64, concurrency=2,
-            fn_constructor_kwargs={"every_n": 4},
+            task_pool(FrameSampleStub, every_n=4),
+            batch_format="pyarrow", batch_size=64,
         )
     )
 

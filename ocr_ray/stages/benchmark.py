@@ -131,10 +131,11 @@ def benchmark_engines(
     oracle = rd.read_parquet(
         oracle_dir, columns=["conv_id", "turn_idx", "expected_extracted"]
     ).map_batches(key_oracle, batch_format="pandas")
+    from ocr_ray.stages.taskpool import task_pool
+
     joined = exchange_join(turns, oracle, on="_k", n_partitions=n_partitions)
     return joined.map_batches(
-        EngineBenchmark, batch_format="pandas", concurrency=concurrency,
-        fn_constructor_kwargs={"engines": engines},
+        task_pool(EngineBenchmark, engines=engines), batch_format="pandas"
     )
 
 
