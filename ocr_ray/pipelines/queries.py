@@ -37,12 +37,7 @@ from ocr_ray.stages.analysis import (
     table_detect_batch,
     token_count_batch,
 )
-from ocr_ray.stages.dedup import (
-    MinHasher,
-    SimHasher,
-    add_content_hash,
-    build_token_matrix,
-)
+from ocr_ray.stages.dedup import add_content_hash, build_token_matrix
 from ocr_ray.stages.similarity import (
     CosineTopK,
     IVFAssign,

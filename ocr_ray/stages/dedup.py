@@ -10,13 +10,15 @@ Scale notes (each operator documents its partitioning assumption):
   ``ray.put`` and streams the left side; correct for a small-side table
   (dimension-table pattern). At 100 TB the candidate set must come from
   LSH (below), never all-pairs.
-* MinHash+LSH — shingle → minhash signature per row (vectorized numpy) →
-  explode to (band_id, band_hash) rows → bounded-partition band groupby →
-  candidate pairs → pair dedupe (hash aggregation) → *distributed* verify:
-  candidates hash-join the doc table on left_id then right_id, true shingle
-  Jaccard computed per partition.  No driver-side materialization anywhere.
+* MinHash+LSH — shingle → minhash signature per row (vectorized numpy,
+  task pool) → explode to (band_id, band_hash) rows → THREE raw-task hash
+  exchanges: band buckets → candidate pairs; pairs + doc table on left_id
+  (partition-local pair dedupe fused — exact, duplicates of a pair share
+  their left_id); right_id attach + true shingle-Jaccard verify.  No
+  driver-side materialization anywhere; no Dataset.groupby sort-shuffles.
 * SimHash — 64-bit signature per row; candidates via bit-band bucketing,
-  verified by Hamming distance over a hash-joined signature side table.
+  same exchange plan with the (id, simhash) side table and vectorized
+  Hamming verification.
 
 Token/shingle hashing is vectorized: one ``pandas.util.hash_array`` call
 per batch (C-level SipHash over the flat token array, deterministic across
