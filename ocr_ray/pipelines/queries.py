@@ -279,6 +279,32 @@ def q_dedup_embed(sf_dir: str):
     return rd.read_parquet(path).map_batches(pairs_batch, batch_format="pandas")
 
 
+def q_dedup_embed_lsh(sf_dir: str):
+    """Embedding near-dup SCALE path (rows-only; recall pytest vs the
+    all-pairs kernel): the table unioned with deterministically perturbed
+    copies (vec_id+1_000_000, 5% seeded noise — guaranteed cosine~0.99
+    positives, same design as dedup_simhash), multi-table random-projection
+    candidates, raw-task exchange verify at cosine >= 0.9."""
+    from ocr_ray.stages.similarity import lsh_embed_dedup_pairs
+
+    def mutate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["vec_id"] % 10 == 0
+        ids, vecs = [], []
+        for vid, v in zip(b["vec_id"][keep], b["embedding"][keep]):
+            v = np.asarray(v, dtype=np.float64)
+            rng = np.random.RandomState(int(vid) % (2**31))
+            noise = rng.normal(size=v.shape)
+            noise *= 0.05 * np.linalg.norm(v) / max(np.linalg.norm(noise), 1e-30)
+            ids.append(int(vid) + 1_000_000)
+            vecs.append((v + noise).astype(np.float32))
+        return pd.DataFrame({"vec_id": pd.Series(ids, dtype="int64"),
+                             "embedding": vecs})
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    both = ds.union(ds.map_batches(mutate, batch_format="pandas"))
+    return lsh_embed_dedup_pairs(both, threshold=0.9, n_partitions=16)
+
+
 # ====================================================== text -> embedding
 EMBED_DIM = 64
 
@@ -1016,6 +1042,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
+        "dedup_embed_lsh": q_dedup_embed_lsh,
         "embed_docs": q_embed_docs,
         "embed_text_knn": q_embed_text_knn,
         "embed_knn": q_embed_knn,

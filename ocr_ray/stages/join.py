@@ -59,7 +59,10 @@ def _split_by_key(t, by, n_partitions: int):
     from ocr_ray.stages.reassemble import _split_table
 
     if isinstance(t, pd.DataFrame):  # internal refs may hold pandas blocks
-        t = pa.Table.from_pandas(t, preserve_index=False)
+        # drop the pandas schema metadata: object columns of numpy arrays
+        # (e.g. embeddings) record a dtype string the reverse conversion
+        # can't parse ("numpy.ndarray(shape=...)" ValueError)
+        t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
     cols = [by] if isinstance(by, str) else list(by)
     h = sum(
         pd.util.hash_pandas_object(_canon_key(t[c].to_pandas()), index=False).to_numpy()

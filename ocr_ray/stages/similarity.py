@@ -132,6 +132,158 @@ class RandomProjectionLSH:
         )
 
 
+class MultiTableLSH:
+    """T independent signed-random-projection tables — the candidate
+    generator for embedding NEAR-DUP at scale (one table's recall at
+    moderate cosine thresholds is poor; T tables give
+    1-(1-p^bits)^T).  Emits (id, table_id, bucket) rows."""
+
+    def __init__(self, dim: int, n_bits: int = 8, n_tables: int = 12,
+                 seed: int = 101, id_col: str = "vec_id", vec_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.r = rng.normal(size=(n_tables, dim, n_bits))
+        self.n_tables = n_tables
+        self.weights = (1 << np.arange(n_bits)).astype(np.int64)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(batch[self.vec_col])
+        ids = batch[self.id_col].to_numpy()
+        out_id, out_t, out_b = [], [], []
+        for t in range(self.n_tables):
+            bits = (m @ self.r[t]) > 0
+            buckets = bits.astype(np.int64) @ self.weights
+            out_id.append(ids)
+            out_t.append(np.full(len(ids), t, dtype=np.int32))
+            out_b.append(buckets)
+        return pd.DataFrame(
+            {
+                self.id_col: np.concatenate(out_id),
+                "table_id": np.concatenate(out_t),
+                "bucket": np.concatenate(out_b),
+            }
+        )
+
+
+def lsh_embed_dedup_pairs(
+    embeddings: "object",
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_bits: int = 8,
+    n_tables: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_partitions: int = 16,
+) -> "object":
+    """Embedding near-dup at scale: multi-table LSH candidates + the same
+    raw-task exchange plan as the text dedup paths (stages/dedup.py) —
+    bucket rows → per-partition pair enumeration → pair dedupe fused with
+    the left-embedding attach → right attach + exact-cosine verify.
+    Approximate by construction (recall pytest vs the all-pairs kernel);
+    the sanctioned path when the all-pairs ``dedup_embed`` cap trips."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import (
+        _concat_pd,
+        _exchange,
+        _pairs_from_bucket_partition,
+    )
+    from ocr_ray.stages.reassemble import nonempty_arrow_refs
+    from ocr_ray.stages.taskpool import task_pool
+
+    if dim is None:
+        dim = len(embeddings.take(1)[0][vec_col])
+
+    @ray.remote
+    def pairs_task(*pieces):
+        g = _concat_pd(pieces)
+        out = _pairs_from_bucket_partition(g, ["table_id", "bucket"], id_col)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @ray.remote
+    def dedupe_attach_left(n_pairs: int, *pieces):
+        cands = _concat_pd(pieces[:n_pairs]).drop_duplicates(["left_id", "right_id"])
+        lv = _concat_pd(pieces[n_pairs:])
+        out = cands.merge(lv, on="left_id", how="inner")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @ray.remote
+    def attach_right_verify(n_left: int, *pieces):
+        left = _concat_pd(pieces[:n_left])
+        rv = _concat_pd(pieces[n_left:])
+        b = left.merge(rv, on="right_id", how="inner")
+        if not len(b):
+            out = pd.DataFrame(
+                {"left_id": pd.Series([], dtype="int64"),
+                 "right_id": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")}
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+        lm = np.asarray([np.asarray(v, dtype=np.float64) for v in b["_lvec"]])
+        rm = np.asarray([np.asarray(v, dtype=np.float64) for v in b["_rvec"]])
+        ln = np.maximum(np.linalg.norm(lm, axis=1), 1e-30)
+        rn = np.maximum(np.linalg.norm(rm, axis=1), 1e-30)
+        sims = (lm * rm).sum(axis=1) / (ln * rn)
+        keep = sims >= threshold
+        out = pd.DataFrame(
+            {
+                "left_id": b["left_id"].to_numpy(dtype="int64")[keep],
+                "right_id": b["right_id"].to_numpy(dtype="int64")[keep],
+                "sim": np.round(sims[keep], 6),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    buckets = embeddings.map_batches(
+        task_pool(MultiTableLSH, dim=dim, n_bits=n_bits, n_tables=n_tables,
+                  id_col=id_col, vec_col=vec_col),
+        batch_format="pandas",
+    )
+
+    def as_left(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"left_id": b[id_col].astype("int64"), "_lvec": b[vec_col]}
+        )
+
+    def as_right(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"right_id": b[id_col].astype("int64"), "_rvec": b[vec_col]}
+        )
+
+    P = n_partitions
+    bsplit = _exchange(nonempty_arrow_refs(buckets), ["table_id", "bucket"], P)
+    pair_refs = [pairs_task.remote(*[s[j] for s in bsplit]) for j in range(P)]
+
+    lrefs = nonempty_arrow_refs(
+        embeddings.map_batches(as_left, batch_format="pandas")
+    )
+    psplit = _exchange(pair_refs, "left_id", P)
+    lsplit = _exchange(lrefs, "left_id", P)
+    j1_refs = [
+        dedupe_attach_left.remote(
+            len(psplit), *[s[j] for s in psplit], *[s[j] for s in lsplit]
+        )
+        for j in range(P)
+    ]
+
+    rrefs = nonempty_arrow_refs(
+        embeddings.map_batches(as_right, batch_format="pandas")
+    )
+    j1split = _exchange(j1_refs, "right_id", P)
+    rsplit = _exchange(rrefs, "right_id", P)
+    out_refs = [
+        attach_right_verify.remote(
+            len(j1split), *[s[j] for s in j1split], *[s[j] for s in rsplit]
+        )
+        for j in range(P)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
 class LSHProbeScore:
     """End-to-end LSH ANN query stage: per batch, bucket each vector with
     the same seeded projection, keep only rows whose bucket is in the

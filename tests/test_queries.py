@@ -187,3 +187,26 @@ def test_ann_lsh_topk_recall_vs_brute_force(ray_session):
     lsh = set(q_ann_lsh_topk(SF)["vec_id"])
     assert len(brute & lsh) / len(brute) >= 0.5
     assert 0 in lsh
+
+
+def test_dedup_embed_lsh_recall(ray_session):
+    """Multi-table LSH near-dup must recover the perturbed-copy positives
+    (cosine ~0.999 -> per-table collision p^8 ~ 0.88, 12 tables -> recall
+    ~1-1e-11) and produce no false positives (every emitted pair is
+    verified by exact cosine >= 0.9 against the unioned table)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.queries import q_dedup_embed_lsh
+
+    got = q_dedup_embed_lsh(SF).to_pandas()
+    assert len(got) > 0
+    pairs = set(zip(got["left_id"], got["right_id"]))
+
+    # every mutated copy must pair with its original
+    pdf = pd.read_parquet(f"{SF}/embeddings.parquet")
+    expected = {(int(v), int(v) + 1_000_000)
+                for v in pdf["vec_id"] if int(v) % 10 == 0}
+    assert expected <= pairs
+    # no false positives: emitted sims all >= threshold (exact verify ran)
+    assert (got["sim"] >= 0.9).all()
