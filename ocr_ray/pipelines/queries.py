@@ -981,6 +981,75 @@ def q_multimodal_meta(sf_dir: str):
     return decoded.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_multimodal_audio(sf_dir: str):
+    """Audio feature-extraction plumbing: binary payloads through the
+    MFCC-shaped stub actor stage; duration is SQL-checkable (sha512-derived
+    mfcc values are pytest-checked — DuckDB lacks sha512)."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.multimodal import AudioFeatureStub
+    from ocr_ray.stages.taskpool import task_pool
+
+    def to_binary(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"doc_id": b["doc_id"], "payload": pc.cast(b["text"], pa.binary())})
+
+    feats = (
+        _doc(sf_dir)
+        .map_batches(to_binary, batch_format="pyarrow")
+        .map_batches(task_pool(AudioFeatureStub, n_mfcc=13),
+                     batch_format="pyarrow", batch_size=64)
+    )
+
+    def flatten(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_pylist(),
+                "duration_sec": b["duration_sec"].to_pylist(),
+                "n_mfcc": [len(v) for v in b["mfcc"].to_pylist()],
+            }
+        )
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
+
+
+def q_multimodal_resize(sf_dir: str):
+    """Image-resize plumbing: binary payloads through the resize stub;
+    fully SQL-checkable (dims and scale factor are sha256-derived)."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.multimodal import ResizeImageStub
+    from ocr_ray.stages.taskpool import task_pool
+
+    def to_binary(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"doc_id": b["doc_id"], "payload": pc.cast(b["text"], pa.binary())})
+
+    resized = (
+        _doc(sf_dir)
+        .map_batches(to_binary, batch_format="pyarrow")
+        .map_batches(task_pool(ResizeImageStub, max_dim=2048),
+                     batch_format="pyarrow", batch_size=64)
+    )
+
+    def flatten(b: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_pylist(),
+                "width": b["width"].to_pylist(),
+                "height": b["height"].to_pylist(),
+                "scaled": b["scaled"].to_pylist(),
+                "out_len": pc.binary_length(b["payload"]).to_pylist(),
+            }
+        )
+
+    return resized.map_batches(flatten, batch_format="pyarrow")
+
+
 def q_multimodal_frames(sf_dir: str):
     """Video frame-sampling plumbing (rows-only): one row per sampled
     frame through the actor-pool flat-map stub, then a per-doc frame count
@@ -1065,6 +1134,8 @@ def queries() -> Dict[str, Callable]:
         "doc_chunks_para": q_doc_chunks_para,
         "doc_langs_distinct": q_doc_langs_distinct,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_audio": q_multimodal_audio,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
     }
 
@@ -1470,6 +1541,34 @@ SELECT CAST(p.user_id AS BIGINT) AS user_id, p.ts,
   CAST(floor(p.value*100+0.5) AS BIGINT) AS value_cents,
   CAST(coalesce(floor(epoch(p.ts - s.ts) / 60), -1) AS BIGINT) AS gap_min
 FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    "multimodal_audio": """
+SELECT doc_id,
+  octet_length(encode(text)) / 32000.0 AS duration_sec,
+  CAST(13 AS BIGINT) AS n_mfcc
+FROM documents
+""",
+    # resize stub: source dims from the first two sha256 bytes (hex-pair
+    # parse as in multimodal_meta), factor = min(1, 2048/max(w,h)),
+    # truncated output payload length = floor(len * factor^2)
+    "multimodal_resize": r"""
+WITH h AS (SELECT doc_id, text, sha256(text) AS hx FROM documents),
+b AS (
+  SELECT doc_id, text,
+    64 + ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16 AS w,
+    64 + ((strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 16 AS h
+  FROM h),
+f AS (SELECT doc_id, text, w, h, least(1.0, 2048 / greatest(w, h)) AS factor FROM b)
+SELECT doc_id,
+  CAST(floor(w * factor) AS BIGINT) AS width,
+  CAST(floor(h * factor) AS BIGINT) AS height,
+  factor < 1.0 AS scaled,
+  CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+       ELSE greatest(1, floor(octet_length(encode(text)) * factor * factor)) END AS BIGINT)
+    AS out_len
+FROM f
 """,
     "multimodal_frames": """
 WITH t AS (SELECT doc_id,

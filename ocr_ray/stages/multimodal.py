@@ -111,7 +111,11 @@ class AudioFeatureStub:
         feats, durations = [], []
         for raw in batch["payload"].to_pylist():
             raw = raw or b""
-            durations.append(round(len(raw) / (2 * self.sample_rate), 6))
+            # raw double, NOT rounded: the oracle computes the identical
+            # division and the driver's canonical round compares (rounding
+            # here would pit Python half-even against DuckDB half-away on
+            # every payload length ≡ 2 mod 4)
+            durations.append(len(raw) / (2 * self.sample_rate))
             digest = hashlib.sha512(raw).digest()
             v = np.frombuffer(digest[: self.n_mfcc * 4], dtype=np.uint32)
             feats.append((v.astype(np.float32) / np.float32(2**32)).tolist())

@@ -450,3 +450,19 @@ def test_embedding_store_roundtrip(ray_session, tmp_path):
     top = ocr.cosine_topk(loaded, embed_query("data pipeline value"), k=2,
                           id_col="doc_id", vec_col="embedding")
     assert list(top["doc_id"])[0] == 1
+
+
+def test_multimodal_audio_mfcc_deterministic(ray_session):
+    """The sha512-derived mfcc fake (not SQL-replicable) is deterministic,
+    fixed-width, and in [0,1)."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.multimodal import AudioFeatureStub
+
+    t = pa.table({"doc_id": [1, 2], "payload": [b"abc" * 100, b""]})
+    out1 = AudioFeatureStub(n_mfcc=13)(t)
+    out2 = AudioFeatureStub(n_mfcc=13)(t)
+    assert out1["mfcc"].to_pylist() == out2["mfcc"].to_pylist()
+    for v in out1["mfcc"].to_pylist():
+        assert len(v) == 13 and all(0.0 <= x < 1.0 for x in v)
+    assert out1["duration_sec"].to_pylist()[0] == 300 / 32000
