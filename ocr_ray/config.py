@@ -18,6 +18,7 @@ class PipelineConfig:
     # ocr_app/core/ocr_engine.py:337-355)
     engines: tuple = ("tagstrip", "density", "domtree")
     cleanup_mode: str = "extracted"           # 'extracted' (src/utils.py) | 'preprocess' (text_utils)
+    denoise: str = "standard"                 # 'standard' | 'heavy' (M7 NL-means analog)
     layout_variant: str = "adaptive"          # 'adaptive' | 'fixed20'
     payload_cap: int = 32768                  # chars per turn (resize/optimize analog, M6)
 

@@ -22,6 +22,15 @@ _BOXED_PREFIX = r'^\s*\{\s*"page_height"'
 _HTMLISH = r"<\s*(?:html|body|div|p|script|span|h[1-6]|ul|table|a)\b"
 
 
+# heavy-denoise extras (M7 NL-means analog, config-gated OFF by default —
+# the parity contract covers the standard pass only): C0/C1 control chars
+# (except \t\n\r) stripped, and 4+ repeated runs of common noise
+# punctuation collapsed to one (RE2 has no backreferences, so one pass per
+# character — each is a vectorized kernel)
+_CONTROL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+_NOISE_PUNCT = ".!?-=*#_~"
+
+
 def normalize_batch(batch: pa.Table, config: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
     text = pc.cast(batch["text"], pa.string())
     text = pc.fill_null(text, "")
@@ -29,6 +38,12 @@ def normalize_batch(batch: pa.Table, config: PipelineConfig = DEFAULT_CONFIG) ->
     # regardless of `form` in this build, and byte-stability of payloads is
     # part of the per-turn parity contract.  Zero-width strip only.
     text = pc.replace_substring_regex(text, pattern=_ZERO_WIDTH, replacement="")
+    if config.denoise == "heavy":  # M7: the expensive denoise variant
+        text = pc.replace_substring_regex(text, pattern=_CONTROL, replacement="")
+        for ch in _NOISE_PUNCT:
+            text = pc.replace_substring_regex(
+                text, pattern="\\" + ch + "{4,}", replacement=ch
+            )
 
     n = pc.utf8_length(text)
     truncated = pc.greater(n, config.payload_cap)

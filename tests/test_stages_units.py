@@ -466,3 +466,19 @@ def test_multimodal_audio_mfcc_deterministic(ray_session):
     for v in out1["mfcc"].to_pylist():
         assert len(v) == 13 and all(0.0 <= x < 1.0 for x in v)
     assert out1["duration_sec"].to_pylist()[0] == 300 / 32000
+
+
+def test_heavy_denoise_mode(ray_session):
+    """M7 analog: config-gated heavy denoise strips control chars and
+    collapses repeated noise-punctuation runs; the default (parity) pass
+    leaves payloads byte-identical apart from zero-width strips."""
+    import pyarrow as pa
+
+    from ocr_ray.config import PipelineConfig
+    from ocr_ray.stages.normalize import normalize_batch
+
+    t = pa.table({"text": ["a\x00b!!!!! c ####d", "plain"]})
+    heavy = normalize_batch(t, PipelineConfig(denoise="heavy"))
+    assert heavy["norm_text"].to_pylist() == ["ab! c #d", "plain"]
+    std = normalize_batch(t)
+    assert std["norm_text"].to_pylist() == ["a\x00b!!!!! c ####d", "plain"]
