@@ -41,6 +41,7 @@ DEFAULT_CONFIG = PipelineConfig()
 CONFIG_SCHEMA: Dict[str, str] = {
     "extraction.engines": "engines",
     "extraction.cleanup_mode": "cleanup_mode",
+    "extraction.denoise": "denoise",
     "extraction.layout_variant": "layout_variant",
     "extraction.payload_cap": "payload_cap",
     "execution.batch_size": "batch_size",
