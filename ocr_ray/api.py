@@ -100,6 +100,50 @@ def dedup_pairs(
     raise ValueError(f"unknown dedup method: {method}")
 
 
+def embed_texts(
+    docs: "rd.Dataset",
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Text table -> deterministic feature-hash embeddings (A7 analog);
+    persist/reload with save_embedding_store / load_embedding_store."""
+    from ocr_ray.stages.embed import embed_documents
+
+    return embed_documents(docs, dim=dim, text_col=text_col, id_col=id_col)
+
+
+def answer_questions(
+    docs: "rd.Dataset", query: str, k: int = 3, dim: int = 64
+) -> "rd.Dataset":
+    """Full RAG orchestration per document (R6): chunk -> embed -> cosine
+    retrieve top-k -> heuristic answer + confidence."""
+    from ocr_ray.stages.rag import EmbedRAG
+    from ocr_ray.stages.taskpool import task_pool
+
+    return docs.map_batches(
+        task_pool(EmbedRAG, query=query, k=k, dim=dim), batch_format="pandas"
+    )
+
+
+def near_dup_embeddings(
+    embeddings: "rd.Dataset", threshold: float = 0.9, **kwargs
+) -> "rd.Dataset":
+    """Embedding near-dup pairs at scale (multi-table LSH candidates +
+    exchange-verified exact cosine)."""
+    from ocr_ray.stages.similarity import lsh_embed_dedup_pairs
+
+    return lsh_embed_dedup_pairs(embeddings, threshold=threshold, **kwargs)
+
+
+def benchmark_engines(transcripts_dir: str, oracle_dir: str, **kwargs) -> "rd.Dataset":
+    """Engine-accuracy benchmark vs a ground-truth table (src/ocr_benchmark
+    analog); summarize with ocr_ray.stages.benchmark.benchmark_summary."""
+    from ocr_ray.stages.benchmark import benchmark_engines as _bench
+
+    return _bench(transcripts_dir, oracle_dir, **kwargs)
+
+
 def cosine_topk(
     embeddings: "rd.Dataset",
     query: "Sequence[float] | np.ndarray",

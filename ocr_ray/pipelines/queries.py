@@ -92,7 +92,6 @@ def q_doc_chunks_window(sf_dir: str):
 
 
 def q_doc_fingerprint(sf_dir: str):
-    # rows-only check: rolling fingerprint is not SQL-expressible
     return _doc(sf_dir).map_batches(fingerprint_docs_batch, batch_format="pandas")
 
 
@@ -1300,6 +1299,22 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {EMBED_DUP_THRESHOLD}
 """,
     "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    # Rabin-Karp rolling fingerprint over whitespace tokens; per-token hash
+    # is the codepoint polynomial shared with the embedder — modulus 2^31-1
+    # keeps every intermediate product < 2^53 (exact in BIGINT and double)
+    "doc_fingerprint": r"""
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents),
+h AS (SELECT doc_id, text,
+        list_transform(w, tok ->
+          list_reduce(list_prepend(7, list_transform(string_split(tok, ''), c -> unicode(c))),
+                      (a, b) -> (a * 31 + b) % 1000003)) AS th
+      FROM t)
+SELECT doc_id,
+  substr(sha256(text), 1, 16) AS content_sha,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), th),
+       (a, b) -> (a * CAST(1000003 AS BIGINT) + b) % 2147483647) AS BIGINT) AS rolling_fp
+FROM h
+""",
     # true shingle-Jaccard all-pairs: the LSH pipeline's output must equal it
     # exactly at this threshold (band recall ~1-4e-9 per true pair; the
     # recall pytest asserts set equality independently)

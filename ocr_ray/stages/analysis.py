@@ -288,18 +288,22 @@ def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def fingerprint_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Document fingerprinting: deterministic 64-bit content hash + a rolling
-    polynomial hash over the token stream (Rabin-Karp style)."""
+    """Document fingerprinting: deterministic content hash (sha256 prefix)
+    + a rolling polynomial hash over the token stream (Rabin-Karp style).
+    Both components are chosen SQL-replicable — the per-token hash is the
+    same codepoint polynomial as the embedder (stages/embed.py:hash_token),
+    so the DuckDB oracle reproduces values exactly."""
     import hashlib
 
+    from ocr_ray.stages.embed import hash_token
+
     out = {"doc_id": [], "content_sha": [], "rolling_fp": []}
-    B, M = 1000003, (1 << 61) - 1
+    B, M = 1000003, (1 << 31) - 1
     for doc_id, text in zip(batch["doc_id"], batch["text"]):
         out["doc_id"].append(doc_id)
         out["content_sha"].append(hashlib.sha256(text.encode()).hexdigest()[:16])
         fp = 0
         for tok in text.split():
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-            fp = (fp * B + h) % M
+            fp = (fp * B + hash_token(tok)) % M
         out["rolling_fp"].append(fp)
     return pd.DataFrame(out)

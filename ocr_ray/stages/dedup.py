@@ -266,33 +266,27 @@ def bucket_pairs(
     )
 
 
-def dedupe_pairs(cands: "object", n_partitions: int = 64) -> "object":
-    """Distinct (left_id, right_id) rows via the two-level hash aggregation
-    (the same pair may surface from several LSH bands/partitions).  Fully
-    distributed — replaces the former driver-side ``drop_duplicates``."""
-    from ocr_ray.stages.aggregate import hash_aggregate
+# --------------------------------------------- exchange-based LSH dedup
+# Pure two-sided hash exchanges over raw Ray tasks (the reassembly-shuffle
+# mechanism, SURVEY §2 last-resort tier, justified by measurement: each
+# Dataset.groupby stage carries ~1-2 s fixed sort-shuffle cost, and the
+# former pipeline had two of them plus four exchange materializations).
 
-    def mark(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["_n"] = 1
-        return b
-
-    deduped = hash_aggregate(
-        cands.map_batches(mark, batch_format="pandas"),
-        keys=["left_id", "right_id"],
-        aggs={"_n": "sum"},
-        n_partitions=n_partitions,
+def _pairs_from_bucket_partition(g: pd.DataFrame, bucket_cols: List[str],
+                                 id_col: str) -> pd.DataFrame:
+    out_l: List = []
+    out_r: List = []
+    for _, bucket in g.groupby(bucket_cols, sort=False):
+        ids = sorted(bucket[id_col].unique())
+        for a, b in itertools.combinations(ids, 2):
+            out_l.append(a)
+            out_r.append(b)
+    return pd.DataFrame(
+        {
+            "left_id": pd.Series(out_l, dtype="int64"),
+            "right_id": pd.Series(out_r, dtype="int64"),
+        }
     )
-
-    def strip(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "left_id": b["left_id"].astype("int64"),
-                "right_id": b["right_id"].astype("int64"),
-            }
-        )
-
-    return deduped.map_batches(strip, batch_format="pandas")
 
 
 # --------------------------------------------- task-pool hasher functions
@@ -317,30 +311,6 @@ def simhash_bands_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
     if h is None:
         h = _HASHER_CACHE.setdefault(key, SimHasher(**kw))
     return h(batch)
-
-
-# --------------------------------------------- exchange-based LSH dedup
-# Pure two-sided hash exchanges over raw Ray tasks (the reassembly-shuffle
-# mechanism, SURVEY §2 last-resort tier, justified by measurement: each
-# Dataset.groupby stage carries ~1-2 s fixed sort-shuffle cost, and the
-# former pipeline had two of them plus four exchange materializations).
-
-def _pairs_from_bucket_partition(g: pd.DataFrame, bucket_cols: List[str],
-                                 id_col: str) -> pd.DataFrame:
-    out_l: List = []
-    out_r: List = []
-    for _, bucket in g.groupby(bucket_cols, sort=False):
-        ids = sorted(bucket[id_col].unique())
-        for a, b in itertools.combinations(ids, 2):
-            out_l.append(a)
-            out_r.append(b)
-    return pd.DataFrame(
-        {
-            "left_id": pd.Series(out_l, dtype="int64"),
-            "right_id": pd.Series(out_r, dtype="int64"),
-        }
-    )
-
 
 
 def _concat_pd(pieces) -> pd.DataFrame:

@@ -482,3 +482,19 @@ def test_heavy_denoise_mode(ray_session):
     assert heavy["norm_text"].to_pylist() == ["ab! c #d", "plain"]
     std = normalize_batch(t)
     assert std["norm_text"].to_pylist() == ["a\x00b!!!!! c ####d", "plain"]
+
+
+def test_facade_round2_surface(ray_session):
+    """New facade entries wire through: embed, RAG answers, near-dup."""
+    import ray.data as rd
+
+    import ocr_ray.api as ocr
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2],
+         "text": ["the value is high. other text here.", "unrelated words only"]}
+    ))
+    emb = ocr.embed_texts(docs).to_pandas()
+    assert {"doc_id", "embedding", "emb_norm"} <= set(emb.columns)
+    ans = ocr.answer_questions(docs, "what is the value").to_pandas()
+    assert list(ans.sort_values("doc_id")["answer"])[0].startswith("the value is high")
