@@ -325,17 +325,13 @@ def _concat_pd(pieces) -> pd.DataFrame:
     return pa.concat_tables(tables).to_pandas()
 
 
-def _exchange(refs: List, by, n_partitions: int) -> List[List]:
-    """Split every block ref by key hash; returns per-input lists of
-    per-partition sub-table refs."""
-    import ray
+def _exchange(src, by, n_partitions: int) -> List[List]:
+    """Split a Dataset (STREAMING — split tasks launch as upstream blocks
+    materialize) or a list of block refs by key hash; returns per-input
+    lists of per-partition sub-table refs."""
+    from ocr_ray.stages.join import launch_splits
 
-    from ocr_ray.stages.join import _split_by_key
-
-    return [
-        _split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
-        for r in refs
-    ]
+    return launch_splits(src, by, n_partitions)
 
 
 def minhash_dedup_pairs(
@@ -364,8 +360,6 @@ def minhash_dedup_pairs(
 
     import ray
     import ray.data as rd
-
-    from ocr_ray.stages.reassemble import nonempty_arrow_refs
 
     @ray.remote
     def pairs_task(*pieces):
@@ -422,12 +416,11 @@ def minhash_dedup_pairs(
         )
 
     P = n_partitions
-    bsplit = _exchange(nonempty_arrow_refs(bands), ["band_id", "band_hash"], P)
+    bsplit = _exchange(bands, ["band_id", "band_hash"], P)
     pair_refs = [pairs_task.remote(*[s[j] for s in bsplit]) for j in range(P)]
 
-    lrefs = nonempty_arrow_refs(docs.map_batches(as_left, batch_format="pandas"))
     psplit = _exchange(pair_refs, "left_id", P)
-    lsplit = _exchange(lrefs, "left_id", P)
+    lsplit = _exchange(docs.map_batches(as_left, batch_format="pandas"), "left_id", P)
     j1_refs = [
         dedupe_attach_left.remote(
             len(psplit), *[s[j] for s in psplit], *[s[j] for s in lsplit]
@@ -435,9 +428,8 @@ def minhash_dedup_pairs(
         for j in range(P)
     ]
 
-    rrefs = nonempty_arrow_refs(docs.map_batches(as_right, batch_format="pandas"))
     j1split = _exchange(j1_refs, "right_id", P)
-    rsplit = _exchange(rrefs, "right_id", P)
+    rsplit = _exchange(docs.map_batches(as_right, batch_format="pandas"), "right_id", P)
     out_refs = [
         attach_right_verify.remote(
             len(j1split), *[s[j] for s in j1split], *[s[j] for s in rsplit]
@@ -467,8 +459,6 @@ def simhash_dedup_pairs(
 
     import ray
     import ray.data as rd
-
-    from ocr_ray.stages.reassemble import nonempty_arrow_refs
 
     @ray.remote
     def pairs_task(*pieces):
@@ -529,13 +519,11 @@ def simhash_dedup_pairs(
         )
 
     P = n_partitions
-    srefs = nonempty_arrow_refs(sig_rows)
-    bsplit = _exchange(srefs, ["band_id", "band_key"], P)
+    bsplit = _exchange(sig_rows, ["band_id", "band_key"], P)
     pair_refs = [pairs_task.remote(*[s[j] for s in bsplit]) for j in range(P)]
 
-    lrefs = nonempty_arrow_refs(sig_rows.map_batches(as_left, batch_format="pandas"))
     psplit = _exchange(pair_refs, "left_id", P)
-    lsplit = _exchange(lrefs, "left_id", P)
+    lsplit = _exchange(sig_rows.map_batches(as_left, batch_format="pandas"), "left_id", P)
     j1_refs = [
         dedupe_attach_left.remote(
             len(psplit), *[s[j] for s in psplit], *[s[j] for s in lsplit]
@@ -543,9 +531,8 @@ def simhash_dedup_pairs(
         for j in range(P)
     ]
 
-    rrefs = nonempty_arrow_refs(sig_rows.map_batches(as_right, batch_format="pandas"))
     j1split = _exchange(j1_refs, "right_id", P)
-    rsplit = _exchange(rrefs, "right_id", P)
+    rsplit = _exchange(sig_rows.map_batches(as_right, batch_format="pandas"), "right_id", P)
     out_refs = [
         attach_right_verify.remote(
             len(j1split), *[s[j] for s in j1split], *[s[j] for s in rsplit]

@@ -38,6 +38,39 @@ def broadcast_join(
 from ocr_ray.stages.reassemble import nonempty_arrow_refs
 
 
+def launch_splits(src, by, n_partitions: int) -> List:
+    """Launch one split task per upstream block, STREAMING: when ``src`` is
+    a Dataset, blocks are consumed via ``iter_internal_ref_bundles()`` and
+    each split task is submitted as its block materializes — the exchange's
+    map side overlaps upstream compute instead of waiting behind a full
+    ``materialize()`` barrier.  (Single-consumer inputs only; multi-consumer
+    datasets should be materialized once by the caller.)  A list input is
+    treated as pre-made block refs."""
+    if isinstance(src, list):
+        return [
+            _split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
+            for r in src
+        ]
+    splits: List = []
+    last = None
+    for bundle in src.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            last = ref
+            if meta.num_rows:
+                splits.append(
+                    _split_by_key.options(num_returns=n_partitions).remote(
+                        ref, by, n_partitions
+                    )
+                )
+    if not splits and last is not None:
+        # all-empty input: keep one (empty) split so downstream merge tasks
+        # see a schema-bearing piece
+        splits.append(
+            _split_by_key.options(num_returns=n_partitions).remote(last, by, n_partitions)
+        )
+    return splits
+
+
 def _canon_key(col: pd.Series) -> pd.Series:
     """Canonicalize numeric key dtype before hashing: int32 vs int64 (or
     int vs float) sides would hash equal logical keys to different
@@ -113,12 +146,8 @@ def asof_join(
     Skewed ``by`` keys concentrate in one partition — acceptable while a
     single key's rows fit a worker; beyond that, range-partition ``on``
     within the hot key (not needed at current scales)."""
-    lrefs = nonempty_arrow_refs(left)
-    rrefs = nonempty_arrow_refs(right)
-    lsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
-               for r in lrefs]
-    rsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
-               for r in rrefs]
+    lsplits = launch_splits(left, by, n_partitions)
+    rsplits = launch_splits(right, by, n_partitions)
     out_refs = [
         _merge_asof_partition.remote(
             len(lsplits), by, on, direction, suffix,
@@ -177,12 +206,8 @@ def range_join(
     must be NON-OVERLAPPING (the containing interval is found by binary
     search over sorted starts); overlapping-interval semantics would return
     multiple rows and need an explicit flat-map variant instead."""
-    lrefs = nonempty_arrow_refs(points)
-    rrefs = nonempty_arrow_refs(intervals)
-    lsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
-               for r in lrefs]
-    rsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
-               for r in rrefs]
+    lsplits = launch_splits(points, by, n_partitions)
+    rsplits = launch_splits(intervals, by, n_partitions)
     out_refs = [
         _range_assign_partition.remote(
             len(lsplits), by, point_col, start_col, end_col, idx_col,
@@ -242,12 +267,8 @@ def exchange_join(
     dedup-candidate verification; prefer :func:`hash_join` when both sides
     are huge and long-lived aggregator actors amortize."""
     ron = right_on or on
-    lrefs = nonempty_arrow_refs(left)
-    rrefs = nonempty_arrow_refs(right)
-    lsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, on, n_partitions)
-               for r in lrefs]
-    rsplits = [_split_by_key.options(num_returns=n_partitions).remote(r, ron, n_partitions)
-               for r in rrefs]
+    lsplits = launch_splits(left, on, n_partitions)
+    rsplits = launch_splits(right, ron, n_partitions)
     out_refs = [
         _merge_equi_partition.remote(
             len(lsplits), on, ron, how,

@@ -192,7 +192,6 @@ def lsh_embed_dedup_pairs(
         _exchange,
         _pairs_from_bucket_partition,
     )
-    from ocr_ray.stages.reassemble import nonempty_arrow_refs
     from ocr_ray.stages.taskpool import task_pool
 
     if dim is None:
@@ -255,14 +254,12 @@ def lsh_embed_dedup_pairs(
         )
 
     P = n_partitions
-    bsplit = _exchange(nonempty_arrow_refs(buckets), ["table_id", "bucket"], P)
+    bsplit = _exchange(buckets, ["table_id", "bucket"], P)
     pair_refs = [pairs_task.remote(*[s[j] for s in bsplit]) for j in range(P)]
 
-    lrefs = nonempty_arrow_refs(
-        embeddings.map_batches(as_left, batch_format="pandas")
-    )
     psplit = _exchange(pair_refs, "left_id", P)
-    lsplit = _exchange(lrefs, "left_id", P)
+    lsplit = _exchange(embeddings.map_batches(as_left, batch_format="pandas"),
+                       "left_id", P)
     j1_refs = [
         dedupe_attach_left.remote(
             len(psplit), *[s[j] for s in psplit], *[s[j] for s in lsplit]
@@ -270,11 +267,9 @@ def lsh_embed_dedup_pairs(
         for j in range(P)
     ]
 
-    rrefs = nonempty_arrow_refs(
-        embeddings.map_batches(as_right, batch_format="pandas")
-    )
     j1split = _exchange(j1_refs, "right_id", P)
-    rsplit = _exchange(rrefs, "right_id", P)
+    rsplit = _exchange(embeddings.map_batches(as_right, batch_format="pandas"),
+                       "right_id", P)
     out_refs = [
         attach_right_verify.remote(
             len(j1split), *[s[j] for s in j1split], *[s[j] for s in rsplit]
