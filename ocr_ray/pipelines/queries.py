@@ -652,33 +652,29 @@ def q_events_hourly(sf_dir: str):
 
 def q_events_sessions(sf_dir: str):
     """30-minute-gap sessionization (streaming-window pattern).  Users are
-    hashed into a bounded number of partitions (per-user map_groups would
-    pay the distinct-key groupby cost); each partition sessionizes all its
-    users vectorized (sort by user+ts, one diff, one groupby-sum).
-    Partitioning assumption: all events of one user share a partition."""
-
-    def add_pk(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["_pk"] = (b["user_id"] % 64).astype("int32")
-        return b
+    hash-exchanged into a bounded number of partitions (raw-task exchange —
+    per-user map_groups would pay the distinct-key groupby cost); each
+    partition sessionizes all its users vectorized (sort by user+ts, one
+    diff, one groupby-sum).  Partitioning assumption: all events of one
+    user share a partition (guaranteed by the key hash)."""
+    from ocr_ray.stages.join import exchange_map_partitions
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_sessions": pd.Series([], dtype="int64")})
         g = g.sort_values(["user_id", "ts"])
         new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
         starts = (new_user | gap).astype("int64")
         out = starts.groupby(g["user_id"].to_numpy()).sum()
         return pd.DataFrame(
-            {"user_id": out.index.astype("int64"), "n_sessions": out.to_numpy()}
+            {"user_id": out.index.astype("int64"),
+             "n_sessions": out.to_numpy().astype("int64")}
         )
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
-    out = (
-        ds.map_batches(add_pk, batch_format="pandas")
-        .groupby("_pk")
-        .map_groups(sessions, batch_format="pandas")
-        .to_pandas()
-    )
+    out = exchange_map_partitions(ds, "user_id", sessions, n_partitions=32).to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     out["n_sessions"] = out["n_sessions"].astype("int64")
     return out
@@ -734,20 +730,22 @@ def q_events_window(sf_dir: str):
     )
 
     def window(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("hour")
-        roll = (
-            g.set_index("hour")["n"].rolling("3h").sum().astype("int64").to_numpy()
-        )
-        return pd.DataFrame(
-            {"event_type": g["event_type"].to_numpy(), "hour": g["hour"].to_numpy(),
-             "n_3h": roll}
-        )
+        if not len(g):
+            return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                                 "hour": pd.Series([], dtype="datetime64[us]"),
+                                 "n_3h": pd.Series([], dtype="int64")})
+        parts = []
+        for _, sub in g.groupby("event_type", sort=False):
+            sub = sub.sort_values("hour")
+            roll = sub.set_index("hour")["n"].rolling("3h").sum().astype("int64").to_numpy()
+            parts.append(pd.DataFrame(
+                {"event_type": sub["event_type"].to_numpy(),
+                 "hour": sub["hour"].to_numpy(), "n_3h": roll}))
+        return pd.concat(parts, ignore_index=True)
 
-    out = (
-        hourly.groupby("event_type")  # few distinct types: cheap groupby
-        .map_groups(window, batch_format="pandas")
-        .to_pandas()
-    )
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    out = exchange_map_partitions(hourly, "event_type", window, n_partitions=8).to_pandas()
     out["n_3h"] = out["n_3h"].astype("int64")
     return out
 
@@ -806,12 +804,12 @@ def q_events_range_join(sf_dir: str):
 
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"])
 
-    def add_pk(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["_pk"] = (b["user_id"] % 32).astype("int32")
-        return b
-
     def session_intervals(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "session_idx": pd.Series([], dtype="int64"),
+                                 "start_ts": pd.Series([], dtype="datetime64[us]"),
+                                 "end_ts": pd.Series([], dtype="datetime64[us]")})
         g = g.sort_values(["user_id", "ts"])
         new_u = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
@@ -822,11 +820,10 @@ def q_events_range_join(sf_dir: str):
             start_ts=("ts", "min"), end_ts=("ts", "max")
         )
 
-    intervals = (
-        ev.map_batches(add_pk, batch_format="pandas")
-        .groupby("_pk")
-        .map_groups(session_intervals, batch_format="pandas")
-    )
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    intervals = exchange_map_partitions(ev, "user_id", session_intervals,
+                                        n_partitions=16)
     out = range_join(
         ev, intervals, by="user_id", point_col="ts",
         start_col="start_ts", end_col="end_ts", idx_col="session_idx",

@@ -313,16 +313,7 @@ def simhash_bands_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
     return h(batch)
 
 
-def _concat_pd(pieces) -> pd.DataFrame:
-    """Concat per-partition Arrow pieces to pandas, skipping zero-row
-    pieces: empty partitions carry null-typed columns that would fail
-    concat_tables schema unification."""
-    import pyarrow as pa
-
-    tables = [t for t in pieces if t.num_rows]
-    if not tables:
-        return pieces[0].to_pandas()
-    return pa.concat_tables(tables).to_pandas()
+from ocr_ray.stages.join import _concat_pd  # shared exchange concat helper
 
 
 def _exchange(src, by, n_partitions: int) -> List[List]:

@@ -71,6 +71,45 @@ def launch_splits(src, by, n_partitions: int) -> List:
     return splits
 
 
+def _concat_pd(pieces) -> pd.DataFrame:
+    """Concat per-partition Arrow pieces to pandas, skipping zero-row
+    pieces: empty partitions carry null-typed columns that would fail
+    concat_tables schema unification."""
+    import pyarrow as pa
+
+    tables = [t for t in pieces if t.num_rows]
+    if not tables:
+        return pieces[0].to_pandas()
+    return pa.concat_tables(tables).to_pandas()
+
+
+@ray.remote
+def _apply_partition(fn, *pieces):
+    import pyarrow as pa
+
+    out = fn(_concat_pd(pieces))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def exchange_map_partitions(
+    ds: "rd.Dataset", by, fn, n_partitions: int = 32
+) -> "rd.Dataset":
+    """``groupby(key).map_groups`` semantics over the raw-task hash
+    exchange: every row of one key meets in exactly one partition and
+    ``fn(partition_df) -> DataFrame`` runs once per partition (vectorize
+    across the partition's keys inside ``fn``).  Streams — split tasks
+    launch as upstream blocks materialize; no Dataset.groupby sort-shuffle
+    (measured ~1.5-2 s fixed cost per groupby at bench scale, and the
+    sort-based all-to-all dominates at larger scales)."""
+    splits = launch_splits(ds, by, n_partitions)
+    return rd.from_arrow_refs(
+        [
+            _apply_partition.remote(fn, *[s[j] for s in splits])
+            for j in range(n_partitions)
+        ]
+    )
+
+
 def _canon_key(col: pd.Series) -> pd.Series:
     """Canonicalize numeric key dtype before hashing: int32 vs int64 (or
     int vs float) sides would hash equal logical keys to different
