@@ -498,3 +498,60 @@ def test_facade_round2_surface(ray_session):
     assert {"doc_id", "embedding", "emb_norm"} <= set(emb.columns)
     ans = ocr.answer_questions(docs, "what is the value").to_pandas()
     assert list(ans.sort_values("doc_id")["answer"])[0].startswith("the value is high")
+
+
+def test_exchange_map_partitions_semantics(ray_session):
+    """The exchange backbone: groupby-equivalent results, keys never split
+    across partitions, datetime keys hash correctly, empty-safe."""
+    import ray.data as rd
+
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 2, 3, 1, 2, 3, 1] * 20,
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(140), unit="h"),
+            "v": range(140),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        # each key must appear in exactly one partition: aggregate fully here
+        return g.groupby("k", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+
+    out = (
+        exchange_map_partitions(ds, "k", agg, n_partitions=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = df.groupby("k", as_index=False).agg(n=("v", "size"), s=("v", "sum"))
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
+    # if a key were split across partitions, it would appear twice
+    assert out["k"].is_unique
+
+    # datetime key
+    df2 = df.assign(day=df["ts"].dt.floor("D"))
+    out2 = exchange_map_partitions(
+        rd.from_pandas(df2).repartition(3), "day",
+        lambda g: g.groupby("day", as_index=False).agg(n=("v", "size")),
+        n_partitions=4,
+    ).to_pandas()
+    assert out2["n"].sum() == len(df2) and out2["day"].is_unique
+
+
+def test_hash_aggregate_matches_pandas_with_skew(ray_session):
+    """Two-level aggregation stays exact under a pathological hot key."""
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    rng = np.random.RandomState(3)
+    keys = np.where(rng.random(20_000) < 0.5, 7, rng.randint(0, 1000, 20_000))
+    df = pd.DataFrame({"k": keys, "v": rng.randint(0, 100, 20_000)})
+    out = hash_aggregate(
+        rd.from_pandas(df).repartition(8), keys=["k"],
+        aggs={"v": "sum", "n": "count"}, n_partitions=16,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = df.assign(n=1).groupby("k", as_index=False).agg({"v": "sum", "n": "sum"})
+    pd.testing.assert_frame_equal(out, want, check_dtype=False)
