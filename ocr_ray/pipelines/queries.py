@@ -111,6 +111,58 @@ def q_doc_langid(sf_dir: str):
     return _doc(sf_dir).map_batches(langid_docs_batch, batch_format="pandas")
 
 
+# ====================================================== dataset splitting
+SPLIT_MULT = 2654435761  # Knuth multiplicative constant
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic train/val/test assignment (the standard training-data
+    split op): hash-bucket each doc_id, 80/10/10.  Partition-local, zero
+    shuffle, reproducible across runs and engines — doc_id * K mod 2^32
+    stays exact in int64/BIGINT at any realistic id range."""
+
+    def split_batch(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["doc_id"].astype("int64") * SPLIT_MULT) % (1 << 32)
+        bucket = (h % 100).astype("int64")
+        split = np.where(bucket < 80, "train", np.where(bucket < 90, "val", "test"))
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "bucket": bucket, "split": split}
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return ds.map_batches(split_batch, batch_format="pandas")
+
+
+def q_doc_top_terms(sf_dir: str):
+    """Global vocabulary top-50 (corpus term frequencies): per-batch partial
+    Counter -> streaming hash-exchange aggregation on the term -> global
+    sort + limit (count desc, term asc tie-break — deterministic at the
+    cut)."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for t in b["text"]:
+            c.update(_TERM.findall(t.lower()))
+        return pd.DataFrame(
+            {"term": list(c.keys()), "n": pd.Series(list(c.values()), dtype="int64")}
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["term"], aggs={"n": "sum"}, n_partitions=16,
+    )
+    top = counts.sort(["n", "term"], descending=[True, False]).limit(50).to_pandas()
+    top["n"] = top["n"].astype("int64")
+    return top
+
+
+_TERM = re.compile(r"[a-z0-9]+")
+
+
 # ================================================================ entities
 _SYNTH_TAIL = "@example.com or call (555) 123-4567 on 12/31/2024 visit https://example.com/"
 _NON_ALNUM = re.compile(r"[^A-Za-z0-9]")
@@ -1101,6 +1153,8 @@ def queries() -> Dict[str, Callable]:
         "doc_format": q_doc_format,
         "doc_tables": q_doc_tables,
         "doc_langid": q_doc_langid,
+        "doc_split": q_doc_split,
+        "doc_top_terms": q_doc_top_terms,
         "entities_customer": q_entities_customer,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1287,6 +1341,25 @@ SELECT doc_id, n_en, n_de, n_fr, n_es,
        WHEN n_fr >= n_es THEN 'fr'
        ELSE 'es' END AS lang_guess
 FROM c
+""",
+    "doc_split": f"""
+WITH h AS (SELECT doc_id,
+    (CAST(doc_id AS BIGINT) * {SPLIT_MULT}) % 4294967296 AS hv
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(hv % 100 AS BIGINT) AS bucket,
+  CASE WHEN hv % 100 < 80 THEN 'train'
+       WHEN hv % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM h
+""",
+    "doc_top_terms": """
+WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY term
+ORDER BY n DESC, term
+LIMIT 50
 """,
     "dedup_embed": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
