@@ -65,7 +65,9 @@ def dedup_pairs(
 
     ``exact``: identical text.  ``minhash``: shingle MinHash+LSH candidates
     verified by true shingle Jaccard >= threshold.  ``simhash``: band-bucket
-    candidates verified by Hamming <= 16.
+    candidates verified by Hamming <= 9 over 62-bit SQL-replicable
+    signatures (provably equal to the all-pairs filter; see
+    stages/dedup.py:PolySimHasher).
     """
     from ocr_ray.stages.dedup import (
         add_content_hash,

@@ -269,16 +269,21 @@ def q_dedup_minhash(sf_dir: str):
 
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup: docs unioned with mutated copies (doc_id+1_000_000,
-    last word dropped — deterministic positives), 64-bit shingle signatures,
-    8x8-bit band bucketing (guarantees candidates for Hamming < 8), then the
-    fully distributed verify (stages/dedup.py: simhash_dedup_pairs) —
+    last word dropped — deterministic positives), 62-bit SQL-replicable
+    polynomial-hash signatures (stages/dedup.py:PolySimHasher), 10-band
+    bucketing, then the fully distributed verify (simhash_dedup_pairs) —
     candidates hash-join the (id, simhash) side table on left_id/right_id
-    and each partition verifies Hamming <= 16 vectorized.  No driver-side
-    signature lookup."""
+    and each partition verifies Hamming <= 9 vectorized.  Because
+    max_hamming = n_bands - 1, pigeonhole guarantees every qualifying pair
+    shares a band: the output provably EQUALS the all-pairs Hamming filter,
+    which is exactly what the DuckDB oracle recomputes (value-checked, not
+    rows-only).  No driver-side signature lookup."""
     from ocr_ray.stages.dedup import simhash_dedup_pairs
 
     def mutate(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b["doc_id"] % 10 == 0
+        keep = (b["doc_id"] % 10 == 0) & (
+            b["text"].str.split().str.len() >= 2
+        )
         return pd.DataFrame(
             {
                 "doc_id": b["doc_id"][keep] + 1_000_000,
@@ -290,9 +295,7 @@ def q_dedup_simhash(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     both = docs.union(docs.map_batches(mutate, batch_format="pandas"))
-    return simhash_dedup_pairs(
-        both, n_bands=8, shingle_k=3, max_hamming=16, n_partitions=16
-    )
+    return simhash_dedup_pairs(both, n_partitions=16)
 
 
 EMBED_DUP_THRESHOLD = 0.4
@@ -331,23 +334,25 @@ def q_dedup_embed(sf_dir: str):
 
 
 def q_dedup_embed_lsh(sf_dir: str):
-    """Embedding near-dup SCALE path (rows-only; recall pytest vs the
-    all-pairs kernel): the table unioned with deterministically perturbed
-    copies (vec_id+1_000_000, 5% seeded noise — guaranteed cosine~0.99
-    positives, same design as dedup_simhash), multi-table random-projection
-    candidates, raw-task exchange verify at cosine >= 0.9."""
+    """Embedding near-dup SCALE path: the table unioned with perturbed
+    copies (vec_id+1_000_000, first component doubled — exact float32
+    arithmetic, so the DuckDB oracle reconstructs the mutant bit-for-bit;
+    cosine >= (1+t^2)/sqrt(1+3t^2) >= 0.9428 for every mutant), multi-table
+    random-projection candidates, raw-task exchange verify at
+    cosine >= 0.9.  Oracle = all-pairs cosine over the same union — valid
+    here because the 12-table LSH recall on these positives is ~1-1e-9 and
+    the run is seeded/deterministic (the recall pytest asserts set equality
+    against the brute-force kernel independently)."""
     from ocr_ray.stages.similarity import lsh_embed_dedup_pairs
 
     def mutate(b: pd.DataFrame) -> pd.DataFrame:
         keep = b["vec_id"] % 10 == 0
         ids, vecs = [], []
         for vid, v in zip(b["vec_id"][keep], b["embedding"][keep]):
-            v = np.asarray(v, dtype=np.float64)
-            rng = np.random.RandomState(int(vid) % (2**31))
-            noise = rng.normal(size=v.shape)
-            noise *= 0.05 * np.linalg.norm(v) / max(np.linalg.norm(noise), 1e-30)
+            v = np.asarray(v, dtype=np.float32).copy()
+            v[0] = v[0] * np.float32(2.0)  # exact in float32
             ids.append(int(vid) + 1_000_000)
-            vecs.append((v + noise).astype(np.float32))
+            vecs.append(v)
         return pd.DataFrame({"vec_id": pd.Series(ids, dtype="int64"),
                              "embedding": vecs})
 
@@ -1368,6 +1373,25 @@ SELECT CAST(a.vec_id AS BIGINT) AS left_id, CAST(b.vec_id AS BIGINT) AS right_id
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= {EMBED_DUP_THRESHOLD}
 """,
+    # union with first-component-doubled mutants (exact float32 arithmetic
+    # — the mutant is reconstructible bit-for-bit in SQL), all-pairs cosine
+    # >= 0.9.  The LSH pipeline equals this because its seeded 12-table
+    # recall on the positives is ~1-1e-9 and the run is deterministic; the
+    # recall pytest asserts the same equality against the brute-force
+    # kernel.
+    "dedup_embed_lsh": """
+WITH e AS (
+  SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id + 1000000 AS BIGINT),
+         list_concat([embedding[1] * 2.0], CAST(embedding[2:len(embedding)] AS DOUBLE[]))
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT a.id AS left_id, b.id AS right_id,
+  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.id < b.id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+""",
     "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     # Rabin-Karp rolling fingerprint over whitespace tokens; per-token hash
     # is the codepoint polynomial shared with the embedder — modulus 2^31-1
@@ -1406,6 +1430,49 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
     # loop is a recursive CTE over the per-doc cumulative word-length array —
     # state (s, jnext) = buffer start + scan position, one emitted chunk per
     # recursion step (ocr_ray/functions/chunking.py:split_text_into_chunks)
+    # full signature recomputation (PolySimHasher, stages/dedup.py): two
+    # polynomial codepoint hashes per token, rolling 3-shingle folds mod
+    # 2^31-1 combined into 62-bit features, distinct-feature bit-majority
+    # vote, then all-pairs Hamming <= 9.  Because the pipeline's
+    # max_hamming (9) < n_bands (10), pigeonhole makes band recall exact —
+    # this oracle checks VALUES, with no LSH recall assumption.
+    "dedup_simhash": r"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''),
+u AS (
+  SELECT id, w FROM d0
+  UNION ALL
+  SELECT id + 1000000, w[1:len(w)-1] FROM d0 WHERE id % 10 = 0 AND len(w) >= 2
+),
+th AS (SELECT id, len(w) AS n,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM u),
+feats AS (SELECT id,
+   CASE WHEN n < 3 THEN
+     [ list_reduce(list_prepend(CAST(0 AS BIGINT), t1), (a, b) -> (a * 1000003 + b) % 2147483647)
+       + list_reduce(list_prepend(CAST(0 AS BIGINT), t2), (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 ]
+   ELSE
+     list_distinct(list_transform(generate_series(1, n - 2), i ->
+       ((t1[i] * 1000003 + t1[i+1]) % 2147483647 * 1000003 + t1[i+2]) % 2147483647
+       + ((t2[i] * 1000033 + t2[i+1]) % 2147483647 * 1000033 + t2[i+2]) % 2147483647 * 2147483648))
+   END AS h
+ FROM th),
+bits AS (
+  SELECT f.id, b.j,
+         CASE WHEN sum(((x.h >> b.j) & 1) * 2 - 1) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+  FROM feats f, unnest(f.h) AS x(h), generate_series(0, 61) AS b(j)
+  GROUP BY f.id, b.j),
+sigs AS (SELECT id, CAST(sum(bit << j) AS BIGINT) AS sig FROM bits GROUP BY id)
+SELECT a.id AS left_id, b.id AS right_id,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= 9
+""",
     "doc_chunks_para": r"""
 WITH RECURSIVE
 clean AS (

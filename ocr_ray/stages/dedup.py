@@ -305,11 +305,12 @@ def minhash_bands_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
     return h(batch)
 
 
-def simhash_bands_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
-    key = ("simhash", tuple(sorted(kw.items())))
+def simhash_bands_batch(batch: pd.DataFrame, scheme: str = "poly", **kw) -> pd.DataFrame:
+    key = ("simhash", scheme, tuple(sorted(kw.items())))
     h = _HASHER_CACHE.get(key)
     if h is None:
-        h = _HASHER_CACHE.setdefault(key, SimHasher(**kw))
+        cls = PolySimHasher if scheme == "poly" else SimHasher
+        h = _HASHER_CACHE.setdefault(key, cls(**kw))
     return h(batch)
 
 
@@ -432,17 +433,21 @@ def minhash_dedup_pairs(
 
 def simhash_dedup_pairs(
     docs: "object",
-    n_bands: int = 8,
+    n_bands: int = 10,
     shingle_k: int = 3,
-    max_hamming: int = 16,
+    max_hamming: int = 9,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_partitions: int = 16,
     concurrency: int = 2,  # kept for API compat; task pool self-scales
+    scheme: str = "poly",
 ) -> "object":
-    """SimHash near-dup pairs, end-to-end distributed: 64-bit signatures,
-    bit-band bucketing (pigeonhole guarantees candidates for Hamming <
-    n_bands), then the same three raw-task exchanges as
+    """SimHash near-dup pairs, end-to-end distributed: 62-bit
+    SQL-replicable signatures (:class:`PolySimHasher`; ``scheme="siphash"``
+    selects the 64-bit SipHash variant), bit-band bucketing (pigeonhole
+    guarantees candidates for Hamming < n_bands — with the default
+    ``max_hamming = n_bands - 1`` the output provably equals the all-pairs
+    Hamming filter), then the same three raw-task exchanges as
     :func:`minhash_dedup_pairs` — the signature side table (one row per
     band, deduped per partition) replaces doc texts and each partition
     verifies Hamming <= max_hamming vectorized (xor + popcount)."""
@@ -493,7 +498,8 @@ def simhash_dedup_pairs(
 
     sig_rows = docs.map_batches(
         simhash_bands_batch, batch_format="pandas",
-        fn_kwargs={"n_bands": n_bands, "shingle_k": shingle_k,
+        fn_kwargs={"scheme": scheme, "n_bands": n_bands,
+                   "shingle_k": shingle_k,
                    "text_col": text_col, "id_col": id_col},
     ).materialize()  # consumed three times: buckets + both signature sides
 
@@ -595,3 +601,116 @@ class SimHasher:
 
 def hamming64(a: int, b: int) -> int:
     return bin(int(a) ^ int(b)).count("1")
+
+
+# ----------------------------------------------- SQL-replicable simhash
+# Two independent polynomial codepoint hashes per token (same family as the
+# embedder/fingerprint hash, stages/embed.py:hash_token), combined per
+# k-shingle by rolling polynomials mod 2^31-1 into a 62-bit feature.  Every
+# operation is exact BIGINT arithmetic, so a DuckDB oracle can recompute the
+# full signature — the dedup_simhash query is value-checked end to end, not
+# rows-only.  Constants are frozen: changing any of them silently breaks
+# the oracle.
+_P1_MULT, _P1_MOD, _P1_INIT = 31, 1000003, 7
+_P2_MULT, _P2_MOD, _P2_INIT = 37, 1000033, 11
+_MOD31 = (1 << 31) - 1
+POLY_SIG_BITS = 62
+
+
+def _poly_hash_token(tok: str) -> Tuple[int, int]:
+    h1, h2 = _P1_INIT, _P2_INIT
+    for ch in tok:
+        c = ord(ch)
+        h1 = (h1 * _P1_MULT + c) % _P1_MOD
+        h2 = (h2 * _P2_MULT + c) % _P2_MOD
+    return h1, h2
+
+
+class PolySimHasher:
+    """62-bit SimHash over k-word shingles with SQL-replicable hashing.
+
+    Feature = (rolling poly of token-hash-1 mod 2^31-1)
+            + (rolling poly of token-hash-2 mod 2^31-1) << 31,
+    distinct features vote ±1 per bit, bit = (vote sum > 0).
+
+    Banding: ``n_bands`` contiguous bit ranges (widths differing by at most
+    one).  Pigeonhole: any pair with Hamming < n_bands shares at least one
+    full band, so with ``max_hamming = n_bands - 1`` in the verify step the
+    pipeline's output EXACTLY equals the all-pairs Hamming filter — no
+    recall assumption, which is what makes the DuckDB oracle sound.
+    Scale note: n_bands=10 means 6-7-bit band keys (<=128 buckets per
+    band); at billions of rows, raise the signature width / band width and
+    lower the guaranteed radius, or pre-partition by a coarse length key.
+    """
+
+    def __init__(self, n_bands: int = 10, shingle_k: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.n_bands = n_bands
+        self.shingle_k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+        base, rem = divmod(POLY_SIG_BITS, n_bands)
+        widths = [base + 1] * rem + [base] * (n_bands - rem)
+        self._offsets = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+        self._masks = np.array([(1 << w) - 1 for w in widths], dtype=np.uint64)
+        self._cache: Dict[str, Tuple[int, int]] = {}
+
+    def _token_hashes(self, tokens: List[str]) -> np.ndarray:
+        out = np.empty((len(tokens), 2), dtype=np.int64)
+        cache = self._cache
+        for i, t in enumerate(tokens):
+            f = cache.get(t)
+            if f is None:
+                if len(cache) > 2_000_000:  # bound actor memory on open vocab
+                    cache.clear()
+                f = cache.setdefault(t, _poly_hash_token(t))
+            out[i] = f
+        return out
+
+    def features(self, text: str) -> np.ndarray:
+        """Distinct 62-bit shingle features of one document."""
+        toks = text.split()
+        n = len(toks)
+        if n == 0:
+            return np.array([], dtype=np.int64)
+        th = self._token_hashes(toks)
+        t1, t2 = th[:, 0], th[:, 1]
+        k = self.shingle_k
+        if n < k:  # short doc: one shingle folding every token
+            s1, s2 = 0, 0
+            for a, b in zip(t1.tolist(), t2.tolist()):
+                s1 = (s1 * _P1_MOD + a) % _MOD31
+                s2 = (s2 * _P2_MOD + b) % _MOD31
+            return np.array([s1 + (s2 << 31)], dtype=np.int64)
+        m = n - k + 1
+        s1 = t1[:m].copy()
+        s2 = t2[:m].copy()
+        for j in range(1, k):  # products < 2^51: exact in int64
+            s1 = (s1 * _P1_MOD + t1[j:m + j]) % _MOD31
+            s2 = (s2 * _P2_MOD + t2[j:m + j]) % _MOD31
+        return np.unique(s1 + (s2 << 31))
+
+    def signature_of(self, text: str) -> int:
+        h = self.features(text)
+        if h.size == 0:
+            return 0
+        bits = (h[:, None] >> np.arange(POLY_SIG_BITS)[None, :]) & 1
+        votes = bits.sum(axis=0, dtype=np.int64) * 2 - h.size
+        return int(((votes > 0).astype(np.int64)
+                    << np.arange(POLY_SIG_BITS)).sum())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        sigs = np.fromiter(
+            (self.signature_of(t) for t in batch[self.text_col]),
+            dtype=np.uint64, count=n,
+        )
+        keys = (sigs[:, None] >> self._offsets[None, :]) & self._masks[None, :]
+        return pd.DataFrame(
+            {
+                self.id_col: np.repeat(np.asarray(batch[self.id_col]), self.n_bands),
+                "simhash": np.repeat(sigs, self.n_bands),
+                "band_id": np.tile(np.arange(self.n_bands, dtype=np.int32), n),
+                "band_key": keys.ravel(),
+            }
+        )

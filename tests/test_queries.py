@@ -86,20 +86,41 @@ def test_ann_lsh_buckets_group_similar(ray_session):
     assert out1["bucket"].nunique() > 1
 
 
-def test_simhash_query_finds_mutated_dups(ray_session):
-    """The dedup_simhash query must pair every mutated copy (doc_id+1e6,
-    last word dropped) with its original."""
+def test_simhash_query_matches_allpairs(ray_session):
+    """The dedup_simhash query output must EXACTLY equal the brute-force
+    all-pairs Hamming<=9 filter over recomputed signatures (the pigeonhole
+    guarantee: max_hamming=9 < n_bands=10 means banding cannot miss a
+    qualifying pair), and must recover nearly all mutated copies
+    (doc_id+1e6, last word dropped; a very short doc may legitimately
+    exceed radius 9 — its few shingles make the signature fragile)."""
+    import pandas as pd
+
     from ocr_ray.pipelines.queries import q_dedup_simhash
+    from ocr_ray.stages.dedup import PolySimHasher, hamming64
 
     out = q_dedup_simhash(SF).to_pandas()
     pairs = set(zip(out["left_id"], out["right_id"]))
-    import pandas as pd
 
     docs = pd.read_parquet(f"{SF}/documents.parquet")
-    expected = {
-        (int(d), int(d) + 1_000_000) for d in docs["doc_id"] if int(d) % 10 == 0
+    h = PolySimHasher()
+    sigs = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        sigs[int(d)] = h.signature_of(t)
+        if int(d) % 10 == 0 and len(t.split()) >= 2:
+            sigs[int(d) + 1_000_000] = h.signature_of(
+                " ".join(t.split()[:-1])
+            )
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if hamming64(sigs[a], sigs[b]) <= 9
     }
-    assert expected <= pairs
+    assert pairs == brute
+
+    mutants = {(d, d + 1_000_000) for d in sigs if d < 1_000_000 and d + 1_000_000 in sigs}
+    assert len(mutants & pairs) / len(mutants) >= 0.9
 
 
 def test_ann_ivf_recall_vs_brute_force(ray_session):
@@ -191,9 +212,10 @@ def test_ann_lsh_topk_recall_vs_brute_force(ray_session):
 
 def test_dedup_embed_lsh_recall(ray_session):
     """Multi-table LSH near-dup must recover the perturbed-copy positives
-    (cosine ~0.999 -> per-table collision p^8 ~ 0.88, 12 tables -> recall
-    ~1-1e-11) and produce no false positives (every emitted pair is
-    verified by exact cosine >= 0.9 against the unioned table)."""
+    (first component doubled -> cosine >= (1+t^2)/sqrt(1+3t^2) >= 0.9428,
+    typically ~0.99; per-table collision p^8, 12 tables -> recall ~1) and
+    produce no false positives (every emitted pair is verified by exact
+    cosine >= 0.9 against the unioned table)."""
     import numpy as np
     import pandas as pd
 
