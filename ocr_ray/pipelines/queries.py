@@ -298,6 +298,26 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_dedup_pairs(both, n_partitions=16)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Duplicate clusters: MinHash+LSH near-dup pairs (the oracle-checked
+    distributed path) fed into iterative min-label connected components
+    (stages/dedup.py:connected_components — per-round raw-task label
+    exchange, driver sees only changed-counts).  Output: every doc in a
+    near-dup pair labeled with the minimum doc_id of its component — the
+    canonical "keep one representative per cluster" step of training-data
+    dedup."""
+    from ocr_ray.stages.dedup import connected_components, minhash_dedup_pairs
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = minhash_dedup_pairs(
+        docs, n_perm=64, n_bands=16, shingle_k=MINHASH_SHINGLE_K,
+        threshold=JACCARD_THRESHOLD, n_partitions=16,
+    )
+    return connected_components(pairs, n_partitions=8)
+
+
 EMBED_DUP_THRESHOLD = 0.4
 
 
@@ -1164,6 +1184,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
         "dedup_embed_lsh": q_dedup_embed_lsh,
@@ -1430,6 +1451,31 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
     # loop is a recursive CTE over the per-doc cumulative word-length array —
     # state (s, jnext) = buffer start + scan position, one emitted chunk per
     # recursion step (ocr_ray/functions/chunking.py:split_text_into_chunks)
+    # same pair semantics as dedup_minhash, then components via transitive
+    # closure (recursive CTE; UNION dedup terminates cycles) and
+    # cluster_id = min reachable id
+    "dedup_clusters": rf"""
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+s AS (SELECT doc_id,
+        CASE WHEN len(w) < {MINHASH_SHINGLE_K} THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(w)-{MINHASH_SHINGLE_K - 1}),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+      FROM t),
+p AS (SELECT CAST(a.doc_id AS BIGINT) AS left_id, CAST(b.doc_id AS BIGINT) AS right_id
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}),
+edges AS (SELECT left_id AS a, right_id AS b FROM p
+          UNION SELECT right_id, left_id FROM p),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+""",
     # full signature recomputation (PolySimHasher, stages/dedup.py): two
     # polynomial codepoint hashes per token, rolling 3-shingle folds mod
     # 2^31-1 combined into 62-bit features, distinct-feature bit-majority

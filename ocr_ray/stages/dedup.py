@@ -603,6 +603,119 @@ def hamming64(a: int, b: int) -> int:
     return bin(int(a) ^ int(b)).count("1")
 
 
+# ------------------------------------------------- connected components
+def connected_components(
+    pairs: "object",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    n_partitions: int = 16,
+    max_rounds: int = 50,
+) -> "object":
+    """Duplicate-cluster labels from a near-dup pair table: every id that
+    appears in a pair gets ``cluster_id`` = the minimum id reachable
+    through pairs (the canonical representative — "keep the smallest id,
+    drop the rest" is then a filter).
+
+    Distributed min-label propagation over the raw-task hash exchange:
+    edges are split ONCE by src-id hash; each round, per-partition "emit"
+    tasks join local labels to local edges and scatter candidate labels to
+    the neighbor's partition (``num_returns=n_partitions`` — the message
+    shuffle never touches the driver), and "update" tasks take the
+    per-partition min and report only a changed-count int back.  Rounds =
+    graph diameter; near-dup clusters are near-cliques (diameter <= ~3),
+    so the loop converges in a handful of rounds — for long-chain graphs
+    add pointer jumping (label <- label[label]) before scaling up.
+    Driver-side state per round: P integers, never row data."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    P = n_partitions
+
+    def to_adj(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[left_col].to_numpy(dtype="int64")
+        v = b[right_col].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {"src": np.concatenate([u, v]), "dst": np.concatenate([v, u])}
+        )
+
+    adj = pairs.map_batches(to_adj, batch_format="pandas")
+    esplit = _exchange(adj, "src", P)
+    edge_parts = [[s[j] for s in esplit] for j in range(P)]
+
+    @ray.remote
+    def init_labels(*pieces):
+        g = _concat_pd(pieces)
+        ids = np.unique(g["src"].to_numpy(dtype="int64")) if len(g) else np.array([], dtype="int64")
+        return pa.Table.from_pandas(
+            pd.DataFrame({"id": ids, "label": ids}), preserve_index=False
+        )
+
+    @ray.remote
+    def emit(labels_tbl, *pieces):
+        lab = labels_tbl.to_pandas()
+        g = _concat_pd(pieces)
+        if len(g) and len(lab):
+            m = g.merge(lab, left_on="src", right_on="id", how="inner")
+            msgs = pd.DataFrame(
+                {"id": m["dst"].to_numpy(dtype="int64"),
+                 "label": m["label"].to_numpy(dtype="int64")}
+            ).groupby("id", as_index=False)["label"].min()
+        else:
+            msgs = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64")})
+        h = pd.util.hash_pandas_object(msgs["id"].astype("int64"), index=False).to_numpy()
+        part = (h % P).astype(np.int64)
+        return tuple(
+            pa.Table.from_pandas(msgs[part == j], preserve_index=False)
+            for j in range(P)
+        )
+
+    @ray.remote(num_returns=2)
+    def update(labels_tbl, *msg_pieces):
+        lab = labels_tbl.to_pandas()
+        msgs = _concat_pd(msg_pieces)
+        if not len(msgs) or not len(lab):
+            return labels_tbl, 0
+        best = msgs.groupby("id", as_index=False)["label"].min()
+        m = lab.merge(best, on="id", how="left", suffixes=("", "_new"))
+        new = np.fmin(m["label"].to_numpy(dtype="int64"),
+                      m["label_new"].fillna(np.iinfo(np.int64).max).to_numpy(dtype="int64"))
+        changed = int((new != m["label"].to_numpy(dtype="int64")).sum())
+        out = pa.Table.from_pandas(
+            pd.DataFrame({"id": m["id"].to_numpy(dtype="int64"), "label": new}),
+            preserve_index=False,
+        )
+        return out, changed
+
+    labels = [init_labels.remote(*edge_parts[j]) for j in range(P)]
+    for _ in range(max_rounds):
+        outs = [
+            emit.options(num_returns=P).remote(labels[j], *edge_parts[j])
+            for j in range(P)
+        ]
+        new_labels, counts = [], []
+        for j in range(P):
+            nl, ch = update.remote(labels[j], *[outs[i][j] for i in range(P)])
+            new_labels.append(nl)
+            counts.append(ch)
+        labels = new_labels
+        if sum(ray.get(counts)) == 0:
+            break
+
+    @ray.remote
+    def finalize(tbl):
+        lab = tbl.to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": lab["id"].to_numpy(dtype="int64"),
+                          "cluster_id": lab["label"].to_numpy(dtype="int64")}),
+            preserve_index=False,
+        )
+
+    return rd.from_arrow_refs([finalize.remote(t) for t in labels])
+
+
 # ----------------------------------------------- SQL-replicable simhash
 # Two independent polynomial codepoint hashes per token (same family as the
 # embedder/fingerprint hash, stages/embed.py:hash_token), combined per

@@ -232,3 +232,25 @@ def test_dedup_embed_lsh_recall(ray_session):
     assert expected <= pairs
     # no false positives: emitted sims all >= threshold (exact verify ran)
     assert (got["sim"] >= 0.9).all()
+
+
+def test_connected_components_chain(ray_session):
+    """Min-label propagation must converge across a long chain (worst-case
+    diameter: label 0 has to walk the whole path, multiple rounds) plus a
+    disjoint triangle and an isolated pair."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(0, 20)]          # component {0..20}
+    tri = [(100, 101), (101, 102), (100, 102)]          # component {100,101,102}
+    iso = [(200, 201)]                                  # component {200,201}
+    pairs = rd.from_pandas(pd.DataFrame(chain + tri + iso,
+                                        columns=["left_id", "right_id"]))
+    out = connected_components(pairs, n_partitions=4).to_pandas()
+    lab = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(lab[i] == 0 for i in range(21))
+    assert all(lab[i] == 100 for i in (100, 101, 102))
+    assert lab[200] == lab[201] == 200
+    assert len(out) == 21 + 3 + 2
