@@ -34,3 +34,30 @@ def extract_entities(text: str) -> Dict[str, List[str]]:
         "phones": _PHONE.findall(text),
         "urls": _URL.findall(text),
     }
+
+_REDACT_ORDER = [
+    (_URL, "[URL]"),
+    (_EMAIL, "[EMAIL]"),
+    (_PHONE, "[PHONE]"),
+    (_DATE_PATTERNS[0], "[DATE]"),
+    (_DATE_PATTERNS[1], "[DATE]"),
+    (_DATE_PATTERNS[2], "[DATE]"),
+]
+
+
+def redact_pii(text: str) -> Dict[str, object]:
+    """PII redaction over the M11 entity patterns: sequential replace in a
+    FIXED order (url -> email -> phone -> the three date patterns), counts
+    taken on the ORIGINAL text.  Order and count basis are part of the
+    contract — the DuckDB oracle nests ``regexp_replace(..., 'g')`` in the
+    same order and runs ``regexp_extract_all`` on the raw column."""
+    counts = {
+        "n_urls": len(_URL.findall(text)),
+        "n_emails": len(_EMAIL.findall(text)),
+        "n_phones": len(_PHONE.findall(text)),
+        "n_dates": sum(len(p.findall(text)) for p in _DATE_PATTERNS),
+    }
+    red = text
+    for pat, tag in _REDACT_ORDER:
+        red = pat.sub(tag, red)
+    return {"redacted": red, **counts}

@@ -133,6 +133,65 @@ def q_doc_split(sf_dir: str):
     return ds.map_batches(split_batch, batch_format="pandas")
 
 
+def q_split_contamination(sf_dir: str):
+    """Train/eval contamination guard: val/test docs (doc_split's 80/10/10
+    hash assignment) sharing ANY 3-word shingle with any train doc.
+    Distributed by shingle hash (stages/dedup.py:
+    cross_split_contamination); the oracle joins the identical 62-bit
+    polynomial shingle hashes in SQL."""
+    from ocr_ray.stages.dedup import cross_split_contamination
+
+    def split_of(ids):
+        h = (ids.astype("int64") * SPLIT_MULT) % (1 << 32)
+        bucket = h % 100
+        label = np.where(bucket < 80, "train",
+                         np.where(bucket < 90, "val", "test"))
+        return bucket < 80, label
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return cross_split_contamination(ds, split_of, n_partitions=16)
+
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """EXACT token-length quantiles without a global sort: per-batch partial
+    histograms (length -> count) merged by the two-level hash aggregate
+    (bounded cardinality — document lengths, not documents), then the order
+    statistic read off the cumulative histogram on the driver (a table of
+    distinct lengths, not rows).  value(q) = element at rank ceil(q*n),
+    1-based — PERCENTILE_DISC semantics, no interpolation ambiguity."""
+    import math
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def lengths(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.split().str.len().astype("int64")
+        return pd.DataFrame({"token_len": n[n > 0]})
+
+    hist = hash_aggregate(
+        ds.map_batches(lengths, batch_format="pandas"),
+        keys=["token_len"], aggs={"cnt": "count"}, n_partitions=8,
+    ).to_pandas().sort_values("token_len").reset_index(drop=True)
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    out = []
+    for q in QUANTILES:
+        rank = math.ceil(q * n)
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out.append((q, int(hist["token_len"].iloc[idx])))
+    return pd.DataFrame(out, columns=["q", "token_len"]).astype(
+        {"q": "float64", "token_len": "int64"}
+    )
+
+
 def q_doc_top_terms(sf_dir: str):
     """Global vocabulary top-50 (corpus term frequencies): per-batch partial
     Counter -> streaming hash-exchange aggregation on the term -> global
@@ -189,6 +248,34 @@ def q_entities_customer(sf_dir: str):
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    return ds.map_batches(batch_fn, batch_format="pandas")
+
+
+_PII_TAIL = (" Contact user{d}@example.com or +1 (555) 123-4567 on 12/31/2024"
+             " via https://example.com/u{d}")
+
+
+def q_doc_pii_redact(sf_dir: str):
+    """PII redaction — a first-class training-data scrubbing pass: the M11
+    entity patterns applied as sequential replaces (url -> email -> phone ->
+    dates) with per-category counts from the original text.  Inputs carry a
+    deterministic synthesized PII tail (the base corpus has none).  Pure
+    per-row map, no shuffle; patterns compiled once at module import."""
+    from ocr_ray.functions.entities import redact_pii
+
+    def batch_fn(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "redacted": [], "n_urls": [], "n_emails": [],
+               "n_phones": [], "n_dates": []}
+        for d, t in zip(b["doc_id"], b["text"]):
+            r = redact_pii(t + _PII_TAIL.format(d=int(d)))
+            out["doc_id"].append(int(d))
+            for k in ("redacted", "n_urls", "n_emails", "n_phones", "n_dates"):
+                out[k].append(r[k])
+        return pd.DataFrame(out)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return ds.map_batches(batch_fn, batch_format="pandas")
 
@@ -1181,6 +1268,9 @@ def queries() -> Dict[str, Callable]:
         "doc_split": q_doc_split,
         "doc_top_terms": q_doc_top_terms,
         "entities_customer": q_entities_customer,
+        "doc_pii_redact": q_doc_pii_redact,
+        "split_contamination": q_split_contamination,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1314,6 +1404,35 @@ SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
   CAST(len(regexp_extract_all(synth, '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b')) AS BIGINT) AS n_emails
 FROM v
 """,
+    # same sequential replace order as functions/entities.py:redact_pii
+    # (url -> email -> phone -> three date patterns); counts on the raw
+    # synthesized text.  DuckDB's regexp engine is RE2 — pattern-equivalent
+    # to the compiled Python patterns on this corpus (validated end to end).
+    "doc_pii_redact": r"""
+WITH s AS (
+  SELECT doc_id,
+    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com or +1 (555) 123-4567 on 12/31/2024 via https://example.com/u'
+         || CAST(doc_id AS VARCHAR) AS synth
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    synth,
+    'https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+', '[URL]', 'g'),
+    '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b', '[EMAIL]', 'g'),
+    '\b(?:\+\d{1,3}[- ]?)?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b', '[PHONE]', 'g'),
+    '(?i)\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b', '[DATE]', 'g'),
+    '(?i)\b\d{4}[/-]\d{1,2}[/-]\d{1,2}\b', '[DATE]', 'g'),
+    '(?i)\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{1,2},? \d{4}\b', '[DATE]', 'g')
+    AS redacted,
+  CAST(len(regexp_extract_all(synth, 'https?://(?:[-\w.]|(?:%[\da-fA-F]{2}))+')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(synth, '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(synth, '\b(?:\+\d{1,3}[- ]?)?\(?\d{3}\)?[- ]?\d{3}[- ]?\d{4}\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(synth, '(?i)\b\d{1,2}[/-]\d{1,2}[/-]\d{2,4}\b')) AS BIGINT)
+    + CAST(len(regexp_extract_all(synth, '(?i)\b\d{4}[/-]\d{1,2}[/-]\d{1,2}\b')) AS BIGINT)
+    + CAST(len(regexp_extract_all(synth, '(?i)\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{1,2},? \d{4}\b')) AS BIGINT) AS n_dates
+FROM s
+""",
     "doc_tokens": rf"""
 SELECT doc_id,
   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
@@ -1378,6 +1497,18 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        WHEN hv % 100 < 90 THEN 'val'
        ELSE 'test' END AS split
 FROM h
+""",
+    # PERCENTILE_DISC semantics spelled out (value at rank ceil(q*n)) so
+    # neither engine's interpolation convention is in play
+    "doc_length_quantiles": f"""
+WITH t AS (SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS L
+           FROM documents WHERE trim(text) <> ''),
+o AS (SELECT L, row_number() OVER (ORDER BY L) AS rn, count(*) OVER () AS n FROM t),
+qs AS (SELECT unnest([{", ".join(str(q) for q in QUANTILES)}]) AS q)
+SELECT qs.q AS q, CAST(min(o.L) AS BIGINT) AS token_len
+FROM qs, o
+WHERE o.rn >= CAST(ceil(qs.q * o.n) AS BIGINT)
+GROUP BY qs.q
 """,
     "doc_top_terms": """
 WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -1451,6 +1582,38 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
     # loop is a recursive CTE over the per-doc cumulative word-length array —
     # state (s, jnext) = buffer start + scan position, one emitted chunk per
     # recursion step (ocr_ray/functions/chunking.py:split_text_into_chunks)
+    # identical 62-bit polynomial shingle hashes as the Ray side
+    # (PolySimHasher.features) — collision behavior matches by construction
+    "split_contamination": rf"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                   string_split_regex(trim(text), '\s+') AS w,
+                   ((CAST(doc_id AS BIGINT) * {SPLIT_MULT}) % 4294967296) % 100 AS bucket
+            FROM documents WHERE trim(text) <> ''),
+th AS (SELECT id, bucket, len(w) AS n,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM d0),
+feats AS (SELECT id, bucket,
+   CASE WHEN n < 3 THEN
+     [ list_reduce(list_prepend(CAST(0 AS BIGINT), t1), (a, b) -> (a * 1000003 + b) % 2147483647)
+       + list_reduce(list_prepend(CAST(0 AS BIGINT), t2), (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 ]
+   ELSE
+     list_distinct(list_transform(generate_series(1, n - 2), i ->
+       ((t1[i] * 1000003 + t1[i+1]) % 2147483647 * 1000003 + t1[i+2]) % 2147483647
+       + ((t2[i] * 1000033 + t2[i+1]) % 2147483647 * 1000033 + t2[i+2]) % 2147483647 * 2147483648))
+   END AS h
+ FROM th),
+f AS (SELECT id, bucket, x.h FROM feats, unnest(feats.h) AS x(h)),
+tr AS (SELECT DISTINCT h FROM f WHERE bucket < 80)
+SELECT DISTINCT f.id AS doc_id,
+       CASE WHEN f.bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM f
+WHERE f.bucket >= 80 AND f.h IN (SELECT h FROM tr)
+""",
     # same pair semantics as dedup_minhash, then components via transitive
     # closure (recursive CTE; UNION dedup terminates cycles) and
     # cluster_id = min reachable id

@@ -603,6 +603,86 @@ def hamming64(a: int, b: int) -> int:
     return bin(int(a) ^ int(b)).count("1")
 
 
+# ---------------------------------------------- cross-split contamination
+def cross_split_contamination(
+    docs: "object",
+    split_of,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 16,
+) -> "object":
+    """Train/eval contamination check — a first-class guard for training
+    pipelines: every non-train document that shares ANY k-word shingle with
+    any train document is flagged.
+
+    ``split_of(ids: int64 array) -> (is_train bool array, label str array)``
+    must be a pure function of the id (deterministic hash split), so no
+    side table needs shipping.  Shingles are the SQL-replicable 62-bit
+    polynomial features (:class:`PolySimHasher`), exploded to (h, id,
+    is_train, label) rows and hash-exchanged BY SHINGLE — each partition
+    independently builds its local train-shingle set and emits its local
+    contaminated ids; a second exchange by id dedupes.  Both sides of the
+    oracle join on the same 62-bit hashes, so collision behavior is
+    identical by construction."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    hasher = PolySimHasher(shingle_k=shingle_k)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(dtype="int64")
+        is_train, label = split_of(ids)
+        hs, out_id, out_tr, out_lb = [], [], [], []
+        for i, t in enumerate(b[text_col]):
+            f = hasher.features(t)
+            hs.append(f)
+            out_id.append(np.full(f.size, ids[i], dtype=np.int64))
+            out_tr.append(np.full(f.size, is_train[i], dtype=bool))
+            out_lb.extend([label[i]] * f.size)
+        if not hs:
+            return pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                                 "id": pd.Series([], dtype="int64"),
+                                 "is_train": pd.Series([], dtype="bool"),
+                                 "split": pd.Series([], dtype="object")})
+        return pd.DataFrame(
+            {"h": np.concatenate(hs), "id": np.concatenate(out_id),
+             "is_train": np.concatenate(out_tr), "split": out_lb}
+        )
+
+    @ray.remote
+    def contaminated_local(*pieces):
+        g = _concat_pd(pieces)
+        if not len(g):
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "split": pd.Series([], dtype="object")})
+            return pa.Table.from_pandas(out, preserve_index=False)
+        train_h = set(g.loc[g["is_train"], "h"].tolist())
+        ev = g[~g["is_train"] & g["h"].isin(train_h)]
+        out = (ev[["id", "split"]].drop_duplicates("id")
+               .rename(columns={"id": "doc_id"}))
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    @ray.remote
+    def dedupe(*pieces):
+        g = _concat_pd(pieces).drop_duplicates("doc_id")
+        return pa.Table.from_pandas(g.reset_index(drop=True),
+                                    preserve_index=False)
+
+    rows = docs.map_batches(explode, batch_format="pandas")
+    P = n_partitions
+    hsplit = _exchange(rows, "h", P)
+    local_refs = [
+        contaminated_local.remote(*[s[j] for s in hsplit]) for j in range(P)
+    ]
+    dsplit = _exchange(local_refs, "doc_id", P)
+    out_refs = [dedupe.remote(*[s[j] for s in dsplit]) for j in range(P)]
+    return rd.from_arrow_refs(out_refs)
+
+
 # ------------------------------------------------- connected components
 def connected_components(
     pairs: "object",
