@@ -95,11 +95,71 @@ def dedup_pairs(
         ).to_pandas()
     if method == "simhash":
         return simhash_dedup_pairs(
-            docs, n_bands=8, shingle_k=3, max_hamming=16,
-            text_col=text_col, id_col=id_col, n_partitions=8,
+            docs, text_col=text_col, id_col=id_col, n_partitions=8,
         ).to_pandas()
 
     raise ValueError(f"unknown dedup method: {method}")
+
+
+def dedup_clusters(
+    docs: "rd.Dataset",
+    method: str = "minhash",
+    threshold: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Near-dup components: every doc in a dup pair labeled with its
+    cluster's minimum id (``doc_id``, ``cluster_id``).  Keep-one-per-cluster
+    is then ``filter(doc_id == cluster_id)`` plus the unpaired docs."""
+    from ocr_ray.stages.dedup import (
+        connected_components,
+        minhash_dedup_pairs,
+        simhash_dedup_pairs,
+    )
+
+    if method == "minhash":
+        pairs = minhash_dedup_pairs(
+            docs, threshold=threshold, text_col=text_col, id_col=id_col,
+            n_partitions=8,
+        )
+    elif method == "simhash":
+        pairs = simhash_dedup_pairs(
+            docs, text_col=text_col, id_col=id_col, n_partitions=8,
+        )
+    else:
+        raise ValueError(f"unknown dedup method: {method}")
+    return connected_components(pairs, n_partitions=8)
+
+
+def redact_pii(docs: "rd.Dataset", text_col: str = "text") -> "rd.Dataset":
+    """Sequential PII redaction (url -> email -> phone -> dates) with
+    per-category counts; adds ``redacted`` + ``n_*`` columns."""
+    from ocr_ray.functions.entities import redact_pii as _redact
+
+    def batch_fn(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.copy()
+        recs = [_redact(t) for t in b[text_col]]
+        for k in ("redacted", "n_urls", "n_emails", "n_phones", "n_dates"):
+            out[k] = [r[k] for r in recs]
+        return out
+
+    return docs.map_batches(batch_fn, batch_format="pandas")
+
+
+def split_contamination(
+    docs: "rd.Dataset",
+    split_of,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Non-train docs sharing any k-word shingle with a train doc (see
+    stages/dedup.py:cross_split_contamination)."""
+    from ocr_ray.stages.dedup import cross_split_contamination
+
+    return cross_split_contamination(
+        docs, split_of, shingle_k=shingle_k, text_col=text_col, id_col=id_col,
+    )
 
 
 def embed_texts(

@@ -499,6 +499,36 @@ def test_facade_round2_surface(ray_session):
     ans = ocr.answer_questions(docs, "what is the value").to_pandas()
     assert list(ans.sort_values("doc_id")["answer"])[0].startswith("the value is high")
 
+    # cluster labeling: two near-identical docs + one unrelated
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    d3 = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [5, 9, 12],
+         "text": [base, base + "tail", "completely different content " * 6]}
+    ))
+    cl = ocr.dedup_clusters(d3, method="simhash").to_pandas()
+    lab = dict(zip(cl["doc_id"], cl["cluster_id"]))
+    assert lab.get(5) == 5 and lab.get(9) == 5 and 12 not in lab
+
+    red = ocr.redact_pii(rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "text": ["mail a@b.io via https://x.io now"]}
+    ))).to_pandas()
+    assert red["redacted"].iloc[0] == "mail [EMAIL] via [URL] now"
+    assert int(red["n_emails"].iloc[0]) == 1 and int(red["n_urls"].iloc[0]) == 1
+
+    def split_of(ids):
+        is_train = ids % 2 == 0
+        return is_train, np.where(is_train, "train", "test")
+
+    cont = ocr.split_contamination(
+        rd.from_pandas(pd.DataFrame(
+            {"doc_id": [2, 3, 7],
+             "text": [base, base + "suffix words", "nothing shared here at all"]}
+        )),
+        split_of,
+    ).to_pandas()
+    assert set(cont["doc_id"]) == {3}
+    assert list(cont["split"]) == ["test"]
+
 
 def test_exchange_map_partitions_semantics(ray_session):
     """The exchange backbone: groupby-equivalent results, keys never split
