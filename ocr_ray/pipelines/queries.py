@@ -154,6 +154,54 @@ def q_split_contamination(sf_dir: str):
     return cross_split_contamination(ds, split_of, n_partitions=16)
 
 
+def q_doc_tfidf(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms — the two-pass broadcast featurization
+    pattern: pass 1 aggregates global document frequencies (two-level hash
+    aggregate over per-doc distinct terms; vocabulary-sized output), the DF
+    table is broadcast once via ray.put, pass 2 re-streams the docs scoring
+    tf*ln(N/df) per term and ranking top-3 locally (a doc never crosses a
+    batch, so no shuffle).  Ranking uses the ROUNDED score (6 dp) with term
+    tie-break so the DuckDB oracle ranks identically."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = rd.read_parquet(path, columns=["doc_id"]).count()
+
+    def distinct_terms(b: pd.DataFrame) -> pd.DataFrame:
+        terms = []
+        for t in b["text"]:
+            terms.extend(set(_TERM.findall(t.lower())))
+        return pd.DataFrame({"term": pd.Series(terms, dtype="object")})
+
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    df_tbl = hash_aggregate(
+        docs.map_batches(distinct_terms, batch_format="pandas"),
+        keys=["term"], aggs={"df": "count"}, n_partitions=16,
+    ).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype("int64"))))
+
+    def score_batch(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        df = ray.get(df_ref)
+        out = {"doc_id": [], "term": [], "tfidf": [], "rank": []}
+        for d, t in zip(b["doc_id"], b["text"]):
+            tf = Counter(_TERM.findall(t.lower()))
+            scored = sorted(
+                ((-np.round(c * np.log(n_docs / df[w]), 6), w) for w, c in tf.items())
+            )[:3]
+            for r, (neg, w) in enumerate(scored, 1):
+                out["doc_id"].append(int(d))
+                out["term"].append(w)
+                out["tfidf"].append(-neg)
+                out["rank"].append(r)
+        return pd.DataFrame(out).astype(
+            {"doc_id": "int64", "tfidf": "float64", "rank": "int64"}
+        )
+
+    return docs.map_batches(score_batch, batch_format="pandas")
+
+
 QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -1271,6 +1319,7 @@ def queries() -> Dict[str, Callable]:
         "doc_pii_redact": q_doc_pii_redact,
         "split_contamination": q_split_contamination,
         "doc_length_quantiles": q_doc_length_quantiles,
+        "doc_tfidf": q_doc_tfidf,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1497,6 +1546,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        WHEN hv % 100 < 90 THEN 'val'
        ELSE 'test' END AS split
 FROM h
+""",
+    # rank on the ROUNDED score (same 6-dp rounding as the Ray side) with
+    # term tie-break, so both engines rank identically
+    "doc_tfidf": """
+WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+n AS (SELECT count(*) AS nd FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.nd AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n),
+r AS (SELECT s.*, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
 """,
     # PERCENTILE_DISC semantics spelled out (value at rank ceil(q*n)) so
     # neither engine's interpolation convention is in play
