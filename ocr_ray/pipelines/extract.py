@@ -35,16 +35,20 @@ from ocr_ray.state import lineage as L
 def _default_pool_size() -> int:
     """Actor-pool size that leaves CPU headroom for read/write task pools —
     a pool reserving every CPU starves the other stages (guide: Pitfalls).
-    Headroom scales with the node (~1/8 of CPUs, min 2): measured on the
-    1.27M-turn bench, cpus-4 at 32 CPUs beats cpus-2 by ~25% because the
-    parquet write tail otherwise drains on 2 CPUs."""
+    Headroom scales with the node (~1/8 of CPUs, min 2 from 8 CPUs up):
+    measured on the 1.27M-turn bench, cpus-4 at 32 CPUs beats cpus-2 by
+    ~25% because the parquet write tail otherwise drains on 2 CPUs.  Below
+    8 CPUs the headroom is exactly 1 — the old min-2 headroom combined
+    with the min-2 pool meant a 2-CPU node reserved BOTH CPUs for actors
+    and the read tasks never scheduled (observed permanent stall)."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(2, cpus - max(2, cpus // 8))
+    headroom = max(2, cpus // 8) if cpus >= 8 else 1
+    return max(1, cpus - headroom)
 
 
 def build_turn_pipeline(

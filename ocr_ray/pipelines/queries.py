@@ -202,6 +202,72 @@ def q_doc_tfidf(sf_dir: str):
     return docs.map_batches(score_batch, batch_format="pandas")
 
 
+def q_doc_bigram_fluency(sf_dir: str):
+    """Corpus-LM fluency proxy with EXACT integer semantics: score each doc
+    by how common its adjacent token bigrams are in the whole corpus
+    (``fluency_sum`` = sum over the doc's bigram occurrences of that
+    bigram's global count; ``n_pairs`` = the doc's bigram count).  The
+    rare-bigram tail is what quality filters cut — and integers make the
+    oracle value-exact (no float log-prob accumulation-order drift).
+
+    Scale shape: one exchange BY BIGRAM (each partition owns its bigrams:
+    global counts and the doc joins happen partition-locally — no broadcast
+    of a vocab^2 table), then one exchange by doc_id to merge partial sums.
+    """
+    import pyarrow as pa
+
+    from ocr_ray.stages.dedup import _concat_pd, _exchange
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        out = {"doc_id": [], "pair": [], "c": []}
+        for d, t in zip(b["doc_id"], b["text"]):
+            toks = _TERM.findall(t.lower())
+            cnt = Counter(zip(toks, toks[1:]))
+            for (a, bb), c in cnt.items():
+                out["doc_id"].append(int(d))
+                out["pair"].append(a + " " + bb)
+                out["c"].append(c)
+        return pd.DataFrame(out).astype({"doc_id": "int64", "c": "int64"})
+
+    @ray.remote
+    def per_bigram(*pieces):
+        g = _concat_pd(pieces)
+        if not len(g):
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "fluency_sum": pd.Series([], dtype="int64"),
+                                "n_pairs": pd.Series([], dtype="int64")})
+            return pa.Table.from_pandas(out, preserve_index=False)
+        tot = g.groupby("pair")["c"].transform("sum")
+        g = g.assign(contrib=g["c"] * tot)
+        part = g.groupby("doc_id", as_index=False).agg(
+            fluency_sum=("contrib", "sum"), n_pairs=("c", "sum")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    @ray.remote
+    def per_doc(*pieces):
+        g = _concat_pd(pieces)
+        out = g.groupby("doc_id", as_index=False).agg(
+            fluency_sum=("fluency_sum", "sum"), n_pairs=("n_pairs", "sum")
+        ) if len(g) else g
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    rows = docs.map_batches(explode, batch_format="pandas")
+    P = 16
+    psplit = _exchange(rows, "pair", P)
+    part_refs = [per_bigram.remote(*[s[j] for s in psplit]) for j in range(P)]
+    dsplit = _exchange(part_refs, "doc_id", P)
+    out_refs = [per_doc.remote(*[s[j] for s in dsplit]) for j in range(P)]
+    return rd.from_arrow_refs(out_refs)
+
+
 QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -1320,6 +1386,7 @@ def queries() -> Dict[str, Callable]:
         "split_contamination": q_split_contamination,
         "doc_length_quantiles": q_doc_length_quantiles,
         "doc_tfidf": q_doc_tfidf,
+        "doc_bigram_fluency": q_doc_bigram_fluency,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1546,6 +1613,20 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        WHEN hv % 100 < 90 THEN 'val'
        ELSE 'test' END AS split
 FROM h
+""",
+    # integer-exact corpus bigram scoring: adjacency pairs with
+    # multiplicity, global counts joined back per doc
+    "doc_bigram_fluency": """
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+pairs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1])) AS pair
+          FROM toks WHERE len(t) >= 2),
+bg AS (SELECT pair, count(*) AS total FROM pairs GROUP BY pair)
+SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+       CAST(sum(bg.total) AS BIGINT) AS fluency_sum,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p JOIN bg USING (pair)
+GROUP BY p.doc_id
 """,
     # rank on the ROUNDED score (same 6-dp rounding as the Ray side) with
     # term tie-break, so both engines rank identically

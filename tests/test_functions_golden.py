@@ -88,3 +88,41 @@ def test_edge_cases():
     assert F.split_text_into_chunks("") == []
     assert F.get_text_chunks("") == []
     assert F.group_boxes_into_lines([]) == ""
+
+
+def test_poly_simhash_properties():
+    """SQL-replicable simhash: deterministic, set-semantic (duplicate
+    shingles don't double-vote), short-doc fold, near-dup locality."""
+    from ocr_ray.stages.dedup import PolySimHasher, hamming64
+
+    h = PolySimHasher()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    assert h.signature_of(base) == PolySimHasher().signature_of(base)
+    # distinct-feature semantics: repeating the text changes nothing
+    assert h.signature_of(base) == h.signature_of(base + " " + base.strip())
+    # dropping one word stays close; unrelated text lands far
+    near = " ".join(base.split()[:-1])
+    far = "one two three four five six seven eight nine ten " * 5
+    assert hamming64(h.signature_of(base), h.signature_of(near)) <= 9
+    assert hamming64(h.signature_of(base), h.signature_of(far)) > 9
+    # short docs (n < k) still produce a signature from the single fold
+    assert h.signature_of("ab") != 0
+    assert h.signature_of("") == 0
+    # signatures fit in the declared 62 bits
+    assert h.signature_of(base) < (1 << 62)
+
+
+def test_redact_pii_golden():
+    from ocr_ray.functions.entities import redact_pii
+
+    r = redact_pii("Reach x_1@y.co or (555) 123-4567 by 2024-01-05, "
+                   "Jan 5, 2024 or 1/5/24; docs at http://d.io/a%2Fb page")
+    # reference quirks preserved: the phone pattern's \b can't precede "(",
+    # so the paren survives; the URL class has no "/", so the path survives
+    assert r["redacted"] == ("Reach [EMAIL] or ([PHONE] by [DATE], "
+                             "[DATE] or [DATE]; docs at [URL]/a%2Fb page")
+    assert (r["n_emails"], r["n_phones"], r["n_urls"], r["n_dates"]) == (1, 1, 1, 3)
+    # no PII -> text unchanged
+    clean = redact_pii("nothing sensitive here")
+    assert clean["redacted"] == "nothing sensitive here"
+    assert clean["n_emails"] == clean["n_dates"] == 0
