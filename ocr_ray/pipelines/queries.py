@@ -202,6 +202,86 @@ def q_doc_tfidf(sf_dir: str):
     return docs.map_batches(score_batch, batch_format="pandas")
 
 
+def q_doc_lang_top_terms(sf_dir: str):
+    """Group-wise top-k at scale: top-5 terms per language by count.
+    Exchange by (lang, term) for the count aggregate, then a second
+    exchange BY LANG so each partition ranks its languages locally — no
+    global sort, no driver-side ranking.  Ties broken by term asc."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.dedup import _concat_pd, _exchange
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: "Counter[tuple]" = Counter()
+        for lang, t in zip(b["lang"], b["text"]):
+            for w in _TERM.findall(t.lower()):
+                c[(lang, w)] += 1
+        ks = list(c.keys())
+        return pd.DataFrame(
+            {"lang": [k[0] for k in ks], "term": [k[1] for k in ks],
+             "n": pd.Series(list(c.values()), dtype="int64")}
+        )
+
+    counts = hash_aggregate(
+        docs.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "term"], aggs={"n": "sum"}, n_partitions=8,
+    )
+
+    @ray.remote
+    def topk(*pieces):
+        import pyarrow as pa
+
+        g = _concat_pd(pieces)
+        if not len(g):
+            out = pd.DataFrame({"lang": pd.Series([], dtype="object"),
+                                "term": pd.Series([], dtype="object"),
+                                "n": pd.Series([], dtype="int64"),
+                                "rank": pd.Series([], dtype="int64")})
+            return pa.Table.from_pandas(out, preserve_index=False)
+        g = g.sort_values(["lang", "n", "term"],
+                          ascending=[True, False, True])
+        g["rank"] = g.groupby("lang").cumcount() + 1
+        g = g[g["rank"] <= 5].reset_index(drop=True)
+        g["n"] = g["n"].astype("int64")
+        g["rank"] = g["rank"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    lsplit = _exchange(counts, "lang", 4)
+    return rd.from_arrow_refs(
+        [topk.remote(*[s[j] for s in lsplit]) for j in range(4)]
+    )
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """Deterministic stratified downsampling — per-language keep rates
+    (en 10%, others 50%) via the same multiplicative id hash as doc_split:
+    reproducible across engines/runs, zero shuffle, no RNG state."""
+    RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zz": 50}
+
+    def sample_batch(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["doc_id"].astype("int64") * SPLIT_MULT) % (1 << 32)
+        bucket = (h % 100).astype("int64")
+        rate = b["lang"].map(RATES).fillna(50).astype("int64")
+        keep = bucket < rate
+        out = pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64")[keep],
+             "lang": b["lang"][keep], "bucket": bucket[keep]}
+        )
+        return out
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return ds.map_batches(sample_batch, batch_format="pandas")
+
+
 def q_doc_bigram_fluency(sf_dir: str):
     """Corpus-LM fluency proxy with EXACT integer semantics: score each doc
     by how common its adjacent token bigrams are in the whole corpus
@@ -1387,6 +1467,8 @@ def queries() -> Dict[str, Callable]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "doc_tfidf": q_doc_tfidf,
         "doc_bigram_fluency": q_doc_bigram_fluency,
+        "doc_lang_top_terms": q_doc_lang_top_terms,
+        "doc_sample_stratified": q_doc_sample_stratified,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1613,6 +1695,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        WHEN hv % 100 < 90 THEN 'val'
        ELSE 'test' END AS split
 FROM h
+""",
+    "doc_lang_top_terms": """
+WITH t AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY lang, term),
+r AS (SELECT c.*, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank FROM c)
+SELECT lang, term, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+""",
+    "doc_sample_stratified": f"""
+WITH h AS (SELECT doc_id, lang,
+    ((CAST(doc_id AS BIGINT) * {SPLIT_MULT}) % 4294967296) % 100 AS bucket
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+FROM h
+WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
 """,
     # integer-exact corpus bigram scoring: adjacency pairs with
     # multiplicity, global counts joined back per doc
