@@ -787,15 +787,22 @@ def q_embed_label_stats(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """Random-projection LSH buckets (rows-only; the ANN scale path)."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    dim = len(ds.take(1)[0]["embedding"])
+    """Sign-projection LSH buckets (the ANN scale path).  The ±1
+    projection entries derive from the engine's polynomial hash of
+    "<dim>:<bit>" (stages/similarity.py:SignHashLSH), so the DuckDB oracle
+    recomputes identical buckets — value-checked, not rows-only.  The
+    Gaussian variant (RandomProjectionLSH) remains the probe path used by
+    ann_lsh_topk."""
+    from ocr_ray.stages.similarity import SignHashLSH
     from ocr_ray.stages.taskpool import task_pool
 
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(ds.take(1)[0]["embedding"])
     out = ds.map_batches(
-        task_pool(RandomProjectionLSH, dim=dim, n_bits=8), batch_format="pandas"
+        task_pool(SignHashLSH, dim=dim, n_bits=8), batch_format="pandas"
     ).to_pandas()
     out["vec_id"] = out["vec_id"].astype("int64")
+    out["bucket"] = out["bucket"].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
@@ -1695,6 +1702,26 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        WHEN hv % 100 < 90 THEN 'val'
        ELSE 'test' END AS split
 FROM h
+""",
+    # the ±1 sign table is the polynomial hash of "<dim>:<bit>" — identical
+    # on both engines; bucket bit b = (sum_j v[j]*s[j,b] > 0)
+    "ann_lsh": """
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+s AS (SELECT j.j, b.b,
+        CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split(CAST(j.j AS VARCHAR) || ':' || CAST(b.b AS VARCHAR), ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % 1000003) % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS sv
+      FROM (SELECT unnest(generate_series(0, (SELECT max(len(v)) - 1 FROM e))) AS j) AS j,
+           (SELECT unnest(generate_series(0, 7)) AS b) AS b),
+proj AS (SELECT e.vec_id, s.b, sum(e.v[s.j + 1] * s.sv) AS acc
+         FROM e, s GROUP BY e.vec_id, s.b),
+bk AS (SELECT vec_id,
+              CAST(sum(CASE WHEN acc > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+       FROM proj GROUP BY vec_id)
+SELECT vec_id, bucket FROM bk
 """,
     "doc_lang_top_terms": """
 WITH t AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

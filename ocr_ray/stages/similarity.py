@@ -132,6 +132,38 @@ class RandomProjectionLSH:
         )
 
 
+class SignHashLSH:
+    """SQL-replicable sign-projection bucketer (Rademacher LSH): the
+    projection entries are ±1 derived from the engine's polynomial
+    codepoint hash of ``"<dim>:<bit>"`` — so a DuckDB oracle recomputes
+    the identical buckets (``bit_b = sum_j v[j]*s[j][b] > 0``).  ±1
+    projections carry the same cosine-LSH guarantee as Gaussian ones
+    (sign-random-projection theory); what's lost is only seed freedom.
+    """
+
+    def __init__(self, dim: int, n_bits: int = 8,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        from ocr_ray.stages.embed import hash_token
+
+        s = np.empty((dim, n_bits), dtype=np.float64)
+        for j in range(dim):
+            for b in range(n_bits):
+                s[j, b] = 1.0 if hash_token(f"{j}:{b}") % 2 == 0 else -1.0
+        self.s = s
+        self.n_bits = n_bits
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(batch[self.vec_col]).astype(np.float64)
+        bits = (m @ self.s) > 0
+        buckets = bits.astype(np.int64) @ self.weights
+        return pd.DataFrame(
+            {self.id_col: batch[self.id_col].to_numpy(), "bucket": buckets}
+        )
+
+
 class MultiTableLSH:
     """T independent signed-random-projection tables — the candidate
     generator for embedding NEAR-DUP at scale (one table's recall at
