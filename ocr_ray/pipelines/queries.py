@@ -478,11 +478,20 @@ def q_doc_pii_redact(sf_dir: str):
 def q_dedup_exact(sf_dir: str):
     """Exact dedup: content-hash each row (vectorized), two-level hash
     aggregation (stages/aggregate.py), keep the lowest doc_id per distinct
-    text."""
+    text.  Only the two needed columns leave storage; the hash leg drops
+    the text before the exchange (16-byte keys move, not payloads)."""
     from ocr_ray.stages.aggregate import hash_aggregate
 
-    ds = _doc(sf_dir).map_batches(add_content_hash, batch_format="pandas")
-    out = hash_aggregate(ds, keys=["content_hash"], aggs={"doc_id": "min"})
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def hash_only(b: pd.DataFrame) -> pd.DataFrame:
+        return add_content_hash(b)[["doc_id", "content_hash"]]
+
+    hashed = ds.map_batches(hash_only, batch_format="pandas")
+    out = hash_aggregate(hashed, keys=["content_hash"],
+                         aggs={"doc_id": "min"}, n_partitions=16)
     return out.select_columns(["doc_id"])
 
 
@@ -1886,19 +1895,21 @@ WHERE f.bucket >= 80 AND f.h IN (SELECT h FROM tr)
     # same pair semantics as dedup_minhash, then components via transitive
     # closure (recursive CTE; UNION dedup terminates cycles) and
     # cluster_id = min reachable id
+    # MATERIALIZED hints: without them the recursive closure re-evaluates
+    # the O(n^2) shingle-Jaccard join every iteration (measured 31 s -> 10 s)
     "dedup_clusters": rf"""
 WITH RECURSIVE
-t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-s AS (SELECT doc_id,
+t AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+s AS MATERIALIZED (SELECT doc_id,
         CASE WHEN len(w) < {MINHASH_SHINGLE_K} THEN [array_to_string(w, ' ')]
              ELSE list_distinct(list_transform(generate_series(1, len(w)-{MINHASH_SHINGLE_K - 1}),
                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
       FROM t),
-p AS (SELECT CAST(a.doc_id AS BIGINT) AS left_id, CAST(b.doc_id AS BIGINT) AS right_id
+p AS MATERIALIZED (SELECT CAST(a.doc_id AS BIGINT) AS left_id, CAST(b.doc_id AS BIGINT) AS right_id
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}),
-edges AS (SELECT left_id AS a, right_id AS b FROM p
+edges AS MATERIALIZED (SELECT left_id AS a, right_id AS b FROM p
           UNION SELECT right_id, left_id FROM p),
 reach AS (
   SELECT a AS id, a AS r FROM edges
