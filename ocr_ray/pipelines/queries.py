@@ -282,6 +282,54 @@ def q_doc_sample_stratified(sf_dir: str):
     return ds.map_batches(sample_batch, batch_format="pandas")
 
 
+def q_pipeline_curation(sf_dir: str):
+    """End-to-end curation composite — the pipeline a training-data user
+    actually runs, as ONE streaming job: quality gate (exact integer
+    predicates: >=20 tokens, distinct ratio >= 0.5) -> exact dedup
+    (keep-first by content) -> deterministic 80/10/10 split.  Stage
+    boundaries stay lazy; the only exchange is the dedup hash aggregate
+    (16-partition two-level).  Oracle composes the same three stages as
+    CTEs."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.analysis import _WORD
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def quality_gate(b: pd.DataFrame) -> pd.DataFrame:
+        keep_ids, keep_txt = [], []
+        for d, t in zip(b["doc_id"], b["text"]):
+            toks = _WORD.findall(t.lower())
+            if len(toks) >= 20 and 2 * len(set(toks)) >= len(toks):
+                keep_ids.append(int(d))
+                keep_txt.append(t)
+        return pd.DataFrame({"doc_id": pd.Series(keep_ids, dtype="int64"),
+                             "text": keep_txt})
+
+    def hash_text(b: pd.DataFrame) -> pd.DataFrame:
+        from ocr_ray.stages.dedup import add_content_hash
+
+        return add_content_hash(b)[["doc_id", "content_hash"]]
+
+    survivors = ds.map_batches(quality_gate, batch_format="pandas")
+    kept = hash_aggregate(
+        survivors.map_batches(hash_text, batch_format="pandas"),
+        keys=["content_hash"], aggs={"doc_id": "min"}, n_partitions=16,
+    )
+
+    def assign_split(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b["doc_id"].astype("int64") * SPLIT_MULT) % (1 << 32)
+        bucket = (h % 100).astype("int64")
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"),
+             "split": np.where(bucket < 80, "train",
+                               np.where(bucket < 90, "val", "test"))}
+        )
+
+    return kept.map_batches(assign_split, batch_format="pandas")
+
+
 def q_doc_bigram_fluency(sf_dir: str):
     """Corpus-LM fluency proxy with EXACT integer semantics: score each doc
     by how common its adjacent token bigrams are in the whole corpus
@@ -1485,6 +1533,7 @@ def queries() -> Dict[str, Callable]:
         "doc_bigram_fluency": q_doc_bigram_fluency,
         "doc_lang_top_terms": q_doc_lang_top_terms,
         "doc_sample_stratified": q_doc_sample_stratified,
+        "pipeline_curation": q_pipeline_curation,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1746,6 +1795,20 @@ WITH h AS (SELECT doc_id, lang,
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(bucket AS BIGINT) AS bucket
 FROM h
 WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+""",
+    # the three curation stages as CTEs: quality gate (exact integer
+    # predicates), keep-first exact dedup, hash split
+    "pipeline_curation": rf"""
+WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\w+') AS toks FROM documents),
+q AS (SELECT doc_id, text FROM t
+      WHERE len(toks) >= 20 AND 2 * len(list_distinct(toks)) >= len(toks)),
+k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+h AS (SELECT doc_id,
+        ((CAST(doc_id AS BIGINT) * {SPLIT_MULT}) % 4294967296) % 100 AS b
+      FROM k)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM h
 """,
     # integer-exact corpus bigram scoring: adjacency pairs with
     # multiplicity, global counts joined back per doc

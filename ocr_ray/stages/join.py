@@ -136,6 +136,12 @@ def _split_by_key(t, by, n_partitions: int):
         # can't parse ("numpy.ndarray(shape=...)" ValueError)
         t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
     cols = [by] if isinstance(by, str) else list(by)
+    if t.num_rows == 0:
+        # Ray Data can pass a zero-row input block through a map_batches
+        # WITHOUT running the UDF, so an all-empty upstream may deliver the
+        # pre-map schema here (key columns absent).  Any empty split works —
+        # downstream merges union schemas from the schema-bearing pieces.
+        return tuple([t] * n_partitions) if n_partitions > 1 else t
     h = sum(
         pd.util.hash_pandas_object(_canon_key(t[c].to_pandas()), index=False).to_numpy()
         for c in cols

@@ -254,3 +254,38 @@ def test_connected_components_chain(ray_session):
     assert all(lab[i] == 100 for i in (100, 101, 102))
     assert lab[200] == lab[201] == 200
     assert len(out) == 21 + 3 + 2
+
+
+def test_new_ops_empty_inputs(ray_session):
+    """Exchange-based operators must survive empty inputs (schema-bearing
+    empty blocks flow through every split/merge stage)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import (
+        connected_components,
+        cross_split_contamination,
+    )
+
+    empty_pairs = rd.from_pandas(pd.DataFrame(
+        {"left_id": pd.Series([], dtype="int64"),
+         "right_id": pd.Series([], dtype="int64")}
+    ))
+    out_ds = connected_components(empty_pairs, n_partitions=4)
+    assert out_ds.count() == 0
+    # blocks keep the typed schema even when empty (Dataset.to_pandas()
+    # drops it for all-empty datasets — a Ray quirk, so check block-level)
+    import ray
+
+    for t in ray.get(out_ds.to_arrow_refs()):
+        assert t.schema.names == ["doc_id", "cluster_id"]
+
+    def split_of(ids):
+        return np.ones(len(ids), dtype=bool), np.array(["train"] * len(ids))
+
+    all_train = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["shared words here now", "shared words here now"]}
+    ))
+    cont = cross_split_contamination(all_train, split_of, n_partitions=4).to_pandas()
+    assert len(cont) == 0  # nothing non-train -> nothing contaminated
