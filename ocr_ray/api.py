@@ -223,3 +223,27 @@ def cosine_topk(
         fn_constructor_kwargs={"query_ref": qref, "id_col": id_col, "vec_col": vec_col},
     )
     return scored.sort(["sim", id_col], descending=[True, False]).limit(k).to_pandas()
+
+
+def iter_training_batches(
+    paths: "List[str] | str",
+    batch_size: int = 4096,
+    columns: Optional[List[str]] = None,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    shuffle_seed: Optional[int] = None,
+):
+    """Stream extracted turns to a trainer: the flagship pipeline consumed
+    via ``iter_batches`` (pyarrow format, zero-copy off the object store) —
+    the engine never materializes the dataset; backpressure paces
+    extraction to the consumer.  ``shuffle_seed`` enables Ray's windowed
+    ``random_shuffle`` for epoch randomization (a full shuffle — use only
+    when the trainer needs it; local per-batch shuffling is usually enough
+    at 100 TB)."""
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+
+    ds = build_turn_pipeline(paths, config=config)
+    if columns:
+        ds = ds.select_columns(columns)
+    if shuffle_seed is not None:
+        ds = ds.random_shuffle(seed=shuffle_seed)
+    return ds.iter_batches(batch_size=batch_size, batch_format="pyarrow")

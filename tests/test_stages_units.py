@@ -585,3 +585,23 @@ def test_hash_aggregate_matches_pandas_with_skew(ray_session):
     ).to_pandas().sort_values("k").reset_index(drop=True)
     want = df.assign(n=1).groupby("k", as_index=False).agg({"v": "sum", "n": "sum"})
     pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+def test_iter_training_batches(ray_session, tmp_path):
+    """The trainer-consumption surface streams typed Arrow batches."""
+    import pyarrow as pa
+
+    import ocr_ray.api as ocr
+    from ocr_ray.sources.transcripts import generate_transcripts
+
+    root = str(tmp_path / "tb")
+    generate_transcripts(root, n_convs=40, seed=3, n_shards=2, with_oracle=False)
+    total, n_batches = 0, 0
+    for b in ocr.iter_training_batches(f"{root}/transcripts", batch_size=256,
+                                       columns=["conv_id", "turn_idx", "clean_text"]):
+        assert isinstance(b, pa.Table)
+        assert b.schema.names == ["conv_id", "turn_idx", "clean_text"]
+        assert b.num_rows <= 256
+        total += b.num_rows
+        n_batches += 1
+    assert total > 0 and n_batches >= 2
