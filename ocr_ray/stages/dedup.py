@@ -611,6 +611,7 @@ def cross_split_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_partitions: int = 16,
+    max_df: int = 0,
 ) -> "object":
     """Train/eval contamination check — a first-class guard for training
     pipelines: every non-train document that shares ANY k-word shingle with
@@ -624,7 +625,15 @@ def cross_split_contamination(
     independently builds its local train-shingle set and emits its local
     contaminated ids; a second exchange by id dedupes.  Both sides of the
     oracle join on the same 62-bit hashes, so collision behavior is
-    identical by construction."""
+    identical by construction.
+
+    ``max_df > 0`` drops shingles occurring in more than ``max_df``
+    documents from the check (partition-local — a shingle's rows all land
+    in one partition, so its document frequency is computable there).
+    This is BOTH the skew guard (a boilerplate shingle shared by millions
+    of docs would otherwise pile its rows into one partition's train-set
+    and match every eval doc) and standard decontamination practice:
+    ultra-common n-grams carry no leakage signal."""
     import pyarrow as pa
 
     import ray
@@ -659,6 +668,8 @@ def cross_split_contamination(
             out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                 "split": pd.Series([], dtype="object")})
             return pa.Table.from_pandas(out, preserve_index=False)
+        if max_df > 0:
+            g = g[g.groupby("h")["id"].transform("nunique") <= max_df]
         train_h = set(g.loc[g["is_train"], "h"].tolist())
         ev = g[~g["is_train"] & g["h"].isin(train_h)]
         out = (ev[["id", "split"]].drop_duplicates("id")

@@ -289,3 +289,36 @@ def test_new_ops_empty_inputs(ray_session):
     ))
     cont = cross_split_contamination(all_train, split_of, n_partitions=4).to_pandas()
     assert len(cont) == 0  # nothing non-train -> nothing contaminated
+
+
+def test_contamination_max_df_drops_boilerplate(ray_session):
+    """Stop-shingle filtering: a shingle shared by every doc must not flag
+    contamination when max_df excludes it, while a rare shared shingle
+    still does."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import cross_split_contamination
+
+    boiler = "this content is provided as is without warranty"
+    rare = "zebra quagga okapi"
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [f"{boiler} alpha one", f"{boiler} beta two {rare}",
+                 f"{boiler} gamma three {rare}", f"{boiler} delta four"],
+    }))
+
+    def split_of(ids):
+        is_train = ids < 2
+        return is_train, np.where(is_train, "train", "test")
+
+    # without the filter: every doc shares the boilerplate -> 2 and 3 flagged
+    base = cross_split_contamination(docs, split_of, n_partitions=4).to_pandas()
+    assert set(base["doc_id"]) == {2, 3}
+    # with max_df=3 the boilerplate (df=4) is dropped; only the rare shingle
+    # (df=3: docs 1,2,3 — doc 1 is train) still links doc 2
+    filt = cross_split_contamination(
+        docs, split_of, n_partitions=4, max_df=3
+    ).to_pandas()
+    assert set(filt["doc_id"]) == {2}
