@@ -247,3 +247,50 @@ def iter_training_batches(
     if shuffle_seed is not None:
         ds = ds.random_shuffle(seed=shuffle_seed)
     return ds.iter_batches(batch_size=batch_size, batch_format="pyarrow")
+
+
+def curate(
+    docs: "rd.Dataset",
+    min_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """End-to-end curation composite (quality gate -> exact dedup ->
+    deterministic 80/10/10 split) as one streaming job; returns
+    (doc_id, split) for the kept documents."""
+    import re as _re
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.dedup import add_content_hash
+
+    word = _re.compile(r"\w+")
+    SPLIT_MULT = 2654435761
+
+    def quality_gate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for t in b[text_col]:
+            toks = word.findall(t.lower())
+            keep.append(len(toks) >= min_tokens and 2 * len(set(toks)) >= len(toks))
+        out = b[pd.Series(keep, index=b.index)]
+        return pd.DataFrame({id_col: out[id_col].astype("int64"),
+                             text_col: out[text_col]})
+
+    def hash_text(b: pd.DataFrame) -> pd.DataFrame:
+        return add_content_hash(b, col=text_col)[[id_col, "content_hash"]]
+
+    kept = hash_aggregate(
+        docs.map_batches(quality_gate, batch_format="pandas")
+            .map_batches(hash_text, batch_format="pandas"),
+        keys=["content_hash"], aggs={id_col: "min"}, n_partitions=16,
+    )
+
+    def assign_split(b: pd.DataFrame) -> pd.DataFrame:
+        h = (b[id_col].astype("int64") * SPLIT_MULT) % (1 << 32)
+        bucket = (h % 100).astype("int64")
+        return pd.DataFrame(
+            {id_col: b[id_col].astype("int64"),
+             "split": np.where(bucket < 80, "train",
+                               np.where(bucket < 90, "val", "test"))}
+        )
+
+    return kept.map_batches(assign_split, batch_format="pandas")

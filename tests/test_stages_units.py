@@ -605,3 +605,25 @@ def test_iter_training_batches(ray_session, tmp_path):
         total += b.num_rows
         n_batches += 1
     assert total > 0 and n_batches >= 2
+
+
+def test_hash_aggregate_hot_key_skew(ray_session):
+    """Extreme skew (90% of rows one key): per-batch partial aggregation
+    collapses the hot key to one row per block BEFORE the exchange, so the
+    hot partition receives O(n_blocks) rows, not O(n_rows) — results stay
+    exact."""
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    n = 60_000
+    k = np.where(np.arange(n) % 10 < 9, 7, np.arange(n) % 1000)
+    df = pd.DataFrame({"k": k.astype("int64"), "v": np.ones(n, dtype="int64")})
+    got = (
+        hash_aggregate(rd.from_pandas(df).repartition(16), ["k"], {"v": "sum"},
+                       n_partitions=8)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = df.groupby("k", as_index=False)["v"].sum()
+    pd.testing.assert_frame_equal(got.astype({"v": "int64"}), exp)
+    assert int(got.loc[got["k"] == 7, "v"].iloc[0]) == int((k == 7).sum())
