@@ -282,6 +282,34 @@ def q_doc_sample_stratified(sf_dir: str):
     return ds.map_batches(sample_batch, batch_format="pandas")
 
 
+def q_doc_repetition(sf_dir: str):
+    """Intra-document repetition signals (the Gopher/MassiveText-style
+    repetition filter): per doc, total vs distinct adjacent bigrams and the
+    duplicate fraction.  Integer counts keep the oracle value-exact; pure
+    per-row map, no shuffle."""
+
+    def rep_batch(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "n_pairs": [], "n_distinct_pairs": [],
+               "dup_ratio": []}
+        for d, t in zip(b["doc_id"], b["text"]):
+            toks = _TERM.findall(t.lower())
+            pairs = list(zip(toks, toks[1:]))
+            n, nd = len(pairs), len(set(pairs))
+            out["doc_id"].append(int(d))
+            out["n_pairs"].append(n)
+            out["n_distinct_pairs"].append(nd)
+            out["dup_ratio"].append(round((n - nd) / n, 6) if n else 0.0)
+        return pd.DataFrame(out).astype(
+            {"doc_id": "int64", "n_pairs": "int64",
+             "n_distinct_pairs": "int64", "dup_ratio": "float64"}
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(rep_batch, batch_format="pandas")
+
+
 def q_pipeline_curation(sf_dir: str):
     """End-to-end curation composite — the pipeline a training-data user
     actually runs, as ONE streaming job: quality gate (exact integer
@@ -1534,6 +1562,7 @@ def queries() -> Dict[str, Callable]:
         "doc_lang_top_terms": q_doc_lang_top_terms,
         "doc_sample_stratified": q_doc_sample_stratified,
         "pipeline_curation": q_pipeline_curation,
+        "doc_repetition": q_doc_repetition,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1795,6 +1824,21 @@ WITH h AS (SELECT doc_id, lang,
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(bucket AS BIGINT) AS bucket
 FROM h
 WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+""",
+    "doc_repetition": """
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+p AS (SELECT doc_id,
+        CASE WHEN len(w) >= 2
+             THEN list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i+1])
+             ELSE [] END AS pairs
+      FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(pairs) AS BIGINT) AS n_pairs,
+  CAST(len(list_distinct(pairs)) AS BIGINT) AS n_distinct_pairs,
+  CASE WHEN len(pairs) > 0
+       THEN round(CAST(len(pairs) - len(list_distinct(pairs)) AS DOUBLE) / len(pairs), 6)
+       ELSE 0.0 END AS dup_ratio
+FROM p
 """,
     # the three curation stages as CTEs: quality gate (exact integer
     # predicates), keep-first exact dedup, hash split
