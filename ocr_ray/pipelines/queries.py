@@ -282,6 +282,69 @@ def q_doc_sample_stratified(sf_dir: str):
     return ds.map_batches(sample_batch, batch_format="pandas")
 
 
+def q_corpus_stats(sf_dir: str):
+    """Whole-corpus exact statistics in one pass + one exchange: doc count,
+    token occurrences, EXACT distinct terms and distinct bigrams (per-batch
+    partial sets -> hash exchange by value -> per-partition distinct counts
+    -> tiny driver sum).  The exact-distinct path is the honest baseline a
+    sketch (HLL) would be validated against; partial dedup inside each
+    batch bounds what the exchange moves."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.dedup import _concat_pd, _exchange
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        terms, bigrams = set(), set()
+        n_docs, n_tokens = 0, 0
+        for t in b["text"]:
+            toks = _TERM.findall(t.lower())
+            n_docs += 1
+            n_tokens += len(toks)
+            terms.update(toks)
+            bigrams.update(a + " " + bb for a, bb in zip(toks, toks[1:]))
+        vals = (["__doc__"] * 1 + ["__tok__"] * 1
+                + ["t:" + x for x in terms] + ["b:" + x for x in bigrams])
+        counts = [n_docs, n_tokens] + [0] * (len(terms) + len(bigrams))
+        return pd.DataFrame({"val": vals, "c": pd.Series(counts, dtype="int64")})
+
+    @ray.remote
+    def count_distinct(*pieces):
+        g = _concat_pd(pieces)
+        if not len(g):
+            return pa.Table.from_pandas(
+                pd.DataFrame({"kind": pd.Series([], dtype="object"),
+                              "n": pd.Series([], dtype="int64")}),
+                preserve_index=False)
+        rows = []
+        sums = g[g["val"].isin(["__doc__", "__tok__"])].groupby("val")["c"].sum()
+        for k, v in sums.items():
+            rows.append((k, int(v)))
+        uniq = g.loc[~g["val"].isin(["__doc__", "__tok__"]), "val"].drop_duplicates()
+        rows.append(("__terms__", int((uniq.str[:2] == "t:").sum())))
+        rows.append(("__bigrams__", int((uniq.str[:2] == "b:").sum())))
+        return pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["kind", "n"]).astype({"n": "int64"}),
+            preserve_index=False)
+
+    rows = ds.map_batches(partial, batch_format="pandas")
+    P = 8
+    vsplit = _exchange(rows, "val", P)
+    parts = rd.from_arrow_refs(
+        [count_distinct.remote(*[s[j] for s in vsplit]) for j in range(P)]
+    ).to_pandas()
+    agg = parts.groupby("kind")["n"].sum()
+    return pd.DataFrame(
+        [{"n_docs": int(agg.get("__doc__", 0)),
+          "n_token_occurrences": int(agg.get("__tok__", 0)),
+          "n_distinct_terms": int(agg.get("__terms__", 0)),
+          "n_distinct_bigrams": int(agg.get("__bigrams__", 0))}]
+    ).astype("int64")
+
+
 def q_doc_repetition(sf_dir: str):
     """Intra-document repetition signals (the Gopher/MassiveText-style
     repetition filter): per doc, total vs distinct adjacent bigrams and the
@@ -1563,6 +1626,7 @@ def queries() -> Dict[str, Callable]:
         "doc_sample_stratified": q_doc_sample_stratified,
         "pipeline_curation": q_pipeline_curation,
         "doc_repetition": q_doc_repetition,
+        "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1824,6 +1888,17 @@ WITH h AS (SELECT doc_id, lang,
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(bucket AS BIGINT) AS bucket
 FROM h
 WHERE bucket < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+""",
+    "corpus_stats": """
+WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(w)) AS BIGINT) AS n_token_occurrences,
+  CAST((SELECT count(DISTINCT x.t) FROM t, unnest(t.w) AS x(t)) AS BIGINT) AS n_distinct_terms,
+  CAST((SELECT count(DISTINCT p) FROM
+        (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1])) AS p
+         FROM t WHERE len(w) >= 2)) AS BIGINT) AS n_distinct_bigrams
+FROM t
 """,
     "doc_repetition": """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
