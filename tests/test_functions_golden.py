@@ -126,3 +126,54 @@ def test_redact_pii_golden():
     clean = redact_pii("nothing sensitive here")
     assert clean["redacted"] == "nothing sensitive here"
     assert clean["n_emails"] == clean["n_dates"] == 0
+
+
+def test_poly_hash_sql_equivalence():
+    """The polynomial hash folds MUST stay bit-identical between Python and
+    DuckDB — every SQL-replicable oracle (simhash, contamination, ann_lsh,
+    embedder, fingerprint) rests on this equivalence."""
+    import duckdb
+
+    from ocr_ray.stages.dedup import PolySimHasher, _poly_hash_token
+    from ocr_ray.stages.embed import hash_token
+
+    con = duckdb.connect()
+    # domain = non-empty tokens (regex token streams / whitespace splits of
+    # trimmed text never yield '' — DuckDB's string_split('', '') quirk
+    # diverges there, outside every oracle's reachable inputs)
+    words = ["alpha", "Beta42", "z", "répé", "12:7"]
+    for w in words:
+        got = con.execute(
+            """SELECT list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(?, ''), c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000003)""", [w]).fetchone()[0]
+        assert got == hash_token(w) == _poly_hash_token(w)[0], w
+        got2 = con.execute(
+            """SELECT list_reduce(list_prepend(CAST(11 AS BIGINT),
+                 list_transform(string_split(?, ''), c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 37 + b) % 1000033)""", [w]).fetchone()[0]
+        assert got2 == _poly_hash_token(w)[1], w
+
+    # full 62-bit signature equivalence on one realistic text
+    text = "the quick brown fox jumps over the lazy dog repeatedly today"
+    h = PolySimHasher()
+    sig_sql = con.execute("""
+WITH u AS (SELECT string_split_regex(trim(?), '\\s+') AS w),
+th AS (SELECT len(w) AS n,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM u),
+feats AS (SELECT list_distinct(list_transform(generate_series(1, n - 2), i ->
+       ((t1[i] * 1000003 + t1[i+1]) % 2147483647 * 1000003 + t1[i+2]) % 2147483647
+       + ((t2[i] * 1000033 + t2[i+1]) % 2147483647 * 1000033 + t2[i+2]) % 2147483647 * 2147483648)) AS hs
+   FROM th),
+bits AS (SELECT b.j, CASE WHEN sum(((x.h >> b.j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS bit
+         FROM feats, unnest(feats.hs) AS x(h),
+              (SELECT unnest(generate_series(0, 61)) AS j) AS b
+         GROUP BY b.j)
+SELECT CAST(sum(bit << j) AS BIGINT) FROM bits""", [text]).fetchone()[0]
+    assert sig_sql == h.signature_of(text)
