@@ -1673,14 +1673,16 @@ SELECT doc_id,
        '[^\x20-\x7E\n\t]', '', 'g'), '(\r\n|\r|\n){{3,}}', chr(10)||chr(10), 'g')) AS clean_extracted
 FROM documents
 """,
+    # floor(x*1e6+0.5)/1e6, not round(): identical IEEE ops on both engines
+    # (Python round() and DuckDB round() split exact half-boundaries)
     "doc_score": r"""
 SELECT doc_id,
-  round(
+  floor((
     least(length(text)/100.0, 10)
     + least(array_length(list_distinct(regexp_extract_all(lower(text), '\w+')))/10.0, 10)
     + (length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) / CAST(length(text) AS DOUBLE)) * 10
     + CASE WHEN contains(text, chr(10)) THEN 5 ELSE 0 END
-    - CASE WHEN length(text) < 20 THEN 5 ELSE 0 END, 6) AS score
+    - CASE WHEN length(text) < 20 THEN 5 ELSE 0 END) * 1000000 + 0.5) / 1000000 AS score
 FROM documents
 """,
     "doc_quality": rf"""

@@ -52,10 +52,19 @@ def clean_docs_batch(batch: pa.Table) -> pa.Table:
 
 
 def score_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    import math
+
+    # floor(x*1e6+0.5)/1e6 instead of round(): Python round() and DuckDB
+    # round() disagree on exact half-boundaries (observed: raw score
+    # 16.2621875 -> 16.262187 vs 16.262188).  The scaled-floor form runs
+    # the identical IEEE ops on both engines, so the boundary cannot split.
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
-            "score": [round(score_ocr_result(t), 6) for t in batch["text"]],
+            "score": [
+                math.floor(score_ocr_result(t) * 1e6 + 0.5) / 1e6
+                for t in batch["text"]
+            ],
         }
     )
 
