@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the exact-match scalar surface and
+the SQL-replicable hashing — invariants that hold for ALL inputs, not just
+the golden corpus."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+TEXT = st.text(
+    alphabet=string.ascii_letters + string.digits + " \t\n.,;:!?()-'\"",
+    max_size=400,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_preprocess_idempotent(t):
+    """M9 cleanup is idempotent: cleaning clean text changes nothing."""
+    from ocr_ray.functions.textops import preprocess_text
+
+    once = preprocess_text(t)
+    assert preprocess_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_clean_extracted_idempotent(t):
+    from ocr_ray.functions.textops import clean_extracted_text
+
+    once = clean_extracted_text(t)
+    assert clean_extracted_text(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_window_chunker_covers_all_words(t):
+    """R2 window chunks preserve every word in order (stride < window)."""
+    from ocr_ray.functions.chunking import get_text_chunks
+
+    words = t.split()
+    chunks = get_text_chunks(t)
+    if not words:
+        assert chunks == []
+        return
+    # first chunk starts at word 0; consecutive chunks overlap by 20
+    rebuilt = []
+    for i, c in enumerate(chunks):
+        cw = c.split()
+        start = i * 80
+        assert cw == words[start:start + 100]
+        rebuilt.extend(cw if i == 0 else cw[20:] if len(cw) > 20 else [])
+    # every word appears in some chunk
+    seen = [w for c in chunks for w in c.split()]
+    assert set(seen) == set(words)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_poly_simhash_bounds_and_determinism(t):
+    from ocr_ray.stages.dedup import PolySimHasher
+
+    h = PolySimHasher()
+    s = h.signature_of(t)
+    assert 0 <= s < (1 << 62)
+    assert s == PolySimHasher().signature_of(t)
+
+
+@settings(max_examples=100, deadline=None)
+@given(TEXT)
+def test_redact_counts_match_findall(t):
+    """Counts reported by redact_pii equal pattern match counts on the
+    raw text regardless of input."""
+    from ocr_ray.functions.entities import (
+        _DATE_PATTERNS,
+        _EMAIL,
+        _PHONE,
+        _URL,
+        redact_pii,
+    )
+
+    r = redact_pii(t)
+    assert r["n_emails"] == len(_EMAIL.findall(t))
+    assert r["n_phones"] == len(_PHONE.findall(t))
+    assert r["n_urls"] == len(_URL.findall(t))
+    assert r["n_dates"] == sum(len(p.findall(t)) for p in _DATE_PATTERNS)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=60),
+       st.floats(min_value=0.01, max_value=0.99))
+def test_quantile_histogram_equals_sort(values, q):
+    """The histogram order-statistic equals the direct sorted-rank lookup
+    (PERCENTILE_DISC: value at rank ceil(q*n))."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    if not values:
+        return
+    hist = sorted(Counter(values).items())
+    cum = np.cumsum([c for _, c in hist])
+    rank = math.ceil(q * len(values))
+    idx = int(np.searchsorted(cum, rank, side="left"))
+    via_hist = hist[idx][0]
+    via_sort = sorted(values)[rank - 1]
+    assert via_hist == via_sort
