@@ -4,12 +4,16 @@
 deterministic synthetic transcript table; ``queries()`` exposes one callable
 per implemented operator (SURVEY §2 / COVERAGE.md) over the sf parquet
 tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-SQL-expressible query.  Rows-only entries (non-SQL-expressible, covered by
-pytest instead): doc_fingerprint (blake2b rolling hash), dedup_simhash
-(blake-vote signature), ann_lsh / ann_ivf / ann_lsh_topk (approximate by
-design — recall pytests), and the transcripts_* pipelines (inputs are
-synthesized transcripts, not the registered sf views; generator-oracle
-parity is pytest-checked).
+SQL-expressible query.  Rows-only entries (each with a pytest covering its
+semantics instead): ann_ivf / ann_lsh_topk (genuinely approximate —
+recall-vs-brute-force pytests), rag_embed_answer (reference-verbatim
+np.argsort tie order on heavily tied chunk sims — replica pytest; measured
+150+ docs with exact top-rank ties, so no SQL ordering can match), and the
+transcripts_* pipelines (inputs are synthesized transcripts, not the
+registered sf views; generator-oracle parity is pytest-checked).
+Everything else — including simhash (62-bit SQL-replicable polynomial
+signatures), LSH buckets (sign projections), fingerprints, and the dedup
+cluster components — is value-checked against DuckDB.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
