@@ -2026,19 +2026,27 @@ FROM h
     # true shingle-Jaccard all-pairs: the LSH pipeline's output must equal it
     # exactly at this threshold (band recall ~1-4e-9 per true pair; the
     # recall pytest asserts set equality independently)
+    # SPARSE formulation: explode distinct shingles, self-join on the
+    # shingle (only pairs sharing >=1 shingle survive), |union| =
+    # n_a + n_b - |intersection|.  Identical output to the all-pairs
+    # list_intersect form but ~80x faster in DuckDB (0.14s vs 11.4s at
+    # 500 docs) and tractable at sf0.1.
     "dedup_minhash": rf"""
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 s AS (SELECT doc_id,
         CASE WHEN len(w) < {MINHASH_SHINGLE_K} THEN [array_to_string(w, ' ')]
              ELSE list_distinct(list_transform(generate_series(1, len(w)-{MINHASH_SHINGLE_K - 1}),
                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-      FROM t)
-SELECT CAST(a.doc_id AS BIGINT) AS left_id, CAST(b.doc_id AS BIGINT) AS right_id,
-  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+      FROM t),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+f AS (SELECT doc_id, x.sh AS g FROM s, unnest(s.sh) AS x(sh)),
+inter AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+          FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT CAST(l AS BIGINT) AS left_id, CAST(r AS BIGINT) AS right_id,
+  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """,
     # greedy char-budget packer with word overlap (R1): the sequential pack
     # loop is a recursive CTE over the per-doc cumulative word-length array —
@@ -2079,8 +2087,9 @@ WHERE f.bucket >= 80 AND f.h IN (SELECT h FROM tr)
     # same pair semantics as dedup_minhash, then components via transitive
     # closure (recursive CTE; UNION dedup terminates cycles) and
     # cluster_id = min reachable id
-    # MATERIALIZED hints: without them the recursive closure re-evaluates
-    # the O(n^2) shingle-Jaccard join every iteration (measured 31 s -> 10 s)
+    # same sparse shingle self-join as dedup_minhash for the pair CTE;
+    # MATERIALIZED hints keep the recursive closure from re-evaluating it
+    # every iteration
     "dedup_clusters": rf"""
 WITH RECURSIVE
 t AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
@@ -2089,10 +2098,15 @@ s AS MATERIALIZED (SELECT doc_id,
              ELSE list_distinct(list_transform(generate_series(1, len(w)-{MINHASH_SHINGLE_K - 1}),
                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
       FROM t),
-p AS MATERIALIZED (SELECT CAST(a.doc_id AS BIGINT) AS left_id, CAST(b.doc_id AS BIGINT) AS right_id
-      FROM s a JOIN s b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.sh, b.sh))) >= {JACCARD_THRESHOLD}),
+sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+fx AS MATERIALIZED (SELECT doc_id, x.sh AS g FROM s, unnest(s.sh) AS x(sh)),
+p AS MATERIALIZED (
+  SELECT CAST(l AS BIGINT) AS left_id, CAST(r AS BIGINT) AS right_id
+  FROM (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+        FROM fx a JOIN fx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id) inter
+  JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
 edges AS MATERIALIZED (SELECT left_id AS a, right_id AS b FROM p
           UNION SELECT right_id, left_id FROM p),
 reach AS (
