@@ -2252,14 +2252,19 @@ SELECT doc_id, substr(hx, 1, 16) AS content_hash,
   CASE WHEN b2 % 2 = 1 THEN 'RGB' ELSE 'L' END AS mode
 FROM b
 """,
+    # sparse word self-join (same pattern as dedup_minhash): 341s -> seconds
+    # at sf0.1 vs the all-pairs list_intersect form
     "dedup_jaccard": rf"""
-WITH s AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w FROM documents)
-SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-  round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.w, b.w))), 6) AS jaccard
-FROM s a JOIN s b ON a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.w, b.w))) >= {JACCARD_THRESHOLD}
+WITH s AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+sz AS (SELECT doc_id, len(w) AS n FROM s),
+f AS (SELECT doc_id, x.w AS g FROM s, unnest(s.w) AS x(w)),
+inter AS (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+          FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT l AS left_id, r AS right_id,
+  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """,
     # feature-hash embedding pipeline (A7 analog): bucket sums per doc from
     # the codepoint-polynomial token hash — bit-identical to
