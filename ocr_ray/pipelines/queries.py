@@ -747,6 +747,110 @@ def q_dedup_clusters(sf_dir: str):
     return connected_components(pairs, n_partitions=8)
 
 
+def q_dedup_keep(sf_dir: str):
+    """Near-dup dedup SURVIVORS — the doc_ids a curation run actually keeps
+    after collapsing every MinHash near-dup cluster to its minimum-id
+    representative (the "remove duplicates" step of training-data curation,
+    cf. Lee et al. 2022 §4; reference analog: the result-cache keep-first
+    semantics, ocr_app/utils/result_cache.py).
+
+    Fully distributed: pairs (minhash_dedup_pairs) -> connected components
+    (per-round raw-task label exchange) -> non-representative ids
+    (doc_id != cluster_id) -> hash-exchange ANTI-join against the doc-id
+    column (both sides split on doc_id; a partition keeps ids whose max
+    removal flag is 0).  The removed set never lands on the driver."""
+    from ocr_ray.stages.dedup import connected_components, minhash_dedup_pairs
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = minhash_dedup_pairs(
+        docs, n_perm=64, n_bands=16, shingle_k=MINHASH_SHINGLE_K,
+        threshold=JACCARD_THRESHOLD, n_partitions=16,
+    )
+    clusters = connected_components(pairs, n_partitions=8)
+
+    def nonreps(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.loc[b["doc_id"] != b["cluster_id"], ["doc_id"]].copy()
+        out["removed"] = np.int64(1)
+        return out
+
+    def ids_only(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "removed": np.int64(0)}
+        )
+
+    both = docs.map_batches(ids_only, batch_format="pandas").union(
+        clusters.map_batches(nonreps, batch_format="pandas")
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", as_index=False)["removed"].max()
+        return m.loc[m["removed"] == 0, ["doc_id"]]
+
+    return exchange_map_partitions(both, "doc_id", anti, n_partitions=16)
+
+
+def q_doc_source_stats(sf_dir: str):
+    """Per-source corpus health report (the RefinedWeb/CCNet-style
+    "which domains are worth keeping" table): document count, total
+    characters, distinct languages, and corpus-wide duplicate count per
+    ``source``.
+
+    Two bounded exchanges, no driver state: (1) vectorized content hash,
+    exchange by hash — each partition sees every copy of a text, so the
+    global duplicate flag is a local groupby-size; rows are then
+    pre-aggregated to (source, lang) combiners BEFORE the second exchange,
+    so (2) the source exchange moves only source×lang rows (bounded by
+    #sources × #languages, not by corpus size)."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "source", "lang", "n_chars"],
+    )
+
+    def hash_keep(b: pd.DataFrame) -> pd.DataFrame:
+        b = add_content_hash(b)
+        return b[["content_hash", "source", "lang", "n_chars"]]
+
+    hashed = ds.map_batches(hash_keep, batch_format="pandas")
+
+    def mark_and_combine(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby("content_hash")["content_hash"].transform("size") > 1
+        g = pd.DataFrame(
+            {
+                "source": g["source"],
+                "lang": g["lang"],
+                "n_chars": g["n_chars"].astype("int64"),
+                "is_dup": dup.astype("int64"),
+            }
+        )
+        return g.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("is_dup", "size"),
+            sum_chars=("n_chars", "sum"),
+            n_dup_docs=("is_dup", "sum"),
+        )
+
+    combined = exchange_map_partitions(
+        hashed, "content_hash", mark_and_combine, n_partitions=16
+    )
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            sum_chars=("sum_chars", "sum"),
+            n_langs=("lang", "nunique"),
+            n_dup_docs=("n_dup_docs", "sum"),
+        )
+        for c in ("n_docs", "sum_chars", "n_langs", "n_dup_docs"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return exchange_map_partitions(combined, "source", per_source, n_partitions=8)
+
+
 EMBED_DUP_THRESHOLD = 0.4
 
 
@@ -1631,6 +1735,8 @@ def queries() -> Dict[str, Callable]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep": q_dedup_keep,
+        "doc_source_stats": q_doc_source_stats,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
         "dedup_embed_lsh": q_dedup_embed_lsh,
@@ -1663,6 +1769,37 @@ def queries() -> Dict[str, Callable]:
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOP_WORDS)
+
+# Shared recursive-closure CTE chain for the minhash-cluster oracles
+# (dedup_clusters / dedup_keep): sparse shingle self-join pair CTE, then
+# transitive closure (UNION dedup terminates cycles), cluster = min
+# reachable id.  MATERIALIZED hints keep the recursive part from
+# re-evaluating the pair join every iteration.
+_CLUSTER_CTES = rf"""
+WITH RECURSIVE
+t AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+s AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN len(w) < {MINHASH_SHINGLE_K} THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(w)-{MINHASH_SHINGLE_K - 1}),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+      FROM t),
+sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+fx AS MATERIALIZED (SELECT doc_id, x.sh AS g FROM s, unnest(s.sh) AS x(sh)),
+p AS MATERIALIZED (
+  SELECT CAST(l AS BIGINT) AS left_id, CAST(r AS BIGINT) AS right_id
+  FROM (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+        FROM fx a JOIN fx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id) inter
+  JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+edges AS MATERIALIZED (SELECT left_id AS a, right_id AS b FROM p
+          UNION SELECT right_id, left_id FROM p),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+"""
 
 ORACLE_SQL: Dict[str, str] = {
     "doc_clean": rf"""
@@ -2090,32 +2227,26 @@ WHERE f.bucket >= 80 AND f.h IN (SELECT h FROM tr)
     # same sparse shingle self-join as dedup_minhash for the pair CTE;
     # MATERIALIZED hints keep the recursive closure from re-evaluating it
     # every iteration
-    "dedup_clusters": rf"""
-WITH RECURSIVE
-t AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
-s AS MATERIALIZED (SELECT doc_id,
-        CASE WHEN len(w) < {MINHASH_SHINGLE_K} THEN [array_to_string(w, ' ')]
-             ELSE list_distinct(list_transform(generate_series(1, len(w)-{MINHASH_SHINGLE_K - 1}),
-                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-      FROM t),
-sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
-fx AS MATERIALIZED (SELECT doc_id, x.sh AS g FROM s, unnest(s.sh) AS x(sh)),
-p AS MATERIALIZED (
-  SELECT CAST(l AS BIGINT) AS left_id, CAST(r AS BIGINT) AS right_id
-  FROM (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
-        FROM fx a JOIN fx b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id) inter
-  JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
-edges AS MATERIALIZED (SELECT left_id AS a, right_id AS b FROM p
-          UNION SELECT right_id, left_id FROM p),
-reach AS (
-  SELECT a AS id, a AS r FROM edges
-  UNION
-  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
-)
+    "dedup_clusters": _CLUSTER_CTES + """
 SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY id
+""",
+    # survivors = every doc minus cluster members whose min reachable id
+    # differs from their own (non-representatives)
+    "dedup_keep": _CLUSTER_CTES + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+""",
+    "doc_source_stats": """
+WITH h AS (SELECT source, lang, n_chars,
+                  count(*) OVER (PARTITION BY text) AS c
+           FROM documents)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+FROM h GROUP BY source
 """,
     # full signature recomputation (PolySimHasher, stages/dedup.py): two
     # polynomial codepoint hashes per token, rolling 3-shingle folds mod

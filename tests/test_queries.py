@@ -322,3 +322,40 @@ def test_contamination_max_df_drops_boilerplate(ray_session):
         docs, split_of, n_partitions=4, max_df=3
     ).to_pandas()
     assert set(filt["doc_id"]) == {2}
+
+
+def test_dedup_keep_partitions_docs(ray_session):
+    """Survivors (dedup_keep) and dropped near-dup members must exactly
+    partition the doc table: dropped = cluster members whose label differs
+    from their own id, survivors = everything else; cluster representatives
+    themselves survive."""
+    import pandas as pd
+
+    from ocr_ray.pipelines.queries import q_dedup_clusters, q_dedup_keep
+
+    kept = set(q_dedup_keep(SF).to_pandas()["doc_id"])
+    cl = q_dedup_clusters(SF).to_pandas()
+    dropped = set(cl.loc[cl["doc_id"] != cl["cluster_id"], "doc_id"])
+    reps = set(cl.loc[cl["doc_id"] == cl["cluster_id"], "doc_id"])
+    all_ids = set(pd.read_parquet(f"{SF}/documents.parquet")["doc_id"])
+
+    assert kept | dropped == all_ids
+    assert kept & dropped == set()
+    assert reps <= kept
+
+
+def test_doc_source_stats_invariants(ray_session):
+    """Per-source stats must tie out to whole-corpus totals computed
+    driver-side, and the duplicate flag must be corpus-wide (text shared
+    ACROSS sources still counts), not per-source."""
+    import pandas as pd
+
+    from ocr_ray.pipelines.queries import q_doc_source_stats
+
+    got = q_doc_source_stats(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    assert int(got["n_docs"].sum()) == len(docs)
+    assert int(got["sum_chars"].sum()) == int(docs["n_chars"].sum())
+    dup_total = int((docs.groupby("text")["text"].transform("size") > 1).sum())
+    assert int(got["n_dup_docs"].sum()) == dup_total
