@@ -851,6 +851,19 @@ def q_doc_source_stats(sf_dir: str):
     return exchange_map_partitions(combined, "source", per_source, n_partitions=8)
 
 
+def q_doc_novelty(sf_dir: str):
+    """Per-doc shingle novelty (stages/dedup.py:shingle_novelty): fraction
+    of the doc's distinct 3-word shingles first seen (min doc_id) in this
+    doc.  Shingle-hash exchange + per-doc partial sums; the oracle
+    recomputes the identical 62-bit polynomial hashes in SQL."""
+    from ocr_ray.stages.dedup import shingle_novelty
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return shingle_novelty(docs, shingle_k=3, n_partitions=16)
+
+
 EMBED_DUP_THRESHOLD = 0.4
 
 
@@ -1737,6 +1750,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
+        "doc_novelty": q_doc_novelty,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
         "dedup_embed_lsh": q_dedup_embed_lsh,
@@ -2247,6 +2261,41 @@ SELECT source,
   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
 FROM h GROUP BY source
+""",
+    # identical 62-bit polynomial shingle hashes as split_contamination
+    # (PolySimHasher.features); novelty = fraction of the doc's distinct
+    # shingles whose corpus-wide min doc id is this doc
+    "doc_novelty": r"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                   string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''),
+th AS (SELECT id, len(w) AS n,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM d0),
+feats AS (SELECT id,
+   CASE WHEN n < 3 THEN
+     [ list_reduce(list_prepend(CAST(0 AS BIGINT), t1), (a, b) -> (a * 1000003 + b) % 2147483647)
+       + list_reduce(list_prepend(CAST(0 AS BIGINT), t2), (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 ]
+   ELSE
+     list_distinct(list_transform(generate_series(1, n - 2), i ->
+       ((t1[i] * 1000003 + t1[i+1]) % 2147483647 * 1000003 + t1[i+2]) % 2147483647
+       + ((t2[i] * 1000033 + t2[i+1]) % 2147483647 * 1000033 + t2[i+2]) % 2147483647 * 2147483648))
+   END AS h
+ FROM th),
+f AS (SELECT id, x.h FROM feats, unnest(feats.h) AS x(h)),
+mn AS (SELECT h, min(id) AS mid FROM f GROUP BY h)
+SELECT f.id AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN mn.mid = f.id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  floor(CAST(sum(CASE WHEN mn.mid = f.id THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*) * 1000000 + 0.5) / 1000000 AS novelty
+FROM f JOIN mn ON f.h = mn.h
+GROUP BY f.id
 """,
     # full signature recomputation (PolySimHasher, stages/dedup.py): two
     # polynomial codepoint hashes per token, rolling 3-shingle folds mod

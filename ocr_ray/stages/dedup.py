@@ -694,6 +694,95 @@ def cross_split_contamination(
     return rd.from_arrow_refs(out_refs)
 
 
+def shingle_novelty(
+    docs: "object",
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 16,
+) -> "object":
+    """Per-document novelty score — the fraction of a doc's distinct k-word
+    shingles whose global first occurrence (minimum doc id among all docs
+    containing the shingle) is this doc.  The standard "how much new
+    content does this document contribute" signal for corpus curation:
+    novelty ~0 marks near-total rehashes that survive pairwise dedup
+    thresholds, novelty 1 marks fully original text.
+
+    Same SQL-replicable 62-bit polynomial shingle features as
+    :func:`cross_split_contamination` (:class:`PolySimHasher`), so the
+    DuckDB oracle joins on identical hashes.  Two bounded exchanges, no
+    driver state: explode (h, id) distinct rows, exchange BY SHINGLE —
+    each partition owns every occurrence of its shingles, so min-id and
+    per-doc partial counts are local — then exchange the per-(partition,
+    doc) partials BY DOC and sum.  Rows moved: one per (doc, distinct
+    shingle) in phase 1, at most one per (doc, partition) in phase 2."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    hasher = PolySimHasher(shingle_k=shingle_k)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(dtype="int64")
+        hs, out_id = [], []
+        for i, t in enumerate(b[text_col]):
+            f = hasher.features(t)
+            if f.size:
+                hs.append(f)
+                out_id.append(np.full(f.size, ids[i], dtype=np.int64))
+        if not hs:
+            return pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                                 "id": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"h": np.concatenate(hs), "id": np.concatenate(out_id)}
+        )
+
+    @ray.remote
+    def novel_local(*pieces):
+        g = _concat_pd(pieces)
+        if not len(g):
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "n_shingles": pd.Series([], dtype="int64"),
+                                "n_novel": pd.Series([], dtype="int64")})
+            return pa.Table.from_pandas(out, preserve_index=False)
+        first = g.groupby("h")["id"].transform("min")
+        g = pd.DataFrame({"doc_id": g["id"],
+                          "is_novel": (g["id"] == first).astype("int64")})
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_shingles=("is_novel", "size"), n_novel=("is_novel", "sum")
+        )
+        out["n_shingles"] = out["n_shingles"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @ray.remote
+    def combine(*pieces):
+        g = _concat_pd(pieces)
+        if not len(g):
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "n_shingles": pd.Series([], dtype="int64"),
+                                "n_novel": pd.Series([], dtype="int64"),
+                                "novelty": pd.Series([], dtype="float64")})
+            return pa.Table.from_pandas(out, preserve_index=False)
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_shingles=("n_shingles", "sum"), n_novel=("n_novel", "sum")
+        )
+        # floor(x*1e6+0.5)/1e6: identical IEEE ops to the DuckDB oracle
+        out["novelty"] = np.floor(
+            out["n_novel"].to_numpy(dtype="float64")
+            / out["n_shingles"].to_numpy(dtype="float64") * 1e6 + 0.5
+        ) / 1e6
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rows = docs.map_batches(explode, batch_format="pandas")
+    P = n_partitions
+    hsplit = _exchange(rows, "h", P)
+    local_refs = [novel_local.remote(*[s[j] for s in hsplit]) for j in range(P)]
+    dsplit = _exchange(local_refs, "doc_id", P)
+    out_refs = [combine.remote(*[s[j] for s in dsplit]) for j in range(P)]
+    return rd.from_arrow_refs(out_refs)
+
+
 # ------------------------------------------------- connected components
 def connected_components(
     pairs: "object",

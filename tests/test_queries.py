@@ -359,3 +359,31 @@ def test_doc_source_stats_invariants(ray_session):
     assert int(got["sum_chars"].sum()) == int(docs["n_chars"].sum())
     dup_total = int((docs.groupby("text")["text"].transform("size") > 1).sum())
     assert int(got["n_dup_docs"].sum()) == dup_total
+
+
+def test_shingle_novelty_semantics(ray_session):
+    """Hand-built corpus: an original doc is fully novel, an exact copy with
+    a higher id is fully stale, a half-overlapping doc scores in between,
+    and empty docs emit no row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import shingle_novelty
+
+    a = "one two three four five six"          # 4 distinct 3-shingles
+    b = a                                      # exact copy of a
+    c = "one two three nine ten eleven"        # shares shingle "one two three"
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 20, 30, 40],
+        "text": [a, b, c, "   "],
+    }))
+    out = shingle_novelty(docs, n_partitions=4).to_pandas()
+    r = out.set_index("doc_id")
+
+    assert set(out["doc_id"]) == {10, 20, 30}  # whitespace doc: no row
+    assert r.loc[10, "novelty"] == 1.0
+    assert r.loc[20, "novelty"] == 0.0
+    assert r.loc[30, "n_shingles"] == 4 and r.loc[30, "n_novel"] == 3
+    # every distinct shingle in the corpus is novel exactly once:
+    # 4 from doc a (doc b copies them, doc c reuses one) + 3 new in doc c
+    assert int(out["n_novel"].sum()) == 4 + 3
