@@ -864,6 +864,19 @@ def q_doc_novelty(sf_dir: str):
     return shingle_novelty(docs, shingle_k=3, n_partitions=16)
 
 
+def q_corpus_distinct_sketch(sf_dir: str):
+    """KMV distinct-shingle sketch (stages/aggregate.py:
+    kmv_distinct_shingles): bounded-memory approximate distinct count whose
+    estimate is a deterministic function of the k-th smallest mixed hash —
+    value-checked by DuckDB recomputing the identical sketch."""
+    from ocr_ray.stages.aggregate import kmv_distinct_shingles
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return kmv_distinct_shingles(docs, k=256)
+
+
 EMBED_DUP_THRESHOLD = 0.4
 
 
@@ -1751,6 +1764,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
         "doc_novelty": q_doc_novelty,
+        "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
         "dedup_embed_lsh": q_dedup_embed_lsh,
@@ -2296,6 +2310,45 @@ SELECT f.id AS doc_id,
         / count(*) * 1000000 + 0.5) / 1000000 AS novelty
 FROM f JOIN mn ON f.h = mn.h
 GROUP BY f.id
+""",
+    # KMV sketch: same 62-bit polynomial shingle features as doc_novelty,
+    # scrambled by the bijective odd-multiply mod 2^62 (HUGEINT arithmetic
+    # matches numpy's uint64-wrap-then-mask exactly since 2^62 | 2^64),
+    # estimate = (k-1)*2^62/(kth_smallest+1) — deterministic, so an
+    # APPROXIMATE operator is still value-checked
+    "corpus_distinct_sketch": r"""
+WITH d0 AS (SELECT string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''),
+th AS (SELECT len(w) AS n,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM d0),
+feats AS (SELECT
+   CASE WHEN n < 3 THEN
+     [ list_reduce(list_prepend(CAST(0 AS BIGINT), t1), (a, b) -> (a * 1000003 + b) % 2147483647)
+       + list_reduce(list_prepend(CAST(0 AS BIGINT), t2), (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 ]
+   ELSE
+     list_distinct(list_transform(generate_series(1, n - 2), i ->
+       ((t1[i] * 1000003 + t1[i+1]) % 2147483647 * 1000003 + t1[i+2]) % 2147483647
+       + ((t2[i] * 1000033 + t2[i+1]) % 2147483647 * 1000033 + t2[i+2]) % 2147483647 * 2147483648))
+   END AS h
+ FROM th),
+m AS (SELECT DISTINCT CAST((CAST(x.h AS HUGEINT) * 2685821657736338717)
+                           % 4611686018427387904 AS BIGINT) AS mh
+      FROM feats, unnest(feats.h) AS x(h)),
+km AS (SELECT mh FROM m ORDER BY mh LIMIT 256),
+st AS (SELECT count(*) AS n, max(mh) AS kth FROM km)
+SELECT CAST(256 AS BIGINT) AS k,
+  CAST(kth AS BIGINT) AS kth_hash,
+  CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+       ELSE floor(CAST(255 AS DOUBLE) * 4611686018427387904 / (kth + 1)
+                  * 1000000 + 0.5) / 1000000
+  END AS est_distinct
+FROM st
 """,
     # full signature recomputation (PolySimHasher, stages/dedup.py): two
     # polynomial codepoint hashes per token, rolling 3-shingle folds mod

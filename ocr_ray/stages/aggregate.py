@@ -63,3 +63,81 @@ def hash_aggregate(
         ds.map_batches(partial, batch_format="pandas"),
         keys, combine, n_partitions,
     )
+
+
+# ------------------------------------------------- KMV distinct sketch
+# Bijective scrambler for KMV: odd-constant multiply mod 2^62.  The raw
+# polynomial shingle hashes cluster (low-entropy token vocab -> 80% KMV
+# error observed); multiplying by an odd constant is invertible mod 2^62,
+# so distinctness is preserved while magnitudes become uniform (measured
+# 3.8% error at k=256 on 16.5k true distinct).  numpy computes
+# (h*C) mod 2^64 via uint64 wraparound then masks to 2^62 — identical to
+# mod-2^62 directly because 2^62 divides 2^64; DuckDB replicates with
+# HUGEINT arithmetic.
+KMV_MIX = 2685821657736338717
+KMV_MOD = 1 << 62
+
+
+def kmv_distinct_shingles(
+    ds: "ray.data.Dataset",
+    k: int = 256,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Approximate distinct-shingle count via a k-minimum-values sketch —
+    the bounded-memory path to "how much unique content is in this corpus"
+    at 100 TB, where the exact value exchange (corpus_stats) would shuffle
+    every distinct shingle.
+
+    KMV: over uniformly hashed items, the k-th smallest hash value R_k
+    estimates distinct count as (k-1) * M / R_k (Bar-Yossef et al. 2002).
+    Every stage is bounded: each input block contributes its k smallest
+    mixed 62-bit shingle hashes (a few KB), one merge task unions the
+    per-block minima (<= k x n_blocks ints, never row data) and emits a
+    single (k, kth_hash, est_distinct) row.  The estimate is a
+    DETERMINISTIC function of the k-th smallest hash, so the DuckDB oracle
+    reproduces it exactly — an oracle-checked approximate operator."""
+    import numpy as np
+
+    from ocr_ray.stages.dedup import PolySimHasher
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    hasher = PolySimHasher()
+    mult = np.uint64(KMV_MIX)
+    mask = np.uint64(KMV_MOD - 1)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        feats = [hasher.features(t) for t in b[text_col]]
+        feats = [f for f in feats if f.size]
+        if not feats:
+            return pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                                 "g": pd.Series([], dtype="int64")})
+        u = np.unique(np.concatenate(feats))
+        m = np.sort((u.astype(np.uint64) * mult) & mask)[:k].astype("int64")
+        return pd.DataFrame({"h": m, "g": np.int64(0)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["h"].to_numpy())
+        n = min(len(u), k)
+        if n == 0:
+            # the constant key routes every row to ONE partition; the other
+            # (empty) partitions must emit no row, not a zero row
+            return pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                                 "kth_hash": pd.Series([], dtype="int64"),
+                                 "est_distinct": pd.Series([], dtype="float64")})
+        kth = int(u[n - 1])
+        if n < k:
+            est = float(n)  # fewer than k distinct: the sketch IS exact
+        else:
+            # floor(x*1e6+0.5)/1e6: identical IEEE ops to the DuckDB oracle
+            est = np.floor(
+                float(k - 1) * float(KMV_MOD) / (kth + 1) * 1e6 + 0.5
+            ) / 1e6
+        return pd.DataFrame({"k": pd.Series([k], dtype="int64"),
+                             "kth_hash": pd.Series([kth], dtype="int64"),
+                             "est_distinct": pd.Series([est])})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    # n_partitions=2 (not 1): num_returns=1 split tasks return a bare
+    # ObjectRef instead of a list (join.py:launch_splits); the constant
+    # key lands all rows in one partition either way
+    return exchange_map_partitions(partials, "g", merge, n_partitions=2)

@@ -387,3 +387,32 @@ def test_shingle_novelty_semantics(ray_session):
     # every distinct shingle in the corpus is novel exactly once:
     # 4 from doc a (doc b copies them, doc c reuses one) + 3 new in doc c
     assert int(out["n_novel"].sum()) == 4 + 3
+
+
+def test_kmv_sketch_accuracy(ray_session):
+    """The KMV estimate must land within the sketch's theoretical error
+    band (~1/sqrt(k-2) ~ 6% at k=256; allow 3x) of the true distinct
+    shingle count, and the sketch must be exact below k."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.pipelines.queries import q_corpus_distinct_sketch
+    from ocr_ray.stages.aggregate import kmv_distinct_shingles
+    from ocr_ray.stages.dedup import PolySimHasher
+
+    out = q_corpus_distinct_sketch(SF).to_pandas()
+    assert len(out) == 1
+    est = float(out["est_distinct"].iloc[0])
+
+    hasher = PolySimHasher()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    true = len({int(h) for t in docs["text"] for h in hasher.features(t)})
+    assert abs(est - true) / true < 0.18, (est, true)
+
+    # below k distinct the sketch degenerates to the exact count
+    small = rd.from_pandas(pd.DataFrame(
+        {"text": ["alpha beta gamma delta", "beta gamma delta epsilon"]}
+    ))
+    s = kmv_distinct_shingles(small, k=256).to_pandas()
+    # 2 shingles per doc, "beta gamma delta" shared -> 3 distinct
+    assert float(s["est_distinct"].iloc[0]) == 3.0
