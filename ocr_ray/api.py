@@ -294,3 +294,44 @@ def curate(
         )
 
     return kept.map_batches(assign_split, batch_format="pandas")
+
+
+def dedup_survivors(
+    docs: "rd.Dataset",
+    method: str = "minhash",
+    threshold: float = 0.95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Ids kept after collapsing each near-dup cluster to its minimum-id
+    representative — :func:`dedup_clusters` followed by the hash-exchange
+    anti-join (stages/dedup.py:keep_representatives)."""
+    from ocr_ray.stages.dedup import keep_representatives
+
+    clusters = dedup_clusters(
+        docs, method=method, threshold=threshold,
+        text_col=text_col, id_col=id_col,
+    )
+    return keep_representatives(docs, clusters, id_col=id_col)
+
+
+def novelty_scores(
+    docs: "rd.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "rd.Dataset":
+    """Per-doc fraction of distinct 3-word shingles first seen in that doc
+    (stages/dedup.py:shingle_novelty) — flags near-total rehashes that slip
+    past pairwise thresholds."""
+    from ocr_ray.stages.dedup import shingle_novelty
+
+    return shingle_novelty(docs, text_col=text_col, id_col=id_col)
+
+
+def distinct_shingles_estimate(
+    docs: "rd.Dataset", k: int = 256, text_col: str = "text"
+) -> "rd.Dataset":
+    """Bounded-memory approximate distinct-shingle count (KMV sketch,
+    stages/aggregate.py:kmv_distinct_shingles): one row
+    (k, kth_hash, est_distinct)."""
+    from ocr_ray.stages.aggregate import kmv_distinct_shingles
+
+    return kmv_distinct_shingles(docs, k=k, text_col=text_col)

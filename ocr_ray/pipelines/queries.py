@@ -755,12 +755,15 @@ def q_dedup_keep(sf_dir: str):
     semantics, ocr_app/utils/result_cache.py).
 
     Fully distributed: pairs (minhash_dedup_pairs) -> connected components
-    (per-round raw-task label exchange) -> non-representative ids
-    (doc_id != cluster_id) -> hash-exchange ANTI-join against the doc-id
-    column (both sides split on doc_id; a partition keeps ids whose max
-    removal flag is 0).  The removed set never lands on the driver."""
-    from ocr_ray.stages.dedup import connected_components, minhash_dedup_pairs
-    from ocr_ray.stages.join import exchange_map_partitions
+    (per-round raw-task label exchange) -> hash-exchange ANTI-join of the
+    non-representative ids against the doc-id column
+    (stages/dedup.py:keep_representatives).  The removed set never lands
+    on the driver."""
+    from ocr_ray.stages.dedup import (
+        connected_components,
+        keep_representatives,
+        minhash_dedup_pairs,
+    )
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -770,26 +773,7 @@ def q_dedup_keep(sf_dir: str):
         threshold=JACCARD_THRESHOLD, n_partitions=16,
     )
     clusters = connected_components(pairs, n_partitions=8)
-
-    def nonreps(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.loc[b["doc_id"] != b["cluster_id"], ["doc_id"]].copy()
-        out["removed"] = np.int64(1)
-        return out
-
-    def ids_only(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": b["doc_id"].astype("int64"), "removed": np.int64(0)}
-        )
-
-    both = docs.map_batches(ids_only, batch_format="pandas").union(
-        clusters.map_batches(nonreps, batch_format="pandas")
-    )
-
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby("doc_id", as_index=False)["removed"].max()
-        return m.loc[m["removed"] == 0, ["doc_id"]]
-
-    return exchange_map_partitions(both, "doc_id", anti, n_partitions=16)
+    return keep_representatives(docs, clusters, n_partitions=16)
 
 
 def q_doc_source_stats(sf_dir: str):

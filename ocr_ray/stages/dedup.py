@@ -694,6 +694,42 @@ def cross_split_contamination(
     return rd.from_arrow_refs(out_refs)
 
 
+def keep_representatives(
+    docs: "object",
+    clusters: "object",
+    id_col: str = "doc_id",
+    n_partitions: int = 16,
+) -> "object":
+    """Survivor ids after cluster-collapse dedup: every id in ``docs``
+    except cluster members whose ``cluster_id`` label differs from their
+    own id (non-representatives).  Hash-exchange anti-join on the id: both
+    sides split by id hash, each partition keeps ids whose max removal
+    flag is 0 — the removed set never lands on the driver."""
+    import ray.data as rd
+
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def nonreps(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.loc[b[id_col] != b["cluster_id"], [id_col]].copy()
+        out["removed"] = np.int64(1)
+        return out
+
+    def ids_only(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: b[id_col].astype("int64"), "removed": np.int64(0)}
+        )
+
+    both = docs.map_batches(ids_only, batch_format="pandas").union(
+        clusters.map_batches(nonreps, batch_format="pandas")
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(id_col, as_index=False)["removed"].max()
+        return m.loc[m["removed"] == 0, [id_col]]
+
+    return exchange_map_partitions(both, id_col, anti, n_partitions)
+
+
 def shingle_novelty(
     docs: "object",
     shingle_k: int = 3,
@@ -883,6 +919,14 @@ def connected_components(
         labels = new_labels
         if sum(ray.get(counts)) == 0:
             break
+    else:
+        # silent early termination would mislabel clusters; long-chain
+        # graphs need pointer jumping (label <- label[label]) or a higher
+        # max_rounds — fail loudly rather than return wrong components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(graph diameter exceeds max_rounds; raise max_rounds)"
+        )
 
     @ray.remote
     def finalize(tbl):
