@@ -335,3 +335,32 @@ def distinct_shingles_estimate(
     from ocr_ray.stages.aggregate import kmv_distinct_shingles
 
     return kmv_distinct_shingles(docs, k=k, text_col=text_col)
+
+
+def build_index(
+    docs: "rd.Dataset",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+    n_partitions: int = 32,
+) -> "rd.Dataset":
+    """Term-partitioned inverted index (stages/index.py:build_postings):
+    one row per term with df, tf_total and the ascending doc-id postings
+    list.  Pass ``max_df`` (gate: 2*df <= max_df) to drop stop-term giants
+    before they skew a partition."""
+    from ocr_ray.stages.index import build_postings
+
+    return build_postings(
+        docs, id_col=id_col, text_col=text_col,
+        max_df=max_df, n_partitions=n_partitions,
+    )
+
+
+def search_index(postings: "rd.Dataset", terms: list) -> list:
+    """Conjunctive AND retrieval over a built index
+    (stages/index.py:conjunctive_lookup): doc ids containing every term,
+    ascending; cost bounded by the query terms' postings, not the corpus."""
+    from ocr_ray.stages.index import conjunctive_lookup
+
+    return conjunctive_lookup(postings, terms)

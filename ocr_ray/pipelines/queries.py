@@ -555,6 +555,44 @@ def q_doc_top_terms(sf_dir: str):
 _TERM = re.compile(r"[a-z0-9]+")
 
 
+# ====================================================== inverted index
+# AND-query probe terms: moderately selective on the synthetic vocabulary
+# (13-15 matching docs at test scales, verified non-degenerate).
+INDEX_LOOKUP_TERMS = ["spark", "vector", "dup"]
+
+
+def q_doc_postings(sf_dir: str):
+    """Inverted-index build (G4/R3 scale path): term-partitioned postings
+    lists via the streaming hash exchange — the retrieval-tier analog of
+    scanning every chunk per keyword query (src/rag_module.py's keyword
+    scorer) rebuilt as a build-once index.  The max-df stop-term gate is
+    disabled here (the synthetic vocabulary is ~31 terms with df up to
+    ~83%, so any useful gate would empty the table); the gate itself is
+    exercised in tests/test_index.py."""
+    from ocr_ray.stages.index import build_postings
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = build_postings(ds, n_partitions=8).to_pandas()
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def q_index_lookup(sf_dir: str):
+    """Conjunctive (AND) retrieval through the inverted index: probe only
+    the query terms' postings rows (expression filter), intersect k sorted
+    id lists driver-side — cost bounded by the smallest postings list, not
+    the corpus."""
+    from ocr_ray.stages.index import build_postings, conjunctive_lookup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    post = build_postings(ds, n_partitions=8)
+    ids = conjunctive_lookup(post, INDEX_LOOKUP_TERMS)
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+
+
 # ================================================================ entities
 _SYNTH_TAIL = "@example.com or call (555) 123-4567 on 12/31/2024 visit https://example.com/"
 _NON_ALNUM = re.compile(r"[^A-Za-z0-9]")
@@ -1730,6 +1768,8 @@ def queries() -> Dict[str, Callable]:
         "doc_langid": q_doc_langid,
         "doc_split": q_doc_split,
         "doc_top_terms": q_doc_top_terms,
+        "doc_postings": q_doc_postings,
+        "index_lookup": q_index_lookup,
         "entities_customer": q_entities_customer,
         "doc_pii_redact": q_doc_pii_redact,
         "split_contamination": q_split_contamination,
@@ -2129,6 +2169,21 @@ FROM t GROUP BY term
 ORDER BY n DESC, term
 LIMIT 50
 """,
+    "doc_postings": """
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term
+""",
+    "index_lookup": """
+WITH tok AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+             FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM tok
+WHERE """ + " AND ".join(
+        f"list_contains(w, '{t}')" for t in INDEX_LOOKUP_TERMS
+    ) + "\n",
     "dedup_embed": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT CAST(a.vec_id AS BIGINT) AS left_id, CAST(b.vec_id AS BIGINT) AS right_id,
