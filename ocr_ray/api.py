@@ -326,6 +326,23 @@ def novelty_scores(
     return shingle_novelty(docs, text_col=text_col, id_col=id_col)
 
 
+def quality_classify(
+    docs: "rd.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    filter_kept: bool = False,
+) -> "rd.Dataset":
+    """Fasttext-style hashed linear quality classifier
+    (stages/classify.py): per-doc integer logit, bounded score and keep
+    flag — pure map_batches, no shuffle.  ``filter_kept=True`` applies the
+    gate and returns the surviving docs with text."""
+    from ocr_ray.stages.classify import classifier_filter, classify_documents
+
+    if filter_kept:
+        return classifier_filter(docs, text_col=text_col, id_col=id_col)
+    return classify_documents(docs, text_col=text_col, id_col=id_col)
+
+
 def distinct_shingles_estimate(
     docs: "rd.Dataset", k: int = 256, text_col: str = "text"
 ) -> "rd.Dataset":

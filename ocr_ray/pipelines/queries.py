@@ -899,6 +899,19 @@ def q_corpus_distinct_sketch(sf_dir: str):
     return kmv_distinct_shingles(docs, k=256)
 
 
+def q_doc_clf(sf_dir: str):
+    """Model-based quality gate (stages/classify.py): fasttext-style
+    hashed linear classifier scored per doc — pure map_batches actor pool,
+    no shuffle.  Integer-exact logits make even the keep/drop decision
+    value-checked by the oracle."""
+    from ocr_ray.stages.classify import classify_documents
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return classify_documents(docs, concurrency=2)
+
+
 EMBED_DUP_THRESHOLD = 0.4
 
 
@@ -1788,6 +1801,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
         "doc_novelty": q_doc_novelty,
+        "doc_clf": q_doc_clf,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -2318,6 +2332,33 @@ FROM h GROUP BY source
     # identical 62-bit polynomial shingle hashes as split_contamination
     # (PolySimHasher.features); novelty = fraction of the doc's distinct
     # shingles whose corpus-wide min doc id is this doc
+    # hashed-linear classifier (stages/classify.py): the same polynomial
+    # token hash as the embedder, weight = ((h*2654435761) % (2^31-1)) %
+    # 2001 - 1000, integer logit sum — value-exact including the keep flag
+    "doc_clf": r"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+tw AS (SELECT doc_id, len(t) AS n,
+   list_transform(t, tok ->
+     ((list_reduce(list_prepend(CAST(7 AS BIGINT),
+         list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000003) * 2654435761) % 2147483647) % 2001 - 1000) AS w
+ FROM toks),
+s AS (SELECT doc_id, n,
+        CASE WHEN n = 0 THEN 0
+             ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), w), (a, b) -> a + b)
+        END AS logit
+      FROM tw)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_tokens,
+  CAST(logit AS BIGINT) AS clf_logit,
+  CASE WHEN n = 0 THEN 0.0
+       ELSE floor(CAST(logit AS DOUBLE) / (n * 1000) * 1000000 + 0.5) / 1000000
+  END AS clf_score,
+  CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s
+""",
     "doc_novelty": r"""
 WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
                    string_split_regex(trim(text), '\s+') AS w

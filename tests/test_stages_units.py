@@ -627,3 +627,46 @@ def test_hash_aggregate_hot_key_skew(ray_session):
     exp = df.groupby("k", as_index=False)["v"].sum()
     pd.testing.assert_frame_equal(got.astype({"v": "int64"}), exp)
     assert int(got.loc[got["k"] == 7, "v"].iloc[0]) == int((k == 7).sum())
+
+
+def test_hashed_linear_classifier(ray_session):
+    """Classifier stage: deterministic weights, exact logit arithmetic,
+    empty-doc handling, and the filter gate equals the keep flag."""
+    import ray.data as rd
+
+    from ocr_ray.stages.classify import (
+        HashedLinearClassifier,
+        classifier_filter,
+        classify_documents,
+        token_weight,
+    )
+
+    # weight is a pure function in [-1000, 1000]
+    assert token_weight("hello") == token_weight("hello")
+    assert all(-1000 <= token_weight(t) <= 1000
+               for t in ["a", "z9", "hello", "world", "42"])
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype="int64"),
+        "text": ["Hello world", "", "   ", "hello hello hello"],
+    })
+    got = (classify_documents(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    w_hello, w_world = token_weight("hello"), token_weight("world")
+    assert got["clf_logit"].tolist() == [w_hello + w_world, 0, 0, 3 * w_hello]
+    assert got["n_tokens"].tolist() == [2, 0, 0, 3]
+    # empty docs: score 0.0, dropped by the gate (logit 0 is not > 0)
+    assert got.loc[1, "clf_score"] == 0.0 and got.loc[1, "keep"] == 0
+    assert (got["keep"] == (got["clf_logit"] > 0).astype("int64")).all()
+
+    kept = (classifier_filter(rd.from_pandas(df)).to_pandas())
+    assert set(kept["doc_id"]) == set(got.loc[got["keep"] == 1, "doc_id"])
+    if len(kept):
+        assert "text" in kept.columns  # gate carries text downstream
+
+    # batch-size invariance: one batch vs per-row batches agree
+    clf = HashedLinearClassifier()
+    whole = clf(df)
+    parts = pd.concat([clf(df.iloc[[i]]) for i in range(len(df))],
+                      ignore_index=True)
+    pd.testing.assert_frame_equal(whole.reset_index(drop=True), parts)
