@@ -326,6 +326,17 @@ def novelty_scores(
     return shingle_novelty(docs, text_col=text_col, id_col=id_col)
 
 
+def shuffle_deterministic(
+    ds: "rd.Dataset", id_col: str = "doc_id", n_buckets: int = 4096
+) -> "rd.Dataset":
+    """Reproducible global shuffle (stages/shuffle.py): adds an exact
+    global position under a bijective hash order — no random_shuffle
+    materialization, no sort range-shuffle."""
+    from ocr_ray.stages.shuffle import deterministic_shuffle
+
+    return deterministic_shuffle(ds, id_col=id_col, n_buckets=n_buckets)
+
+
 def quality_classify(
     docs: "rd.Dataset",
     text_col: str = "text",

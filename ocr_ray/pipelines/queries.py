@@ -899,6 +899,19 @@ def q_corpus_distinct_sketch(sf_dir: str):
     return kmv_distinct_shingles(docs, k=256)
 
 
+def q_doc_shuffle(sf_dir: str):
+    """Deterministic global shuffle (stages/shuffle.py): exact global rank
+    under ORDER BY (mixed 62-bit hash, id) via bucket-count pass + hash
+    exchange — reproducible training order with no random_shuffle
+    materialization and no sort's range-sampling shuffle."""
+    from ocr_ray.stages.shuffle import deterministic_shuffle
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return deterministic_shuffle(docs, n_buckets=64, n_partitions=8)
+
+
 def q_doc_clf(sf_dir: str):
     """Model-based quality gate (stages/classify.py): fasttext-style
     hashed linear classifier scored per doc — pure map_batches actor pool,
@@ -1802,6 +1815,7 @@ def queries() -> Dict[str, Callable]:
         "doc_source_stats": q_doc_source_stats,
         "doc_novelty": q_doc_novelty,
         "doc_clf": q_doc_clf,
+        "doc_shuffle": q_doc_shuffle,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -2332,6 +2346,18 @@ FROM h GROUP BY source
     # identical 62-bit polynomial shingle hashes as split_contamination
     # (PolySimHasher.features); novelty = fraction of the doc's distinct
     # shingles whose corpus-wide min doc id is this doc
+    # deterministic shuffle: permutation = ORDER BY bijective odd-multiply
+    # mixed hash (HUGEINT % 2^62 == numpy uint64-wrap & mask, the KMV
+    # precedent), rank made exact by the bucket-offset pass
+    "doc_shuffle": r"""
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST((CAST(doc_id AS HUGEINT) * 2685821657736338717)
+       % 4611686018427387904 AS BIGINT) AS shuffle_hash
+  FROM documents)
+SELECT doc_id, shuffle_hash,
+  CAST(row_number() OVER (ORDER BY shuffle_hash, doc_id) - 1 AS BIGINT) AS pos
+FROM m
+""",
     # hashed-linear classifier (stages/classify.py): the same polynomial
     # token hash as the embedder, weight = ((h*2654435761) % (2^31-1)) %
     # 2001 - 1000, integer logit sum — value-exact including the keep flag

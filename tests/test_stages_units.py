@@ -670,3 +670,31 @@ def test_hashed_linear_classifier(ray_session):
     parts = pd.concat([clf(df.iloc[[i]]) for i in range(len(df))],
                       ignore_index=True)
     pd.testing.assert_frame_equal(whole.reset_index(drop=True), parts)
+
+
+def test_deterministic_shuffle_exact_permutation(ray_session):
+    """deterministic_shuffle: pos is an exact permutation 0..n-1, equals
+    the rank in ORDER BY (mixed hash, id), is invariant to input
+    partitioning, and carries payload columns through."""
+    import ray.data as rd
+
+    from ocr_ray.stages.shuffle import deterministic_shuffle, shuffle_hash
+
+    n = 3000
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"),
+                       "payload": np.arange(n, dtype="int64") * 7})
+    got = (deterministic_shuffle(rd.from_pandas(df).repartition(7),
+                                 n_buckets=16, n_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert sorted(got["pos"].tolist()) == list(range(n))
+    h = shuffle_hash(df["doc_id"].to_numpy())
+    exp_order = np.lexsort((df["doc_id"].to_numpy(), h))
+    exp_pos = np.empty(n, dtype="int64")
+    exp_pos[exp_order] = np.arange(n)
+    assert got["pos"].tolist() == exp_pos.tolist()
+    assert (got["payload"] == got["doc_id"] * 7).all()
+
+    got2 = (deterministic_shuffle(rd.from_pandas(df).repartition(2),
+                                  n_buckets=64, n_partitions=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got2["pos"].tolist() == got["pos"].tolist()
