@@ -337,6 +337,22 @@ def shuffle_deterministic(
     return deterministic_shuffle(ds, id_col=id_col, n_buckets=n_buckets)
 
 
+def pack_sequences(
+    ds: "rd.Dataset",
+    budget: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> "rd.Dataset":
+    """Concat-and-chunk sequence packing (stages/shuffle.py): assigns each
+    doc its fixed-token-budget training bin via an exact distributed
+    prefix-sum over the deterministic shuffle order."""
+    from ocr_ray.stages.shuffle import deterministic_pack
+
+    return deterministic_pack(ds, budget=budget, text_col=text_col,
+                              id_col=id_col, n_buckets=n_buckets)
+
+
 def quality_classify(
     docs: "rd.Dataset",
     text_col: str = "text",

@@ -912,6 +912,19 @@ def q_doc_shuffle(sf_dir: str):
     return deterministic_shuffle(docs, n_buckets=64, n_partitions=8)
 
 
+def q_doc_pack(sf_dir: str):
+    """Sequence packing (stages/shuffle.py:deterministic_pack): exact
+    distributed prefix-sum of token counts in deterministic-shuffle order
+    assigns each doc its concat-and-chunk training bin — two streaming
+    passes, no sort, no materialization."""
+    from ocr_ray.stages.shuffle import deterministic_pack
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return deterministic_pack(docs, budget=1024, n_buckets=64, n_partitions=8)
+
+
 def q_doc_clf(sf_dir: str):
     """Model-based quality gate (stages/classify.py): fasttext-style
     hashed linear classifier scored per doc — pure map_batches actor pool,
@@ -1816,6 +1829,7 @@ def queries() -> Dict[str, Callable]:
         "doc_novelty": q_doc_novelty,
         "doc_clf": q_doc_clf,
         "doc_shuffle": q_doc_shuffle,
+        "doc_pack": q_doc_pack,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -2357,6 +2371,25 @@ WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
 SELECT doc_id, shuffle_hash,
   CAST(row_number() OVER (ORDER BY shuffle_hash, doc_id) - 1 AS BIGINT) AS pos
 FROM m
+""",
+    # sequence packing: start_offset = windowed prefix sum of whitespace
+    # token counts under the same deterministic-shuffle order; bin =
+    # start_offset // budget (concat-and-chunk at budget=1024)
+    "doc_pack": r"""
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST((CAST(doc_id AS HUGEINT) * 2685821657736338717)
+       % 4611686018427387904 AS BIGINT) AS shuffle_hash,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents),
+s AS (SELECT doc_id, shuffle_hash, n_tokens,
+  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_hash, doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       AS start_offset
+  FROM m)
+SELECT doc_id, n_tokens, shuffle_hash, start_offset,
+  CAST(start_offset // 1024 AS BIGINT) AS bin
+FROM s
 """,
     # hashed-linear classifier (stages/classify.py): the same polynomial
     # token hash as the embedder, weight = ((h*2654435761) % (2^31-1)) %

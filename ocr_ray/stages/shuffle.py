@@ -94,3 +94,79 @@ def deterministic_shuffle(
 
     return exchange_map_partitions(keyed, "_bucket", rank_partition,
                                    n_partitions=n_partitions)
+
+
+def deterministic_pack(
+    ds: "object",
+    budget: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    n_partitions: int = 16,
+) -> "object":
+    """Sequence packing for training: concat-and-chunk bin assignment.
+
+    Trainers concatenate documents in (shuffled) corpus order and slice
+    the stream into fixed ``budget``-token bins; each doc's bin is
+    ``start_offset // budget`` where ``start_offset`` is the global
+    prefix sum of token counts under the deterministic shuffle order.
+    The global scan uses the same two-pass bucket design as
+    :func:`deterministic_shuffle` — pass 1 reduces per-bucket token sums
+    (``n_buckets`` ints to the driver), pass 2 exchanges by bucket and
+    adds local cumsums to the driver-computed bucket offsets.  An exact
+    distributed prefix-sum, no sort, no materialization.
+
+    Emits ``(id, n_tokens, start_offset, bin)``; 0-token docs get the
+    running offset and pack into whichever bin is open there.
+    """
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    shift = np.uint64(SHUFFLE_BITS - int(n_buckets - 1).bit_length())
+    n_buckets = 1 << int(int(n_buckets - 1).bit_length())
+
+    def with_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(dtype="int64")
+        h = shuffle_hash(ids)
+        n_tok = np.fromiter((len(t.split()) for t in b[text_col]),
+                            dtype=np.int64, count=len(b))
+        return pd.DataFrame({
+            id_col: ids, "n_tokens": n_tok, "shuffle_hash": h,
+            "_bucket": (h.astype(np.uint64) >> shift).astype(np.int64),
+        })
+
+    keyed = ds.map_batches(with_tokens, batch_format="pandas")
+
+    # pass 1: per-bucket token sums -> global token offsets (driver, tiny)
+    def sum_buckets(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("_bucket")["n_tokens"].sum()
+        return pd.DataFrame({"_bucket": g.index.to_numpy(dtype="int64"),
+                             "s": g.to_numpy(dtype="int64")})
+
+    sums = (
+        keyed.map_batches(sum_buckets, batch_format="pandas")
+        .to_pandas().groupby("_bucket")["s"].sum()
+    )
+    tok_offsets = np.zeros(n_buckets + 1, dtype=np.int64)
+    tok_offsets[sums.index.to_numpy(dtype="int64") + 1] = sums.to_numpy()
+    tok_offsets = np.cumsum(tok_offsets)
+
+    def pack_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_bucket", "shuffle_hash", id_col],
+                          kind="mergesort").reset_index(drop=True)
+        if not len(g):
+            g["start_offset"] = pd.Series([], dtype="int64")
+            g["bin"] = pd.Series([], dtype="int64")
+            return g.drop(columns=["_bucket"])
+        b = g["_bucket"].to_numpy(dtype="int64")
+        n = g["n_tokens"].to_numpy(dtype="int64")
+        cum = np.cumsum(n)
+        # per-bucket running offset: subtract the cumsum at each run start
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        base = np.repeat(cum[starts] - n[starts], np.diff(np.r_[starts, len(b)]))
+        start_offset = tok_offsets[b] + (cum - n) - base
+        g["start_offset"] = start_offset
+        g["bin"] = start_offset // budget
+        return g.drop(columns=["_bucket"])
+
+    return exchange_map_partitions(keyed, "_bucket", pack_partition,
+                                   n_partitions=n_partitions)

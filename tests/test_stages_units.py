@@ -698,3 +698,37 @@ def test_deterministic_shuffle_exact_permutation(ray_session):
                                   n_buckets=64, n_partitions=3)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got2["pos"].tolist() == got["pos"].tolist()
+
+
+def test_deterministic_pack_exact_prefix_sum(ray_session):
+    """deterministic_pack: start_offset equals the exact prefix sum of
+    token counts in shuffle order (so bins are the concat-and-chunk
+    assignment), invariant to input partitioning; 0-token docs keep the
+    running offset."""
+    import ray.data as rd
+
+    from ocr_ray.stages.shuffle import deterministic_pack, shuffle_hash
+
+    n = 800
+    rng = np.random.RandomState(3)
+    texts = ["w " * int(k) for k in rng.randint(0, 40, size=n)]
+    texts[5] = "   "  # whitespace-only -> 0 tokens
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "text": texts})
+
+    got = (deterministic_pack(rd.from_pandas(df).repartition(5), budget=64,
+                              n_buckets=16, n_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    h = shuffle_hash(df["doc_id"].to_numpy())
+    order = np.lexsort((df["doc_id"].to_numpy(), h))
+    n_tok = np.array([len(t.split()) for t in texts], dtype="int64")
+    exp_off = np.empty(n, dtype="int64")
+    exp_off[order] = np.cumsum(n_tok[order]) - n_tok[order]
+    assert got["n_tokens"].tolist() == n_tok.tolist()
+    assert got["start_offset"].tolist() == exp_off.tolist()
+    assert got["bin"].tolist() == (exp_off // 64).tolist()
+
+    got2 = (deterministic_pack(rd.from_pandas(df).repartition(2), budget=64,
+                               n_buckets=64, n_partitions=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got2["start_offset"].tolist() == got["start_offset"].tolist()
