@@ -353,6 +353,22 @@ def pack_sequences(
                               id_col=id_col, n_buckets=n_buckets)
 
 
+def dedup_against_corpus(
+    corpus: "rd.Dataset",
+    shard: "rd.Dataset",
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Incremental crawl-refresh dedup (stages/dedup.py): shingle
+    containment of each new-shard doc against the existing corpus —
+    flags near-copies without re-clustering the corpus."""
+    from ocr_ray.stages.dedup import incremental_containment
+
+    return incremental_containment(corpus, shard, threshold=threshold,
+                                   text_col=text_col, id_col=id_col)
+
+
 def quality_classify(
     docs: "rd.Dataset",
     text_col: str = "text",

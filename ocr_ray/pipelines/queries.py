@@ -925,6 +925,24 @@ def q_doc_pack(sf_dir: str):
     return deterministic_pack(docs, budget=1024, n_buckets=64, n_partitions=8)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental shard-vs-corpus dedup (stages/dedup.py:
+    incremental_containment): shingle-containment of the src19 shard
+    against the rest of the corpus — the crawl-refresh primitive (score
+    new docs against existing corpus state without re-clustering it)."""
+    from ocr_ray.stages.dedup import incremental_containment
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    corpus = rd.read_parquet(path, columns=["text", "source"]).filter(
+        expr="source != 'src19'"
+    )
+    shard = rd.read_parquet(path, columns=["doc_id", "text", "source"]).filter(
+        expr="source == 'src19'"
+    )
+    return incremental_containment(corpus, shard, threshold=0.8,
+                                   n_partitions=8)
+
+
 def q_doc_clf(sf_dir: str):
     """Model-based quality gate (stages/classify.py): fasttext-style
     hashed linear classifier scored per doc — pure map_batches actor pool,
@@ -1830,6 +1848,7 @@ def queries() -> Dict[str, Callable]:
         "doc_clf": q_doc_clf,
         "doc_shuffle": q_doc_shuffle,
         "doc_pack": q_doc_pack,
+        "dedup_incremental": q_dedup_incremental,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -2371,6 +2390,45 @@ WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
 SELECT doc_id, shuffle_hash,
   CAST(row_number() OVER (ORDER BY shuffle_hash, doc_id) - 1 AS BIGINT) AS pos
 FROM m
+""",
+    # incremental containment: same polynomial shingle features as
+    # doc_novelty; shard = src19 LEFT JOINed against the DISTINCT corpus
+    # shingle set, containment round-floored exactly like the Python side
+    "dedup_incremental": r"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id, source,
+                   string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''),
+th AS (SELECT id, source, len(w) AS n,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM d0),
+feats AS (SELECT id, source,
+   CASE WHEN n < 3 THEN
+     [ list_reduce(list_prepend(CAST(0 AS BIGINT), t1), (a, b) -> (a * 1000003 + b) % 2147483647)
+       + list_reduce(list_prepend(CAST(0 AS BIGINT), t2), (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 ]
+   ELSE
+     list_distinct(list_transform(generate_series(1, n - 2), i ->
+       ((t1[i] * 1000003 + t1[i+1]) % 2147483647 * 1000003 + t1[i+2]) % 2147483647
+       + ((t2[i] * 1000033 + t2[i+1]) % 2147483647 * 1000033 + t2[i+2]) % 2147483647 * 2147483648))
+   END AS h
+ FROM th),
+f AS (SELECT id, source, x.h FROM feats, unnest(feats.h) AS x(h)),
+c AS (SELECT DISTINCT h FROM f WHERE source <> 'src19'),
+s AS (SELECT id, f.h, CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END AS seen
+      FROM f LEFT JOIN c ON f.h = c.h WHERE source = 'src19'),
+agg AS (SELECT id AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(seen) AS BIGINT) AS n_seen,
+  floor(CAST(sum(seen) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+    AS containment
+ FROM s GROUP BY id)
+SELECT doc_id, n_shingles, n_seen, containment,
+  CAST(CASE WHEN containment >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM agg
 """,
     # sequence packing: start_offset = windowed prefix sum of whitespace
     # token counts under the same deterministic-shuffle order; bin =

@@ -1051,3 +1051,112 @@ class PolySimHasher:
                 "band_key": keys.ravel(),
             }
         )
+
+
+def incremental_containment(
+    corpus: "object",
+    shard: "object",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 16,
+) -> "object":
+    """Incremental shard-vs-corpus dedup: score each NEW document by the
+    fraction of its distinct k-word shingles already present anywhere in
+    the existing corpus (containment), and flag ``is_dup`` when that
+    fraction reaches ``threshold``.  This is the crawl-refresh /
+    decontamination primitive: the corpus side is never re-deduped, only
+    streamed once to expose its shingle-hash set, so admitting a new
+    shard costs O(shard + corpus scan) instead of re-clustering the
+    world.  (Persist the exchanged corpus shingle partitions once and
+    the per-shard cost drops to O(shard).)
+
+    Same SQL-replicable polynomial shingle features as
+    :func:`shingle_novelty` (:class:`PolySimHasher`), same two bounded
+    exchanges: explode both sides to (h[, id]) rows, exchange BY SHINGLE
+    so membership tests are partition-local (corpus rows carry no id —
+    only distinct hashes move), then exchange per-(partition, doc)
+    partial counts BY DOC and sum.  No driver row data, no broadcast of
+    the corpus set (which at 100 TB would dwarf worker heaps)."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    hasher = PolySimHasher(shingle_k=shingle_k)
+
+    def explode_shard(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(dtype="int64")
+        hs, out_id = [], []
+        for i, t in enumerate(b[text_col]):
+            f = hasher.features(t)
+            if f.size:
+                hs.append(f)
+                out_id.append(np.full(f.size, ids[i], dtype=np.int64))
+        if not hs:
+            return pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                                 "id": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"h": np.concatenate(hs), "id": np.concatenate(out_id)}
+        )
+
+    def explode_corpus(b: pd.DataFrame) -> pd.DataFrame:
+        hs = [hasher.features(t) for t in b[text_col]]
+        hs = [f for f in hs if f.size]
+        if not hs:
+            return pd.DataFrame({"h": pd.Series([], dtype="int64")})
+        # batch-local dedup only bounds the exchange; cross-batch dups
+        # collapse inside the h-partition
+        return pd.DataFrame({"h": np.unique(np.concatenate(hs))})
+
+    @ray.remote
+    def seen_local(n_shard: int, *pieces):
+        g = _concat_pd(pieces[:n_shard])
+        if not len(g):
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "n_shingles": pd.Series([], dtype="int64"),
+                                "n_seen": pd.Series([], dtype="int64")})
+            return pa.Table.from_pandas(out, preserve_index=False)
+        corpus_h = pd.unique(_concat_pd(pieces[n_shard:])["h"])
+        seen = g["h"].isin(corpus_h).astype("int64")
+        out = pd.DataFrame({"doc_id": g["id"], "seen": seen}).groupby(
+            "doc_id", as_index=False
+        ).agg(n_shingles=("seen", "size"), n_seen=("seen", "sum"))
+        out["n_shingles"] = out["n_shingles"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @ray.remote
+    def combine(thr: float, *pieces):
+        g = _concat_pd(pieces)
+        if not len(g):
+            out = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "n_shingles": pd.Series([], dtype="int64"),
+                                "n_seen": pd.Series([], dtype="int64"),
+                                "containment": pd.Series([], dtype="float64"),
+                                "is_dup": pd.Series([], dtype="int64")})
+            return pa.Table.from_pandas(out, preserve_index=False)
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_shingles=("n_shingles", "sum"), n_seen=("n_seen", "sum")
+        )
+        # floor(x*1e6+0.5)/1e6: identical IEEE ops to the DuckDB oracle
+        out["containment"] = np.floor(
+            out["n_seen"].to_numpy(dtype="float64")
+            / out["n_shingles"].to_numpy(dtype="float64") * 1e6 + 0.5
+        ) / 1e6
+        out["is_dup"] = (out["containment"] >= thr).astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    P = n_partitions
+    ssplit = _exchange(shard.map_batches(explode_shard, batch_format="pandas"),
+                       "h", P)
+    csplit = _exchange(corpus.map_batches(explode_corpus, batch_format="pandas"),
+                       "h", P)
+    local_refs = [
+        seen_local.remote(len(ssplit), *[s[j] for s in ssplit + csplit])
+        for j in range(P)
+    ]
+    dsplit = _exchange(local_refs, "doc_id", P)
+    out_refs = [combine.remote(threshold, *[s[j] for s in dsplit])
+                for j in range(P)]
+    return rd.from_arrow_refs(out_refs)

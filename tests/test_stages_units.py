@@ -732,3 +732,42 @@ def test_deterministic_pack_exact_prefix_sum(ray_session):
                                n_buckets=64, n_partitions=3)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert got2["start_offset"].tolist() == got["start_offset"].tolist()
+
+
+def test_incremental_containment_flags_near_copies(ray_session):
+    """incremental_containment: containment equals the exact fraction of
+    a shard doc's distinct shingles present in the corpus; a verbatim
+    copy scores 1.0/is_dup, fresh text scores 0.0."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import PolySimHasher, incremental_containment
+
+    corpus_texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+        "red green blue yellow purple orange cyan magenta",
+    ]
+    shard_texts = [
+        corpus_texts[0],                                   # verbatim copy
+        "alpha beta gamma delta NEW WORDS HERE entirely",  # partial overlap
+        "totally fresh text with no shared window at all",  # novel
+    ]
+    corpus = rd.from_pandas(pd.DataFrame({"text": corpus_texts}))
+    shard = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(3, dtype="int64"), "text": shard_texts}))
+
+    got = (incremental_containment(corpus, shard, threshold=0.8,
+                                   n_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    hasher = PolySimHasher()
+    corpus_h = set(np.concatenate(
+        [hasher.features(t) for t in corpus_texts]).tolist())
+    for i, t in enumerate(shard_texts):
+        f = hasher.features(t)
+        n_seen = sum(1 for h in f.tolist() if h in corpus_h)
+        assert got.loc[i, "n_shingles"] == f.size
+        assert got.loc[i, "n_seen"] == n_seen
+    assert got.loc[0, "containment"] == 1.0 and got.loc[0, "is_dup"] == 1
+    assert 0.0 < got.loc[1, "containment"] < 0.8
+    assert got.loc[2, "containment"] == 0.0 and got.loc[2, "is_dup"] == 0
