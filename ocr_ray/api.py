@@ -369,6 +369,21 @@ def dedup_against_corpus(
                                    text_col=text_col, id_col=id_col)
 
 
+def lm_quality_score(
+    docs: "rd.Dataset",
+    threshold_ppm: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Corpus-trained hashed bigram LM score per doc (stages/lm.py) —
+    the CCNet/KenLM-style perplexity quality gate: train on pass 1,
+    broadcast the tables, score in a pure map_batches pass 2."""
+    from ocr_ray.stages.lm import lm_score
+
+    return lm_score(docs, threshold_ppm=threshold_ppm, text_col=text_col,
+                    id_col=id_col)
+
+
 def quality_classify(
     docs: "rd.Dataset",
     text_col: str = "text",

@@ -943,6 +943,21 @@ def q_dedup_incremental(sf_dir: str):
                                    n_partitions=8)
 
 
+def q_doc_lm(sf_dir: str):
+    """Corpus-trained hashed bigram LM scorer (stages/lm.py): the
+    CCNet/KenLM-style perplexity quality filter — pass 1 trains the
+    hashed count tables over the corpus (bounded exchange), pass 2
+    broadcasts them and scores every doc in a pure map_batches.
+    Integer-exact ppm conditional probabilities, so the oracle checks
+    the keep decision value-exactly."""
+    from ocr_ray.stages.lm import lm_score
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return lm_score(docs, threshold_ppm=34000, concurrency=2, n_partitions=8)
+
+
 def q_doc_clf(sf_dir: str):
     """Model-based quality gate (stages/classify.py): fasttext-style
     hashed linear classifier scored per doc — pure map_batches actor pool,
@@ -1849,6 +1864,7 @@ def queries() -> Dict[str, Callable]:
         "doc_shuffle": q_doc_shuffle,
         "doc_pack": q_doc_pack,
         "dedup_incremental": q_dedup_incremental,
+        "doc_lm": q_doc_lm,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -2428,6 +2444,34 @@ agg AS (SELECT id AS doc_id,
  FROM s GROUP BY id)
 SELECT doc_id, n_shingles, n_seen, containment,
   CAST(CASE WHEN containment >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM agg
+""",
+    # hashed bigram LM: unigram/bigram counts feature-hashed into
+    # 2^16/2^20 buckets (collisions are part of the semantics, identical
+    # on both sides); q = c2*1e6 // c1 in exact integers, doc score =
+    # sum(q) // n_bigrams; <2-token docs carry no bigram evidence
+    "doc_lm": r"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                   string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''),
+th AS (SELECT id, len(w) AS n,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1
+ FROM d0 WHERE len(w) >= 2),
+pos AS (SELECT id, t1[i] % 65536 AS ub,
+        ((t1[i] * 1000003 + t1[i+1]) % 2147483647) % 1048576 AS bb
+        FROM th, unnest(generate_series(1, n - 1)) AS g(i)),
+uni AS (SELECT x.h % 65536 AS ub, count(*) AS c
+        FROM th, unnest(th.t1) AS x(h) GROUP BY 1),
+big AS (SELECT bb, count(*) AS c FROM pos GROUP BY bb),
+q AS (SELECT pos.id, (big.c * 1000000) // uni.c AS q
+      FROM pos JOIN big USING (bb) JOIN uni USING (ub)),
+agg AS (SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        CAST(sum(q) // count(*) AS BIGINT) AS lm_ppm
+        FROM q GROUP BY id)
+SELECT doc_id, n_bigrams, lm_ppm,
+  CAST(CASE WHEN lm_ppm >= 34000 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM agg
 """,
     # sequence packing: start_offset = windowed prefix sum of whitespace

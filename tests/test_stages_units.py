@@ -734,6 +734,56 @@ def test_deterministic_pack_exact_prefix_sum(ray_session):
     assert got2["start_offset"].tolist() == got["start_offset"].tolist()
 
 
+def test_bigram_lm_score_matches_brute_force(ray_session):
+    """lm_score: trained hashed counts and per-doc integer ppm scores
+    equal a single-process brute-force over the same hash functions;
+    <2-token docs are excluded; result invariant to partitioning."""
+    import ray.data as rd
+
+    from ocr_ray.stages.embed import hash_token
+    from ocr_ray.stages.lm import lm_score
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on the hat",
+        "a dog ran over the hill and far away",
+        "singleton",            # 1 token -> excluded
+        "   ",                  # empty -> excluded
+        "the the the the",      # repetition -> high conditional prob
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+    got = (lm_score(rd.from_pandas(df).repartition(3), threshold_ppm=680_000,
+                    b_uni=64, b_big=128, n_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # brute force with the same tiny tables (collisions exercised)
+    c1 = np.zeros(64, dtype=np.int64)
+    c2 = np.zeros(128, dtype=np.int64)
+    hs = {t: [hash_token(w) for w in t.split()] for t in texts}
+    scored = [t for t in texts if len(t.split()) >= 2]
+    for t in scored:
+        h = hs[t]
+        for x in h:
+            c1[x % 64] += 1
+        for a, b in zip(h, h[1:]):
+            c2[((a * 1000003 + b) % 2147483647) % 128] += 1
+    assert got["doc_id"].tolist() == [0, 1, 2, 5]
+    for row_i, t in zip(got.index, scored):
+        h = hs[t]
+        qs = [int(c2[((a * 1000003 + b) % 2147483647) % 128]) * 1_000_000
+              // int(c1[a % 64]) for a, b in zip(h, h[1:])]
+        assert got.loc[row_i, "n_bigrams"] == len(qs)
+        assert got.loc[row_i, "lm_ppm"] == sum(qs) // len(qs)
+    assert (got["keep"] == (got["lm_ppm"] >= 680_000).astype("int64")).all()
+    assert got["keep"].nunique() == 2  # gate exercised both ways
+
+    got2 = (lm_score(rd.from_pandas(df).repartition(6), threshold_ppm=680_000,
+                     b_uni=64, b_big=128, n_partitions=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got2["lm_ppm"].tolist() == got["lm_ppm"].tolist()
+
+
 def test_incremental_containment_flags_near_copies(ray_session):
     """incremental_containment: containment equals the exact fraction of
     a shard doc's distinct shingles present in the corpus; a verbatim
