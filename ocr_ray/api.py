@@ -369,6 +369,22 @@ def dedup_against_corpus(
                                    text_col=text_col, id_col=id_col)
 
 
+def remove_duplicate_blocks(
+    docs: "rd.Dataset",
+    w: int = 6,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """CCNet/MassiveText-style boilerplate removal (stages/dedup.py:
+    block_dedup): blocks repeated across >= min_docs docs are dropped
+    from every doc; survivors rejoined in order."""
+    from ocr_ray.stages.dedup import block_dedup
+
+    return block_dedup(docs, w=w, min_docs=min_docs, text_col=text_col,
+                       id_col=id_col)
+
+
 def lm_quality_score(
     docs: "rd.Dataset",
     threshold_ppm: int = 200,

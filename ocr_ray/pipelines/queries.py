@@ -943,6 +943,19 @@ def q_dedup_incremental(sf_dir: str):
                                    n_partitions=8)
 
 
+def q_dedup_blocks(sf_dir: str):
+    """Cross-doc duplicated-block removal (stages/dedup.py:block_dedup):
+    CCNet/MassiveText boilerplate filter — blocks repeated in >=2 docs
+    are dropped from every doc, survivors rejoined in order.  Three
+    bounded int exchanges; doc text moves exactly once."""
+    from ocr_ray.stages.dedup import block_dedup
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return block_dedup(docs, w=6, min_docs=2, n_partitions=8)
+
+
 def q_doc_lm(sf_dir: str):
     """Corpus-trained hashed bigram LM scorer (stages/lm.py): the
     CCNet/KenLM-style perplexity quality filter — pass 1 trains the
@@ -1865,6 +1878,7 @@ def queries() -> Dict[str, Callable]:
         "doc_pack": q_doc_pack,
         "dedup_incremental": q_dedup_incremental,
         "doc_lm": q_doc_lm,
+        "dedup_blocks": q_dedup_blocks,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -2445,6 +2459,40 @@ agg AS (SELECT id AS doc_id,
 SELECT doc_id, n_shingles, n_seen, containment,
   CAST(CASE WHEN containment >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
 FROM agg
+""",
+    # block dedup: 62-bit two-family polynomial fold per non-overlapping
+    # 6-token block (PolySimHasher's short-doc case); blocks hashing
+    # equal in >=2 distinct docs are removed everywhere, survivors
+    # rejoined in order with single spaces
+    "dedup_blocks": r"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                   string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''),
+th AS (SELECT id, len(w) AS n, w,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM d0),
+b AS (SELECT id, i,
+   list_reduce(list_prepend(CAST(0 AS BIGINT), t1[(i-1)*6+1:i*6]),
+               (a, b) -> (a * 1000003 + b) % 2147483647)
+   + list_reduce(list_prepend(CAST(0 AS BIGINT), t2[(i-1)*6+1:i*6]),
+               (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 AS bh,
+   array_to_string(w[(i-1)*6+1:i*6], ' ') AS blk
+   FROM th, unnest(generate_series(1, CAST(ceil(n / 6.0) AS BIGINT))) AS g(i)),
+banned AS (SELECT bh FROM b GROUP BY bh HAVING count(DISTINCT id) >= 2),
+m AS (SELECT b.id, b.i, b.blk,
+        CASE WHEN banned.bh IS NOT NULL THEN 1 ELSE 0 END AS rm
+      FROM b LEFT JOIN banned USING (bh))
+SELECT id AS doc_id,
+  CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(sum(rm) AS BIGINT) AS n_dup_blocks,
+  coalesce(string_agg(CASE WHEN rm = 0 THEN blk END, ' ' ORDER BY i), '')
+    AS dedup_text
+FROM m GROUP BY id
 """,
     # hashed bigram LM: unigram/bigram counts feature-hashed into
     # 2^16/2^20 buckets (collisions are part of the semantics, identical

@@ -1160,3 +1160,151 @@ def incremental_containment(
     out_refs = [combine.remote(threshold, *[s[j] for s in dsplit])
                 for j in range(P)]
     return rd.from_arrow_refs(out_refs)
+
+
+def _block_hashes(t1: np.ndarray, t2: np.ndarray, w: int) -> np.ndarray:
+    """62-bit hash per non-overlapping w-token block (tail may be short).
+    Same two-family polynomial fold as :class:`PolySimHasher`'s short-doc
+    case, vectorized ACROSS blocks (w mod-fold passes over a (n_blocks,
+    w) view — no per-block Python loop in the full-block path)."""
+    n = t1.size
+    nfull, tail = divmod(n, w)
+    nb = nfull + (1 if tail else 0)
+    out = np.empty(nb, dtype=np.int64)
+    if nfull:
+        a = t1[:nfull * w].reshape(nfull, w)
+        b = t2[:nfull * w].reshape(nfull, w)
+        s1 = np.zeros(nfull, dtype=np.int64)
+        s2 = np.zeros(nfull, dtype=np.int64)
+        for j in range(w):  # t1 < 1000003: products < 2^51, exact int64
+            s1 = (s1 * _P1_MOD + a[:, j]) % _MOD31
+            s2 = (s2 * _P2_MOD + b[:, j]) % _MOD31
+        out[:nfull] = s1 + (s2 << 31)
+    if tail:
+        s1 = s2 = 0
+        for x, y in zip(t1[nfull * w:].tolist(), t2[nfull * w:].tolist()):
+            s1 = (s1 * _P1_MOD + x) % _MOD31
+            s2 = (s2 * _P2_MOD + y) % _MOD31
+        out[nfull] = s1 + (s2 << 31)
+    return out
+
+
+def block_dedup(
+    docs: "object",
+    w: int = 6,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 16,
+) -> "object":
+    """Cross-document duplicated-block removal — the CCNet/MassiveText
+    "drop lines repeated across the corpus" boilerplate filter, at
+    non-overlapping w-token block granularity (the segment unit that
+    exists in any text; swap the splitter for newline paragraphs when
+    the corpus has them).  A block whose 62-bit content hash appears in
+    >= ``min_docs`` DISTINCT documents is removed from EVERY document
+    (remove-all, CCNet semantics); each doc's surviving blocks are
+    rejoined in order.
+
+    Three bounded exchanges, no broadcast of the banned set (at 100 TB
+    boilerplate is unbounded — navigation chrome, legal footers):
+    (1) blocks exchange BY HASH; a partition owns every occurrence of
+    its hashes, so the >=min_docs test is local and only banned-hash
+    rows (ints) come out; (2) the same hash partitions anti-join blocks
+    against banned locally, emitting only REMOVED (doc, block_idx) int
+    pairs; (3) removed pairs exchange BY DOC against the doc text
+    (moved once) for order-preserving reassembly."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    hasher = PolySimHasher()
+
+    def doc_block_hashes(text: str) -> np.ndarray:
+        toks = text.split()
+        if not toks:
+            return np.array([], dtype=np.int64)
+        th = hasher._token_hashes(toks)
+        return _block_hashes(th[:, 0], th[:, 1], w)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(dtype="int64")
+        hs, out_id, out_idx = [], [], []
+        for i, t in enumerate(b[text_col]):
+            bh = doc_block_hashes(t)
+            if bh.size:
+                hs.append(bh)
+                out_id.append(np.full(bh.size, ids[i], dtype=np.int64))
+                out_idx.append(np.arange(bh.size, dtype=np.int64))
+        if not hs:
+            return pd.DataFrame({"bh": pd.Series([], dtype="int64"),
+                                 "id": pd.Series([], dtype="int64"),
+                                 "idx": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"bh": np.concatenate(hs),
+                             "id": np.concatenate(out_id),
+                             "idx": np.concatenate(out_idx)})
+
+    @ray.remote
+    def removed_local(*pieces):
+        """Partition owns all occurrences of its hashes: ban and
+        anti-join in one task."""
+        g = _concat_pd(pieces)
+        if not len(g):
+            return pa.Table.from_pandas(
+                pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                              "idx": pd.Series([], dtype="int64")}),
+                preserve_index=False)
+        nd = g.groupby("bh")["id"].transform("nunique")
+        out = g.loc[nd >= min_docs, ["id", "idx"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    @ray.remote
+    def reassemble(n_removed: int, *pieces):
+        rem = _concat_pd(pieces[:n_removed])
+        d = _concat_pd(pieces[n_removed:])
+        if not len(d):
+            return pa.Table.from_pandas(
+                pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "n_blocks": pd.Series([], dtype="int64"),
+                              "n_dup_blocks": pd.Series([], dtype="int64"),
+                              "dedup_text": pd.Series([], dtype="object")}),
+                preserve_index=False)
+        rem_by_doc = {k: set(v.tolist())
+                      for k, v in rem.groupby("id")["idx"]}
+        ids, nb, ndup, texts = [], [], [], []
+        for did, text in zip(d["id"].tolist(), d[text_col]):
+            toks = text.split()
+            if not toks:
+                continue
+            blocks = [" ".join(toks[i:i + w]) for i in range(0, len(toks), w)]
+            removed = rem_by_doc.get(did, ())
+            kept = [blk for i, blk in enumerate(blocks) if i not in removed]
+            ids.append(did)
+            nb.append(len(blocks))
+            ndup.append(len(blocks) - len(kept))
+            texts.append(" ".join(kept))
+        return pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                          "n_blocks": np.asarray(nb, dtype=np.int64),
+                          "n_dup_blocks": np.asarray(ndup, dtype=np.int64),
+                          "dedup_text": texts}),
+            preserve_index=False)
+
+    def doc_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": b[id_col].to_numpy(dtype="int64"),
+                             text_col: b[text_col]})
+
+    P = n_partitions
+    hsplit = _exchange(docs.map_batches(explode, batch_format="pandas"),
+                       "bh", P)
+    removed_refs = [removed_local.remote(*[s[j] for s in hsplit])
+                    for j in range(P)]
+    rsplit = _exchange(removed_refs, "id", P)
+    dsplit = _exchange(docs.map_batches(doc_side, batch_format="pandas"),
+                       "id", P)
+    out_refs = [
+        reassemble.remote(len(rsplit), *[s[j] for s in rsplit + dsplit])
+        for j in range(P)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -734,6 +734,39 @@ def test_deterministic_pack_exact_prefix_sum(ray_session):
     assert got2["start_offset"].tolist() == got["start_offset"].tolist()
 
 
+def test_block_dedup_removes_cross_doc_boilerplate(ray_session):
+    """block_dedup: a block repeated across >=2 docs vanishes from every
+    doc; within-doc repeats survive; block order is preserved."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import block_dedup
+
+    boiler = "click here to subscribe now"  # 5 tokens -> pad to w=5
+    texts = [
+        f"{boiler} alpha beta gamma delta eps",
+        f"zeta eta theta iota kappa {boiler}",
+        "solo text unique to this document x "
+        "solo text unique to this document x",  # same block twice, one doc
+        "short tail",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype="int64"), "text": texts})
+    got = (block_dedup(rd.from_pandas(df).repartition(3), w=5, min_docs=2,
+                       n_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    assert got["n_blocks"].tolist() == [2, 2, 3, 1]
+    assert got["n_dup_blocks"].tolist() == [1, 1, 0, 0]
+    assert got.loc[0, "dedup_text"] == "alpha beta gamma delta eps"
+    assert got.loc[1, "dedup_text"] == "zeta eta theta iota kappa"
+    assert got.loc[2, "dedup_text"] == texts[2]  # within-doc repeat kept
+    assert got.loc[3, "dedup_text"] == "short tail"
+
+    got2 = (block_dedup(rd.from_pandas(df).repartition(1), w=5, min_docs=2,
+                        n_partitions=2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+
 def test_bigram_lm_score_matches_brute_force(ray_session):
     """lm_score: trained hashed counts and per-doc integer ppm scores
     equal a single-process brute-force over the same hash functions;
