@@ -369,6 +369,22 @@ def dedup_against_corpus(
                                    text_col=text_col, id_col=id_col)
 
 
+def cluster_embeddings(
+    ds: "rd.Dataset",
+    k: int = 8,
+    iters: int = 2,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "rd.Dataset":
+    """Exact-integer distributed k-means (stages/cluster.py) — the
+    SemDeDup cluster-then-curate primitive; bit-identical trajectory
+    across partitionings."""
+    from ocr_ray.stages.cluster import kmeans_embeddings
+
+    return kmeans_embeddings(ds, k=k, iters=iters, embed_col=embed_col,
+                             id_col=id_col)
+
+
 def remove_duplicate_blocks(
     docs: "rd.Dataset",
     w: int = 6,

@@ -943,6 +943,20 @@ def q_dedup_incremental(sf_dir: str):
                                    n_partitions=8)
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Exact-integer distributed k-means (stages/cluster.py): quantized
+    Lloyd iterations whose full trajectory is bit-identical across
+    partitionings — the SemDeDup cluster-then-curate primitive.  k=8,
+    2 update iterations, assignment to the final centroids."""
+    from ocr_ray.stages.cluster import kmeans_embeddings
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return kmeans_embeddings(ds, k=8, iters=2, n_partitions=4)
+
+
 def q_dedup_blocks(sf_dir: str):
     """Cross-doc duplicated-block removal (stages/dedup.py:block_dedup):
     CCNet/MassiveText boilerplate filter — blocks repeated in >=2 docs
@@ -1879,6 +1893,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_incremental": q_dedup_incremental,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
+        "embed_kmeans": q_embed_kmeans,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -2459,6 +2474,52 @@ agg AS (SELECT id AS doc_id,
 SELECT doc_id, n_shingles, n_seen, containment,
   CAST(CASE WHEN containment >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
 FROM agg
+""",
+    # exact-integer k-means: x = floor(v*2^20+0.5)+2^22 (shift keeps
+    # values positive so DuckDB's truncating // equals numpy floor-div);
+    # ties ORDER BY (dist, cid) == np.argmin first hit; empty clusters
+    # keep their centroid; 2 update iterations then final assignment
+    "embed_kmeans": r"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vid,
+  list_transform(CAST(embedding AS DOUBLE[]),
+    v -> CAST(floor(v * 1048576 + 0.5) AS BIGINT) + 4194304) AS x
+  FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+c0 AS (SELECT vid AS cid, x FROM e WHERE vid < 8),
+d1 AS (SELECT e.vid, c0.cid,
+  list_reduce(list_transform(generate_series(1, 64),
+    i -> (e.x[i] - c0.x[i]) * (e.x[i] - c0.x[i])), (a, b) -> a + b) AS dist
+  FROM e, c0),
+a1 AS (SELECT vid, cid FROM (SELECT vid, cid,
+    row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d1)
+  WHERE rn = 1),
+u1 AS (SELECT a1.cid, dims.i, sum(e.x[dims.i]) AS s, count(*) AS n
+       FROM e JOIN a1 USING (vid) CROSS JOIN dims
+       GROUP BY a1.cid, dims.i),
+c1n AS (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS x FROM u1 GROUP BY cid),
+c1 AS (SELECT c0.cid, COALESCE(c1n.x, c0.x) AS x
+       FROM c0 LEFT JOIN c1n USING (cid)),
+d2 AS (SELECT e.vid, c1.cid,
+  list_reduce(list_transform(generate_series(1, 64),
+    i -> (e.x[i] - c1.x[i]) * (e.x[i] - c1.x[i])), (a, b) -> a + b) AS dist
+  FROM e, c1),
+a2 AS (SELECT vid, cid FROM (SELECT vid, cid,
+    row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d2)
+  WHERE rn = 1),
+u2 AS (SELECT a2.cid, dims.i, sum(e.x[dims.i]) AS s, count(*) AS n
+       FROM e JOIN a2 USING (vid) CROSS JOIN dims
+       GROUP BY a2.cid, dims.i),
+c2n AS (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS x FROM u2 GROUP BY cid),
+c2 AS (SELECT c1.cid, COALESCE(c2n.x, c1.x) AS x
+       FROM c1 LEFT JOIN c2n USING (cid)),
+d3 AS (SELECT e.vid, c2.cid,
+  list_reduce(list_transform(generate_series(1, 64),
+    i -> (e.x[i] - c2.x[i]) * (e.x[i] - c2.x[i])), (a, b) -> a + b) AS dist
+  FROM e, c2)
+SELECT vid AS vec_id, cid AS cluster, dist
+FROM (SELECT vid, cid, dist,
+      row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d3)
+WHERE rn = 1
 """,
     # block dedup: 62-bit two-family polynomial fold per non-overlapping
     # 6-token block (PolySimHasher's short-doc case); blocks hashing

@@ -1,0 +1,136 @@
+"""Distributed k-means over embedding columns — the SemDeDup /
+cluster-balance curation primitive (cluster the corpus's embeddings,
+then sample/dedup within clusters).
+
+Classic float Lloyd iterations are NOT reproducible across cluster
+layouts: centroid sums accumulate in block order, so two runs with
+different partitioning drift by ulps and flip boundary assignments.
+This stage runs Lloyd in EXACT INTEGER arithmetic instead:
+
+  * quantize: ``x = floor(v * 2^20 + 0.5) + 2^22`` per dimension (the
+    repo's floor-round idiom, then a constant shift that keeps every
+    value positive — squared distances are shift-invariant, and
+    positivity makes integer division identical between numpy floor-div
+    and DuckDB's truncating ``//``);
+  * assign: exact int64 squared L2 to each centroid, ties to the lowest
+    cluster id (``np.argmin``'s first-hit == the oracle's ``ORDER BY
+    dist, cid``);
+  * update: per-cluster per-dim int64 sums (order-insensitive!) via one
+    bounded exchange on the cluster id — k*d partial rows per block,
+    k*d total to the driver — then ``centroid = sum // n``.
+
+Every iteration is bit-identical across partitionings, actor counts and
+engines, so the full T-iteration trajectory (not just one step) is
+value-checked by the DuckDB oracle.  Seeds are the vectors with the k
+smallest ids (deterministic; swap for k-means|| at scale).  Empty
+clusters keep their previous centroid.
+
+Scale: assignment is a pure ``map_batches`` against ``ray.put``
+centroids (k*d ints broadcast once per iteration); the update exchange
+moves k*d*n_blocks integer rows.  Driver state: one (k, d) int64 array.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pandas as pd
+
+QUANT = 1 << 20
+SHIFT = 1 << 22
+
+
+def quantize_embeddings(embs: np.ndarray) -> np.ndarray:
+    """(n, d) float -> exact int64 fixed-point, shifted positive."""
+    return (np.floor(embs.astype(np.float64) * QUANT + 0.5)
+            .astype(np.int64) + SHIFT)
+
+
+def _assign(x: np.ndarray, cents: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact int64 squared-L2 assignment; ties -> lowest cluster id."""
+    d = x[:, None, :] - cents[None, :, :]
+    dist = np.einsum("bkd,bkd->bk", d, d)
+    a = dist.argmin(axis=1)
+    return a, dist[np.arange(len(x)), a]
+
+
+class _Quantizer:
+    def __init__(self, embed_col: str):
+        self.embed_col = embed_col
+
+    def batch_matrix(self, batch: pd.DataFrame) -> np.ndarray:
+        return quantize_embeddings(np.stack(batch[self.embed_col].to_numpy()))
+
+
+def kmeans_embeddings(
+    ds: "object",
+    k: int = 8,
+    iters: int = 2,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_partitions: int = 8,
+) -> "object":
+    """T exact-integer Lloyd iterations; returns (id, cluster, dist)
+    where ``dist`` is the exact int64 squared fixed-point distance to
+    the final centroid.  Input is scanned iters+2 times (seed pick,
+    iters updates, final assignment) — at 100 TB run the iterations on
+    a uniform sample and only the final assignment over the full data."""
+    import ray
+
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    q = _Quantizer(embed_col)
+
+    seeds = (ds.filter(expr=f"{id_col} < {k}").to_pandas()
+             .sort_values(id_col))
+    cents = quantize_embeddings(np.stack(seeds[embed_col].to_numpy()))
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partials(batch: pd.DataFrame, _c_ref=c_ref) -> pd.DataFrame:
+            c = ray.get(_c_ref)
+            x = q.batch_matrix(batch)
+            a, _ = _assign(x, c)
+            acc = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(acc, a, x)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            present = np.flatnonzero(n)
+            return pd.DataFrame({
+                "cid": np.repeat(present, dim),
+                "i": np.tile(np.arange(dim, dtype=np.int64), present.size),
+                "s": acc[present].ravel(),
+                "n": np.repeat(n[present], dim),
+            })
+
+        def reduce_sums(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(["cid", "i"], as_index=False).agg(
+                s=("s", "sum"), n=("n", "sum"))
+
+        red = exchange_map_partitions(
+            ds.map_batches(partials, batch_format="pandas"),
+            "cid", reduce_sums, n_partitions=n_partitions,
+        ).to_pandas()  # <= k*d rows
+
+        new_cents = cents.copy()  # empty clusters keep their centroid
+        for cid, grp in red.groupby("cid"):
+            grp = grp.sort_values("i")
+            new_cents[int(cid)] = (grp["s"].to_numpy(dtype="int64")
+                                   // grp["n"].to_numpy(dtype="int64"))
+        cents = new_cents
+
+    c_ref = ray.put(cents)
+
+    def final_assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        x = q.batch_matrix(batch)
+        a, dist = _assign(x, c)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            "cluster": a.astype(np.int64),
+            "dist": dist.astype(np.int64),
+        })
+
+    return ds.map_batches(final_assign, batch_format="pandas")

@@ -734,6 +734,52 @@ def test_deterministic_pack_exact_prefix_sum(ray_session):
     assert got2["start_offset"].tolist() == got["start_offset"].tolist()
 
 
+def test_kmeans_exact_integer_lloyd(ray_session):
+    """kmeans_embeddings: recovers planted clusters, matches a brute-force
+    integer Lloyd run bit-for-bit, and is invariant to partitioning."""
+    import ray.data as rd
+
+    from ocr_ray.stages.cluster import (_assign, kmeans_embeddings,
+                                        quantize_embeddings)
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(3, 16) * 4
+    X = np.concatenate([centers[i] + rng.randn(40, 16) * 0.2
+                        for i in range(3)]).astype(np.float32)
+    ids = np.arange(len(X), dtype="int64")
+    # put one vector of each planted cluster first so seeds differ
+    order = np.r_[0, 40, 80, np.delete(np.arange(120), [0, 40, 80])]
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(X[order])})
+
+    got = (kmeans_embeddings(rd.from_pandas(df).repartition(5), k=3, iters=2,
+                             n_partitions=3)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+    # brute force: same quantization, same update rule
+    xq = quantize_embeddings(X[order])
+    cents = xq[:3].copy()
+    for _ in range(2):
+        a, _ = _assign(xq, cents)
+        for c in range(3):
+            m = xq[a == c]
+            if len(m):
+                cents[c] = m.sum(axis=0) // len(m)
+    a, dist = _assign(xq, cents)
+    assert got["cluster"].tolist() == a.tolist()
+    assert got["dist"].tolist() == dist.tolist()
+    # planted structure recovered: each third maps to one distinct cluster
+    thirds = [set(got["cluster"][np.isin(ids, np.flatnonzero(
+        np.isin(order, np.arange(i * 40, (i + 1) * 40))))])
+        for i in range(3)]
+    assert all(len(t) == 1 for t in thirds)
+    assert len(set.union(*thirds)) == 3
+
+    got2 = (kmeans_embeddings(rd.from_pandas(df).repartition(2), k=3, iters=2,
+                              n_partitions=5)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+
 def test_block_dedup_removes_cross_doc_boilerplate(ray_session):
     """block_dedup: a block repeated across >=2 docs vanishes from every
     doc; within-doc repeats survive; block order is preserved."""
