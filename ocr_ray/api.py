@@ -385,6 +385,24 @@ def cluster_embeddings(
                              id_col=id_col)
 
 
+def dedup_semantic_embeddings(
+    ds: "rd.Dataset",
+    k: int = 8,
+    iters: int = 2,
+    dist_threshold: int = 1_300_000_000_000,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "rd.Dataset":
+    """SemDeDup (stages/cluster.py): flag vectors within an exact
+    fixed-point L2 ball of a lower-id same-cluster member; clustering
+    bounds the pairwise work."""
+    from ocr_ray.stages.cluster import semantic_dedup
+
+    return semantic_dedup(ds, k=k, iters=iters,
+                          dist_threshold=dist_threshold,
+                          embed_col=embed_col, id_col=id_col)
+
+
 def remove_duplicate_blocks(
     docs: "rd.Dataset",
     w: int = 6,

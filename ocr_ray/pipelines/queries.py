@@ -957,6 +957,21 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_embeddings(ds, k=8, iters=2, n_partitions=4)
 
 
+def q_dedup_semantic(sf_dir: str):
+    """SemDeDup (stages/cluster.py:semantic_dedup): k-means bounds the
+    candidate set, then each vector within an L2 ball of a lower-id
+    same-cluster member is flagged — cluster exchange + per-partition
+    integer pairwise block, no corpus-wide pair generation."""
+    from ocr_ray.stages.cluster import semantic_dedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return semantic_dedup(ds, k=8, iters=2,
+                          dist_threshold=1_300_000_000_000, n_partitions=4)
+
+
 def q_dedup_blocks(sf_dir: str):
     """Cross-doc duplicated-block removal (stages/dedup.py:block_dedup):
     CCNet/MassiveText boilerplate filter — blocks repeated in >=2 docs
@@ -1894,6 +1909,7 @@ def queries() -> Dict[str, Callable]:
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
+        "dedup_semantic": q_dedup_semantic,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -2520,6 +2536,59 @@ SELECT vid AS vec_id, cid AS cluster, dist
 FROM (SELECT vid, cid, dist,
       row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d3)
 WHERE rn = 1
+""",
+    # SemDeDup: same exact-integer kmeans chain as embed_kmeans, then a
+    # vector is a dup iff some LOWER-id member of its final cluster lies
+    # within the squared-L2 ball (fixed-point units)
+    "dedup_semantic": r"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vid,
+  list_transform(CAST(embedding AS DOUBLE[]),
+    v -> CAST(floor(v * 1048576 + 0.5) AS BIGINT) + 4194304) AS x
+  FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+c0 AS (SELECT vid AS cid, x FROM e WHERE vid < 8),
+d1 AS (SELECT e.vid, c0.cid,
+  list_reduce(list_transform(generate_series(1, 64),
+    i -> (e.x[i] - c0.x[i]) * (e.x[i] - c0.x[i])), (a, b) -> a + b) AS dist
+  FROM e, c0),
+a1 AS (SELECT vid, cid FROM (SELECT vid, cid,
+    row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d1)
+  WHERE rn = 1),
+u1 AS (SELECT a1.cid, dims.i, sum(e.x[dims.i]) AS s, count(*) AS n
+       FROM e JOIN a1 USING (vid) CROSS JOIN dims
+       GROUP BY a1.cid, dims.i),
+c1n AS (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS x FROM u1 GROUP BY cid),
+c1 AS (SELECT c0.cid, COALESCE(c1n.x, c0.x) AS x
+       FROM c0 LEFT JOIN c1n USING (cid)),
+d2 AS (SELECT e.vid, c1.cid,
+  list_reduce(list_transform(generate_series(1, 64),
+    i -> (e.x[i] - c1.x[i]) * (e.x[i] - c1.x[i])), (a, b) -> a + b) AS dist
+  FROM e, c1),
+a2 AS (SELECT vid, cid FROM (SELECT vid, cid,
+    row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d2)
+  WHERE rn = 1),
+u2 AS (SELECT a2.cid, dims.i, sum(e.x[dims.i]) AS s, count(*) AS n
+       FROM e JOIN a2 USING (vid) CROSS JOIN dims
+       GROUP BY a2.cid, dims.i),
+c2n AS (SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY i) AS x FROM u2 GROUP BY cid),
+c2 AS (SELECT c1.cid, COALESCE(c2n.x, c1.x) AS x
+       FROM c1 LEFT JOIN c2n USING (cid)),
+d3 AS (SELECT e.vid, c2.cid,
+  list_reduce(list_transform(generate_series(1, 64),
+    i -> (e.x[i] - c2.x[i]) * (e.x[i] - c2.x[i])), (a, b) -> a + b) AS dist
+  FROM e, c2),
+a3 AS (SELECT vid, cid FROM (SELECT vid, cid,
+    row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d3)
+  WHERE rn = 1),
+p AS (SELECT hi.vid AS vid,
+  min(list_reduce(list_transform(generate_series(1, 64),
+    i -> (ex.x[i] - ey.x[i]) * (ex.x[i] - ey.x[i])), (a, b) -> a + b)) AS mind
+  FROM a3 hi JOIN a3 lo ON hi.cid = lo.cid AND lo.vid < hi.vid
+  JOIN e ex ON ex.vid = hi.vid JOIN e ey ON ey.vid = lo.vid
+  GROUP BY hi.vid)
+SELECT a3.vid AS vec_id, a3.cid AS cluster,
+  CAST(CASE WHEN p.mind <= 1300000000000 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM a3 LEFT JOIN p ON a3.vid = p.vid
 """,
     # block dedup: 62-bit two-family polynomial fold per non-overlapping
     # 6-token block (PolySimHasher's short-doc case); blocks hashing

@@ -63,19 +63,17 @@ class _Quantizer:
         return quantize_embeddings(np.stack(batch[self.embed_col].to_numpy()))
 
 
-def kmeans_embeddings(
+def kmeans_centroids(
     ds: "object",
     k: int = 8,
     iters: int = 2,
     embed_col: str = "embedding",
     id_col: str = "vec_id",
     n_partitions: int = 8,
-) -> "object":
-    """T exact-integer Lloyd iterations; returns (id, cluster, dist)
-    where ``dist`` is the exact int64 squared fixed-point distance to
-    the final centroid.  Input is scanned iters+2 times (seed pick,
-    iters updates, final assignment) — at 100 TB run the iterations on
-    a uniform sample and only the final assignment over the full data."""
+) -> np.ndarray:
+    """The Lloyd loop alone: returns the final (k, d) int64 centroid
+    array after ``iters`` exact-integer updates (see module docstring
+    for the arithmetic contract)."""
     import ray
 
     from ocr_ray.stages.join import exchange_map_partitions
@@ -121,6 +119,27 @@ def kmeans_embeddings(
                                    // grp["n"].to_numpy(dtype="int64"))
         cents = new_cents
 
+    return cents
+
+
+def kmeans_embeddings(
+    ds: "object",
+    k: int = 8,
+    iters: int = 2,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_partitions: int = 8,
+) -> "object":
+    """T exact-integer Lloyd iterations; returns (id, cluster, dist)
+    where ``dist`` is the exact int64 squared fixed-point distance to
+    the final centroid.  Input is scanned iters+2 times (seed pick,
+    iters updates, final assignment) — at 100 TB run the iterations on
+    a uniform sample and only the final assignment over the full data."""
+    import ray
+
+    q = _Quantizer(embed_col)
+    cents = kmeans_centroids(ds, k=k, iters=iters, embed_col=embed_col,
+                             id_col=id_col, n_partitions=n_partitions)
     c_ref = ray.put(cents)
 
     def final_assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -134,3 +153,69 @@ def kmeans_embeddings(
         })
 
     return ds.map_batches(final_assign, batch_format="pandas")
+
+
+def semantic_dedup(
+    ds: "object",
+    k: int = 8,
+    iters: int = 2,
+    dist_threshold: int = 1_300_000_000_000,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_partitions: int = 8,
+) -> "object":
+    """SemDeDup: cluster the embedding space, then mark every vector
+    that sits within ``dist_threshold`` (exact int64 squared fixed-point
+    L2) of a LOWER-ID member of its own cluster as a semantic duplicate.
+    Clustering bounds the candidate set — pairwise work is per-cluster,
+    never corpus-wide (the entire point of SemDeDup at 100 TB; raise k
+    so the largest cluster's pairwise block fits a worker, and salt or
+    re-cluster hot cells if the embedding space collapses).
+
+    One exchange on the cluster id co-locates each cluster's quantized
+    vectors; the per-partition kernel is a vectorized (m, m) integer
+    distance block with a lower-triangle any() — no driver state.
+    Same arithmetic contract as :func:`kmeans_embeddings`, so the full
+    pipeline (trajectory + dup flags) is value-checked in SQL."""
+    import ray
+
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    q = _Quantizer(embed_col)
+    cents = kmeans_centroids(ds, k=k, iters=iters, embed_col=embed_col,
+                             id_col=id_col, n_partitions=n_partitions)
+    c_ref = ray.put(cents)
+
+    def assign_with_vec(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(c_ref)
+        x = q.batch_matrix(batch)
+        a, _ = _assign(x, c)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(dtype="int64"),
+            "cluster": a.astype(np.int64),
+            "x": list(x),
+        })
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cid, grp in g.groupby("cluster"):
+            grp = grp.sort_values(id_col)
+            x = np.stack(grp["x"].to_numpy())
+            d = x[:, None, :] - x[None, :, :]
+            dist = np.einsum("mnd,mnd->mn", d, d)
+            close = dist <= dist_threshold
+            is_dup = np.tril(close, k=-1).any(axis=1)
+            out.append(pd.DataFrame({
+                id_col: grp[id_col].to_numpy(dtype="int64"),
+                "cluster": np.full(len(grp), cid, dtype=np.int64),
+                "is_dup": is_dup.astype(np.int64),
+            }))
+        if not out:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "is_dup": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    assigned = ds.map_batches(assign_with_vec, batch_format="pandas")
+    return exchange_map_partitions(assigned, "cluster", mark_dups,
+                                   n_partitions=n_partitions)

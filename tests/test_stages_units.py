@@ -780,6 +780,36 @@ def test_kmeans_exact_integer_lloyd(ray_session):
     pd.testing.assert_frame_equal(got, got2)
 
 
+def test_semantic_dedup_flags_lower_id_neighbors(ray_session):
+    """semantic_dedup: planted near-copies are flagged against their
+    lower-id twin; isolated vectors are kept; invariant to partitioning."""
+    import ray.data as rd
+
+    from ocr_ray.stages.cluster import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(30, 8).astype(np.float32) * 3
+    X = base.copy()
+    X[17] = base[3] + 0.001   # near-copy of 3 -> dup (17 > 3)
+    X[9] = base[2] + 0.001    # near-copy of 2 -> dup (9 > 2)
+    df = pd.DataFrame({"vec_id": np.arange(30, dtype="int64"),
+                       "embedding": list(X)})
+    thr = int(8 * (0.01 * (1 << 20)) ** 2)  # generous ball around twins
+    got = (semantic_dedup(rd.from_pandas(df).repartition(4), k=4, iters=2,
+                          dist_threshold=thr, n_partitions=3)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert got.loc[17, "is_dup"] == 1 and got.loc[9, "is_dup"] == 1
+    assert got.loc[3, "is_dup"] == 0 and got.loc[2, "is_dup"] == 0
+    assert got["is_dup"].sum() == 2
+    # twins share a cluster (they're within epsilon of each other)
+    assert got.loc[17, "cluster"] == got.loc[3, "cluster"]
+
+    got2 = (semantic_dedup(rd.from_pandas(df).repartition(1), k=4, iters=2,
+                           dist_threshold=thr, n_partitions=5)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+
 def test_block_dedup_removes_cross_doc_boilerplate(ray_session):
     """block_dedup: a block repeated across >=2 docs vanishes from every
     doc; within-doc repeats survive; block order is preserved."""
