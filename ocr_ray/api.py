@@ -385,6 +385,22 @@ def cluster_embeddings(
                              id_col=id_col)
 
 
+def rank_within_groups(
+    ds: "rd.Dataset",
+    group_col: str,
+    quota: int | None = None,
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> "rd.Dataset":
+    """Exact per-group rank under the deterministic shuffle order
+    (stages/shuffle.py:grouped_rank) — reproducible per-domain quota
+    sampling without a global sort."""
+    from ocr_ray.stages.shuffle import grouped_rank
+
+    return grouped_rank(ds, group_col, id_col=id_col, quota=quota,
+                        n_buckets=n_buckets)
+
+
 def dedup_semantic_embeddings(
     ds: "rd.Dataset",
     k: int = 8,

@@ -957,6 +957,20 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_embeddings(ds, k=8, iters=2, n_partitions=4)
 
 
+def q_doc_source_rank(sf_dir: str):
+    """Per-source exact rank + quota flag (stages/shuffle.py:
+    grouped_rank): reproducible per-domain head-k sampling — the data
+    mixing quota primitive.  Bucket-count pass + uniform hash exchange;
+    a hot source spreads over all buckets (no skewed partition)."""
+    from ocr_ray.stages.shuffle import grouped_rank
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    return grouped_rank(docs, "source", quota=15, n_buckets=64,
+                        n_partitions=8)
+
+
 def q_dedup_semantic(sf_dir: str):
     """SemDeDup (stages/cluster.py:semantic_dedup): k-means bounds the
     candidate set, then each vector within an L2 ball of a lower-id
@@ -1910,6 +1924,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
         "dedup_semantic": q_dedup_semantic,
+        "doc_source_rank": q_doc_source_rank,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -2536,6 +2551,21 @@ SELECT vid AS vec_id, cid AS cluster, dist
 FROM (SELECT vid, cid, dist,
       row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d3)
 WHERE rn = 1
+""",
+    # grouped rank: per-source row_number under the same deterministic
+    # shuffle-hash order as doc_shuffle; quota flag = rank < 15
+    "doc_source_rank": r"""
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+  CAST((CAST(doc_id AS HUGEINT) * 2685821657736338717)
+       % 4611686018427387904 AS BIGINT) AS shuffle_hash
+  FROM documents)
+SELECT doc_id, source, shuffle_hash,
+  CAST(row_number() OVER (PARTITION BY source
+       ORDER BY shuffle_hash, doc_id) - 1 AS BIGINT) AS src_rank,
+  CAST(CASE WHEN row_number() OVER (PARTITION BY source
+       ORDER BY shuffle_hash, doc_id) - 1 < 15 THEN 1 ELSE 0 END AS BIGINT)
+    AS kept
+FROM m
 """,
     # SemDeDup: same exact-integer kmeans chain as embed_kmeans, then a
     # vector is a dup iff some LOWER-id member of its final cluster lies

@@ -170,3 +170,83 @@ def deterministic_pack(
 
     return exchange_map_partitions(keyed, "_bucket", pack_partition,
                                    n_partitions=n_partitions)
+
+
+def grouped_rank(
+    ds: "object",
+    group_col: str,
+    id_col: str = "doc_id",
+    quota: int | None = None,
+    n_buckets: int = 64,
+    n_partitions: int = 16,
+) -> "object":
+    """Exact per-group rank under the deterministic shuffle order — the
+    per-domain quota-sampling primitive (take a reproducible "random"
+    head-k of every source/domain/language without a global sort).
+
+    Same two-pass design as :func:`deterministic_shuffle`, refined per
+    group: pass 1 reduces (group, bucket) counts to the driver (bounded
+    by n_groups x n_buckets — sources/domains, not rows; ship the offset
+    table via ``ray.put`` if groups run to millions), pass 2 exchanges
+    by hash bucket (uniform by construction — a hot group spreads over
+    ALL buckets, so no skewed partition, unlike exchanging on the group
+    itself) and adds local per-(group, bucket) ranks to the offsets.
+
+    Adds ``src_rank`` (0-based rank of the row within its group under
+    ``ORDER BY (shuffle_hash, id)``); with ``quota`` also adds ``kept =
+    src_rank < quota``."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    shift = np.uint64(SHUFFLE_BITS - int(n_buckets - 1).bit_length())
+    n_buckets = 1 << int(int(n_buckets - 1).bit_length())
+
+    def with_key(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = shuffle_hash(b[id_col].to_numpy(dtype="int64"))
+        b["shuffle_hash"] = h
+        b["_bucket"] = (h.astype(np.uint64) >> shift).astype(np.int64)
+        return b
+
+    keyed = ds.map_batches(with_key, batch_format="pandas")
+
+    def count_gb(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([group_col, "_bucket"]).size()
+        out = g.reset_index()
+        out.columns = [group_col, "_bucket", "n"]
+        return out
+
+    counts = (
+        keyed.map_batches(count_gb, batch_format="pandas")
+        .to_pandas().groupby([group_col, "_bucket"], as_index=False)["n"].sum()
+        .sort_values([group_col, "_bucket"])
+    )
+    # offset of (group, bucket) = rows of the group in earlier buckets
+    counts["off"] = (counts.groupby(group_col)["n"].cumsum()
+                     - counts["n"])
+    offsets = {(g, int(b)): int(o) for g, b, o in
+               zip(counts[group_col], counts["_bucket"], counts["off"])}
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_bucket", group_col, "shuffle_hash", id_col],
+                          kind="mergesort").reset_index(drop=True)
+        if not len(g):
+            g["src_rank"] = pd.Series([], dtype="int64")
+            if quota is not None:
+                g["kept"] = pd.Series([], dtype="int64")
+            return g.drop(columns=["_bucket"])
+        run_id = (g["_bucket"].astype(str) + "\x00" + g[group_col].astype(str))
+        codes = pd.factorize(run_id)[0]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        run_start = np.repeat(starts, np.diff(np.r_[starts, len(g)]))
+        local = np.arange(len(g)) - run_start
+        base = np.fromiter(
+            (offsets[(grp, int(bk))] for grp, bk in
+             zip(g[group_col][starts], g["_bucket"][starts])),
+            dtype=np.int64, count=starts.size)
+        g["src_rank"] = np.repeat(base, np.diff(np.r_[starts, len(g)])) + local
+        if quota is not None:
+            g["kept"] = (g["src_rank"] < quota).astype(np.int64)
+        return g.drop(columns=["_bucket"])
+
+    return exchange_map_partitions(keyed, "_bucket", rank_partition,
+                                   n_partitions=n_partitions)

@@ -780,6 +780,42 @@ def test_kmeans_exact_integer_lloyd(ray_session):
     pd.testing.assert_frame_equal(got, got2)
 
 
+def test_grouped_rank_per_group_permutation(ray_session):
+    """grouped_rank: src_rank is an exact 0..n_g-1 permutation inside
+    each group, matches the (hash, id) order, and the quota flag keeps
+    exactly min(quota, n_g) rows per group; partitioning-invariant."""
+    import ray.data as rd
+
+    from ocr_ray.stages.shuffle import grouped_rank, shuffle_hash
+
+    n = 900
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        "source": rng.choice(["a", "b", "hot"], size=n, p=[0.2, 0.2, 0.6]),
+    })
+    got = (grouped_rank(rd.from_pandas(df).repartition(6), "source",
+                        quota=50, n_buckets=16, n_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    h = shuffle_hash(df["doc_id"].to_numpy())
+    for src, grp in df.groupby("source"):
+        sub = got[got["source"] == src]
+        assert sorted(sub["src_rank"]) == list(range(len(grp)))
+        order = np.lexsort((grp["doc_id"].to_numpy(),
+                            h[grp.index.to_numpy()]))
+        exp = pd.Series(np.arange(len(grp)),
+                        index=grp["doc_id"].to_numpy()[order])
+        assert (sub.set_index("doc_id")["src_rank"]
+                .sort_index() == exp.sort_index()).all()
+        assert sub["kept"].sum() == min(50, len(grp))
+
+    got2 = (grouped_rank(rd.from_pandas(df).repartition(2), "source",
+                         quota=50, n_buckets=64, n_partitions=7)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got2["src_rank"].tolist() == got["src_rank"].tolist()
+
+
 def test_semantic_dedup_flags_lower_id_neighbors(ray_session):
     """semantic_dedup: planted near-copies are flagged against their
     lower-id twin; isolated vectors are kept; invariant to partitioning."""
