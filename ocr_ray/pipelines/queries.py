@@ -957,6 +957,42 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_embeddings(ds, k=8, iters=2, n_partitions=4)
 
 
+def q_pipeline_curation2(sf_dir: str):
+    """Round-2 curation composite — the model-tier pipeline end-to-end
+    as ONE streaming job: hashed-linear classifier gate -> corpus-trained
+    bigram-LM perplexity gate (trained on the classifier's survivors) ->
+    cross-doc duplicated-block removal -> per-source quota sample.
+    Every stage is the already-oracle-checked operator; the composed
+    oracle chains the same CTEs, so the whole pipeline (including the
+    final kept flags) is value-checked."""
+    from ocr_ray.stages.classify import HashedLinearClassifier
+    from ocr_ray.stages.dedup import block_dedup
+    from ocr_ray.stages.lm import lm_score
+    from ocr_ray.stages.shuffle import grouped_rank
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    s1 = docs.map_batches(
+        HashedLinearClassifier, batch_format="pandas", concurrency=2,
+        fn_constructor_kwargs={"keep_text": True, "carry_cols": ("source",)},
+    ).filter(expr="keep == 1").map_batches(
+        lambda b: b[["doc_id", "text", "source"]], batch_format="pandas")
+    s2 = lm_score(s1, threshold_ppm=34000, n_partitions=8,
+                  carry_cols=("text", "source")).filter(
+        expr="keep == 1").map_batches(
+        lambda b: b[["doc_id", "text", "source"]], batch_format="pandas")
+    s3 = block_dedup(s2, w=6, min_docs=2, n_partitions=8,
+                     carry_cols=("source",))
+    out = grouped_rank(s3, "source", id_col="doc_id", quota=10,
+                       n_buckets=64, n_partitions=8)
+    return out.map_batches(
+        lambda b: b[["doc_id", "source", "n_blocks", "n_dup_blocks",
+                     "dedup_text", "src_rank", "kept"]],
+        batch_format="pandas")
+
+
 def q_doc_source_rank(sf_dir: str):
     """Per-source exact rank + quota flag (stages/shuffle.py:
     grouped_rank): reproducible per-domain head-k sampling — the data
@@ -1925,6 +1961,7 @@ def queries() -> Dict[str, Callable]:
         "embed_kmeans": q_embed_kmeans,
         "dedup_semantic": q_dedup_semantic,
         "doc_source_rank": q_doc_source_rank,
+        "pipeline_curation2": q_pipeline_curation2,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -2551,6 +2588,75 @@ SELECT vid AS vec_id, cid AS cluster, dist
 FROM (SELECT vid, cid, dist,
       row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d3)
 WHERE rn = 1
+""",
+    # curation composite: the doc_clf gate, the doc_lm gate TRAINED ON
+    # THE CLASSIFIER'S SURVIVORS, the dedup_blocks removal over the LM's
+    # survivors, and the doc_source_rank quota — all chained as CTEs
+    "pipeline_curation2": r"""
+WITH toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source,
+              regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents),
+clf AS (SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+      CASE WHEN len(t) = 0 THEN 0
+           ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(t, tok ->
+               ((list_reduce(list_prepend(CAST(7 AS BIGINT),
+                   list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000003) * 2654435761)
+                % 2147483647) % 2001 - 1000)),
+             (a, b) -> a + b) END AS logit
+    FROM toks) WHERE logit > 0),
+d0 AS (SELECT doc_id AS id, source,
+              string_split_regex(trim(text), '\s+') AS w
+       FROM clf WHERE trim(text) <> ''),
+th AS (SELECT id, source, len(w) AS n, w,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM d0 WHERE len(w) >= 2),
+pos AS (SELECT id, t1[i] % 65536 AS ub,
+        ((t1[i] * 1000003 + t1[i+1]) % 2147483647) % 1048576 AS bb
+        FROM th, unnest(generate_series(1, n - 1)) AS g(i)),
+uni AS (SELECT x.h % 65536 AS ub, count(*) AS c
+        FROM th, unnest(th.t1) AS x(h) GROUP BY 1),
+big AS (SELECT bb, count(*) AS c FROM pos GROUP BY bb),
+qv AS (SELECT pos.id, (big.c * 1000000) // uni.c AS q
+       FROM pos JOIN big USING (bb) JOIN uni USING (ub)),
+lm AS (SELECT id, CAST(sum(q) // count(*) AS BIGINT) AS lm_ppm
+       FROM qv GROUP BY id),
+surv AS (SELECT th.id, th.source, th.n, th.w, th.t1, th.t2
+         FROM th JOIN lm ON th.id = lm.id WHERE lm.lm_ppm >= 34000),
+b AS (SELECT id, i,
+   list_reduce(list_prepend(CAST(0 AS BIGINT), t1[(i-1)*6+1:i*6]),
+               (a, b) -> (a * 1000003 + b) % 2147483647)
+   + list_reduce(list_prepend(CAST(0 AS BIGINT), t2[(i-1)*6+1:i*6]),
+               (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 AS bh,
+   array_to_string(w[(i-1)*6+1:i*6], ' ') AS blk
+   FROM surv, unnest(generate_series(1, CAST(ceil(n / 6.0) AS BIGINT))) AS g(i)),
+banned AS (SELECT bh FROM b GROUP BY bh HAVING count(DISTINCT id) >= 2),
+m AS (SELECT b.id, b.i, b.blk,
+        CASE WHEN banned.bh IS NOT NULL THEN 1 ELSE 0 END AS rm
+      FROM b LEFT JOIN banned USING (bh)),
+bd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(rm) AS BIGINT) AS n_dup_blocks,
+       coalesce(string_agg(CASE WHEN rm = 0 THEN blk END, ' ' ORDER BY i), '')
+         AS dedup_text
+       FROM m GROUP BY id),
+r AS (SELECT bd.id AS doc_id, surv.source, bd.n_blocks, bd.n_dup_blocks,
+      bd.dedup_text,
+      CAST((CAST(bd.id AS HUGEINT) * 2685821657736338717)
+           % 4611686018427387904 AS BIGINT) AS h
+      FROM bd JOIN surv ON bd.id = surv.id)
+SELECT doc_id, source, n_blocks, n_dup_blocks, dedup_text,
+  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1
+       AS BIGINT) AS src_rank,
+  CAST(CASE WHEN row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+            - 1 < 10 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM r
 """,
     # grouped rank: per-source row_number under the same deterministic
     # shuffle-hash order as doc_shuffle; quota flag = rank < 15

@@ -58,10 +58,11 @@ class HashedLinearClassifier:
     memoized across batches (the point of an actor over a task)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
-                 keep_text: bool = False):
+                 keep_text: bool = False, carry_cols=()):
         self.text_col = text_col
         self.id_col = id_col
         self.keep_text = keep_text
+        self.carry_cols = tuple(carry_cols)
         self._cache: Dict[str, int] = {}
 
     def _weight(self, tok: str) -> int:
@@ -93,6 +94,8 @@ class HashedLinearClassifier:
         out = {self.id_col: batch[self.id_col].to_numpy()}
         if self.keep_text:
             out[self.text_col] = batch[self.text_col].to_numpy()
+        for c in self.carry_cols:
+            out[c] = batch[c].to_numpy()
         out.update({
             "n_tokens": n_tokens,
             "clf_logit": logits,

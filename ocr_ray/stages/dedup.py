@@ -1196,6 +1196,7 @@ def block_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_partitions: int = 16,
+    carry_cols=(),
 ) -> "object":
     """Cross-document duplicated-block removal — the CCNet/MassiveText
     "drop lines repeated across the corpus" boilerplate filter, at
@@ -1259,21 +1260,25 @@ def block_dedup(
         out = g.loc[nd >= min_docs, ["id", "idx"]]
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    carry = tuple(carry_cols)
+
     @ray.remote
     def reassemble(n_removed: int, *pieces):
         rem = _concat_pd(pieces[:n_removed])
         d = _concat_pd(pieces[n_removed:])
         if not len(d):
-            return pa.Table.from_pandas(
-                pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                              "n_blocks": pd.Series([], dtype="int64"),
-                              "n_dup_blocks": pd.Series([], dtype="int64"),
-                              "dedup_text": pd.Series([], dtype="object")}),
-                preserve_index=False)
+            empty = {"doc_id": pd.Series([], dtype="int64"),
+                     "n_blocks": pd.Series([], dtype="int64"),
+                     "n_dup_blocks": pd.Series([], dtype="int64"),
+                     "dedup_text": pd.Series([], dtype="object")}
+            for c in carry:
+                empty[c] = pd.Series([], dtype="object")
+            return pa.Table.from_pandas(pd.DataFrame(empty),
+                                        preserve_index=False)
         rem_by_doc = {k: set(v.tolist())
                       for k, v in rem.groupby("id")["idx"]}
-        ids, nb, ndup, texts = [], [], [], []
-        for did, text in zip(d["id"].tolist(), d[text_col]):
+        ids, nb, ndup, texts, rows = [], [], [], [], []
+        for j, (did, text) in enumerate(zip(d["id"].tolist(), d[text_col])):
             toks = text.split()
             if not toks:
                 continue
@@ -1284,16 +1289,21 @@ def block_dedup(
             nb.append(len(blocks))
             ndup.append(len(blocks) - len(kept))
             texts.append(" ".join(kept))
-        return pa.Table.from_pandas(
-            pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
-                          "n_blocks": np.asarray(nb, dtype=np.int64),
-                          "n_dup_blocks": np.asarray(ndup, dtype=np.int64),
-                          "dedup_text": texts}),
-            preserve_index=False)
+            rows.append(j)
+        out = {"doc_id": np.asarray(ids, dtype=np.int64),
+               "n_blocks": np.asarray(nb, dtype=np.int64),
+               "n_dup_blocks": np.asarray(ndup, dtype=np.int64),
+               "dedup_text": texts}
+        for c in carry:
+            out[c] = d[c].to_numpy()[rows]
+        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
 
     def doc_side(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"id": b[id_col].to_numpy(dtype="int64"),
-                             text_col: b[text_col]})
+        out = {"id": b[id_col].to_numpy(dtype="int64"),
+               text_col: b[text_col]}
+        for c in carry:
+            out[c] = b[c].to_numpy()
+        return pd.DataFrame(out)
 
     P = n_partitions
     hsplit = _exchange(docs.map_batches(explode, batch_format="pandas"),

@@ -146,7 +146,8 @@ class BigramLMScorer:
     store reads); ``__call__`` is vectorized per batch."""
 
     def __init__(self, c1_ref, c2_ref, text_col: str = "text",
-                 id_col: str = "doc_id", threshold_ppm: int = 0):
+                 id_col: str = "doc_id", threshold_ppm: int = 0,
+                 carry_cols=()):
         import ray
 
         self.c1 = ray.get(c1_ref) if not isinstance(c1_ref, np.ndarray) else c1_ref
@@ -156,28 +157,33 @@ class BigramLMScorer:
         self.text_col = text_col
         self.id_col = id_col
         self.threshold_ppm = threshold_ppm
+        self.carry_cols = tuple(carry_cols)
         self._hasher = _TokenHasher()
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         arrs = _doc_hash_arrays(batch[self.text_col], self._hasher)
         ids = batch[self.id_col].to_numpy(dtype="int64")
-        keep_rows, n_bigrams, lm_ppm = [], [], []
+        rows, n_bigrams, lm_ppm = [], [], []
         for i, t1 in enumerate(arrs):
             if not t1.size:
                 continue
             q = (self.c2[_bigram_buckets(t1, self.b_big)] * _PPM
                  ) // self.c1[t1[:-1] % self.b_uni]
-            keep_rows.append(ids[i])
+            rows.append(i)
             n_bigrams.append(len(q))
             lm_ppm.append(int(q.sum()) // len(q))
+        rows = np.asarray(rows, dtype=np.int64)
         nb = np.asarray(n_bigrams, dtype=np.int64)
         ppm = np.asarray(lm_ppm, dtype=np.int64)
-        return pd.DataFrame({
-            self.id_col: np.asarray(keep_rows, dtype=np.int64),
+        out = {self.id_col: ids[rows]}
+        for c in self.carry_cols:
+            out[c] = batch[c].to_numpy()[rows]
+        out.update({
             "n_bigrams": nb,
             "lm_ppm": ppm,
             "keep": (ppm >= self.threshold_ppm).astype(np.int64),
         })
+        return pd.DataFrame(out)
 
 
 def lm_score(
@@ -189,6 +195,7 @@ def lm_score(
     b_big: int = B_BIG,
     concurrency: int = 2,
     n_partitions: int = 16,
+    carry_cols=(),
 ) -> "object":
     """Train-then-score: pass 1 learns the hashed bigram LM from
     ``docs``, pass 2 scores every (>=2-token) doc against it.  The input
@@ -204,5 +211,6 @@ def lm_score(
         fn_constructor_kwargs={
             "c1_ref": c1_ref, "c2_ref": c2_ref, "text_col": text_col,
             "id_col": id_col, "threshold_ppm": threshold_ppm,
+            "carry_cols": carry_cols,
         },
     )
