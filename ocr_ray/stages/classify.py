@@ -107,11 +107,20 @@ class HashedLinearClassifier:
 
 def classify_documents(docs, text_col: str = "text", id_col: str = "doc_id",
                        concurrency: int = 2, keep_text: bool = False):
-    """Text table -> per-doc classifier scores (streaming, no shuffle)."""
+    """Text table -> per-doc classifier scores (streaming, no shuffle).
+
+    Runs as a task pool (stages/taskpool.py), not a fixed actor pool:
+    setup is a cheap hash-weight build, so reserving CPUs per actor would
+    only cap parallelism — and, measured at ``num_cpus=4``, chained
+    actor-pool stages that reserve every core starve the plan's task
+    operators (ReadParquet, exchanges) into a hard deadlock.
+    ``concurrency`` is kept for API compatibility and ignored."""
+    from ocr_ray.stages.taskpool import task_pool
+
     return docs.map_batches(
-        HashedLinearClassifier, batch_format="pandas", concurrency=concurrency,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col,
-                               "keep_text": keep_text},
+        task_pool(HashedLinearClassifier, text_col=text_col, id_col=id_col,
+                  keep_text=keep_text),
+        batch_format="pandas",
     )
 
 
@@ -120,5 +129,5 @@ def classifier_filter(docs, text_col: str = "text", id_col: str = "doc_id",
     """The curation gate itself: keep only docs the classifier accepts.
     Text is carried through so downstream stages keep streaming."""
     scored = classify_documents(docs, text_col=text_col, id_col=id_col,
-                                concurrency=concurrency, keep_text=True)
+                                keep_text=True)
     return scored.filter(expr="keep == 1")

@@ -353,13 +353,13 @@ def minhash_dedup_pairs(
     import ray
     import ray.data as rd
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def pairs_task(*pieces):
         g = _concat_pd(pieces)
         out = _pairs_from_bucket_partition(g, ["band_id", "band_hash"], id_col)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def dedupe_attach_left(n_pairs: int, *pieces):
         cands = _concat_pd(pieces[:n_pairs])
         ldocs = _concat_pd(pieces[n_pairs:])
@@ -367,7 +367,7 @@ def minhash_dedup_pairs(
         out = cands.merge(ldocs, on="left_id", how="inner")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def attach_right_verify(n_left: int, *pieces):
         left = _concat_pd(pieces[:n_left])
         rdocs = _concat_pd(pieces[n_left:])
@@ -456,13 +456,13 @@ def simhash_dedup_pairs(
     import ray
     import ray.data as rd
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def pairs_task(*pieces):
         g = _concat_pd(pieces)
         out = _pairs_from_bucket_partition(g, ["band_id", "band_key"], id_col)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def dedupe_attach_left(n_pairs: int, *pieces):
         cands = _concat_pd(pieces[:n_pairs])
         sigs = _concat_pd(pieces[n_pairs:]).drop_duplicates("left_id")
@@ -470,7 +470,7 @@ def simhash_dedup_pairs(
         out = cands.merge(sigs, on="left_id", how="inner")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def attach_right_verify(n_left: int, *pieces):
         left = _concat_pd(pieces[:n_left])
         sigs = _concat_pd(pieces[n_left:]).drop_duplicates("right_id")
@@ -661,7 +661,7 @@ def cross_split_contamination(
              "is_train": np.concatenate(out_tr), "split": out_lb}
         )
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def contaminated_local(*pieces):
         g = _concat_pd(pieces)
         if not len(g):
@@ -677,7 +677,7 @@ def cross_split_contamination(
         return pa.Table.from_pandas(out.reset_index(drop=True),
                                     preserve_index=False)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def dedupe(*pieces):
         g = _concat_pd(pieces).drop_duplicates("doc_id")
         return pa.Table.from_pandas(g.reset_index(drop=True),
@@ -774,7 +774,7 @@ def shingle_novelty(
             {"h": np.concatenate(hs), "id": np.concatenate(out_id)}
         )
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def novel_local(*pieces):
         g = _concat_pd(pieces)
         if not len(g):
@@ -791,7 +791,7 @@ def shingle_novelty(
         out["n_shingles"] = out["n_shingles"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def combine(*pieces):
         g = _concat_pd(pieces)
         if not len(g):
@@ -860,7 +860,7 @@ def connected_components(
     esplit = _exchange(adj, "src", P)
     edge_parts = [[s[j] for s in esplit] for j in range(P)]
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def init_labels(*pieces):
         g = _concat_pd(pieces)
         ids = np.unique(g["src"].to_numpy(dtype="int64")) if len(g) else np.array([], dtype="int64")
@@ -868,7 +868,7 @@ def connected_components(
             pd.DataFrame({"id": ids, "label": ids}), preserve_index=False
         )
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def emit(labels_tbl, *pieces):
         lab = labels_tbl.to_pandas()
         g = _concat_pd(pieces)
@@ -888,7 +888,7 @@ def connected_components(
             for j in range(P)
         )
 
-    @ray.remote(num_returns=2)
+    @ray.remote(num_returns=2, num_cpus=0)
     def update(labels_tbl, *msg_pieces):
         lab = labels_tbl.to_pandas()
         msgs = _concat_pd(msg_pieces)
@@ -928,7 +928,7 @@ def connected_components(
             "(graph diameter exceeds max_rounds; raise max_rounds)"
         )
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def finalize(tbl):
         lab = tbl.to_pandas()
         return pa.Table.from_pandas(
@@ -1110,7 +1110,7 @@ def incremental_containment(
         # collapse inside the h-partition
         return pd.DataFrame({"h": np.unique(np.concatenate(hs))})
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def seen_local(n_shard: int, *pieces):
         g = _concat_pd(pieces[:n_shard])
         if not len(g):
@@ -1126,7 +1126,7 @@ def incremental_containment(
         out["n_shingles"] = out["n_shingles"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def combine(thr: float, *pieces):
         g = _concat_pd(pieces)
         if not len(g):
@@ -1246,7 +1246,7 @@ def block_dedup(
                              "id": np.concatenate(out_id),
                              "idx": np.concatenate(out_idx)})
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def removed_local(*pieces):
         """Partition owns all occurrences of its hashes: ban and
         anti-join in one task."""
@@ -1262,7 +1262,7 @@ def block_dedup(
 
     carry = tuple(carry_cols)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def reassemble(n_removed: int, *pieces):
         rem = _concat_pd(pieces[:n_removed])
         d = _concat_pd(pieces[n_removed:])

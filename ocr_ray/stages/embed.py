@@ -115,10 +115,14 @@ def embed_query(query: str, dim: int = 64) -> np.ndarray:
 # ---------------------------------------------------------------- store (S7)
 def embed_documents(docs, dim: int = 64, text_col: str = "text",
                     id_col: str = "doc_id", concurrency: int = 2):
-    """Text table -> embedding table (id, embedding, emb_norm, nnz, e0)."""
+    """Text table -> embedding table (id, embedding, emb_norm, nnz, e0).
+    Task pool (stages/taskpool.py): cheap setup, full task parallelism,
+    no reservation deadlock; `concurrency` kept for API compat, ignored."""
+    from ocr_ray.stages.taskpool import task_pool
+
     return docs.map_batches(
-        HashingEmbedder, batch_format="pandas", concurrency=concurrency,
-        fn_constructor_kwargs={"dim": dim, "text_col": text_col, "id_col": id_col},
+        task_pool(HashingEmbedder, dim=dim, text_col=text_col, id_col=id_col),
+        batch_format="pandas",
     )
 
 

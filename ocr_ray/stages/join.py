@@ -8,6 +8,21 @@ Two strategies, chosen by side size (guide: Joins and lookups):
   each side, tag provenance, union, ``groupby(bucket)`` and merge the two
   sides pairwise inside ``map_groups``.  One all-to-all on the bucket key;
   hot keys can be salted by raising B.
+
+**Scheduling invariant — every raw exchange task is ``num_cpus=0``.**
+The split/merge tasks here sit OUTSIDE Ray Data's resource accounting but
+INSIDE its dataflow: a ``from_arrow_refs`` dataset blocks on their results
+while Ray Data's actor pools (map_batches stages up- and downstream of the
+exchange) hold their CPU reservations for the whole execution.  On a
+cluster where chained actor pools reserve every core (measured: the
+curation composites at ``num_cpus=4`` — 2 classifier + 2 LM-scorer actors
+— left the 1-CPU merge tasks pending forever, a hard deadlock), ANY
+positive CPU requirement on these tasks can deadlock.  ``num_cpus=0``
+makes them always schedulable; concurrency stays bounded structurally —
+merges by ``n_partitions`` (stages size it ~2-4x cores), splits by
+upstream block count and their own short lifetime — so oversubscription
+is capped and transient, while the deadlock is impossible by
+construction.
 """
 
 from __future__ import annotations
@@ -74,16 +89,20 @@ def launch_splits(src, by, n_partitions: int) -> List:
 def _concat_pd(pieces) -> pd.DataFrame:
     """Concat per-partition Arrow pieces to pandas, skipping zero-row
     pieces: empty partitions carry null-typed columns that would fail
-    concat_tables schema unification."""
+    concat_tables schema unification.  Pandas schema metadata is stripped
+    first: blocks that passed through a pandas stage with an ndarray
+    column carry Ray's TensorDtype repr in the ``pandas`` metadata, which
+    ``to_pandas`` cannot reconstruct outside Ray Data's block codec
+    (observed at num_cpus=4 block layouts on the embedding exchanges)."""
     import pyarrow as pa
 
-    tables = [t for t in pieces if t.num_rows]
+    tables = [t.replace_schema_metadata(None) for t in pieces if t.num_rows]
     if not tables:
-        return pieces[0].to_pandas()
+        return pieces[0].replace_schema_metadata(None).to_pandas()
     return pa.concat_tables(tables).to_pandas()
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _apply_partition(fn, *pieces):
     import pyarrow as pa
 
@@ -121,7 +140,7 @@ def _canon_key(col: pd.Series) -> pd.Series:
     return col
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _split_by_key(t, by, n_partitions: int):
     """Split one block into per-partition sub-tables by key hash.
     ``by``: one column name or a list (multi-column keys hash as the sum of
@@ -149,7 +168,7 @@ def _split_by_key(t, by, n_partitions: int):
     return _split_table(t, (h % n_partitions).astype(np.int32), n_partitions)
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _merge_asof_partition(n_left: int, by: str, on: str, direction: str,
                           suffix: str, *pieces):
     import pyarrow as pa
@@ -203,7 +222,7 @@ def asof_join(
     return rd.from_arrow_refs(out_refs)
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _range_assign_partition(n_left: int, by: str, point_col: str, start_col: str,
                             end_col: str, idx_col: str, *pieces):
     import pyarrow as pa
@@ -284,7 +303,7 @@ def hash_join(
     )
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _merge_equi_partition(n_left: int, on: str, right_on: str, how: str, *pieces):
     import pyarrow as pa
 

@@ -203,14 +203,18 @@ def lm_score(
     arrays) and re-read the input rather than materializing it."""
     import ray
 
+    from ocr_ray.stages.taskpool import task_pool
+
     c1, c2 = train_bigram_counts(docs, text_col=text_col, b_uni=b_uni,
                                  b_big=b_big, n_partitions=n_partitions)
     c1_ref, c2_ref = ray.put(c1), ray.put(c2)
+    # task pool, not a fixed actor pool: setup is one zero-copy ray.get,
+    # so a reservation-holding pool would cap parallelism and (measured at
+    # num_cpus=4) deadlock chained composites; `concurrency` is kept for
+    # API compatibility and ignored
     return docs.map_batches(
-        BigramLMScorer, batch_format="pandas", concurrency=concurrency,
-        fn_constructor_kwargs={
-            "c1_ref": c1_ref, "c2_ref": c2_ref, "text_col": text_col,
-            "id_col": id_col, "threshold_ppm": threshold_ppm,
-            "carry_cols": carry_cols,
-        },
+        task_pool(BigramLMScorer, c1_ref=c1_ref, c2_ref=c2_ref,
+                  text_col=text_col, id_col=id_col,
+                  threshold_ppm=threshold_ppm, carry_cols=tuple(carry_cols)),
+        batch_format="pandas",
     )

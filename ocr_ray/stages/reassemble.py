@@ -62,7 +62,7 @@ def _split_table(t: pa.Table, pk: np.ndarray, n_partitions: int) -> Tuple[pa.Tab
     )
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _split_turns(t, n_partitions: int, span: int) -> Tuple[pa.Table, ...]:
     if isinstance(t, pd.DataFrame):  # internal refs may hold pandas blocks
         t = pa.Table.from_pandas(t, preserve_index=False)
@@ -115,7 +115,7 @@ def _join_groups(fmt: pa.Array, offsets: np.ndarray) -> pa.Array:
     return pa.compute.binary_join(la, _SEP)
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _assemble_parts(*pieces: pa.Table) -> pa.Table:
     """Per-partition phase 1: join each (conv_id, salt) sub-range in
     turn_idx order.  Pure Arrow kernels (sort_by / binary_join) — no Python
@@ -145,13 +145,13 @@ def _assemble_parts(*pieces: pa.Table) -> pa.Table:
     )
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _split_parts(t: pa.Table, n_partitions: int) -> Tuple[pa.Table, ...]:
     h = pd.util.hash_pandas_object(t["conv_id"].to_pandas(), index=False).to_numpy()
     return _split_table(t, (h % n_partitions).astype(np.int32), n_partitions)
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _assemble_final(*pieces: pa.Table) -> pa.Table:
     """Per-partition phase 2: concatenate sub-ranges in salt order (pure
     Arrow, as in phase 1)."""
