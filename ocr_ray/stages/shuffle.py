@@ -250,3 +250,83 @@ def grouped_rank(
 
     return exchange_map_partitions(keyed, "_bucket", rank_partition,
                                    n_partitions=n_partitions)
+
+
+def value_rank(
+    ds: "object",
+    value_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    n_partitions: int = 16,
+) -> "object":
+    """Exact global rank by an integer VALUE column — order statistics
+    (percentiles, top-X% selection, curriculum ordering) without a
+    ``Dataset.sort``'s sample-and-range shuffle.
+
+    Three streaming passes: (0) min/max of the column (two ints to the
+    driver); (1) counts per value-range bucket ``(v - vmin) * B //
+    (vmax - vmin + 1)`` — monotone in v, so bucket order IS value order —
+    reduced to B ints on the driver and prefix-summed; (2) exchange by
+    bucket, sort each bucket locally by ``(v, id)``, add the offset.
+    Adds ``rank`` (0-based, dense over rows) and ``pctile`` = floor(rank
+    * 1e6 / (N-1)) / 1e6.
+
+    Skew caveat (inherent to value ranking, unlike the hash shuffle's
+    uniform buckets): a single value carrying a large fraction of rows
+    lands in one bucket/partition.  Raise ``n_buckets`` for heavy-tailed
+    distributions; for a pathological near-constant column, sub-exchange
+    the hot bucket on the id."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def minmax(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col].to_numpy(dtype="int64")
+        if not v.size:
+            return pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                                 "hi": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"lo": [int(v.min())], "hi": [int(v.max())]})
+
+    mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
+    vmin, vmax = int(mm["lo"].min()), int(mm["hi"].max())
+    span = vmax - vmin + 1
+
+    def with_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        v = b[value_col].to_numpy(dtype="int64")
+        b["_bucket"] = (v - vmin) * n_buckets // span
+        return b
+
+    keyed = ds.map_batches(with_bucket, batch_format="pandas")
+
+    def count_buckets(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("_bucket").size()
+        return pd.DataFrame({"_bucket": g.index.to_numpy(dtype="int64"),
+                             "n": g.to_numpy(dtype="int64")})
+
+    counts = (
+        keyed.map_batches(count_buckets, batch_format="pandas")
+        .to_pandas().groupby("_bucket")["n"].sum()
+    )
+    offsets = np.zeros(n_buckets + 1, dtype=np.int64)
+    offsets[counts.index.to_numpy(dtype="int64") + 1] = counts.to_numpy()
+    total = int(offsets.sum())
+    offsets = np.cumsum(offsets)
+    denom = max(total - 1, 1)
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_bucket", value_col, id_col],
+                          kind="mergesort").reset_index(drop=True)
+        if not len(g):
+            g["rank"] = pd.Series([], dtype="int64")
+            g["pctile"] = pd.Series([], dtype="float64")
+            return g.drop(columns=["_bucket"])
+        b = g["_bucket"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        run_start = np.repeat(starts, np.diff(np.r_[starts, len(b)]))
+        rank = offsets[b] + (np.arange(len(b)) - run_start)
+        g["rank"] = rank
+        # floor(x*1e6+0.5)/1e6-free: rank*1e6 is exact, // is exact
+        g["pctile"] = (rank * 1_000_000 // denom) / 1e6
+        return g.drop(columns=["_bucket"])
+
+    return exchange_map_partitions(keyed, "_bucket", rank_partition,
+                                   n_partitions=n_partitions)

@@ -229,20 +229,20 @@ def lsh_embed_dedup_pairs(
     if dim is None:
         dim = len(embeddings.take(1)[0][vec_col])
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def pairs_task(*pieces):
         g = _concat_pd(pieces)
         out = _pairs_from_bucket_partition(g, ["table_id", "bucket"], id_col)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def dedupe_attach_left(n_pairs: int, *pieces):
         cands = _concat_pd(pieces[:n_pairs]).drop_duplicates(["left_id", "right_id"])
         lv = _concat_pd(pieces[n_pairs:])
         out = cands.merge(lv, on="left_id", how="inner")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def attach_right_verify(n_left: int, *pieces):
         left = _concat_pd(pieces[:n_left])
         rv = _concat_pd(pieces[n_left:])
@@ -343,4 +343,49 @@ class LSHProbeScore:
         return pd.DataFrame(
             {self.id_col: batch[self.id_col].to_numpy()[mask].astype("int64"),
              "sim": np.round(sims, 6)}
+        )
+
+
+def quantize_int8(m: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Per-vector symmetric int8 scalar quantization — the 4x-memory ANN
+    path (float32 corpus -> one signed byte per component).
+
+    ``q_i = floor(v_i * 127.0 / max_abs(v) + 0.5)`` in float64 with exactly
+    this operation order, so the DuckDB oracle (same IEEE ops on the same
+    promoted-from-float32 doubles) reproduces every code bit-for-bit;
+    an all-zero vector quantizes to zeros.  Returns ``(codes int64 (N,D),
+    scales float64 (N,))``; dequantize ``v ~= q * mx / 127``.  Range is
+    [-127, 127] (symmetric; -128 unused), so int8 dots fit easily in int64:
+    D * 127^2 << 2^63.
+    """
+    mx = np.abs(m).max(axis=1)
+    safe = np.where(mx > 0.0, mx, 1.0)
+    q = np.floor(m * 127.0 / safe[:, None] + 0.5).astype(np.int64)
+    q[mx == 0.0] = 0
+    return q, mx
+
+
+class QuantizedDot:
+    """Actor-pool stage: integer dot product of each row's int8-quantized
+    embedding against the broadcast quantized query — exact int64 scoring
+    over the compressed representation (symmetric distance; per-vector
+    scales are deliberately not applied, matching plain int8 SQ search).
+    The query codes go into the object store once."""
+
+    def __init__(self, query_codes_ref, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        import ray
+
+        qc = (ray.get(query_codes_ref)
+              if isinstance(query_codes_ref, ray.ObjectRef) else query_codes_ref)
+        self.qc = np.asarray(qc, dtype=np.int64)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(batch[self.vec_col])
+        codes, _ = quantize_int8(m)
+        return pd.DataFrame(
+            {self.id_col: batch[self.id_col].to_numpy().astype("int64"),
+             "dot": codes @ self.qc}
         )
