@@ -141,3 +141,98 @@ def kmv_distinct_shingles(
     # ObjectRef instead of a list (join.py:launch_splits); the constant
     # key lands all rows in one partition either way
     return exchange_map_partitions(partials, "g", merge, n_partitions=2)
+
+
+# ------------------------------------------------- CountMin frequency sketch
+# (Cormode & Muthukrishnan 2005): d hash rows x w counters; every cell is a
+# SUM, so partial sketches from any partitioning merge by addition —
+# order-insensitive, bit-exact, and replicable in SQL (unlike merge-order-
+# dependent sketches such as Misra-Gries).  point estimate(t) =
+# min_r CM[r][cell_r(t)] >= true count, overestimate bounded by
+# (total occurrences)/w per row w.h.p.  The bounded-memory one-pass
+# alternative to the exact term exchange when the vocabulary itself is too
+# large to shuffle.  Row hashes: cell_r(t) = (h1(t)*A_r + B_r) mod (2^31-1)
+# mod w over the shared polynomial token hash (h1 < 1000003, A_r < 2^20 ->
+# products < 2^40, exact in int64 and in DuckDB BIGINT).
+CM_D = 4
+CM_W = 1 << 14
+CM_A = (999983, 911383, 824393, 711427)
+CM_B = (17, 89, 251, 499)
+_CM_MOD31 = (1 << 31) - 1
+
+
+def countmin_sketch(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    tokenizer=None,
+    d: int = CM_D,
+    w: int = CM_W,
+    n_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """One streaming pass -> merged CountMin table as a Dataset of
+    ``(r, cell, c)`` rows (<= d*w of them, independent of corpus size).
+
+    Per batch: tokenize, count unique terms, hash each unique term into
+    its d cells, scatter-add into a dense (d, w) partial (d*w int64 =
+    512 KB at defaults), emit the nonzero cells sparse; partials reduce
+    through the bounded hash exchange keyed on the flattened cell id."""
+    import numpy as np
+
+    from ocr_ray.stages.lm import _TokenHasher
+
+    if tokenizer is None:
+        import re
+
+        tokenizer = re.compile(r"[a-z0-9]+").findall
+    a = np.asarray(CM_A[:d], dtype=np.int64)[:, None]
+    b_ = np.asarray(CM_B[:d], dtype=np.int64)[:, None]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        hasher = _TokenHasher()
+        cnt: "Counter[str]" = Counter()
+        for t in batch[text_col]:
+            cnt.update(tokenizer(t.lower()))
+        if not cnt:
+            return pd.DataFrame({"r": pd.Series([], dtype="int64"),
+                                 "cell": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        terms = list(cnt.keys())
+        n = np.fromiter(cnt.values(), dtype=np.int64, count=len(terms))
+        h1 = hasher.h1(terms)
+        cells = ((h1[None, :] * a + b_) % _CM_MOD31) % w  # (d, n_terms)
+        dense = np.zeros((d, w), dtype=np.int64)
+        for r in range(d):
+            np.add.at(dense[r], cells[r], n)
+        rr, cc = np.nonzero(dense)
+        return pd.DataFrame({"r": rr.astype("int64"),
+                             "cell": cc.astype("int64"),
+                             "c": dense[rr, cc]})
+
+    return hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["r", "cell"], aggs={"c": "sum"}, n_partitions=n_partitions,
+    )
+
+
+def countmin_estimate(sketch: pd.DataFrame, terms, d: int = CM_D,
+                      w: int = CM_W) -> "pd.Series":
+    """Point estimates for ``terms`` from a collected sketch table —
+    min over the d row counters.  The sketch is <= d*w rows (a fixed few
+    MB), so collecting it to the driver/actor is the design, not a leak."""
+    import numpy as np
+
+    from ocr_ray.stages.lm import _TokenHasher
+
+    dense = np.zeros((d, w), dtype=np.int64)
+    dense[sketch["r"].to_numpy(dtype="int64"),
+          sketch["cell"].to_numpy(dtype="int64")] = \
+        sketch["c"].to_numpy(dtype="int64")
+    terms = list(terms)
+    h1 = _TokenHasher().h1(terms)
+    a = np.asarray(CM_A[:d], dtype=np.int64)[:, None]
+    b_ = np.asarray(CM_B[:d], dtype=np.int64)[:, None]
+    cells = ((h1[None, :] * a + b_) % _CM_MOD31) % w
+    est = dense[np.arange(d)[:, None], cells].min(axis=0)
+    return pd.Series(est, index=terms, dtype="int64")
