@@ -216,11 +216,13 @@ def cosine_topk(
     """Brute-force cosine top-k of ``query`` against an embedding Dataset
     (broadcast query, per-batch matmul, global sort + limit)."""
     from ocr_ray.stages.similarity import CosineTopK
+    from ocr_ray.stages.taskpool import task_pool
 
     qref = ray.put(np.asarray(query, dtype=np.float64))
     scored = embeddings.map_batches(
-        CosineTopK, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"query_ref": qref, "id_col": id_col, "vec_col": vec_col},
+        task_pool(CosineTopK, query_ref=qref, id_col=id_col,
+                  vec_col=vec_col),
+        batch_format="pandas",
     )
     return scored.sort(["sim", id_col], descending=[True, False]).limit(k).to_pandas()
 
@@ -385,6 +387,20 @@ def cluster_embeddings(
                              id_col=id_col)
 
 
+def rank_by_value(
+    ds: "rd.Dataset",
+    value_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> "rd.Dataset":
+    """Exact global rank/percentile by an integer column without a sort
+    shuffle (stages/shuffle.py:value_rank) — top-X% selection and
+    curriculum ordering."""
+    from ocr_ray.stages.shuffle import value_rank
+
+    return value_rank(ds, value_col, id_col=id_col, n_buckets=n_buckets)
+
+
 def rank_within_groups(
     ds: "rd.Dataset",
     group_col: str,
@@ -505,3 +521,86 @@ def search_index(postings: "rd.Dataset", terms: list) -> list:
     from ocr_ray.stages.index import conjunctive_lookup
 
     return conjunctive_lookup(postings, terms)
+
+
+def resample_mixture(
+    ds: "rd.Dataset",
+    weights: dict,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Deterministic mixture resampling (stages/sample.py): downsample
+    each group to hit a target weight vector — integer-exact keep rates,
+    no RNG, no shuffle, no upsampling."""
+    from ocr_ray.stages.sample import mixture_resample
+
+    return mixture_resample(ds, weights, group_col=group_col, id_col=id_col)
+
+
+def quantized_search(
+    ds: "rd.Dataset",
+    query: "object",
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "object":
+    """KNN over int8-quantized embeddings (stages/similarity.py:
+    QuantizedDot) — 4x-compressed corpus, exact int64 scoring."""
+    import numpy as np
+
+    import ray
+    from ocr_ray.stages.similarity import QuantizedDot, quantize_int8
+    from ocr_ray.stages.taskpool import task_pool
+
+    qm = np.asarray(query, dtype=np.float64)[None, :]
+    qref = ray.put(quantize_int8(qm)[0][0])
+    scored = ds.map_batches(task_pool(QuantizedDot, query_codes_ref=qref,
+                                      id_col=id_col, vec_col=vec_col),
+                            batch_format="pandas")
+    return scored.sort(["dot", id_col], descending=[True, False]).limit(k)
+
+
+def dsir_select(
+    raw: "rd.Dataset",
+    target: "rd.Dataset",
+    threshold_ppm: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """DSIR-style importance scoring (stages/dsir.py, arXiv:2302.03169):
+    score every raw doc by its integer target/raw hashed-unigram
+    frequency ratio; chain rank_by_value on ``dsir_ppm`` for an exact
+    top-X% resample."""
+    from ocr_ray.stages.dsir import dsir_score
+
+    return dsir_score(raw, target, text_col=text_col, id_col=id_col,
+                      threshold_ppm=threshold_ppm)
+
+
+def sketch_term_counts(
+    ds: "rd.Dataset", text_col: str = "text"
+) -> "rd.Dataset":
+    """CountMin frequency sketch over the corpus vocabulary
+    (stages/aggregate.py:countmin_sketch): one bounded-memory streaming
+    pass -> (r, cell, c) counter rows; estimate any term's count with
+    countmin_estimate on the collected table."""
+    from ocr_ray.stages.aggregate import countmin_sketch
+
+    return countmin_sketch(ds, text_col=text_col)
+
+
+def rank_graph(
+    edges: "rd.Dataset",
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+) -> pd.DataFrame:
+    """Exact-integer PageRank over a weighted edge Dataset
+    (stages/graph.py): edges stream once per iteration, the ppm rank
+    vector broadcasts once per iteration — the domain-quality-prior
+    shape of web curation."""
+    from ocr_ray.stages.graph import pagerank
+
+    return pagerank(edges, iters=iters, src_col=src_col, dst_col=dst_col,
+                    w_col=w_col)

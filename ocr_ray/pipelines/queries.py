@@ -114,6 +114,9 @@ def q_doc_langid(sf_dir: str):
 # ====================================================== dataset splitting
 SPLIT_MULT = 2654435761  # Knuth multiplicative constant
 
+# target language mixture for doc_mix (parts, not normalized)
+MIX_WEIGHTS = {"en": 40, "de": 15, "fr": 15, "es": 15, "zh": 15}
+
 
 def q_doc_split(sf_dir: str):
     """Deterministic train/val/test assignment (the standard training-data
@@ -234,7 +237,7 @@ def q_doc_lang_top_terms(sf_dir: str):
         keys=["lang", "term"], aggs={"n": "sum"}, n_partitions=8,
     )
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def topk(*pieces):
         import pyarrow as pa
 
@@ -311,7 +314,7 @@ def q_corpus_stats(sf_dir: str):
         counts = [n_docs, n_tokens] + [0] * (len(terms) + len(bigrams))
         return pd.DataFrame({"val": vals, "c": pd.Series(counts, dtype="int64")})
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def count_distinct(*pieces):
         g = _concat_pd(pieces)
         if not len(g):
@@ -454,7 +457,7 @@ def q_doc_bigram_fluency(sf_dir: str):
                 out["c"].append(c)
         return pd.DataFrame(out).astype({"doc_id": "int64", "c": "int64"})
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def per_bigram(*pieces):
         g = _concat_pd(pieces)
         if not len(g):
@@ -469,7 +472,7 @@ def q_doc_bigram_fluency(sf_dir: str):
         )
         return pa.Table.from_pandas(part, preserve_index=False)
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def per_doc(*pieces):
         g = _concat_pd(pieces)
         out = g.groupby("doc_id", as_index=False).agg(
@@ -957,6 +960,147 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_embeddings(ds, k=8, iters=2, n_partitions=4)
 
 
+def q_doc_rank_len(sf_dir: str):
+    """Exact global order statistics without a sort (stages/shuffle.py:
+    value_rank): rank + percentile of every doc by n_chars via monotone
+    value-range buckets — top-X% selection / curriculum ordering at
+    corpus scale."""
+    from ocr_ray.stages.shuffle import value_rank
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return value_rank(docs, "n_chars", n_buckets=256, n_partitions=8)
+
+
+def q_doc_mix(sf_dir: str):
+    """Deterministic mixture resampling (stages/sample.py): fit the corpus
+    to a target language mixture (en 40 / de 15 / fr 15 / es 15 / zh 15
+    parts) with integer-exact per-group keep rates and the multiplicative
+    id hash — no RNG, no shuffle, no upsampling."""
+    from ocr_ray.stages.sample import mixture_resample
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return mixture_resample(docs, MIX_WEIGHTS, group_col="lang")
+
+
+def q_doc_dsir(sf_dir: str):
+    """DSIR-style importance scoring (stages/dsir.py, arXiv:2302.03169):
+    fit hashed unigram tables on a TARGET slice (lang='en' — the
+    Wikipedia-analog) and the full RAW pool, score every doc by its
+    integer target/raw frequency ratio.  keep gates at 370000 ppm (the
+    sf0.001 corpus median; absolute ratio scores shift with the target
+    fraction, so real selection uses dsir_select's exact rank cut)."""
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.dsir import dsir_score
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw = rd.read_parquet(path, columns=["doc_id", "text"])
+    target = rd.read_parquet(path, columns=["doc_id", "text"],
+                             filter=pads.field("lang") == "en")
+    return dsir_score(raw, target, threshold_ppm=370_000, n_partitions=8)
+
+
+def q_dsir_select(sf_dir: str):
+    """Importance RESAMPLING end-to-end: DSIR ratio scores chained into
+    the exact value-rank order statistics (stages/shuffle.py:value_rank)
+    and cut at the top quartile — 'take the 25% of the pool most like
+    the target corpus', the DSIR selection step with a deterministic
+    exact-rank cut instead of Gumbel sampling."""
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.dsir import dsir_score
+    from ocr_ray.stages.shuffle import value_rank
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    raw = rd.read_parquet(path, columns=["doc_id", "text"])
+    target = rd.read_parquet(path, columns=["doc_id", "text"],
+                             filter=pads.field("lang") == "en")
+    scored = dsir_score(raw, target, n_partitions=8).map_batches(
+        lambda b: b[["doc_id", "dsir_ppm"]], batch_format="pandas")
+    ranked = value_rank(scored, "dsir_ppm", n_buckets=256, n_partitions=8)
+    return ranked.filter(expr="pctile >= 0.75")
+
+
+def q_corpus_countmin(sf_dir: str):
+    """CountMin frequency sketch (stages/aggregate.py:countmin_sketch,
+    Cormode & Muthukrishnan 2005): one bounded-memory streaming pass
+    builds the d x w counter table (cells are sums -> partition-order
+    independent, bit-exact); point-estimate the exact top-20 terms
+    through it.  Output (term, n exact, n_est sketch) — n_est >= n with
+    the classic eps*N overestimate bound; both columns value-checked."""
+    from ocr_ray.stages.aggregate import (countmin_estimate, countmin_sketch,
+                                          hash_aggregate)
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    sketch = countmin_sketch(ds, n_partitions=8).to_pandas()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        for t in b["text"]:
+            c.update(_TERM.findall(t.lower()))
+        return pd.DataFrame(
+            {"term": list(c.keys()),
+             "n": pd.Series(list(c.values()), dtype="int64")}
+        )
+
+    counts = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                            keys=["term"], aggs={"n": "sum"}, n_partitions=8)
+    top = counts.sort(["n", "term"], descending=[True, False]).limit(20).to_pandas()
+    top["n"] = top["n"].astype("int64")
+    top["n_est"] = countmin_estimate(sketch, top["term"]).to_numpy()
+    return top
+
+
+def q_graph_pagerank(sf_dir: str):
+    """Link-graph quality prior (stages/graph.py): build the nation
+    'trade graph' — an edge per (customer nation -> supplier nation)
+    lineitem, via one big-big exchange join (lineitem x orders on
+    orderkey) with the two dimension maps broadcast — then 2 exact-
+    integer PageRank iterations with the broadcast-rank pattern (edges
+    stream, ranks ship once per iteration).  The RefinedWeb-style
+    domain-ranking shape on the TPC-H graph."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.graph import pagerank
+    from ocr_ray.stages.join import exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    supp = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                           columns=["s_suppkey", "s_nationkey"])
+    maps_ref = ray.put((
+        dict(zip(cust["c_custkey"].astype("int64"),
+                 cust["c_nationkey"].astype("int64"))),
+        dict(zip(supp["s_suppkey"].astype("int64"),
+                 supp["s_nationkey"].astype("int64"))),
+    ))
+
+    joined = exchange_join(li, orders, on="l_orderkey",
+                           right_on="o_orderkey", n_partitions=8)
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        c2n, s2n = ray.get(maps_ref)
+        return pd.DataFrame(
+            {"src": b["o_custkey"].map(c2n).astype("int64"),
+             "dst": b["l_suppkey"].map(s2n).astype("int64"),
+             "w": np.int64(1)})
+
+    edges = hash_aggregate(joined.map_batches(to_edges, batch_format="pandas"),
+                           keys=["src", "dst"], aggs={"w": "sum"},
+                           n_partitions=8)
+    return pagerank(edges, iters=2, n_partitions=8)
+
+
 def q_pipeline_curation2(sf_dir: str):
     """Round-2 curation composite — the model-tier pipeline end-to-end
     as ONE streaming job: hashed-linear classifier gate -> corpus-trained
@@ -969,14 +1113,16 @@ def q_pipeline_curation2(sf_dir: str):
     from ocr_ray.stages.dedup import block_dedup
     from ocr_ray.stages.lm import lm_score
     from ocr_ray.stages.shuffle import grouped_rank
+    from ocr_ray.stages.taskpool import task_pool
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "source"],
     )
     s1 = docs.map_batches(
-        HashedLinearClassifier, batch_format="pandas", concurrency=2,
-        fn_constructor_kwargs={"keep_text": True, "carry_cols": ("source",)},
+        task_pool(HashedLinearClassifier, keep_text=True,
+                  carry_cols=("source",)),
+        batch_format="pandas",
     ).filter(expr="keep == 1").map_batches(
         lambda b: b[["doc_id", "text", "source"]], batch_format="pandas")
     s2 = lm_score(s1, threshold_ppm=34000, n_partitions=8,
@@ -991,6 +1137,33 @@ def q_pipeline_curation2(sf_dir: str):
         lambda b: b[["doc_id", "source", "n_blocks", "n_dup_blocks",
                      "dedup_text", "src_rank", "kept"]],
         batch_format="pandas")
+
+
+def q_pipeline_training(sf_dir: str):
+    """Training-serialization composite — curate THEN serialize for the
+    trainer as one streaming job: deterministic mixture resample (fit the
+    language mixture) -> bigram-LM perplexity gate TRAINED ON THE MIXED
+    SURVIVORS -> sequence packing (exact distributed prefix-sum bins in
+    deterministic-shuffle order).  Each stage is the already-oracle-checked
+    operator; the composed oracle chains the same CTEs, so the final
+    (doc, bin, offset) layout a trainer would consume is value-checked."""
+    from ocr_ray.stages.lm import lm_score
+    from ocr_ray.stages.sample import mixture_resample
+    from ocr_ray.stages.shuffle import deterministic_pack
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    mixed = mixture_resample(docs, MIX_WEIGHTS, group_col="lang",
+                             keep_cols=("text",)).map_batches(
+        lambda b: b[["doc_id", "text"]], batch_format="pandas")
+    gated = lm_score(mixed, threshold_ppm=34000, n_partitions=8,
+                     carry_cols=("text",)).filter(
+        expr="keep == 1").map_batches(
+        lambda b: b[["doc_id", "text"]], batch_format="pandas")
+    return deterministic_pack(gated, budget=1024, n_buckets=64,
+                              n_partitions=8)
 
 
 def q_doc_source_rank(sf_dir: str):
@@ -1110,16 +1283,24 @@ def q_dedup_embed_lsh(sf_dir: str):
     against the brute-force kernel independently)."""
     from ocr_ray.stages.similarity import lsh_embed_dedup_pairs
 
-    def mutate(b: pd.DataFrame) -> pd.DataFrame:
+    def mutate(b: pd.DataFrame) -> "pa.Table":
+        # returns a TYPED Arrow table matching the parquet schema exactly
+        # (list<element: float>): a pandas return with an object column of
+        # ndarrays breaks pandas-block schema unification when a block
+        # comes out empty (observed at num_cpus=4 block boundaries)
+        import pyarrow as pa
+
         keep = b["vec_id"] % 10 == 0
         ids, vecs = [], []
         for vid, v in zip(b["vec_id"][keep], b["embedding"][keep]):
             v = np.asarray(v, dtype=np.float32).copy()
             v[0] = v[0] * np.float32(2.0)  # exact in float32
             ids.append(int(vid) + 1_000_000)
-            vecs.append(v)
-        return pd.DataFrame({"vec_id": pd.Series(ids, dtype="int64"),
-                             "embedding": vecs})
+            vecs.append(v.tolist())
+        return pa.Table.from_arrays(
+            [pa.array(ids, type=pa.int64()),
+             pa.array(vecs, type=pa.list_(pa.field("element", pa.float32())))],
+            names=["vec_id", "embedding"])
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     both = ds.union(ds.map_batches(mutate, batch_format="pandas"))
@@ -1222,6 +1403,53 @@ def q_embed_knn(sf_dir: str):
     top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10).to_pandas()
     top["sim"] = np.round(top["sim"], 6)
     top["vec_id"] = top["vec_id"].astype("int64")
+    return top
+
+
+def q_embed_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embedding table (similarity.py:
+    quantize_int8) — the 4x-memory compressed-ANN representation, exploded
+    to (vec_id, i, q) rows so the oracle value-checks every code."""
+    from ocr_ray.stages.similarity import quantize_int8
+
+    def quant_batch(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        codes, _ = quantize_int8(m)
+        n, d = codes.shape
+        return pd.DataFrame(
+            {"vec_id": np.repeat(b["vec_id"].to_numpy().astype("int64"), d),
+             "i": np.tile(np.arange(d, dtype="int64"), n),
+             "q": codes.ravel()}
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return ds.map_batches(quant_batch, batch_format="pandas")
+
+
+def q_embed_qknn(sf_dir: str):
+    """KNN over the int8-quantized corpus: broadcast the quantized vec_id=0
+    query, exact int64 dot per batch (similarity.py:QuantizedDot), global
+    top-10 — the compressed-search path with a value-exact oracle (integer
+    scoring is immune to float drift)."""
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.similarity import QuantizedDot, quantize_int8
+    from ocr_ray.stages.taskpool import task_pool
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qrow = rd.read_parquet(path, filter=pads.field("vec_id") == 0).take(1)
+    qm = np.asarray(qrow[0]["embedding"], dtype=np.float64)[None, :]
+    qcodes = ray.put(quantize_int8(qm)[0][0])
+
+    scored = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"],
+                        filter=pads.field("vec_id") != 0)
+        .map_batches(task_pool(QuantizedDot, query_codes_ref=qcodes),
+                     batch_format="pandas")
+    )
+    top = scored.sort(["dot", "vec_id"], descending=[True, False]).limit(10).to_pandas()
+    top["dot"] = top["dot"].astype("int64")
     return top
 
 
@@ -1962,6 +2190,13 @@ def queries() -> Dict[str, Callable]:
         "dedup_semantic": q_dedup_semantic,
         "doc_source_rank": q_doc_source_rank,
         "pipeline_curation2": q_pipeline_curation2,
+        "doc_rank_len": q_doc_rank_len,
+        "doc_mix": q_doc_mix,
+        "pipeline_training": q_pipeline_training,
+        "doc_dsir": q_doc_dsir,
+        "dsir_select": q_dsir_select,
+        "corpus_countmin": q_corpus_countmin,
+        "graph_pagerank": q_graph_pagerank,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -1969,6 +2204,8 @@ def queries() -> Dict[str, Callable]:
         "embed_docs": q_embed_docs,
         "embed_text_knn": q_embed_text_knn,
         "embed_knn": q_embed_knn,
+        "embed_quantize": q_embed_quantize,
+        "embed_qknn": q_embed_qknn,
         "embed_label_stats": q_embed_label_stats,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2588,6 +2825,222 @@ SELECT vid AS vec_id, cid AS cluster, dist
 FROM (SELECT vid, cid, dist,
       row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn FROM d3)
 WHERE rn = 1
+""",
+    # value rank: row_number by (n_chars, doc_id); pctile = exact
+    # integer rank*1e6 // (N-1) then /1e6 (identical IEEE op)
+    "doc_rank_len": r"""
+WITH m AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+t AS (SELECT greatest(count(*) - 1, 1) AS denom FROM m)
+SELECT doc_id, n_chars,
+  CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS "rank",
+  CAST((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 1000000 // t.denom
+       AS DOUBLE) / 1000000 AS pctile
+FROM m, t
+""",
+    # mixture resample: integer-exact rates (C6 = min_g n_g*1e6 // w_g,
+    # rate = min(1e6, C6*w // n)), Knuth hash keep — identical // and %
+    # semantics on positive BIGINTs in DuckDB and numpy
+    "doc_mix": r"""
+WITH w(lang, wt) AS (VALUES ('en', 40), ('de', 15), ('fr', 15),
+                            ('es', 15), ('zh', 15)),
+n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+c AS (SELECT min(n.n * 1000000 // w.wt) AS c6
+      FROM n JOIN w USING (lang) WHERE w.wt > 0 AND n.n > 0),
+r AS (SELECT n.lang,
+             least(1000000, CAST(c.c6 * w.wt // n.n AS BIGINT)) AS rate_ppm
+      FROM n JOIN w USING (lang) CROSS JOIN c
+      WHERE w.wt > 0 AND n.n > 0)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, r.rate_ppm
+FROM documents d JOIN r USING (lang)
+WHERE ((CAST(d.doc_id AS BIGINT) * 2654435761) % 4294967296) % 1000000
+      < r.rate_ppm
+""",
+    # training-serialization composite: mixture CTEs (doc_mix) -> bigram-LM
+    # CTEs trained on the mixed survivors (doc_lm) -> prefix-sum packing
+    # window (doc_pack) over the LM's keepers
+    "pipeline_training": r"""
+WITH wts(lang, wt) AS (VALUES ('en', 40), ('de', 15), ('fr', 15),
+                              ('es', 15), ('zh', 15)),
+nn AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+c AS (SELECT min(nn.n * 1000000 // wts.wt) AS c6
+      FROM nn JOIN wts USING (lang) WHERE wts.wt > 0 AND nn.n > 0),
+r AS (SELECT nn.lang,
+             least(1000000, CAST(c.c6 * wts.wt // nn.n AS BIGINT)) AS rate_ppm
+      FROM nn JOIN wts USING (lang) CROSS JOIN c
+      WHERE wts.wt > 0 AND nn.n > 0),
+mixed AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text
+  FROM documents d JOIN r USING (lang)
+  WHERE ((CAST(d.doc_id AS BIGINT) * 2654435761) % 4294967296) % 1000000
+        < r.rate_ppm),
+d0 AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS ws
+       FROM mixed WHERE trim(text) <> ''),
+th AS (SELECT id, len(ws) AS n,
+   list_transform(ws, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1
+ FROM d0 WHERE len(ws) >= 2),
+pos AS (SELECT id, t1[i] % 65536 AS ub,
+        ((t1[i] * 1000003 + t1[i+1]) % 2147483647) % 1048576 AS bb
+        FROM th, unnest(generate_series(1, n - 1)) AS g(i)),
+uni AS (SELECT x.h % 65536 AS ub, count(*) AS cu
+        FROM th, unnest(th.t1) AS x(h) GROUP BY 1),
+big AS (SELECT bb, count(*) AS cb FROM pos GROUP BY bb),
+q AS (SELECT pos.id, (big.cb * 1000000) // uni.cu AS q
+      FROM pos JOIN big USING (bb) JOIN uni USING (ub)),
+keepers AS (SELECT id AS doc_id FROM q GROUP BY id
+            HAVING CAST(sum(q) // count(*) AS BIGINT) >= 34000),
+m AS (SELECT mixed.doc_id,
+  CAST((CAST(mixed.doc_id AS HUGEINT) * 2685821657736338717)
+       % 4611686018427387904 AS BIGINT) AS shuffle_hash,
+  CAST(CASE WHEN trim(mixed.text) = '' THEN 0
+       ELSE len(string_split_regex(trim(mixed.text), '\s+')) END AS BIGINT)
+       AS n_tokens
+  FROM mixed JOIN keepers USING (doc_id)),
+s AS (SELECT doc_id, shuffle_hash, n_tokens,
+  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY shuffle_hash, doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       AS start_offset
+  FROM m)
+SELECT doc_id, n_tokens, shuffle_hash, start_offset,
+  CAST(start_offset // 1024 AS BIGINT) AS bin
+FROM s
+""",
+    # DSIR ratio score: target/raw hashed-unigram counts, integer ppm
+    # ratio with add-one raw smoothing — all-int64, order-insensitive
+    "doc_dsir": r"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id, lang,
+                   string_split_regex(trim(text), '\s+') AS ws
+            FROM documents WHERE trim(text) <> ''),
+th AS (SELECT id, lang,
+   list_transform(ws, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1
+ FROM d0),
+pos AS (SELECT id, lang, x.h % 65536 AS ub FROM th, unnest(th.t1) AS x(h)),
+tgt AS (SELECT ub, count(*) AS ct FROM pos WHERE lang = 'en' GROUP BY ub),
+rawc AS (SELECT ub, count(*) AS cr FROM pos GROUP BY ub),
+q AS (SELECT pos.id,
+             (COALESCE(tgt.ct, 0) * 1000000) // (rawc.cr + 1) AS q
+      FROM pos JOIN rawc USING (ub) LEFT JOIN tgt USING (ub))
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(q) // count(*) AS BIGINT) AS dsir_ppm,
+  CAST(CASE WHEN sum(q) // count(*) >= 370000 THEN 1 ELSE 0 END AS BIGINT)
+    AS keep
+FROM q GROUP BY id
+""",
+    # DSIR selection: the ratio-score CTEs -> exact (value, id) rank ->
+    # top-quartile cut, identical integer pctile arithmetic
+    "dsir_select": r"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id, lang,
+                   string_split_regex(trim(text), '\s+') AS ws
+            FROM documents WHERE trim(text) <> ''),
+th AS (SELECT id, lang,
+   list_transform(ws, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1
+ FROM d0),
+pos AS (SELECT id, lang, x.h % 65536 AS ub FROM th, unnest(th.t1) AS x(h)),
+tgt AS (SELECT ub, count(*) AS ct FROM pos WHERE lang = 'en' GROUP BY ub),
+rawc AS (SELECT ub, count(*) AS cr FROM pos GROUP BY ub),
+q AS (SELECT pos.id,
+             (COALESCE(tgt.ct, 0) * 1000000) // (rawc.cr + 1) AS q
+      FROM pos JOIN rawc USING (ub) LEFT JOIN tgt USING (ub)),
+scores AS (SELECT id AS doc_id, CAST(sum(q) // count(*) AS BIGINT)
+           AS dsir_ppm FROM q GROUP BY id),
+t AS (SELECT greatest(count(*) - 1, 1) AS denom FROM scores),
+r AS (SELECT doc_id, dsir_ppm,
+      row_number() OVER (ORDER BY dsir_ppm, doc_id) - 1 AS rnk FROM scores)
+SELECT doc_id, dsir_ppm, CAST(rnk AS BIGINT) AS "rank",
+       CAST(rnk * 1000000 // t.denom AS DOUBLE) / 1000000 AS pctile
+FROM r, t
+WHERE CAST(rnk * 1000000 // t.denom AS DOUBLE) / 1000000 >= 0.75
+""",
+    # PageRank: edge aggregation by joins, then two unrolled exact-integer
+    # iterations — ppm ranks, damping (tele + 85*s)//100, order-free sums
+    "graph_pagerank": r"""
+WITH e0 AS (SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                   CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+nodes AS (SELECT src AS v FROM e0 UNION SELECT dst FROM e0),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY src),
+pr0 AS (SELECT v, CAST(1000000 // nn.n AS BIGINT) AS pr FROM nodes, nn),
+c1 AS (SELECT e0.dst AS v, sum(pr0.pr * e0.w // outw.ow) AS s
+       FROM e0 JOIN pr0 ON pr0.v = e0.src JOIN outw USING (src) GROUP BY 1),
+pr1 AS (SELECT nodes.v,
+        CAST((150000000 // nn.n + 85 * COALESCE(c1.s, 0)) // 100 AS BIGINT)
+          AS pr
+        FROM nodes LEFT JOIN c1 ON c1.v = nodes.v CROSS JOIN nn),
+c2 AS (SELECT e0.dst AS v, sum(pr1.pr * e0.w // outw.ow) AS s
+       FROM e0 JOIN pr1 ON pr1.v = e0.src JOIN outw USING (src) GROUP BY 1),
+pr2 AS (SELECT nodes.v,
+        CAST((150000000 // nn.n + 85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
+          AS pr
+        FROM nodes LEFT JOIN c2 ON c2.v = nodes.v CROSS JOIN nn)
+SELECT pr2.v AS node, CAST(COALESCE(outw.ow, 0) AS BIGINT) AS out_w,
+       pr2.pr AS pr_ppm
+FROM pr2 LEFT JOIN outw ON outw.src = pr2.v
+""",
+    # CountMin: cells are sums of exact per-term counts (occurrence
+    # increments commute), estimate = min over the d row counters —
+    # replicates the sketch bit-for-bit in integer SQL
+    "corpus_countmin": r"""
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+             AS term FROM documents),
+cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+top AS (SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT 20),
+th AS (SELECT term, n,
+   list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(term, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003) AS h1
+ FROM cnt),
+rows_(r, a, b) AS (VALUES (0, 999983, 17), (1, 911383, 89),
+                          (2, 824393, 251), (3, 711427, 499)),
+cells AS (SELECT rows_.r,
+                 ((th.h1 * rows_.a + rows_.b) % 2147483647) % 16384 AS cell,
+                 sum(th.n) AS c
+          FROM th CROSS JOIN rows_ GROUP BY 1, 2),
+est AS (SELECT top.term, top.n, min(cl.c) AS n_est
+        FROM top JOIN th USING (term) CROSS JOIN rows_
+        JOIN cells cl ON cl.r = rows_.r
+         AND cl.cell = ((th.h1 * rows_.a + rows_.b) % 2147483647) % 16384
+        GROUP BY top.term, top.n)
+SELECT term, CAST(n AS BIGINT) AS n, CAST(n_est AS BIGINT) AS n_est FROM est
+""",
+    # int8 quantization: identical IEEE double ops (promote float32 ->
+    # double, v*127.0/mx+0.5, floor) in DuckDB and numpy
+    "embed_quantize": r"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+m AS (SELECT vec_id, x,
+             list_max(list_transform(x, v -> abs(v))) AS mx FROM e),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i)
+SELECT m.vec_id, CAST(dims.i - 1 AS BIGINT) AS i,
+  CASE WHEN m.mx = 0 THEN 0
+       ELSE CAST(floor(x[dims.i] * 127.0 / m.mx + 0.5) AS BIGINT) END AS q
+FROM m, dims
+""",
+    # quantized KNN: integer dot of int8 codes (exact BIGINT), top-10
+    "embed_qknn": r"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+m AS (SELECT vec_id, x,
+             list_max(list_transform(x, v -> abs(v))) AS mx FROM e),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+qe AS (SELECT m.vec_id, dims.i,
+  CASE WHEN m.mx = 0 THEN 0
+       ELSE CAST(floor(x[dims.i] * 127.0 / m.mx + 0.5) AS BIGINT) END AS q
+  FROM m, dims),
+qv AS (SELECT i, q AS qq FROM qe WHERE vec_id = 0)
+SELECT qe.vec_id, CAST(sum(qe.q * qv.qq) AS BIGINT) AS dot
+FROM qe JOIN qv USING (i) WHERE qe.vec_id <> 0
+GROUP BY qe.vec_id
+ORDER BY dot DESC, qe.vec_id
+LIMIT 10
 """,
     # curation composite: the doc_clf gate, the doc_lm gate TRAINED ON
     # THE CLASSIFIER'S SURVIVORS, the dedup_blocks removal over the LM's

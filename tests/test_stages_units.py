@@ -780,6 +780,93 @@ def test_kmeans_exact_integer_lloyd(ray_session):
     pd.testing.assert_frame_equal(got, got2)
 
 
+def test_value_rank_matches_argsort(ray_session):
+    """value_rank: rank is the exact global (value, id) order including
+    heavy duplicate values; pctile exact; partitioning-invariant."""
+    import ray.data as rd
+
+    from ocr_ray.stages.shuffle import value_rank
+
+    n = 700
+    rng = np.random.RandomState(2)
+    v = rng.randint(0, 40, size=n).astype("int64")  # heavy duplicates
+    v[:100] = 7  # a hot value
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"), "val": v})
+    got = (value_rank(rd.from_pandas(df).repartition(6), "val",
+                      n_buckets=32, n_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    order = np.lexsort((df["doc_id"].to_numpy(), v))
+    exp = np.empty(n, dtype="int64")
+    exp[order] = np.arange(n)
+    assert got["rank"].tolist() == exp.tolist()
+    assert got["pctile"].tolist() == ((exp * 1_000_000 // (n - 1)) / 1e6).tolist()
+
+    got2 = (value_rank(rd.from_pandas(df).repartition(2), "val",
+                       n_buckets=1024, n_partitions=7)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got2["rank"].tolist() == got["rank"].tolist()
+
+
+def test_mixture_resample_hits_target(ray_session):
+    """mixture_resample: binding group keeps ~100%, output group counts
+    match n_g*rate/1e6 expectation within hash noise, zero-weight groups
+    drop, and the result is partitioning-invariant."""
+    import ray.data as rd
+
+    from ocr_ray.stages.sample import mixture_rates, mixture_resample
+
+    counts = {"en": 6000, "de": 1000, "fr": 900, "xx": 50}
+    weights = {"en": 50, "de": 25, "fr": 25}  # xx unweighted -> dropped
+    rates = mixture_rates(counts, weights)
+    assert set(rates) == {"en", "de", "fr"}
+    # fr binds (900/25 is the min headroom): keeps ~everything
+    assert rates["fr"] >= 999_000
+    # realized mixture tracks the weights: en/de expected ratio 2:1
+    exp = {g: counts[g] * rates[g] / 1e6 for g in rates}
+    assert abs(exp["en"] / exp["de"] - 2.0) < 0.01
+
+    rng = np.random.RandomState(5)
+    langs = np.concatenate([np.repeat(g, n) for g, n in counts.items()])
+    df = pd.DataFrame({"doc_id": np.arange(len(langs), dtype="int64"),
+                       "lang": rng.permutation(langs)})
+    got = (mixture_resample(rd.from_pandas(df).repartition(5), weights)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert "xx" not in set(got["lang"])
+    by = got.groupby("lang").size()
+    for g in rates:
+        assert abs(by[g] - exp[g]) / exp[g] < 0.12  # hash-uniformity noise
+    got2 = (mixture_resample(rd.from_pandas(df).repartition(2), weights)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_int8_quantization_properties(ray_session):
+    """quantize_int8: codes in [-127,127] with the max-abs component at
+    +/-127, zero vector -> zeros; quantized top-1 matches float cosine
+    top-1 on well-separated data."""
+    from ocr_ray.stages.similarity import QuantizedDot, quantize_int8
+
+    rng = np.random.RandomState(11)
+    m = rng.randn(200, 64)
+    m[0] = 0.0  # zero vector
+    codes, mx = quantize_int8(m)
+    assert codes.min() >= -127 and codes.max() <= 127
+    assert (codes[0] == 0).all() and mx[0] == 0.0
+    nz = np.abs(codes[1:]).max(axis=1)
+    assert (nz == 127).all()
+    # dequantization error bounded by half a step per component
+    deq = codes[1:] * (mx[1:, None] / 127.0)
+    assert np.abs(deq - m[1:]).max() <= (mx[1:, None] / 127.0 / 2 + 1e-12).max()
+
+    # quantized dot agrees with float cosine on a planted near-duplicate
+    q = m[5] + rng.randn(64) * 0.01
+    stage = QuantizedDot(quantize_int8(q[None, :])[0][0])
+    scored = stage(pd.DataFrame({"vec_id": np.arange(200, dtype="int64"),
+                                 "embedding": list(m)}))
+    assert int(scored.loc[scored["dot"].idxmax(), "vec_id"]) == 5
+
+
 def test_grouped_rank_per_group_permutation(ray_session):
     """grouped_rank: src_rank is an exact 0..n_g-1 permutation inside
     each group, matches the (hash, id) order, and the quota flag keeps
@@ -966,3 +1053,102 @@ def test_incremental_containment_flags_near_copies(ray_session):
     assert got.loc[0, "containment"] == 1.0 and got.loc[0, "is_dup"] == 1
     assert 0.0 < got.loc[1, "containment"] < 0.8
     assert got.loc[2, "containment"] == 0.0 and got.loc[2, "is_dup"] == 0
+
+
+def test_dsir_ranks_target_like_docs(ray_session):
+    """dsir_score: docs sharing the target slice's vocabulary score
+    strictly higher than off-target docs; scores are integer-exact and
+    partitioning-invariant."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dsir import dsir_score
+
+    rng = np.random.RandomState(7)
+    tgt_vocab = [f"alpha{i}" for i in range(30)]
+    off_vocab = [f"omega{i}" for i in range(30)]
+    mk = lambda vocab: " ".join(rng.choice(vocab, size=25))
+    texts = [mk(tgt_vocab) for _ in range(40)] + \
+            [mk(off_vocab) for _ in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype="int64"),
+                       "text": texts})
+    raw = rd.from_pandas(df).repartition(5)
+    target = rd.from_pandas(df.iloc[:20]).repartition(2)
+
+    got = (dsir_score(raw, target, threshold_ppm=100_000, n_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == 80
+    on, off = got["dsir_ppm"][:40], got["dsir_ppm"][40:]
+    assert on.min() > off.max()  # clean vocab separation
+    assert (got["keep"] == (got["dsir_ppm"] >= 100_000).astype("int64")).all()
+
+    got2 = (dsir_score(rd.from_pandas(df).repartition(2),
+                       rd.from_pandas(df.iloc[:20]), threshold_ppm=100_000,
+                       n_partitions=7)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_countmin_estimates_bound_exact_counts(ray_session):
+    """countmin_sketch: est >= exact for every term, equality on a sketch
+    with far fewer terms than cells, and the merged sketch equals a
+    single-partition build (cells are order-free sums)."""
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import countmin_estimate, countmin_sketch
+
+    rng = np.random.RandomState(13)
+    vocab = [f"tok{i}" for i in range(300)]
+    weights = 1.0 / np.arange(1, 301)  # zipf-ish
+    weights /= weights.sum()
+    texts = [" ".join(rng.choice(vocab, size=60, p=weights))
+             for _ in range(200)]
+    df = pd.DataFrame({"text": texts})
+
+    sk = countmin_sketch(rd.from_pandas(df).repartition(6),
+                         n_partitions=4).to_pandas()
+    sk2 = countmin_sketch(rd.from_pandas(df).repartition(1),
+                          n_partitions=2).to_pandas()
+    key = lambda t: t.sort_values(["r", "cell"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(sk), key(sk2))
+
+    from collections import Counter
+    exact = Counter()
+    for t in texts:
+        exact.update(t.split())
+    est = countmin_estimate(sk, list(exact.keys()))
+    for term, n in exact.items():
+        assert est[term] >= n
+    # 300 distinct terms vs 4x16384 cells: collisions are ~impossible
+    assert sum(int(est[t]) != n for t, n in exact.items()) == 0
+
+
+def test_pagerank_exact_integer_iteration(ray_session):
+    """pagerank: matches a driver-side replica of the integer recurrence
+    on a known graph, concentrates mass on the sink-heavy node, and is
+    partitioning-invariant."""
+    import ray.data as rd
+
+    from ocr_ray.stages.graph import pagerank
+
+    # 0 -> 1 (w3), 0 -> 2 (w1), 1 -> 2 (w2), 2 -> 0 (w1): node 2 is the
+    # most-pointed-to node
+    e = pd.DataFrame({"src": [0, 0, 1, 2], "dst": [1, 2, 2, 0],
+                      "w": [3, 1, 2, 1]})
+    got = pagerank(rd.from_pandas(e).repartition(2), iters=2,
+                   n_partitions=3).sort_values("node").reset_index(drop=True)
+
+    n = 3
+    pr = {v: 1_000_000 // n for v in range(n)}
+    ow = {0: 4, 1: 2, 2: 1}
+    for _ in range(2):
+        s = {v: 0 for v in range(n)}
+        for src, dst, w in e.itertuples(index=False):
+            s[dst] += pr[src] * w // ow[src]
+        pr = {v: (150_000_000 // n + 85 * s[v]) // 100 for v in range(n)}
+    assert got["pr_ppm"].tolist() == [pr[0], pr[1], pr[2]]
+    assert got["out_w"].tolist() == [4, 2, 1]
+    assert got["pr_ppm"].idxmax() == 2
+
+    got2 = pagerank(rd.from_pandas(e).repartition(4), iters=2,
+                    n_partitions=2).sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)
