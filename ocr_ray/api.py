@@ -604,3 +604,39 @@ def rank_graph(
 
     return pagerank(edges, iters=iters, src_col=src_col, dst_col=dst_col,
                     w_col=w_col)
+
+
+def gopher_filter(
+    docs: "rd.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    filter_kept: bool = False,
+    min_stop_hits: int = 2,
+) -> "rd.Dataset":
+    """Gopher quality-rule bundle (Rae et al. 2021 Table A1 analog,
+    stages/analysis.py:gopher_rules_batch): per-doc rule signals +
+    composite keep flag, integer-exact thresholds.  ``filter_kept=True``
+    applies the gate and returns surviving (id, text) rows.
+    ``min_stop_hits`` defaults to the published 2; pass 1 over corpora
+    whose vocabulary rarely carries the canonical stop words.  Pure
+    map_batches — runs inline with the read at any scale."""
+    import functools
+
+    from ocr_ray.stages.analysis import gopher_rules_batch
+
+    rules = functools.partial(gopher_rules_batch, min_stop_hits=min_stop_hits)
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b[id_col], "text": b[text_col]})
+
+    scored = docs.map_batches(rename, batch_format="pandas").map_batches(
+        rules, batch_format="pandas"
+    )
+    if not filter_kept:
+        return scored
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        g = rules(pd.DataFrame({"doc_id": b[id_col], "text": b[text_col]}))
+        return b.loc[g["keep"].to_numpy(), [id_col, text_col]]
+
+    return docs.map_batches(gate, batch_format="pandas")

@@ -376,6 +376,27 @@ def q_doc_repetition(sf_dir: str):
     return ds.map_batches(rep_batch, batch_format="pandas")
 
 
+def q_doc_gopher(sf_dir: str):
+    """Gopher quality-rule bundle (Rae et al. 2021 Table A1 analog,
+    stages/analysis.py:gopher_rules_batch): every rule signal per doc plus
+    the composite keep flag, all keep-conditions as scaled-integer
+    comparisons so the oracle is value-exact.  min_stop_hits=1 here (the
+    sf corpus vocabulary is synthetic and carries at most one canonical
+    stop word; the published default is 2).  Pure per-row map — at 100 TB
+    this runs inline with the read, no shuffle."""
+    import functools
+
+    from ocr_ray.stages.analysis import gopher_rules_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        functools.partial(gopher_rules_batch, min_stop_hits=1),
+        batch_format="pandas",
+    )
+
+
 def q_pipeline_curation(sf_dir: str):
     """End-to-end curation composite — the pipeline a training-data user
     actually runs, as ONE streaming job: quality gate (exact integer
@@ -2172,6 +2193,7 @@ def queries() -> Dict[str, Callable]:
         "doc_sample_stratified": q_doc_sample_stratified,
         "pipeline_curation": q_pipeline_curation,
         "doc_repetition": q_doc_repetition,
+        "doc_gopher": q_doc_gopher,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2516,6 +2538,45 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        THEN round(CAST(len(pairs) - len(list_distinct(pairs)) AS DOUBLE) / len(pairs), 6)
        ELSE 0.0 END AS dup_ratio
 FROM p
+""",
+    # every Gopher rule recomputed from the raw text; keep-conditions are
+    # the same scaled-integer comparisons as the Python side
+    "doc_gopher": r"""
+WITH t AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS w,
+    string_split(text, chr(10)) AS lines,
+    list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS total_chars,
+    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha_words,
+    (len(text) - len(replace(text, '#', '')))
+      + (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> left(ltrim(l, ' ' || chr(9)), 1) IN ('-', '*', '•'))) AS n_bullet_lines,
+    len(list_filter(lines, l -> rtrim(l, ' ' || chr(9)) LIKE '%...')) AS n_ellipsis_lines,
+    len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS n_stop_hits
+  FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CASE WHEN n_words > 0 THEN round(CAST(total_chars AS DOUBLE) / n_words, 6) ELSE 0.0 END AS mean_word_len,
+  CAST(n_symbols AS BIGINT) AS n_symbols,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines,
+  CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
+  CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+  CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+  (n_words BETWEEN 50 AND 100000
+   AND 3*n_words <= total_chars AND total_chars <= 10*n_words
+   AND 10*n_symbols <= n_words
+   AND 10*n_bullet_lines <= 9*n_lines
+   AND 10*n_ellipsis_lines <= 3*n_lines
+   AND 5*n_alpha_words >= 4*n_words
+   AND n_stop_hits >= 1) AS keep
+FROM s
 """,
     # the three curation stages as CTEs: quality gate (exact integer
     # predicates), keep-first exact dedup, hash split

@@ -316,3 +316,75 @@ def fingerprint_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
             fp = (fp * B + hash_token(tok)) % M
         out["rolling_fp"].append(fp)
     return pd.DataFrame(out)
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1).  All
+# keep-conditions are evaluated as scaled-integer comparisons so the
+# DuckDB oracle is value-exact (no float-threshold boundary splits).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_ALPHA = re.compile(r"[a-zA-Z]")
+_LOWER_RUN = re.compile(r"[a-z]+")
+
+
+def gopher_rules_batch(batch: pd.DataFrame, min_stop_hits: int = 2) -> pd.DataFrame:
+    """Gopher quality-rule bundle: per doc, every rule signal plus the
+    composite keep flag.
+
+    Rules (integer-exact forms):
+      * 50 <= n_words <= 100_000
+      * mean word length in [3, 10]       -> 3*W <= chars <= 10*W
+      * symbol-to-word ratio <= 0.1       -> 10*symbols <= W
+        (symbols = '#' occurrences + non-overlapping '...' occurrences)
+      * bullet-start lines <= 90%         -> 10*bullet <= 9*lines
+      * ellipsis-end lines <= 30%         -> 10*ellipsis <= 3*lines
+      * >= 80% words contain an alphabetic char -> 5*alpha >= 4*W
+      * >= ``min_stop_hits`` of the 8 required stop words present
+        (published default 2; callers over corpora whose vocabulary is
+        synthetic — like the sf test tables, which carry at most one of
+        the canonical stops — pass 1 so the gate still discriminates)
+    Words = whitespace tokens (ASCII strip parity with the SQL oracle);
+    per-row map, no shuffle — the gate composes with hash-split/dedup
+    stages exactly like doc_clf / doc_lm.
+    """
+    out = {"doc_id": [], "n_words": [], "mean_word_len": [], "n_symbols": [],
+           "n_lines": [], "n_bullet_lines": [], "n_ellipsis_lines": [],
+           "n_alpha_words": [], "n_stop_hits": [], "keep": []}
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        words = text.split()
+        n_words = len(words)
+        total_chars = sum(len(w) for w in words)
+        n_alpha = sum(1 for w in words if _ALPHA.search(w))
+        n_symbols = text.count("#") + text.count("...")
+        lines = text.split("\n")
+        n_lines = len(lines)
+        n_bullet = sum(1 for ln in lines if ln.lstrip(" \t")[:1] in ("-", "*", "•"))
+        n_ellipsis = sum(1 for ln in lines if ln.rstrip(" \t").endswith("..."))
+        toks = set(_LOWER_RUN.findall(text.lower()))
+        n_stops = sum(1 for s in GOPHER_STOPS if s in toks)
+        keep = (
+            50 <= n_words <= 100_000
+            and 3 * n_words <= total_chars <= 10 * n_words
+            and 10 * n_symbols <= n_words
+            and 10 * n_bullet <= 9 * n_lines
+            and 10 * n_ellipsis <= 3 * n_lines
+            and 5 * n_alpha >= 4 * n_words
+            and n_stops >= min_stop_hits
+        )
+        out["doc_id"].append(int(doc_id))
+        out["n_words"].append(n_words)
+        out["mean_word_len"].append(
+            round(total_chars / n_words, 6) if n_words else 0.0
+        )
+        out["n_symbols"].append(n_symbols)
+        out["n_lines"].append(n_lines)
+        out["n_bullet_lines"].append(n_bullet)
+        out["n_ellipsis_lines"].append(n_ellipsis)
+        out["n_alpha_words"].append(n_alpha)
+        out["n_stop_hits"].append(n_stops)
+        out["keep"].append(bool(keep))
+    df = pd.DataFrame(out)
+    for c in ("doc_id", "n_words", "n_symbols", "n_lines", "n_bullet_lines",
+              "n_ellipsis_lines", "n_alpha_words", "n_stop_hits"):
+        df[c] = df[c].astype("int64")
+    return df

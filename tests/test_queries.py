@@ -416,3 +416,31 @@ def test_kmv_sketch_accuracy(ray_session):
     s = kmv_distinct_shingles(small, k=256).to_pandas()
     # 2 shingles per doc, "beta gamma delta" shared -> 3 distinct
     assert float(s["est_distinct"].iloc[0]) == 3.0
+
+def test_gopher_rules_semantics(ray_session):
+    """The Gopher bundle's keep flag must equal the conjunction of its own
+    reported signals (scaled-integer thresholds) and actually vary over the
+    corpus; the filter_kept facade must keep exactly the flagged docs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray import api
+    from ocr_ray.pipelines.queries import q_doc_gopher
+
+    got = q_doc_gopher(SF).to_pandas()
+    recomputed = (
+        got["n_words"].between(50, 100_000)
+        & (3 * got["n_words"] <= (got["mean_word_len"] * got["n_words"]).round())
+        & (10 * got["n_symbols"] <= got["n_words"])
+        & (10 * got["n_bullet_lines"] <= 9 * got["n_lines"])
+        & (10 * got["n_ellipsis_lines"] <= 3 * got["n_lines"])
+        & (5 * got["n_alpha_words"] >= 4 * got["n_words"])
+        & (got["n_stop_hits"] >= 1)
+    )
+    assert (got["keep"] == recomputed).all()
+    assert got["keep"].any() and (~got["keep"]).any(), "gate must discriminate"
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    kept = api.gopher_filter(docs, filter_kept=True, min_stop_hits=1).to_pandas()
+    want_ids = set(got.loc[got["keep"], "doc_id"])
+    assert set(kept["doc_id"]) == want_ids
