@@ -640,3 +640,19 @@ def gopher_filter(
         return b.loc[g["keep"].to_numpy(), [id_col, text_col]]
 
     return docs.map_batches(gate, batch_format="pandas")
+
+
+def screen_against_corpus(
+    corpus: "rd.Dataset",
+    shard: "rd.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Bloom-filter corpus membership (stages/bloom.py:bloom_screen): one
+    streaming pass summarizes the corpus into a fixed m-bit filter, then
+    the shard is screened with k probes per doc — (doc_id, key62,
+    in_corpus).  No false negatives; false-positive rate set by m vs
+    corpus cardinality.  Filter state is O(m) regardless of corpus size."""
+    from ocr_ray.stages.bloom import bloom_screen
+
+    return bloom_screen(corpus, shard, text_col=text_col, id_col=id_col)

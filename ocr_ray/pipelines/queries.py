@@ -967,6 +967,24 @@ def q_dedup_incremental(sf_dir: str):
                                    n_partitions=8)
 
 
+def q_dedup_bloom(sf_dir: str):
+    """Bloom-filter corpus membership (stages/bloom.py): the src19 shard
+    screened against an m-bit filter of the rest of the corpus's
+    whole-doc 62-bit content keys.  Filter state is fixed-size (m bits)
+    regardless of corpus size; the oracle replicates keys, probes and the
+    membership test exactly — false positives included."""
+    from ocr_ray.stages.bloom import bloom_screen
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    corpus = rd.read_parquet(path, columns=["text", "source"]).filter(
+        expr="source != 'src19'"
+    )
+    shard = rd.read_parquet(path, columns=["doc_id", "text", "source"]).filter(
+        expr="source == 'src19'"
+    )
+    return bloom_screen(corpus, shard)
+
+
 def q_embed_kmeans(sf_dir: str):
     """Exact-integer distributed k-means (stages/cluster.py): quantized
     Lloyd iterations whose full trajectory is bit-identical across
@@ -2206,6 +2224,7 @@ def queries() -> Dict[str, Callable]:
         "doc_shuffle": q_doc_shuffle,
         "doc_pack": q_doc_pack,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_bloom": q_dedup_bloom,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -2285,6 +2304,23 @@ reach AS (
   SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
 )
 """
+
+# Bloom-filter probe expressions (stages/bloom.py constants, frozen):
+# top-16-bits multiplicative hash in exact HUGEINT arithmetic
+def _bloom_probe_sql(a: int, b: int) -> str:
+    return (f"((CAST(h AS HUGEINT) * {a} + {b}) % 18446744073709551616)"
+            f" // 281474976710656")
+
+
+from ocr_ray.stages.bloom import BLOOM_CONSTS as _BLOOM_CONSTS  # noqa: E402
+
+_BLOOM_CPOS = "\nUNION ".join(
+    f"SELECT DISTINCT {_bloom_probe_sql(a, b)} AS pos FROM keys WHERE source <> 'src19'"
+    for a, b in _BLOOM_CONSTS
+)
+_BLOOM_TEST = "\n   AND ".join(
+    f"{_bloom_probe_sql(a, b)} IN (SELECT pos FROM cpos)" for a, b in _BLOOM_CONSTS
+)
 
 ORACLE_SQL: Dict[str, str] = {
     "doc_clean": rf"""
@@ -2840,6 +2876,31 @@ agg AS (SELECT id AS doc_id,
 SELECT doc_id, n_shingles, n_seen, containment,
   CAST(CASE WHEN containment >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
 FROM agg
+""",
+    # whole-doc 62-bit keys (same rolling polynomials), k multiplicative
+    # probes, corpus position set, membership test — the oracle replicates
+    # the FILTER semantics exactly, false positives included
+    "dedup_bloom": rf"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id, source,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\s+') END AS w
+            FROM documents),
+th AS (SELECT id, source,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM d0),
+keys AS (SELECT id, source,
+   list_reduce(list_prepend(CAST(0 AS BIGINT), t1), (a, b) -> (a * 1000003 + b) % 2147483647)
+   + list_reduce(list_prepend(CAST(0 AS BIGINT), t2), (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 AS h
+ FROM th),
+cpos AS ({_BLOOM_CPOS})
+SELECT id AS doc_id, CAST(h AS BIGINT) AS key62,
+  ({_BLOOM_TEST}) AS in_corpus
+FROM keys WHERE source = 'src19'
 """,
     # exact-integer k-means: x = floor(v*2^20+0.5)+2^22 (shift keeps
     # values positive so DuckDB's truncating // equals numpy floor-div);

@@ -444,3 +444,24 @@ def test_gopher_rules_semantics(ray_session):
     kept = api.gopher_filter(docs, filter_kept=True, min_stop_hits=1).to_pandas()
     want_ids = set(got.loc[got["keep"], "doc_id"])
     assert set(kept["doc_id"]) == want_ids
+
+def test_bloom_screen_no_false_negatives(ray_session):
+    """Bloom membership can have false positives but NEVER false negatives:
+    every src19 doc whose exact 62-bit key also appears in the rest of the
+    corpus must be flagged in_corpus.  False positives must stay a small
+    minority of the shard (m=2^16 bits vs a few hundred corpus keys)."""
+    import pandas as pd
+
+    from ocr_ray.pipelines.queries import q_dedup_bloom
+    from ocr_ray.stages.bloom import doc_key62
+
+    got = q_dedup_bloom(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    corpus_keys = {doc_key62(t) for t in docs.loc[docs["source"] != "src19", "text"]}
+    truth = got["key62"].isin(corpus_keys)
+
+    assert (got.loc[truth, "in_corpus"]).all(), "false negative: impossible for a Bloom filter"
+    fp = int((got["in_corpus"] & ~truth).sum())
+    assert fp <= max(1, len(got) // 10), f"false-positive rate too high: {fp}/{len(got)}"
+    # keys must be recomputed identically by the stage and this test
+    assert set(got["key62"]) == {doc_key62(t) for t in docs.loc[docs["source"] == "src19", "text"]}
