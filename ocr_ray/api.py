@@ -656,3 +656,13 @@ def screen_against_corpus(
     from ocr_ray.stages.bloom import bloom_screen
 
     return bloom_screen(corpus, shard, text_col=text_col, id_col=id_col)
+
+
+def distinct_terms_estimate(docs: "rd.Dataset", text_col: str = "text") -> "rd.Dataset":
+    """HyperLogLog distinct-term estimate (stages/aggregate.py:
+    hll_distinct_terms): fixed 256-register state, order-free maxima —
+    bit-identical sketch under any partitioning.  One row:
+    (m, n_zero_registers, sum_rho, est_raw, est_distinct)."""
+    from ocr_ray.stages.aggregate import hll_distinct_terms
+
+    return hll_distinct_terms(docs, text_col=text_col)

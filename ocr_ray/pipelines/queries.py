@@ -967,6 +967,18 @@ def q_dedup_incremental(sf_dir: str):
                                    n_partitions=8)
 
 
+def q_corpus_hll(sf_dir: str):
+    """HyperLogLog distinct-term sketch (stages/aggregate.py:
+    hll_distinct_terms): fixed 256-register state, order-free maxima, the
+    estimate a deterministic function of the registers — value-checked
+    against DuckDB recomputing the full sketch."""
+    from ocr_ray.stages.aggregate import hll_distinct_terms
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return hll_distinct_terms(ds)
+
+
 def q_dedup_bloom(sf_dir: str):
     """Bloom-filter corpus membership (stages/bloom.py): the src19 shard
     screened against an m-bit filter of the rest of the corpus's
@@ -2225,6 +2237,7 @@ def queries() -> Dict[str, Callable]:
         "doc_pack": q_doc_pack,
         "dedup_incremental": q_dedup_incremental,
         "dedup_bloom": q_dedup_bloom,
+        "corpus_hll": q_corpus_hll,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -2305,6 +2318,14 @@ reach AS (
 )
 """
 
+def _hll_mulmod64(zexpr: str, c: int) -> str:
+    """(z * c) mod 2^64 in HUGEINT without INT128 overflow: split c into
+    32-bit halves — z*c = z*c_lo + ((z*c_hi mod 2^32) << 32)  (mod 2^64)."""
+    c_hi, c_lo = c >> 32, c & 0xFFFFFFFF
+    return (f"((({zexpr}) * {c_lo} + ((({zexpr}) * {c_hi}) % 4294967296)"
+            f" * 4294967296) % 18446744073709551616)")
+
+
 # Bloom-filter probe expressions (stages/bloom.py constants, frozen):
 # top-16-bits multiplicative hash in exact HUGEINT arithmetic
 def _bloom_probe_sql(a: int, b: int) -> str:
@@ -2312,6 +2333,12 @@ def _bloom_probe_sql(a: int, b: int) -> str:
             f" // 281474976710656")
 
 
+from ocr_ray.stages.aggregate import (  # noqa: E402
+    HLL_SM64_C0 as _HLL_C0,
+    HLL_SM64_C1 as _HLL_C1,
+    HLL_SM64_C2 as _HLL_C2,
+    _HLL_ALPHA,
+)
 from ocr_ray.stages.bloom import BLOOM_CONSTS as _BLOOM_CONSTS  # noqa: E402
 
 _BLOOM_CPOS = "\nUNION ".join(
@@ -2876,6 +2903,51 @@ agg AS (SELECT id AS doc_id,
 SELECT doc_id, n_shingles, n_seen, containment,
   CAST(CASE WHEN containment >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
 FROM agg
+""",
+    # the full HLL sketch recomputed in SQL: same 62-bit term keys, same
+    # multiplicative mix, register maxima via GROUP BY, exact-integer S
+    # (HUGEINT), identical double formula + floor-rounding for the estimate
+    "corpus_hll": rf"""
+WITH d0 AS (SELECT CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\s+') END AS w
+            FROM documents),
+tok AS (SELECT DISTINCT unnest(w) AS t FROM d0),
+th AS (SELECT
+   list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003) AS f1,
+   list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033) AS f2
+ FROM tok),
+z0 AS (SELECT ((CAST(f1 + f2 * 2147483648 AS HUGEINT) + {_HLL_C0})
+               % 18446744073709551616) AS z FROM th),
+z1 AS (SELECT {_hll_mulmod64('xor(z, z >> 30)', _HLL_C1)} AS z FROM z0),
+z2 AS (SELECT {_hll_mulmod64('xor(z, z >> 27)', _HLL_C2)} AS z FROM z1),
+mix AS (SELECT xor(z, z >> 31) AS x FROM z2),
+reg AS (SELECT CAST(x // 72057594037927936 AS BIGINT) AS bucket,
+               CAST(x % 72057594037927936 AS BIGINT) AS wv FROM mix),
+rho AS (SELECT bucket,
+               max(CASE WHEN wv = 0 THEN 57 ELSE 57 - len(bin(wv)) END) AS mj
+        FROM reg GROUP BY bucket),
+st AS (SELECT count(*) AS n_present,
+              coalesce(sum(CAST((1::BIGINT << (63 - mj)) AS HUGEINT)), 0) AS s_present,
+              CAST(coalesce(sum(mj), 0) AS BIGINT) AS sum_rho
+       FROM rho),
+fin AS (SELECT 256 - n_present AS n_zero_registers, sum_rho,
+   s_present + CAST(256 - n_present AS HUGEINT) * (CAST(1::BIGINT << 62 AS HUGEINT) * 2) AS s
+ FROM st),
+fin2 AS (SELECT n_zero_registers, sum_rho,
+   floor(CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536.0 * 9223372036854775808.0
+         / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS est_raw
+ FROM fin)
+SELECT CAST(256 AS BIGINT) AS m,
+  CAST(n_zero_registers AS BIGINT) AS n_zero_registers,
+  sum_rho, est_raw,
+  CASE WHEN est_raw <= 640.0 AND n_zero_registers > 0
+       THEN floor(256.0 * ln(256.0 / n_zero_registers) * 1e6 + 0.5) / 1e6
+       ELSE est_raw END AS est_distinct
+FROM fin2
 """,
     # whole-doc 62-bit keys (same rolling polynomials), k multiplicative
     # probes, corpus position set, membership test — the oracle replicates

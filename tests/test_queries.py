@@ -465,3 +465,32 @@ def test_bloom_screen_no_false_negatives(ray_session):
     assert fp <= max(1, len(got) // 10), f"false-positive rate too high: {fp}/{len(got)}"
     # keys must be recomputed identically by the stage and this test
     assert set(got["key62"]) == {doc_key62(t) for t in docs.loc[docs["source"] == "src19", "text"]}
+
+def test_hll_sketch_accuracy(ray_session):
+    """HLL: linear-counting branch on the sparse corpus vocabulary; raw-
+    estimator branch on a synthetic high-cardinality vocabulary (50k terms
+    into 256 registers -> zero empty registers, ~1/sqrt(256)=6.25% std
+    error, assert within 20%).  Registers are order-free maxima, so a
+    repartitioned input must give the bit-identical sketch."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.pipelines.queries import q_corpus_hll
+    from ocr_ray.stages.aggregate import hll_distinct_terms
+
+    got = q_corpus_hll(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    exact = len({t for x in docs["text"] for t in x.split()})
+    assert abs(got["est_distinct"][0] - exact) / exact < 0.25
+
+    n = 50_000
+    texts = [" ".join(f"tok{i}" for i in range(j, n, 97)) for j in range(97)]
+    big = rd.from_pandas(pd.DataFrame({"text": texts}))
+    est = hll_distinct_terms(big).to_pandas()
+    assert est["n_zero_registers"][0] == 0
+    assert est["est_distinct"][0] == est["est_raw"][0]  # raw branch when full
+    assert abs(est["est_raw"][0] - n) / n < 0.20
+
+    # partitioning invariance: same sketch from a different block layout
+    est2 = hll_distinct_terms(big.repartition(13)).to_pandas()
+    pd.testing.assert_frame_equal(est, est2)
