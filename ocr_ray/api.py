@@ -666,3 +666,20 @@ def distinct_terms_estimate(docs: "rd.Dataset", text_col: str = "text") -> "rd.D
     from ocr_ray.stages.aggregate import hll_distinct_terms
 
     return hll_distinct_terms(docs, text_col=text_col)
+
+
+def reduce_dimensions(
+    embeddings: "rd.Dataset",
+    r_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "rd.Dataset":
+    """Random-projection dimensionality reduction (similarity.py:RPReducer,
+    Achlioptas-style ±1 JL): int8-quantize then sign-project — every
+    reduced component an exact int64.  Returns exploded (id, b, y) rows;
+    pivot or regroup downstream for KNN over the cheap space."""
+    from ocr_ray.stages.similarity import rp_reduce
+
+    return rp_reduce(embeddings, r_dim=r_dim, dim=dim,
+                     id_col=id_col, vec_col=vec_col)

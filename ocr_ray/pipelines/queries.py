@@ -1478,6 +1478,17 @@ def q_embed_quantize(sf_dir: str):
     return ds.map_batches(quant_batch, batch_format="pandas")
 
 
+def q_embed_rp(sf_dir: str):
+    """Random-projection dimensionality reduction 64->16
+    (similarity.py:RPReducer): quantize-then-±1-project so every reduced
+    component is an exact int64 — the oracle value-checks all of them."""
+    from ocr_ray.stages.similarity import rp_reduce
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return rp_reduce(ds, r_dim=16, dim=64)
+
+
 def q_embed_qknn(sf_dir: str):
     """KNN over the int8-quantized corpus: broadcast the quantized vec_id=0
     query, exact int64 dot per batch (similarity.py:QuantizedDot), global
@@ -2238,6 +2249,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_bloom": q_dedup_bloom,
         "corpus_hll": q_corpus_hll,
+        "embed_rp": q_embed_rp,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -3217,6 +3229,30 @@ SELECT m.vec_id, CAST(dims.i - 1 AS BIGINT) AS i,
   CASE WHEN m.mx = 0 THEN 0
        ELSE CAST(floor(x[dims.i] * 127.0 / m.mx + 0.5) AS BIGINT) END AS q
 FROM m, dims
+""",
+    # quantize (same CTE as embed_quantize) then ±1-project: signs from the
+    # polynomial hash of 'rp:<j>:<b>', reduced component = exact BIGINT sum
+    "embed_rp": r"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+m AS (SELECT vec_id, x,
+             list_max(list_transform(x, v -> abs(v))) AS mx FROM e),
+dims AS (SELECT unnest(generate_series(1, 64)) AS j),
+qe AS (SELECT m.vec_id, dims.j,
+  CASE WHEN m.mx = 0 THEN 0
+       ELSE CAST(floor(x[dims.j] * 127.0 / m.mx + 0.5) AS BIGINT) END AS q
+ FROM m, dims),
+s AS (SELECT j.j, b.b,
+        CASE WHEN list_reduce(list_prepend(CAST(7 AS BIGINT),
+               list_transform(string_split('rp:' || CAST(j.j - 1 AS VARCHAR) || ':' || CAST(b.b AS VARCHAR), ''),
+                              c -> CAST(unicode(c) AS BIGINT))),
+               (a, x) -> (a * 31 + x) % 1000003) % 2 = 0
+             THEN 1 ELSE -1 END AS sv
+      FROM (SELECT unnest(generate_series(1, 64)) AS j) AS j,
+           (SELECT unnest(generate_series(0, 15)) AS b) AS b)
+SELECT qe.vec_id, s.b, CAST(sum(qe.q * s.sv) AS BIGINT) AS y
+FROM qe JOIN s ON qe.j = s.j
+GROUP BY qe.vec_id, s.b
 """,
     # quantized KNN: integer dot of int8 codes (exact BIGINT), top-10
     "embed_qknn": r"""

@@ -389,3 +389,56 @@ class QuantizedDot:
             {self.id_col: batch[self.id_col].to_numpy().astype("int64"),
              "dot": codes @ self.qc}
         )
+
+
+class RPReducer:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss,
+    Achlioptas 2003 ±1 variant): int8-quantize each vector, project with a
+    deterministic ±1 sign matrix -> exact int64 reduced components.
+
+    Quantize-then-project keeps every output an exact integer (no
+    float-sum order dependence), so the DuckDB oracle value-checks every
+    reduced component; signs come from the engine's polynomial hash of
+    ``"rp:<dim>:<out>"`` (namespace distinct from SignHashLSH's buckets).
+    The reduced table is the cheap input for downstream KNN / clustering:
+    r_dim=16 cuts the dot-product cost 4x while ±1 JL preserves cosine
+    ordering approximately (recall bound pytest-checked)."""
+
+    def __init__(self, dim: int = 64, r_dim: int = 16,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        from ocr_ray.stages.embed import hash_token
+
+        s = np.empty((dim, r_dim), dtype=np.int64)
+        for j in range(dim):
+            for b in range(r_dim):
+                s[j, b] = 1 if hash_token(f"rp:{j}:{b}") % 2 == 0 else -1
+        self.s = s
+        self.r_dim = r_dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(batch[self.vec_col]).astype(np.float64)
+        q, _ = quantize_int8(m)
+        y = q @ self.s                       # exact: |y| <= dim*127 << 2^63
+        n = len(batch)
+        return pd.DataFrame(
+            {self.id_col: np.repeat(
+                batch[self.id_col].to_numpy().astype("int64"), self.r_dim),
+             "b": np.tile(np.arange(self.r_dim, dtype="int64"), n),
+             "y": y.ravel()}
+        )
+
+
+def rp_reduce(
+    ds, r_dim: int = 16, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+):
+    """Reduced projection table (id, b, y) — see :class:`RPReducer`."""
+    from ocr_ray.stages.taskpool import task_pool
+
+    return ds.map_batches(
+        task_pool(RPReducer, dim=dim, r_dim=r_dim,
+                  id_col=id_col, vec_col=vec_col),
+        batch_format="pandas",
+    )
