@@ -997,6 +997,52 @@ def q_dedup_bloom(sf_dir: str):
     return bloom_screen(corpus, shard)
 
 
+def q_pipeline_refresh(sf_dir: str):
+    """Crawl-refresh composite, one streaming pass over the new shard:
+    Bloom-screen src19 against the corpus filter (drop docs already in the
+    corpus), Gopher-gate the fresh ones (min_stop_hits=1, corpus note in
+    q_doc_gopher), assign the survivors a train/val/test split by the
+    deterministic id hash.  The corpus ships as the fixed m-bit bitmask
+    (ray.put once); the shard pass is a single stateless map — at 100 TB
+    the refresh cost is one corpus summary pass + one shard pass, no
+    shuffle, no join."""
+    from ocr_ray.stages.analysis import gopher_rules_batch
+    from ocr_ray.stages.bloom import bloom_positions, build_bloom, doc_key62
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    corpus = rd.read_parquet(path, columns=["text", "source"]).filter(
+        expr="source != 'src19'"
+    )
+    shard = rd.read_parquet(path, columns=["doc_id", "text", "source"]).filter(
+        expr="source == 'src19'"
+    )
+    bits_ref = ray.put(build_bloom(corpus))
+
+    def refresh(b: pd.DataFrame, *, bits_ref=bits_ref) -> pd.DataFrame:
+        bits = ray.get(bits_ref)
+        g = gopher_rules_batch(
+            pd.DataFrame({"doc_id": b["doc_id"], "text": b["text"]}),
+            min_stop_hits=1,
+        )
+        fresh = np.array(
+            [not all(bits[p] for p in bloom_positions(doc_key62(t)))
+             for t in b["text"]], dtype=bool,
+        )
+        mask = fresh & g["keep"].to_numpy()
+        ids = b["doc_id"].to_numpy().astype("int64")[mask]
+        bucket = (ids * SPLIT_MULT) % (1 << 32) % 100
+        split = np.where(bucket < 80, "train",
+                         np.where(bucket < 90, "val", "test")).tolist()
+        # emit Arrow: pandas string columns of possibly-zero length trip
+        # Ray's block-size estimator (harmless but noisy log per batch)
+        import pyarrow as pa
+
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "split": pa.array(split, pa.string())})
+
+    return shard.map_batches(refresh, batch_format="pandas")
+
+
 def q_embed_kmeans(sf_dir: str):
     """Exact-integer distributed k-means (stages/cluster.py): quantized
     Lloyd iterations whose full trajectory is bit-identical across
@@ -2250,6 +2296,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_bloom": q_dedup_bloom,
         "corpus_hll": q_corpus_hll,
         "embed_rp": q_embed_rp,
+        "pipeline_refresh": q_pipeline_refresh,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -2985,6 +3032,57 @@ cpos AS ({_BLOOM_CPOS})
 SELECT id AS doc_id, CAST(h AS BIGINT) AS key62,
   ({_BLOOM_TEST}) AS in_corpus
 FROM keys WHERE source = 'src19'
+""",
+    # the three refresh stages as chained CTEs: Bloom membership (same
+    # keys/probes as dedup_bloom), Gopher gate (same scaled-integer
+    # conditions as doc_gopher, min_stop_hits=1), deterministic id-hash split
+    "pipeline_refresh": rf"""
+WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id, source, text,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\s+') END AS w
+            FROM documents),
+th AS (SELECT id, source, text, w,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM d0),
+keys AS (SELECT id, source, text, w,
+   list_reduce(list_prepend(CAST(0 AS BIGINT), t1), (a, b) -> (a * 1000003 + b) % 2147483647)
+   + list_reduce(list_prepend(CAST(0 AS BIGINT), t2), (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 AS h
+ FROM th),
+cpos AS ({_BLOOM_CPOS}),
+fresh AS (SELECT id, text, w FROM keys
+          WHERE source = 'src19' AND NOT ({_BLOOM_TEST})),
+g0 AS (SELECT id, text, w,
+   string_split(text, chr(10)) AS lines,
+   list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS toks
+ FROM fresh),
+gs AS (SELECT id,
+   len(w) AS n_words,
+   CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS total_chars,
+   len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha_words,
+   (len(text) - len(replace(text, '#', '')))
+     + (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols,
+   len(lines) AS n_lines,
+   len(list_filter(lines, l -> left(ltrim(l, ' ' || chr(9)), 1) IN ('-', '*', '•'))) AS n_bullet_lines,
+   len(list_filter(lines, l -> rtrim(l, ' ' || chr(9)) LIKE '%...')) AS n_ellipsis_lines,
+   len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS n_stop_hits
+ FROM g0),
+kept AS (SELECT id FROM gs
+  WHERE n_words BETWEEN 50 AND 100000
+    AND 3*n_words <= total_chars AND total_chars <= 10*n_words
+    AND 10*n_symbols <= n_words
+    AND 10*n_bullet_lines <= 9*n_lines
+    AND 10*n_ellipsis_lines <= 3*n_lines
+    AND 5*n_alpha_words >= 4*n_words
+    AND n_stop_hits >= 1)
+SELECT CAST(id AS BIGINT) AS doc_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT id, ((CAST(id AS BIGINT) * {SPLIT_MULT}) % 4294967296) % 100 AS b
+      FROM kept)
 """,
     # exact-integer k-means: x = floor(v*2^20+0.5)+2^22 (shift keeps
     # values positive so DuckDB's truncating // equals numpy floor-div);
