@@ -66,14 +66,26 @@ class EngineBenchmark:
                 t0 = time.perf_counter()
                 plain = " ".join(formatted.split())
                 plain_time = format_time + (time.perf_counter() - t0)
+                gt_plain = " ".join(gt.split())
+                acc_fmt = None
                 for preserved, text, secs in (
                     (True, formatted, format_time),
                     (False, plain, plain_time),
                 ):
-                    gt_cmp = gt if preserved else " ".join(gt.split())
-                    acc = calculate_similarity(
-                        text[: self.max_chars], gt_cmp[: self.max_chars]
-                    )
+                    gt_cmp = gt if preserved else gt_plain
+                    if preserved:
+                        acc = acc_fmt = calculate_similarity(
+                            text[: self.max_chars], gt_cmp[: self.max_chars]
+                        )
+                    elif text == formatted and gt_cmp == gt:
+                        # single-line payload: plain mode compares the exact
+                        # same pair — reuse instead of re-running the O(n^2)
+                        # SequenceMatcher (value-identical by construction)
+                        acc = acc_fmt
+                    else:
+                        acc = calculate_similarity(
+                            text[: self.max_chars], gt_cmp[: self.max_chars]
+                        )
                     rows.append(
                         {
                             "conv_id": conv_id,
