@@ -683,3 +683,17 @@ def reduce_dimensions(
 
     return rp_reduce(embeddings, r_dim=r_dim, dim=dim,
                      id_col=id_col, vec_col=vec_col)
+
+
+def export_jsonl(
+    ds: "rd.Dataset",
+    out_dir: str,
+    columns: Optional[List[str]] = None,
+) -> None:
+    """Write a Dataset as sharded JSONL (the trainer-ingest sibling of the
+    parquet sinks; S5 writer surface).  One .json file per block — shard
+    count follows the pipeline's parallelism, so a failed export can be
+    re-run per partition like the parquet layout; never one giant file."""
+    if columns:
+        ds = ds.select_columns(columns)
+    ds.write_json(out_dir)

@@ -1152,3 +1152,23 @@ def test_pagerank_exact_integer_iteration(ray_session):
     got2 = pagerank(rd.from_pandas(e).repartition(4), iters=2,
                     n_partitions=2).sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_export_jsonl_roundtrip(ray_session, tmp_path):
+    """api.export_jsonl writes sharded JSONL a trainer can stream back."""
+    import glob
+    import json as _json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray import api
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    out = str(tmp_path / "jsonl")
+    api.export_jsonl(rd.from_pandas(df), out, columns=["doc_id", "text"])
+    rows = []
+    for f in sorted(glob.glob(out + "/*.json")):
+        rows += [_json.loads(line) for line in open(f) if line.strip()]
+    got = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, df)
