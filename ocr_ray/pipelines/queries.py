@@ -1815,6 +1815,35 @@ def q_events_hourly(sf_dir: str):
     return out
 
 
+def q_events_hourly_users(sf_dir: str):
+    """Exact per-group DISTINCT-count aggregate without shuffling raw rows
+    (the COUNT(DISTINCT) workhorse): per-batch dedup of (hour, user) pairs
+    — the partial — then one hash exchange on hour and a per-partition
+    nunique.  Exchange volume is the distinct-pair table, not the event
+    stream; all rows of an hour co-locate, so the count is exact."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(hour=b["ts"].dt.floor("h"), n=1)
+        return b.groupby(["hour", "user_id"], as_index=False)["n"].sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("hour").agg(
+            n_events=("n", "sum"), n_users=("user_id", "nunique")
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    return exchange_map_partitions(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["hour"], combine, n_partitions=16,
+    )
+
+
 def q_events_sessions(sf_dir: str):
     """30-minute-gap sessionization (streaming-window pattern).  Users are
     hash-exchanged into a bounded number of partitions (raw-task exchange —
@@ -2297,6 +2326,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_hll": q_corpus_hll,
         "embed_rp": q_embed_rp,
         "pipeline_refresh": q_pipeline_refresh,
+        "events_hourly_users": q_events_hourly_users,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -3922,6 +3952,11 @@ LIMIT 10
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
   {_CENTS.format(col='value')} AS sum_value_cents
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+    "events_hourly_users": """
+SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY date_trunc('hour', ts)
 """,
     "segment_revenue": f"""
 SELECT c.c_mktsegment, CAST(sum(1) AS BIGINT) AS n_orders,
