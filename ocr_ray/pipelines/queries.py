@@ -1844,6 +1844,96 @@ def q_events_hourly_users(sf_dir: str):
     )
 
 
+FUNNEL_STAGES = ("signup", "view", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered conversion funnel (signup -> view -> purchase): users
+    reaching each stage with strictly later timestamps at every step.
+    Predicate pushdown keeps only the 3 stage types at the read; rows are
+    hash-exchanged by user (bounded partitions); each partition resolves
+    its users' stage chain vectorized (sorted per-user walk) and emits
+    per-partition stage counts — the exchange ships stage events only,
+    the driver sees 3·n_partitions partial rows."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        counts = dict.fromkeys(FUNNEL_STAGES, 0)
+        for _, u in g.groupby("user_id", sort=False):
+            types = u["event_type"].to_numpy()
+            ts = u["ts"].to_numpy()
+            last = None
+            for stage in FUNNEL_STAGES:
+                m = (types == stage) if last is None else (
+                    (types == stage) & (ts > last))
+                hit = np.flatnonzero(m)
+                if not len(hit):
+                    break
+                last = ts[hit[0]]
+                counts[stage] += 1
+        return pd.DataFrame(
+            {"stage": list(FUNNEL_STAGES),
+             "n_users": pd.Series([counts[s] for s in FUNNEL_STAGES],
+                                  dtype="int64")}
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    ).filter(expr="event_type in ['signup', 'view', 'purchase']")
+    parts = exchange_map_partitions(ds, ["user_id"], chain, n_partitions=16)
+    out = parts.to_pandas().groupby("stage", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def q_events_value_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p50/p95/p99 of value per event_type)
+    without any sort-shuffle: two-level histogram plan — per-batch
+    (type, cents) counts, bounded hash aggregate, then one exchange on
+    event_type where each partition resolves its groups' order statistics
+    from the cumulative histogram (quantile = smallest value whose
+    cumulative count >= ceil(q*n); integer cents keep it value-exact)."""
+    import math
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            cents=np.floor(b["value"] * 100 + 0.5).astype("int64"), k=1
+        )
+        return b.groupby(["event_type", "cents"], as_index=False)["k"].sum()
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, gg in g.groupby("event_type"):
+            gg = gg.sort_values("cents")
+            cum = gg["k"].cumsum().to_numpy()
+            cents = gg["cents"].to_numpy()
+            n = int(cum[-1])
+
+            def qv(q: float) -> int:
+                return int(cents[np.searchsorted(cum, math.ceil(q * n))])
+
+            rows.append((t, qv(0.5), qv(0.95), qv(0.99), n))
+        return pd.DataFrame(
+            rows, columns=["event_type", "p50_cents", "p95_cents",
+                           "p99_cents", "n"],
+        ).astype({"p50_cents": "int64", "p95_cents": "int64",
+                  "p99_cents": "int64", "n": "int64"})
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    hist = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "cents"], aggs={"k": "sum"}, n_partitions=16,
+    )
+    return exchange_map_partitions(hist, ["event_type"], quant, 8)
+
+
 def q_events_sessions(sf_dir: str):
     """30-minute-gap sessionization (streaming-window pattern).  Users are
     hash-exchanged into a bounded number of partitions (raw-task exchange —
@@ -2327,6 +2417,8 @@ def queries() -> Dict[str, Callable]:
         "embed_rp": q_embed_rp,
         "pipeline_refresh": q_pipeline_refresh,
         "events_hourly_users": q_events_hourly_users,
+        "events_funnel": q_events_funnel,
+        "events_value_quantiles": q_events_value_quantiles,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -3953,10 +4045,40 @@ SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
   {_CENTS.format(col='value')} AS sum_value_cents
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """,
+    # each stage = min ts strictly after the previous stage's chosen ts;
+    # the greedy earliest-choice chain is optimal for ">" ordering, so the
+    # SQL min-join reproduces the walk exactly
+    "events_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s1
+UNION ALL SELECT 'view', CAST(count(*) AS BIGINT) FROM s2
+UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s3
+""",
     "events_hourly_users": """
 SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n_events,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY date_trunc('hour', ts)
+""",
+    # quantile = smallest cents with cumulative count >= ceil(q*n) — the
+    # same discrete order statistic the histogram plan computes
+    "events_value_quantiles": """
+WITH c AS (SELECT event_type,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+g AS (SELECT event_type, cents, count(*) AS k FROM c GROUP BY event_type, cents),
+w AS (SELECT event_type, cents,
+             sum(k) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+             sum(k) OVER (PARTITION BY event_type) AS n FROM g)
+SELECT event_type,
+  CAST(min(CASE WHEN cum >= ceil(0.5 * n) THEN cents END) AS BIGINT) AS p50_cents,
+  CAST(min(CASE WHEN cum >= ceil(0.95 * n) THEN cents END) AS BIGINT) AS p95_cents,
+  CAST(min(CASE WHEN cum >= ceil(0.99 * n) THEN cents END) AS BIGINT) AS p99_cents,
+  CAST(min(n) AS BIGINT) AS n
+FROM w GROUP BY event_type
 """,
     "segment_revenue": f"""
 SELECT c.c_mktsegment, CAST(sum(1) AS BIGINT) AS n_orders,
