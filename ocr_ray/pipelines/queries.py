@@ -1934,6 +1934,39 @@ def q_events_value_quantiles(sf_dir: str):
     return exchange_map_partitions(hist, ["event_type"], quant, 8)
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-activity week
+    (Monday-truncated, DuckDB date_trunc('week') parity), counted as
+    retained in each later week they act in.  One exchange by user —
+    every user's rows co-locate, so each partition derives (cohort_week,
+    week_offset) per user locally and emits partial counts; a bounded
+    second aggregate sums the matrix (weeks x weeks cells, tiny)."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        week = (g["ts"] - pd.to_timedelta(g["ts"].dt.dayofweek, unit="D")
+                ).dt.normalize()
+        g = pd.DataFrame({"user_id": g["user_id"], "week": week})
+        g = g.drop_duplicates()
+        cw = g.groupby("user_id")["week"].transform("min")
+        off = ((g["week"] - cw).dt.days // 7).astype("int64")
+        out = pd.DataFrame({"cohort_week": cw, "week_offset": off, "n_users": 1})
+        return out.groupby(["cohort_week", "week_offset"], as_index=False)[
+            "n_users"].sum()
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    parts = exchange_map_partitions(ds, ["user_id"], per_user, n_partitions=16)
+    out = hash_aggregate(
+        parts, keys=["cohort_week", "week_offset"],
+        aggs={"n_users": "sum"}, n_partitions=4,
+    ).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
 def q_events_sessions(sf_dir: str):
     """30-minute-gap sessionization (streaming-window pattern).  Users are
     hash-exchanged into a bounded number of partitions (raw-task exchange —
@@ -2419,6 +2452,7 @@ def queries() -> Dict[str, Callable]:
         "events_hourly_users": q_events_hourly_users,
         "events_funnel": q_events_funnel,
         "events_value_quantiles": q_events_value_quantiles,
+        "events_retention": q_events_retention,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -4063,6 +4097,18 @@ UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s3
 SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n_events,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY date_trunc('hour', ts)
+""",
+    # cohort = Monday-truncated first-activity week; offset counts week
+    # boundaries (both sides week-truncated, so diff is exact weeks)
+    "events_retention": """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cw, date_trunc('week', e.ts) AS w
+      FROM events e JOIN f USING (user_id))
+SELECT CAST(cw AS TIMESTAMP) AS cohort_week,
+  CAST(date_diff('week', cw, w) AS BIGINT) AS week_offset,
+  CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cw, date_diff('week', cw, w)
 """,
     # quantile = smallest cents with cumulative count >= ceil(q*n) — the
     # same discrete order statistic the histogram plan computes
