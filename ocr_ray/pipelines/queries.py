@@ -2151,6 +2151,45 @@ def q_events_range_join(sf_dir: str):
     return out
 
 
+def q_customers_no_orders(sf_dir: str):
+    """Distributed ANTI join (join.py:exchange_join how='anti'): customers
+    with no order since 2001-01-01 (the churn query).  The date predicate
+    is pushed into the orders scan; both sides hash-exchange on custkey;
+    each partition probes its right key set in Arrow — the right side
+    ships keys only, the left schema survives even in empty partitions,
+    no driver materialization."""
+    from ocr_ray.stages.join import exchange_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.astype({"c_custkey": "int64"}), batch_format="pandas")
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate")
+        >= pa.scalar(pd.Timestamp("2001-01-01")),
+    )
+    return exchange_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                         n_partitions=16, how="anti")
+
+
+def q_parts_ordered(sf_dir: str):
+    """Distributed SEMI join (join.py:exchange_join how='semi'): parts that
+    appear in at least one lineitem — same exchange shape as the anti."""
+    from ocr_ray.stages.join import exchange_join
+
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_brand"]).map_batches(
+        lambda b: b.astype({"p_partkey": "int64"}), batch_format="pandas")
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey"])
+    return exchange_join(part, li, on="p_partkey", right_on="l_partkey",
+                         n_partitions=16, how="semi")
+
+
 def q_supplier_regions(sf_dir: str):
     """Multi-way broadcast join: supplier -> nation -> region (both
     dimensions tiny, shipped once via ray.put) + account-balance aggregate
@@ -2453,6 +2492,8 @@ def queries() -> Dict[str, Callable]:
         "events_funnel": q_events_funnel,
         "events_value_quantiles": q_events_value_quantiles,
         "events_retention": q_events_retention,
+        "customers_no_orders": q_customers_no_orders,
+        "parts_ordered": q_parts_ordered,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -4097,6 +4138,17 @@ UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s3
 SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n_events,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY date_trunc('hour', ts)
+""",
+    "customers_no_orders": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+""",
+    "parts_ordered": """
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
 """,
     # cohort = Monday-truncated first-activity week; offset counts week
     # boundaries (both sides week-truncated, so diff is exact weeks)

@@ -307,6 +307,22 @@ def hash_join(
 def _merge_equi_partition(n_left: int, on: str, right_on: str, how: str, *pieces):
     import pyarrow as pa
 
+    if how in ("semi", "anti"):
+        # existence probe only, filtered IN ARROW: left schema (and real
+        # column types) survive even when the partition result is empty
+        import pyarrow.compute as pc
+
+        lt_a = pa.concat_tables(pieces[:n_left])
+        rt_a = pa.concat_tables(pieces[n_left:])
+        vs = rt_a[right_on].combine_chunks()
+        if vs.type != lt_a[on].type:
+            vs = vs.cast(lt_a[on].type)  # int32 probe keys vs int64 left
+        mask = pc.is_in(lt_a[on], value_set=vs)
+        if how == "anti":
+            mask = pc.fill_null(pc.invert(mask), True)
+        else:
+            mask = pc.fill_null(mask, False)
+        return lt_a.filter(mask)
     lt = pa.concat_tables(pieces[:n_left]).to_pandas()
     rt = pa.concat_tables(pieces[n_left:]).to_pandas()
     out = lt.merge(rt, left_on=on, right_on=right_on, how=how)

@@ -22,7 +22,18 @@ def to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
 
     if isinstance(res, rd.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if not len(df.columns):
+            # Ray quirk: to_pandas() on an all-empty-block Dataset drops
+            # columns even when blocks carry an Arrow schema — rebuild the
+            # empty frame from the schema so legitimately-empty results
+            # (e.g. anti-joins) still column/schema-compare
+            schema = res.schema()
+            if schema is not None:
+                df = pa.schema(
+                    list(zip(schema.names, schema.types))
+                ).empty_table().to_pandas()
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
