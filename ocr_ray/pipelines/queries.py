@@ -1934,6 +1934,39 @@ def q_events_value_quantiles(sf_dir: str):
     return exchange_map_partitions(hist, ["event_type"], quant, 8)
 
 
+def q_events_active_7d(sf_dir: str):
+    """Rolling 7-day active users, EXACT sliding-window distinct count:
+    each user's active days expand to the 7-day windows they cover
+    ([day, day+6], deduped per user — coverage union, so a user counts
+    once per window); one exchange by user bounds the expansion locally,
+    then the day-keyed aggregate sums per-partition partials.  Shuffle
+    volume is distinct (user, covered-day) pairs (<= 7x active days), not
+    the event stream."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def cover(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["ts"].dt.normalize()
+        pairs = pd.DataFrame({"user_id": g["user_id"], "day": day}
+                             ).drop_duplicates()
+        cov = pd.concat(
+            [pairs.assign(day=pairs["day"] + pd.to_timedelta(i, unit="D"))
+             for i in range(7)]
+        ).drop_duplicates()
+        out = cov.groupby("day", as_index=False).agg(n_users=("user_id", "nunique"))
+        out["n_users"] = out["n_users"].astype("int64")
+        return out
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    parts = exchange_map_partitions(ds, ["user_id"], cover, n_partitions=16)
+    out = hash_aggregate(parts, keys=["day"], aggs={"n_users": "sum"},
+                         n_partitions=4).to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by first-activity week
     (Monday-truncated, DuckDB date_trunc('week') parity), counted as
@@ -2493,6 +2526,7 @@ def queries() -> Dict[str, Callable]:
         "events_value_quantiles": q_events_value_quantiles,
         "events_retention": q_events_retention,
         "customers_no_orders": q_customers_no_orders,
+        "events_active_7d": q_events_active_7d,
         "parts_ordered": q_parts_ordered,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
@@ -4149,6 +4183,15 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
 SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
 FROM part p
 WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+""",
+    # window END day d counts users active in [d-6, d]: expand each user's
+    # distinct active days to day+0..6, dedup per user, count per day
+    "events_active_7d": """
+WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+cov AS (SELECT DISTINCT user_id, day + i * INTERVAL 1 DAY AS day
+        FROM d, (SELECT unnest(generate_series(0, 6)) AS i))
+SELECT CAST(day AS TIMESTAMP) AS day, CAST(count(*) AS BIGINT) AS n_users
+FROM cov GROUP BY day
 """,
     # cohort = Monday-truncated first-activity week; offset counts week
     # boundaries (both sides week-truncated, so diff is exact weeks)
