@@ -1172,3 +1172,29 @@ def test_export_jsonl_roundtrip(ray_session, tmp_path):
         rows += [_json.loads(line) for line in open(f) if line.strip()]
     got = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, df)
+
+
+def test_exchange_semi_anti_join(ray_session):
+    """semi/anti exchange modes: complements partition the left side; an
+    int32 probe key against an int64 left key is cast, not silently
+    dropped; empty results keep the left schema."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.join import exchange_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series([1, 2, 3, 4, 5], dtype="int64"),
+         "v": ["a", "b", "c", "d", "e"]}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series([2, 4, 9], dtype="int32")}))
+
+    semi = exchange_join(left, right, on="k", n_partitions=4, how="semi").to_pandas()
+    anti = exchange_join(left, right, on="k", n_partitions=4, how="anti").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert sorted(anti["k"]) == [1, 3, 5]
+
+    nothing = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")}))
+    empty = exchange_join(left, nothing, on="k", n_partitions=4, how="semi")
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"k", "v"}
