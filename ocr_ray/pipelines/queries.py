@@ -397,6 +397,64 @@ def q_doc_gopher(sf_dir: str):
     )
 
 
+def q_corpus_pmi(sf_dir: str):
+    """Document-level term co-occurrence with PMI scoring: distinct-term
+    pairs per doc (a < b lexicographically), pair and term doc-frequencies
+    via the bounded hash exchanges, pmi = ln(N*c_ab/(c_a*c_b)) on exact
+    integer counts (single libm call per pair, identical in DuckDB).
+    Top-20 pairs by (count, pair) — per-doc pair fan-out is O(T^2) in the
+    doc's DISTINCT terms; cap terms-per-doc upstream for open-vocab
+    corpora (this corpus holds 31)."""
+    import math
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"a": [], "b": [], "c_ab": []}
+        for t in b["text"]:
+            terms = sorted(set(t.split()))
+            for i, x in enumerate(terms):
+                for y in terms[i + 1:]:
+                    rows["a"].append(x)
+                    rows["b"].append(y)
+                    rows["c_ab"].append(1)
+        return pd.DataFrame(rows).groupby(["a", "b"], as_index=False)["c_ab"].sum()
+
+    def term_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"term": [], "df": []}
+        for t in b["text"]:
+            for x in set(t.split()):
+                rows["term"].append(x)
+                rows["df"].append(1)
+        return pd.DataFrame(rows).groupby("term", as_index=False)["df"].sum()
+
+    n_docs = ds.count()
+    pairs = hash_aggregate(
+        ds.map_batches(pair_partial, batch_format="pandas"),
+        keys=["a", "b"], aggs={"c_ab": "sum"}, n_partitions=8,
+    ).to_pandas()
+    dfs = hash_aggregate(
+        ds.map_batches(term_partial, batch_format="pandas"),
+        keys=["term"], aggs={"df": "sum"}, n_partitions=8,
+    ).to_pandas().set_index("term")["df"]
+
+    pairs = pairs.sort_values(["c_ab", "a", "b"],
+                              ascending=[False, True, True]).head(20)
+    pmi = [
+        np.floor(math.log(n_docs * c / (int(dfs[a]) * int(dfs[b])))
+                 * 1e6 + 0.5) / 1e6
+        for a, b, c in zip(pairs["a"], pairs["b"], pairs["c_ab"])
+    ]
+    out = pd.DataFrame({"a": pairs["a"].to_numpy(),
+                        "b": pairs["b"].to_numpy(),
+                        "c_ab": pairs["c_ab"].astype("int64").to_numpy(),
+                        "pmi": pmi})
+    return out
+
+
 def q_pipeline_curation(sf_dir: str):
     """End-to-end curation composite — the pipeline a training-data user
     actually runs, as ONE streaming job: quality gate (exact integer
@@ -2527,6 +2585,7 @@ def queries() -> Dict[str, Callable]:
         "events_retention": q_events_retention,
         "customers_no_orders": q_customers_no_orders,
         "events_active_7d": q_events_active_7d,
+        "corpus_pmi": q_corpus_pmi,
         "parts_ordered": q_parts_ordered,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
@@ -2891,6 +2950,28 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        THEN round(CAST(len(pairs) - len(list_distinct(pairs)) AS DOUBLE) / len(pairs), 6)
        ELSE 0.0 END AS dup_ratio
 FROM p
+""",
+    # per-doc distinct-term self-join (a < b), exact integer counts, single
+    # ln per surviving pair with the same floor-rounding
+    "corpus_pmi": r"""
+WITH t AS (SELECT doc_id,
+  list_sort(list_distinct(CASE WHEN trim(text) = '' THEN []
+       ELSE string_split_regex(trim(text), '\s+') END)) AS terms
+  FROM documents),
+n AS (SELECT count(*) AS nd FROM documents),
+p AS (SELECT t.doc_id, a.x AS a, b.x AS b
+      FROM t, unnest(t.terms) AS a(x), unnest(t.terms) AS b(x)
+      WHERE a.x < b.x),
+cp AS (SELECT a, b, count(*) AS c_ab FROM p GROUP BY a, b),
+d AS (SELECT x AS term, count(*) AS df
+      FROM (SELECT doc_id, unnest(terms) AS x FROM t) GROUP BY x),
+top AS (SELECT a, b, c_ab FROM cp ORDER BY c_ab DESC, a, b LIMIT 20)
+SELECT top.a, top.b, CAST(top.c_ab AS BIGINT) AS c_ab,
+  floor(ln(CAST(n.nd * top.c_ab AS DOUBLE) / (da.df * db.df)) * 1e6 + 0.5) / 1e6 AS pmi
+FROM top
+CROSS JOIN n
+JOIN d da ON da.term = top.a
+JOIN d db ON db.term = top.b
 """,
     # every Gopher rule recomputed from the raw text; keep-conditions are
     # the same scaled-integer comparisons as the Python side
