@@ -455,6 +455,49 @@ def q_corpus_pmi(sf_dir: str):
     return out
 
 
+def q_doc_encode(sf_dir: str):
+    """Frequency-ranked vocabulary build + token-id encoding (the
+    tokenize-to-ids trainer-prep step): global term counts via the bounded
+    exchange, vocab id = rank by (count desc, term asc) capped at
+    max_vocab (OOV -> -1), vocab broadcast once via ray.put, then a
+    stateless encode map emits (doc_id, pos, token_id).  Two passes over
+    the text, one tiny broadcast, no shuffle of the token stream."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    MAX_VOCAB = 65536
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def term_counts(b: pd.DataFrame) -> pd.DataFrame:
+        rows = {"term": [], "n": []}
+        for t in b["text"]:
+            for tok in t.split():
+                rows["term"].append(tok)
+                rows["n"].append(1)
+        return pd.DataFrame(rows).groupby("term", as_index=False)["n"].sum()
+
+    counts = hash_aggregate(
+        ds.map_batches(term_counts, batch_format="pandas"),
+        keys=["term"], aggs={"n": "sum"}, n_partitions=8,
+    ).to_pandas().sort_values(["n", "term"], ascending=[False, True])
+    vocab = {t: i for i, t in enumerate(counts["term"].head(MAX_VOCAB))}
+    vocab_ref = ray.put(vocab)
+
+    def encode(b: pd.DataFrame, *, vocab_ref=vocab_ref) -> pd.DataFrame:
+        v = ray.get(vocab_ref)
+        out = {"doc_id": [], "pos": [], "token_id": []}
+        for d, t in zip(b["doc_id"], b["text"]):
+            for pos, tok in enumerate(t.split()):
+                out["doc_id"].append(int(d))
+                out["pos"].append(pos)
+                out["token_id"].append(v.get(tok, -1))
+        df = pd.DataFrame(out)
+        return df.astype({"doc_id": "int64", "pos": "int64",
+                          "token_id": "int64"})
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
 def q_pipeline_curation(sf_dir: str):
     """End-to-end curation composite — the pipeline a training-data user
     actually runs, as ONE streaming job: quality gate (exact integer
@@ -2586,6 +2629,7 @@ def queries() -> Dict[str, Callable]:
         "customers_no_orders": q_customers_no_orders,
         "events_active_7d": q_events_active_7d,
         "corpus_pmi": q_corpus_pmi,
+        "doc_encode": q_doc_encode,
         "parts_ordered": q_parts_ordered,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
@@ -2950,6 +2994,21 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        THEN round(CAST(len(pairs) - len(list_distinct(pairs)) AS DOUBLE) / len(pairs), 6)
        ELSE 0.0 END AS dup_ratio
 FROM p
+""",
+    # vocab id = dense rank by (total count desc, term); positions via
+    # generate_series over the whitespace token list (0-based)
+    "doc_encode": r"""
+WITH t AS (SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN []
+       ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+occ AS (SELECT doc_id, s.i - 1 AS pos, w[s.i] AS term
+        FROM t, unnest(generate_series(1, len(w))) AS s(i)),
+vocab AS (SELECT term,
+                 row_number() OVER (ORDER BY count(*) DESC, term) - 1 AS tid
+          FROM occ GROUP BY term)
+SELECT CAST(occ.doc_id AS BIGINT) AS doc_id, CAST(occ.pos AS BIGINT) AS pos,
+  CAST(CASE WHEN vocab.tid < 65536 THEN vocab.tid ELSE -1 END AS BIGINT) AS token_id
+FROM occ JOIN vocab USING (term)
 """,
     # per-doc distinct-term self-join (a < b), exact integer counts, single
     # ln per surviving pair with the same floor-rounding
