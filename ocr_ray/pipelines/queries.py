@@ -455,18 +455,10 @@ def q_corpus_pmi(sf_dir: str):
     return out
 
 
-def q_doc_encode(sf_dir: str):
-    """Frequency-ranked vocabulary build + token-id encoding (the
-    tokenize-to-ids trainer-prep step): global term counts via the bounded
-    exchange, vocab id = rank by (count desc, term asc) capped at
-    max_vocab (OOV -> -1), vocab broadcast once via ray.put, then a
-    stateless encode map emits (doc_id, pos, token_id).  Two passes over
-    the text, one tiny broadcast, no shuffle of the token stream."""
+def _build_vocab(ds: "rd.Dataset", max_vocab: int = 65536) -> dict:
+    """Frequency-ranked vocabulary: global term counts via the bounded
+    exchange, id = rank by (count desc, term asc), capped at max_vocab."""
     from ocr_ray.stages.aggregate import hash_aggregate
-
-    MAX_VOCAB = 65536
-    path = os.path.join(sf_dir, "documents.parquet")
-    ds = rd.read_parquet(path, columns=["doc_id", "text"])
 
     def term_counts(b: pd.DataFrame) -> pd.DataFrame:
         rows = {"term": [], "n": []}
@@ -480,8 +472,19 @@ def q_doc_encode(sf_dir: str):
         ds.map_batches(term_counts, batch_format="pandas"),
         keys=["term"], aggs={"n": "sum"}, n_partitions=8,
     ).to_pandas().sort_values(["n", "term"], ascending=[False, True])
-    vocab = {t: i for i, t in enumerate(counts["term"].head(MAX_VOCAB))}
-    vocab_ref = ray.put(vocab)
+    return {t: i for i, t in enumerate(counts["term"].head(max_vocab))}
+
+
+def q_doc_encode(sf_dir: str):
+    """Frequency-ranked vocabulary build + token-id encoding (the
+    tokenize-to-ids trainer-prep step): global term counts via the bounded
+    exchange, vocab id = rank by (count desc, term asc) capped at
+    max_vocab (OOV -> -1), vocab broadcast once via ray.put, then a
+    stateless encode map emits (doc_id, pos, token_id).  Two passes over
+    the text, one tiny broadcast, no shuffle of the token stream."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    vocab_ref = ray.put(_build_vocab(ds))
 
     def encode(b: pd.DataFrame, *, vocab_ref=vocab_ref) -> pd.DataFrame:
         v = ray.get(vocab_ref)
@@ -496,6 +499,57 @@ def q_doc_encode(sf_dir: str):
                           "token_id": "int64"})
 
     return ds.map_batches(encode, batch_format="pandas")
+
+
+def q_pipeline_tokenize(sf_dir: str):
+    """Tokenize-and-pack composite — the final pre-training artifact: every
+    token placed at its exact global position under the deterministic
+    shuffle order, sliced into fixed 1024-token bins (concat-and-chunk;
+    docs legitimately span bins).  Stages: vocab exchange (broadcast once)
+    -> distributed prefix-sum of token counts (stages/shuffle.py:
+    deterministic_pack) -> offsets exchange-joined back to the text ->
+    stateless emit of (doc_id, bin, pos_in_bin, token_id).  No sort, no
+    materialization; shuffle volume is the per-doc offset table."""
+    from ocr_ray.stages.join import exchange_join
+    from ocr_ray.stages.shuffle import deterministic_pack
+
+    BUDGET = 1024
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    vocab_ref = ray.put(_build_vocab(docs))
+
+    packed = deterministic_pack(docs, budget=BUDGET, n_buckets=64,
+                                n_partitions=8)
+
+    def offsets_only(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "start_offset": b["start_offset"].astype("int64")})
+
+    def docs_cast(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "text": b["text"]})
+
+    joined = exchange_join(
+        docs.map_batches(docs_cast, batch_format="pandas"),
+        packed.map_batches(offsets_only, batch_format="pandas"),
+        on="doc_id", n_partitions=8,
+    )
+
+    def emit(b: pd.DataFrame, *, vocab_ref=vocab_ref) -> pd.DataFrame:
+        v = ray.get(vocab_ref)
+        out = {"doc_id": [], "bin": [], "pos_in_bin": [], "token_id": []}
+        for d, t, off in zip(b["doc_id"], b["text"], b["start_offset"]):
+            for pos, tok in enumerate(t.split()):
+                g = int(off) + pos
+                out["doc_id"].append(int(d))
+                out["bin"].append(g // BUDGET)
+                out["pos_in_bin"].append(g % BUDGET)
+                out["token_id"].append(v.get(tok, -1))
+        return pd.DataFrame(out).astype(
+            {"doc_id": "int64", "bin": "int64", "pos_in_bin": "int64",
+             "token_id": "int64"})
+
+    return joined.map_batches(emit, batch_format="pandas")
 
 
 def q_pipeline_curation(sf_dir: str):
@@ -2630,6 +2684,7 @@ def queries() -> Dict[str, Callable]:
         "events_active_7d": q_events_active_7d,
         "corpus_pmi": q_corpus_pmi,
         "doc_encode": q_doc_encode,
+        "pipeline_tokenize": q_pipeline_tokenize,
         "parts_ordered": q_parts_ordered,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
@@ -2994,6 +3049,31 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        THEN round(CAST(len(pairs) - len(list_distinct(pairs)) AS DOUBLE) / len(pairs), 6)
        ELSE 0.0 END AS dup_ratio
 FROM p
+""",
+    # exclusive prefix sum of token counts under ORDER BY (shuffle_hash,
+    # doc_id) = deterministic_pack's start_offset; per-token global
+    # position then slices into 1024-token bins; same vocab as doc_encode
+    "pipeline_tokenize": r"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN trim(text) = '' THEN []
+       ELSE string_split_regex(trim(text), '\s+') END AS w FROM documents),
+m AS (SELECT doc_id, w, len(w) AS n_tok,
+  CAST((CAST(doc_id AS HUGEINT) * 2685821657736338717)
+       % 4611686018427387904 AS BIGINT) AS h
+ FROM t),
+o AS (SELECT doc_id, w,
+  CAST(coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+ FROM m),
+occ AS (SELECT doc_id, off + s.i - 1 AS gpos, w[s.i] AS term
+        FROM o, unnest(generate_series(1, len(w))) AS s(i)),
+vocab AS (SELECT term,
+                 row_number() OVER (ORDER BY count(*) DESC, term) - 1 AS tid
+          FROM (SELECT unnest(w) AS term FROM t) GROUP BY term)
+SELECT occ.doc_id, CAST(gpos // 1024 AS BIGINT) AS bin,
+  CAST(gpos % 1024 AS BIGINT) AS pos_in_bin,
+  CAST(CASE WHEN vocab.tid < 65536 THEN vocab.tid ELSE -1 END AS BIGINT) AS token_id
+FROM occ JOIN vocab USING (term)
 """,
     # vocab id = dense rank by (total count desc, term); positions via
     # generate_series over the whitespace token list (0-based)
