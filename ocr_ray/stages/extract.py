@@ -80,9 +80,10 @@ class Extractor:
         self.layout_variant = config.layout_variant
         self.emit_segments = emit_segments
         if with_clean:
-            from ocr_ray.functions.textops import CLEANUP_MODES
+            from ocr_ray.functions.textops import CLEANUP_COLUMN_MODES
 
-            self.clean: Callable[[str], str] | None = CLEANUP_MODES[config.cleanup_mode]
+            # column-level Arrow kernel, byte-identical to the scalar chain
+            self.clean: Callable | None = CLEANUP_COLUMN_MODES[config.cleanup_mode]
         else:
             self.clean = None
 
@@ -217,6 +218,6 @@ class Extractor:
             )
         if self.clean is not None:
             out_tbl = out_tbl.append_column(
-                "clean_text", pa.array([self.clean(t) for t in extracted], pa.string())
+                "clean_text", self.clean(out_tbl["extracted_text"])
             )
         return out_tbl
