@@ -19,7 +19,7 @@ class PipelineConfig:
     engines: tuple = ("tagstrip", "density", "domtree")
     cleanup_mode: str = "extracted"           # 'extracted' (src/utils.py) | 'preprocess' (text_utils)
     denoise: str = "standard"                 # 'standard' | 'heavy' (M7 NL-means analog)
-    layout_variant: str = "adaptive"          # 'adaptive' | 'fixed20'
+    layout_variant: str = "adaptive"          # 'adaptive' | 'fixed20' | 'lex10'
     payload_cap: int = 32768                  # chars per turn (resize/optimize analog, M6)
 
     # execution
