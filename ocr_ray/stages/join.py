@@ -53,35 +53,61 @@ def broadcast_join(
 from ocr_ray.stages.reassemble import nonempty_arrow_refs
 
 
-def launch_splits(src, by, n_partitions: int) -> List:
-    """Launch one split task per upstream block, STREAMING: when ``src`` is
+def launch_splits(
+    src, by, n_partitions: int, min_rows_per_split: int = 32768
+) -> List:
+    """Launch split tasks over upstream blocks, STREAMING: when ``src`` is
     a Dataset, blocks are consumed via ``iter_internal_ref_bundles()`` and
-    each split task is submitted as its block materializes — the exchange's
-    map side overlaps upstream compute instead of waiting behind a full
+    split tasks are submitted as blocks materialize — the exchange's map
+    side overlaps upstream compute instead of waiting behind a full
     ``materialize()`` barrier.  (Single-consumer inputs only; multi-consumer
     datasets should be materialized once by the caller.)  A list input is
-    treated as pre-made block refs."""
+    treated as pre-made block refs.
+
+    Consecutive small blocks are BUNDLED into one split task until
+    ``min_rows_per_split`` accumulates: datasets arriving in hundreds of
+    tiny blocks (small benchmark inputs; high read parallelism over small
+    files) would otherwise launch a task per block and ship
+    blocks x n_partitions near-empty objects per round — measured as the
+    dominant cost of the dedup exchanges at sf0.1.  At production block
+    sizes (>=tens of MB) a single block crosses the threshold and bundling
+    degenerates to one task per block, so the streaming/backpressure shape
+    at scale is unchanged."""
     if isinstance(src, list):
+        # pre-made refs come from prior exchange rounds: already few and
+        # partition-sized, no bundling needed
         return [
-            _split_by_key.options(num_returns=n_partitions).remote(r, by, n_partitions)
+            _split_blocks.options(num_returns=n_partitions).remote(by, n_partitions, r)
             for r in src
         ]
     splits: List = []
     last = None
+    pending: List = []
+    pending_rows = 0
     for bundle in src.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             last = ref
             if meta.num_rows:
-                splits.append(
-                    _split_by_key.options(num_returns=n_partitions).remote(
-                        ref, by, n_partitions
+                pending.append(ref)
+                pending_rows += meta.num_rows
+                if pending_rows >= min_rows_per_split:
+                    splits.append(
+                        _split_blocks.options(num_returns=n_partitions).remote(
+                            by, n_partitions, *pending
+                        )
                     )
-                )
+                    pending, pending_rows = [], 0
+    if pending:
+        splits.append(
+            _split_blocks.options(num_returns=n_partitions).remote(
+                by, n_partitions, *pending
+            )
+        )
     if not splits and last is not None:
         # all-empty input: keep one (empty) split so downstream merge tasks
         # see a schema-bearing piece
         splits.append(
-            _split_by_key.options(num_returns=n_partitions).remote(last, by, n_partitions)
+            _split_blocks.options(num_returns=n_partitions).remote(by, n_partitions, last)
         )
     return splits
 
@@ -140,20 +166,31 @@ def _canon_key(col: pd.Series) -> pd.Series:
     return col
 
 
+def _as_clean_table(t):
+    """Block -> metadata-free Arrow table (internal refs may hold pandas
+    blocks whose schema metadata records dtype reprs the reverse
+    conversion can't parse, e.g. "numpy.ndarray(shape=...)")."""
+    import pyarrow as pa
+
+    if isinstance(t, pd.DataFrame):
+        return pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
+    return t.replace_schema_metadata(None)
+
+
 @ray.remote(num_cpus=0)
-def _split_by_key(t, by, n_partitions: int):
-    """Split one block into per-partition sub-tables by key hash.
-    ``by``: one column name or a list (multi-column keys hash as the sum of
-    per-column hashes — both sides of an exchange must use the same form)."""
+def _split_blocks(by, n_partitions: int, *parts):
+    """Split one or more bundled blocks into per-partition sub-tables by
+    key hash.  ``by``: one column name or a list (multi-column keys hash as
+    the sum of per-column hashes — both sides of an exchange must use the
+    same form)."""
     import pyarrow as pa
 
     from ocr_ray.stages.reassemble import _split_table
 
-    if isinstance(t, pd.DataFrame):  # internal refs may hold pandas blocks
-        # drop the pandas schema metadata: object columns of numpy arrays
-        # (e.g. embeddings) record a dtype string the reverse conversion
-        # can't parse ("numpy.ndarray(shape=...)" ValueError)
-        t = pa.Table.from_pandas(t, preserve_index=False).replace_schema_metadata(None)
+    tables = [_as_clean_table(p) for p in parts]
+    t = tables[0] if len(tables) == 1 else pa.concat_tables(
+        tables, promote_options="default"
+    )
     cols = [by] if isinstance(by, str) else list(by)
     if t.num_rows == 0:
         # Ray Data can pass a zero-row input block through a map_batches
