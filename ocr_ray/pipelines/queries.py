@@ -2378,6 +2378,27 @@ def q_parts_ordered(sf_dir: str):
                          n_partitions=16, how="semi")
 
 
+def q_orders_line_gaps(sf_dir: str):
+    """Per-key sequence-integrity validation (stages/validate.py:
+    sequence_validation) — the transcript turn_idx gap/duplicate detector
+    grafted onto lineitem line numbers (conv_id -> l_orderkey, turn_idx ->
+    l_linenumber, 1-based).  Per-batch pair-dedup partial, one bounded hash
+    exchange of the distinct-pair table, per-partition vectorized stats —
+    raw rows never shuffle."""
+    from ocr_ray.stages.validate import sequence_validation
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber"],
+    ).map_batches(
+        lambda b: b.astype({"l_orderkey": "int64", "l_linenumber": "int64"}),
+        batch_format="pandas",
+    )
+    return sequence_validation(
+        li, key_col="l_orderkey", idx_col="l_linenumber", base=1, n_partitions=16
+    )
+
+
 def q_supplier_regions(sf_dir: str):
     """Multi-way broadcast join: supplier -> nation -> region (both
     dimensions tiny, shipped once via ray.put) + account-balance aggregate
@@ -2686,6 +2707,7 @@ def queries() -> Dict[str, Callable]:
         "doc_encode": q_doc_encode,
         "pipeline_tokenize": q_pipeline_tokenize,
         "parts_ordered": q_parts_ordered,
+        "orders_line_gaps": q_orders_line_gaps,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -4403,6 +4425,19 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
 SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
 FROM part p
 WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+""",
+    # sequence integrity per order: 1-based contiguity of line numbers
+    "orders_line_gaps": """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+       CAST(min(l_linenumber) AS BIGINT) AS min_idx,
+       CAST(max(l_linenumber) AS BIGINT) AS max_idx,
+       (count(*) > count(DISTINCT l_linenumber)) AS has_dups,
+       (min(l_linenumber) = 1
+        AND max(l_linenumber) - min(l_linenumber) + 1 = count(DISTINCT l_linenumber)
+        AND count(*) = count(DISTINCT l_linenumber)) AS is_contiguous
+FROM lineitem GROUP BY 1
 """,
     # window END day d counts users active in [d-6, d]: expand each user's
     # distinct active days to day+0..6, dedup per user, count per day

@@ -1,0 +1,68 @@
+"""Per-key sequence validation — the transcript turn-index integrity check.
+
+The north rule's reassembly contract ("stable turn ordering") assumes every
+conversation's ``turn_idx`` sequence is sane.  At ingest that assumption is
+exactly what breaks first: upstream collectors drop turns (gaps), replay
+turns (duplicates), or emit 1-based vs 0-based indices.  This stage scores
+each key's index sequence without shuffling raw rows: per-batch partial
+dedup of (key, idx) pairs with counts, one hash exchange on the key, then a
+per-partition vectorized groupby — the same bounded two-phase shape as the
+distinct-count aggregate (join.exchange_map_partitions).
+
+Reference analog: the page-ordering invariant of the PDF path
+(``src/ocr_module.py:195-210`` assembles pages in index order and the result
+silently corrupts when pages are missing); here the check is explicit and
+emitted as a table a curation run can filter on.
+
+Output: one row per key —
+    key, n_rows, n_distinct, min_idx, max_idx,
+    has_dups   (n_rows > n_distinct),
+    is_contiguous (min==base and max-min+1==n_distinct and no dups)
+with ``base`` the expected first index (1 for lineitem line numbers,
+0 for transcript turn_idx).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data as rd
+
+
+def sequence_validation(
+    ds: "rd.Dataset",
+    key_col: str,
+    idx_col: str,
+    base: int = 0,
+    n_partitions: int = 16,
+) -> "rd.Dataset":
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[key_col, idx_col]].assign(n=1)
+        return b.groupby([key_col, idx_col], as_index=False)["n"].sum()
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        # same (key, idx) pair arrives once per source batch — collapse to
+        # one row per pair before the per-key stats so n_distinct is exact
+        g = g.groupby([key_col, idx_col], as_index=False)["n"].sum()
+        out = g.groupby(key_col).agg(
+            n_rows=("n", "sum"),
+            n_distinct=(idx_col, "size"),
+            min_idx=(idx_col, "min"),
+            max_idx=(idx_col, "max"),
+        ).reset_index()
+        for c in ("n_rows", "n_distinct", "min_idx", "max_idx"):
+            out[c] = out[c].astype("int64")
+        out["has_dups"] = out["n_rows"] > out["n_distinct"]
+        out["is_contiguous"] = (
+            (out["min_idx"] == base)
+            & (out["max_idx"] - out["min_idx"] + 1 == out["n_distinct"])
+            & ~out["has_dups"]
+        )
+        return out
+
+    return exchange_map_partitions(
+        ds.map_batches(partial, batch_format="pandas"),
+        [key_col], combine, n_partitions=n_partitions,
+    )

@@ -231,3 +231,35 @@ def test_config_file_surface(ray_session, tmp_path):
         assert False, "expected KeyError"
     except KeyError:
         pass
+
+
+def test_run_job_cli_smoke(tmp_path):
+    """``python -m ocr_ray.run_job`` end-to-end in a fresh process (the
+    ``ray job submit`` entry path): runs the job twice against the same
+    output dir and asserts the second run resumes (zero recomputed groups),
+    with metrics JSON on stdout both times."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    from ocr_ray.sources.transcripts import generate_transcripts
+
+    in_dir = generate_transcripts(str(tmp_path / "gen"), n_convs=40,
+                                  n_shards=4, with_oracle=False)
+    out_dir = str(tmp_path / "out")
+    cmd = [_sys.executable, "-m", "ocr_ray.run_job",
+           "--input", str(tmp_path / "gen" / "transcripts"),
+           "--output", out_dir,
+           "--concurrency", "2", "--batch-size", "256"]
+    env = {**__import__("os").environ, "RAY_ADDRESS": ""}
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    m1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+    assert m1["groups_total"] >= 1 and m1["rows_processed"] > 0
+    assert m1["groups_skipped"] == []
+
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    m2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+    assert len(m2["groups_skipped"]) == m1["groups_total"]
+    assert m2["rows_processed"] == 0

@@ -1198,3 +1198,34 @@ def test_exchange_semi_anti_join(ray_session):
     empty = exchange_join(left, nothing, on="k", n_partitions=4, how="semi")
     assert empty.count() == 0
     assert set(empty.schema().names) == {"k", "v"}
+
+
+def test_sequence_validation_gaps_and_dups(ray_session):
+    """Turn-index integrity: contiguous, gapped, duplicated, and
+    wrong-base sequences are each flagged correctly, and batch boundaries
+    (same key split across blocks) don't break the distinct counting."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.validate import sequence_validation
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["A"] * 5 + ["B"] * 4 + ["C"] * 4 + ["D"] * 3,
+            "turn_idx": [0, 1, 2, 3, 4,    # A contiguous from 0
+                         0, 1, 3, 4,       # B gap at 2
+                         0, 1, 1, 2,       # C duplicate idx 1
+                         1, 2, 3],         # D starts at 1 (wrong base)
+        }
+    )
+    # two single-conv blocks plus a split of A across blocks
+    ds = rd.from_pandas([rows.iloc[:3], rows.iloc[3:9], rows.iloc[9:]])
+    out = (
+        sequence_validation(ds, "conv_id", "turn_idx", base=0, n_partitions=4)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert list(out["conv_id"]) == ["A", "B", "C", "D"]
+    assert list(out["n_rows"]) == [5, 4, 4, 3]
+    assert list(out["n_distinct"]) == [5, 4, 3, 3]
+    assert list(out["has_dups"]) == [False, False, True, False]
+    assert list(out["is_contiguous"]) == [True, False, False, False]
