@@ -88,6 +88,7 @@ def preprocess_column(arr):
     """Vectorized :func:`preprocess_text` over a pyarrow string array."""
     import pyarrow.compute as pc
 
+    arr = pc.fill_null(arr, "")  # scalar chain maps None -> "" (the guard)
     ws = pc.replace_substring_regex(arr, pattern=_PY_WS_CLASS, replacement=" ")
     kept = pc.replace_substring_regex(ws, pattern=r"[^\x00-\x7F]+", replacement="")
     return pc.utf8_trim_whitespace(kept)
@@ -97,6 +98,7 @@ def clean_extracted_column(arr):
     """Vectorized :func:`clean_extracted_text` over a pyarrow string array."""
     import pyarrow.compute as pc
 
+    arr = pc.fill_null(arr, "")  # scalar chain maps None -> "" (the guard)
     ws = pc.replace_substring_regex(arr, pattern=_PY_WS_CLASS, replacement=" ")
     kept = pc.replace_substring_regex(ws, pattern=r"[^\x20-\x7E\n\t]", replacement="")
     return pc.utf8_trim_whitespace(kept)

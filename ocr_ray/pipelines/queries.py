@@ -4426,16 +4426,20 @@ SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand
 FROM part p
 WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
 """,
-    # sequence integrity per order: 1-based contiguity of line numbers
+    # sequence integrity per order: 1-based contiguity of line numbers;
+    # null indices count in n_rows/n_null_idx only (SQL aggregate-null
+    # semantics, mirrored exactly by stages/validate.py)
     "orders_line_gaps": """
 SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(l_linenumber) AS BIGINT) AS n_null_idx,
        CAST(min(l_linenumber) AS BIGINT) AS min_idx,
        CAST(max(l_linenumber) AS BIGINT) AS max_idx,
        (count(*) > count(DISTINCT l_linenumber)) AS has_dups,
-       (min(l_linenumber) = 1
-        AND max(l_linenumber) - min(l_linenumber) + 1 = count(DISTINCT l_linenumber)
+       (coalesce(min(l_linenumber) = 1, FALSE)
+        AND coalesce(max(l_linenumber) - min(l_linenumber) + 1
+                     = count(DISTINCT l_linenumber), FALSE)
         AND count(*) = count(DISTINCT l_linenumber)) AS is_contiguous
 FROM lineitem GROUP BY 1
 """,

@@ -3,11 +3,12 @@
 The north rule's reassembly contract ("stable turn ordering") assumes every
 conversation's ``turn_idx`` sequence is sane.  At ingest that assumption is
 exactly what breaks first: upstream collectors drop turns (gaps), replay
-turns (duplicates), or emit 1-based vs 0-based indices.  This stage scores
-each key's index sequence without shuffling raw rows: per-batch partial
-dedup of (key, idx) pairs with counts, one hash exchange on the key, then a
-per-partition vectorized groupby — the same bounded two-phase shape as the
-distinct-count aggregate (join.exchange_map_partitions).
+turns (duplicates), emit null indices, or emit 1-based vs 0-based indices.
+This stage scores each key's index sequence without shuffling raw rows:
+per-batch partial dedup of (key, idx) pairs with counts, one hash exchange
+on the key, then a per-partition vectorized groupby — the same bounded
+two-phase shape as the distinct-count aggregate
+(join.exchange_map_partitions).
 
 Reference analog: the page-ordering invariant of the PDF path
 (``src/ocr_module.py:195-210`` assembles pages in index order and the result
@@ -15,11 +16,17 @@ silently corrupts when pages are missing); here the check is explicit and
 emitted as a table a curation run can filter on.
 
 Output: one row per key —
-    key, n_rows, n_distinct, min_idx, max_idx,
-    has_dups   (n_rows > n_distinct),
-    is_contiguous (min==base and max-min+1==n_distinct and no dups)
+    key, n_rows, n_distinct, n_null_idx, min_idx, max_idx,
+    has_dups      (n_rows > n_distinct — true for real duplicates AND for
+                   null indices, both corruptions; SQL count(*) vs
+                   count(DISTINCT idx) semantics),
+    is_contiguous (min==base and max-min+1==n_distinct and
+                   n_rows==n_distinct)
 with ``base`` the expected first index (1 for lineitem line numbers,
-0 for transcript turn_idx).
+0 for transcript turn_idx).  Null-index rows count in ``n_rows`` and
+``n_null_idx`` but are excluded from ``n_distinct``/``min_idx``/``max_idx``
+(SQL aggregate-over-null semantics); a key whose indices are ALL null gets
+null ``min_idx``/``max_idx``.  Null keys group together, as in SQL.
 """
 
 from __future__ import annotations
@@ -40,25 +47,33 @@ def sequence_validation(
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[[key_col, idx_col]].assign(n=1)
-        return b.groupby([key_col, idx_col], as_index=False)["n"].sum()
+        return b.groupby([key_col, idx_col], as_index=False, dropna=False)["n"].sum()
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         # same (key, idx) pair arrives once per source batch — collapse to
         # one row per pair before the per-key stats so n_distinct is exact
-        g = g.groupby([key_col, idx_col], as_index=False)["n"].sum()
-        out = g.groupby(key_col).agg(
-            n_rows=("n", "sum"),
+        g = g.groupby([key_col, idx_col], as_index=False, dropna=False)["n"].sum()
+        null_idx = g[idx_col].isna()
+        totals = g.assign(_null_n=g["n"].where(null_idx, 0)).groupby(
+            key_col, dropna=False
+        ).agg(n_rows=("n", "sum"), n_null_idx=("_null_n", "sum")).reset_index()
+        stats = g[~null_idx].groupby(key_col, dropna=False).agg(
             n_distinct=(idx_col, "size"),
             min_idx=(idx_col, "min"),
             max_idx=(idx_col, "max"),
         ).reset_index()
-        for c in ("n_rows", "n_distinct", "min_idx", "max_idx"):
+        out = totals.merge(stats, on=key_col, how="left")
+        out["n_distinct"] = out["n_distinct"].fillna(0)
+        for c in ("n_rows", "n_null_idx", "n_distinct"):
             out[c] = out[c].astype("int64")
+        for c in ("min_idx", "max_idx"):  # null when every idx was null
+            out[c] = out[c].astype("Int64")
         out["has_dups"] = out["n_rows"] > out["n_distinct"]
         out["is_contiguous"] = (
-            (out["min_idx"] == base)
+            (out["min_idx"] == base).fillna(False).astype(bool)
             & (out["max_idx"] - out["min_idx"] + 1 == out["n_distinct"])
-            & ~out["has_dups"]
+            .fillna(False).astype(bool)
+            & (out["n_rows"] == out["n_distinct"])
         )
         return out
 

@@ -1211,11 +1211,15 @@ def test_sequence_validation_gaps_and_dups(ray_session):
 
     rows = pd.DataFrame(
         {
-            "conv_id": ["A"] * 5 + ["B"] * 4 + ["C"] * 4 + ["D"] * 3,
-            "turn_idx": [0, 1, 2, 3, 4,    # A contiguous from 0
-                         0, 1, 3, 4,       # B gap at 2
-                         0, 1, 1, 2,       # C duplicate idx 1
-                         1, 2, 3],         # D starts at 1 (wrong base)
+            "conv_id": ["A"] * 5 + ["B"] * 4 + ["C"] * 4 + ["D"] * 3 + ["E"] * 3,
+            "turn_idx": pd.array(
+                [0, 1, 2, 3, 4,    # A contiguous from 0
+                 0, 1, 3, 4,       # B gap at 2
+                 0, 1, 1, 2,       # C duplicate idx 1
+                 1, 2, 3,          # D starts at 1 (wrong base)
+                 0, None, 1],      # E null turn_idx (collector corruption)
+                dtype="Int64",
+            ),
         }
     )
     # two single-conv blocks plus a split of A across blocks
@@ -1224,8 +1228,9 @@ def test_sequence_validation_gaps_and_dups(ray_session):
         sequence_validation(ds, "conv_id", "turn_idx", base=0, n_partitions=4)
         .to_pandas().sort_values("conv_id").reset_index(drop=True)
     )
-    assert list(out["conv_id"]) == ["A", "B", "C", "D"]
-    assert list(out["n_rows"]) == [5, 4, 4, 3]
-    assert list(out["n_distinct"]) == [5, 4, 3, 3]
-    assert list(out["has_dups"]) == [False, False, True, False]
-    assert list(out["is_contiguous"]) == [True, False, False, False]
+    assert list(out["conv_id"]) == ["A", "B", "C", "D", "E"]
+    assert list(out["n_rows"]) == [5, 4, 4, 3, 3]
+    assert list(out["n_distinct"]) == [5, 4, 3, 3, 2]
+    assert list(out["n_null_idx"]) == [0, 0, 0, 0, 1]
+    assert list(out["has_dups"]) == [False, False, True, False, True]
+    assert list(out["is_contiguous"]) == [True, False, False, False, False]

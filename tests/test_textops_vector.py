@@ -78,3 +78,11 @@ def test_vector_edge_cases():
     assert clean_extracted_column(arr).to_pylist() == [
         clean_extracted_text(t) for t in cases
     ]
+
+
+def test_vector_null_maps_to_empty():
+    """Scalar chains guard None -> ""; the column kernels fill nulls the
+    same way instead of propagating them."""
+    arr = pa.array(["a", None, " x "], pa.string())
+    assert preprocess_column(arr).to_pylist() == ["a", "", "x"]
+    assert clean_extracted_column(arr).to_pylist() == ["a", "", "x"]
