@@ -2440,6 +2440,348 @@ def q_supplier_regions(sf_dir: str):
     return out
 
 
+def q_orders_cust_totals(sf_dir: str):
+    """LEFT OUTER join after a partial aggregate: per-customer order count
+    and integer-cents revenue, customers with no orders kept with zeros.
+    Scale shape: orders are combined per batch then hash-aggregated on
+    o_custkey (bounded partitions), and only that REDUCED table meets the
+    customer table in the left exchange join (join.py:exchange_join
+    how='left') — the fact table itself never joins row-for-row."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(lambda b: b.astype({"c_custkey": "int64"}),
+                  batch_format="pandas")
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "n_orders": 1,
+                "total_cents": np.floor(
+                    b["o_totalprice"] * 100 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(to_cents, batch_format="pandas")
+    agg = hash_aggregate(
+        orders, keys=["o_custkey"],
+        aggs={"n_orders": "sum", "total_cents": "sum"},
+    )
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": b["n_orders"].fillna(0).astype("int64"),
+                "total_cents": b["total_cents"].fillna(0).astype("int64"),
+            }
+        )
+
+    return exchange_join(
+        cust, agg, on="c_custkey", right_on="o_custkey",
+        n_partitions=16, how="left",
+    ).map_batches(fill, batch_format="pandas")
+
+
+def q_events_gaps(sf_dir: str):
+    """Per-key LAG/LEAD analog without a window shuffle: per-user
+    inter-event gap statistics (n_events, time span, max gap — all exact
+    int64 microseconds).  One hash exchange on user_id, then a single
+    vectorized sort-diff per partition covering every key in it
+    (join.py:exchange_map_partitions); sum/max of sorted-timestamp diffs
+    are order-invariant under ties, so no tiebreak column is needed."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype="int64"),
+                 "n_events": pd.Series([], dtype="int64"),
+                 "span_us": pd.Series([], dtype="int64"),
+                 "max_gap_us": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["user_id", "ts"])
+        us = g["ts"].astype("int64").to_numpy()  # epoch micros
+        uid = g["user_id"].to_numpy(dtype="int64")
+        d = np.diff(us)
+        same = uid[1:] == uid[:-1]  # mask cross-user diffs
+        dd = np.where(same, d, 0)
+        first = np.r_[True, ~same]
+        gid = np.cumsum(first) - 1
+        n_users = int(first.sum())
+        n_events = np.bincount(gid, minlength=n_users)
+        span = np.zeros(n_users, dtype="int64")
+        mx = np.zeros(n_users, dtype="int64")
+        np.add.at(span, gid[1:][same], dd[same])
+        np.maximum.at(mx, gid[1:][same], dd[same])
+        return pd.DataFrame(
+            {
+                "user_id": uid[first],
+                "n_events": n_events.astype("int64"),
+                "span_us": span,
+                "max_gap_us": mx,
+            }
+        )
+
+    return exchange_map_partitions(ds, "user_id", gaps, n_partitions=32)
+
+
+def q_events_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP over (event_type, day): one streaming
+    combiner pass computes the FINEST granularity (hash_aggregate — the
+    only pass that touches raw rows); the coarser levels re-aggregate that
+    bounded |types|x|days| table, so the rollup costs one scan regardless
+    of how many levels it emits.  Rolled-up dimensions carry the 'ALL'
+    sentinel (strings both sides — no null-vs-sentinel ambiguity)."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "day": b["ts"].dt.floor("D").dt.strftime("%Y-%m-%d"),
+                "n_events": 1,
+                "value_cents": np.floor(b["value"] * 100 + 0.5).astype("int64"),
+            }
+        )
+
+    fine = hash_aggregate(
+        ds.map_batches(prep, batch_format="pandas"),
+        keys=["event_type", "day"],
+        aggs={"n_events": "sum", "value_cents": "sum"},
+    ).to_pandas()  # bounded: |event types| x |days|
+    by_type = fine.groupby("event_type", as_index=False)[
+        ["n_events", "value_cents"]
+    ].sum()
+    by_type["day"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "event_type": ["ALL"],
+            "day": ["ALL"],
+            "n_events": [fine["n_events"].sum()],
+            "value_cents": [fine["value_cents"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_type, total], ignore_index=True)[
+        ["event_type", "day", "n_events", "value_cents"]
+    ]
+    out["n_events"] = out["n_events"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT: daily event counts spread into one column per event type
+    (the wide activity report).  The one-hot indicators are emitted inside
+    the combiner map, so the pivot rides the same single-pass partial ->
+    hash-exchange aggregate as any narrow groupby — no crosstab shuffle,
+    and the output width is fixed by the (bounded, known) type vocabulary."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def onehot(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"day": b["ts"].dt.floor("D").dt.strftime("%Y-%m-%d")}
+        for t in types:
+            out[f"n_{t}"] = (b["event_type"] == t).astype("int64")
+        out["n_total"] = np.ones(len(b), dtype="int64")
+        return pd.DataFrame(out)
+
+    aggs = {f"n_{t}": "sum" for t in types}
+    aggs["n_total"] = "sum"
+    out = hash_aggregate(
+        ds.map_batches(onehot, batch_format="pandas"), keys=["day"], aggs=aggs
+    ).to_pandas()
+    for c in out.columns:
+        if c != "day":
+            out[c] = out[c].astype("int64")
+    return out
+
+
+def q_embed_gram(sf_dir: str):
+    """Distributed Gram matrix X^T X over the int8-quantized embedding
+    table — the covariance/whitening building block computed as a
+    per-batch partial outer-product accumulation (D x D int64 per batch,
+    D=64) summed through the bounded hash exchange; upper triangle only.
+    Raw vectors never shuffle — each batch contributes one 4k-cell
+    partial, so the exchange traffic is O(batches x D^2), independent of
+    N.  Integer codes (similarity.py:quantize_int8) make every cell exact,
+    so the oracle value-checks all 2080 sums."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.similarity import quantize_int8
+
+    dim = 64
+    iu, ju = np.triu_indices(dim)
+
+    def partial_gram(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        codes, _ = quantize_int8(m)
+        g = codes.T @ codes  # int64 (D, D)
+        return pd.DataFrame(
+            {"i": iu.astype("int64"), "j": ju.astype("int64"), "g": g[iu, ju]}
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    out = hash_aggregate(
+        ds.map_batches(partial_gram, batch_format="pandas"),
+        keys=["i", "j"], aggs={"g": "sum"}, n_partitions=8,
+    ).to_pandas()
+    out["g"] = out["g"].astype("int64")
+    return out
+
+
+def q_io_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink round-trip (S5 writer + trainer-ingest reader):
+    export the documents table as sharded JSONL (api.export_jsonl — one
+    shard per block, resumable per partition), read it back with
+    ray.data.read_json, and aggregate per-language doc count + char sum
+    through the streaming hash aggregate.  The oracle aggregates the
+    original parquet directly, so the check proves the round-trip is
+    lossless for every row that feeds the aggregate."""
+    import shutil
+    import tempfile
+
+    from ocr_ray.api import export_jsonl
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    tmp = tempfile.mkdtemp(prefix="ocr_ray_jsonl_")
+    try:
+        export_jsonl(ds, tmp)
+        back = rd.read_json(tmp)
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "lang": b["lang"],
+                    "n_docs": 1,
+                    "sum_chars": b["n_chars"].astype("int64"),
+                }
+            )
+
+        out = hash_aggregate(
+            back.map_batches(prep, batch_format="pandas"),
+            keys=["lang"], aggs={"n_docs": "sum", "sum_chars": "sum"},
+            n_partitions=4,
+        ).to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
+# Tokens feeding BPE training: ASCII-only so Python re and DuckDB RE2
+# agree on \b word boundaries in the merge-application regex.
+_BPE_TOKEN = re.compile(r"[a-z0-9]+")
+BPE_MERGES = 3
+
+
+def q_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (the merge-table learner of a
+    GPT-style tokenizer) — 3 merge rounds over the corpus word vocabulary.
+
+    Scale shape: the corpus is scanned ONCE to build the weighted word
+    vocabulary (token explode -> hash_aggregate; bounded by |vocab|, not
+    corpus size).  Each round then (a) explodes adjacent symbol pairs per
+    distinct word weighted by word count (map_batches partial sums), (b)
+    hash-aggregates pair counts (bounded: <= |symbol alphabet|^2 rows),
+    (c) takes the global argmax (count desc, pair asc — deterministic
+    ties) from that tiny aggregated table, and (d) applies the merge to
+    the distributed vocab via a compiled \\b-anchored regex (left-to-right
+    non-overlapping — exactly re.sub/RE2 semantics, which is what makes
+    the chained-CTE DuckDB oracle value-exact).  Returns the merge table
+    (step, left_s, right_s, cnt)."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def tokenize(b: pd.DataFrame) -> pd.DataFrame:
+        words = [w for t in b["text"] for w in _BPE_TOKEN.findall(t.lower())]
+        return pd.DataFrame(
+            {"word": pd.Series(words, dtype="string"),
+             "cnt": np.ones(len(words), dtype="int64")}
+        )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    vocab = hash_aggregate(
+        docs.map_batches(tokenize, batch_format="pandas"),
+        keys=["word"], aggs={"cnt": "sum"}, n_partitions=16,
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {"sym": [" ".join(w) for w in b["word"]], "cnt": b["cnt"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ls, rs, cs = [], [], []
+        for sym, cnt in zip(b["sym"], b["cnt"]):
+            parts = sym.split(" ")
+            for a, z in zip(parts[:-1], parts[1:]):
+                ls.append(a)
+                rs.append(z)
+                cs.append(cnt)
+        return pd.DataFrame(
+            {"left_s": pd.Series(ls, dtype="string"),
+             "right_s": pd.Series(rs, dtype="string"),
+             "cnt": np.asarray(cs, dtype="int64")}
+        )
+
+    merges = []
+    for step in range(1, BPE_MERGES + 1):
+        pairs = hash_aggregate(
+            vocab.map_batches(pair_partial, batch_format="pandas"),
+            keys=["left_s", "right_s"], aggs={"cnt": "sum"}, n_partitions=8,
+        ).to_pandas()  # bounded: symbol-alphabet^2, a few hundred rows
+        if not len(pairs):
+            break
+        pairs = pairs.sort_values(
+            ["cnt", "left_s", "right_s"], ascending=[False, True, True]
+        )
+        top = pairs.iloc[0]
+        l, r, cnt = str(top["left_s"]), str(top["right_s"]), int(top["cnt"])
+        merges.append((step, l, r, cnt))
+        pat = re.compile(rf"\b{re.escape(l)} {re.escape(r)}\b")
+        rep = l + r
+
+        def apply_merge(b: pd.DataFrame, pat=pat, rep=rep) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"sym": [pat.sub(rep, s) for s in b["sym"]], "cnt": b["cnt"]}
+            )
+
+        vocab = vocab.map_batches(apply_merge, batch_format="pandas")
+
+    return pd.DataFrame(
+        merges, columns=["step", "left_s", "right_s", "cnt"]
+    ).astype({"step": "int64", "cnt": "int64"})
+
+
 # ================================================================ rag
 RAG_QUERY = "data pipeline value"
 
@@ -2708,6 +3050,13 @@ def queries() -> Dict[str, Callable]:
         "pipeline_tokenize": q_pipeline_tokenize,
         "parts_ordered": q_parts_ordered,
         "orders_line_gaps": q_orders_line_gaps,
+        "orders_cust_totals": q_orders_cust_totals,
+        "events_gaps": q_events_gaps,
+        "events_rollup": q_events_rollup,
+        "events_pivot": q_events_pivot,
+        "embed_gram": q_embed_gram,
+        "io_jsonl_roundtrip": q_io_jsonl_roundtrip,
+        "bpe_train": q_bpe_train,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -4590,5 +4939,107 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
   CAST(1 + sum(CASE WHEN prev IS NOT NULL AND ts - prev > INTERVAL 30 MINUTE
                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM d GROUP BY user_id
+""",
+    "orders_cust_totals": """
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_mktsegment,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(o.total_cents, 0) AS BIGINT) AS total_cents
+FROM customer c LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+  FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey
+""",
+    # sum/max of consecutive sorted-ts diffs; ties in ts are harmless
+    # (the diff multiset of a sorted multiset is order-invariant)
+    "events_gaps": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+d AS (SELECT user_id,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS g
+      FROM e)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(g), 0) AS BIGINT) AS span_us,
+       CAST(coalesce(max(g), 0) AS BIGINT) AS max_gap_us
+FROM d GROUP BY 1
+""",
+    "events_rollup": """
+WITH b AS (SELECT event_type,
+                  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM b GROUP BY ROLLUP (event_type, day)
+""",
+    "events_pivot": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+  CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY 1
+""",
+    # Gram matrix over the same quantization CTE as embed_quantize:
+    # every upper-triangle cell is an exact BIGINT sum of code products
+    "embed_gram": r"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+m AS (SELECT vec_id, x,
+             list_max(list_transform(x, v -> abs(v))) AS mx FROM e),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+q AS (SELECT m.vec_id, CAST(dims.i - 1 AS BIGINT) AS i,
+  CASE WHEN m.mx = 0 THEN 0
+       ELSE CAST(floor(x[dims.i] * 127.0 / m.mx + 0.5) AS BIGINT) END AS q
+ FROM m, dims)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+""",
+    "io_jsonl_roundtrip": """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+""",
+    # BPE merge table, 3 chained rounds: pair counts are weighted sums
+    # over the distinct-word vocabulary; argmax ties break (cnt DESC,
+    # left ASC, right ASC); merge application is RE2 regexp_replace with
+    # \b anchors — identical non-overlapping left-to-right semantics to
+    # the engine's re.sub
+    "bpe_train": r"""
+WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+           FROM documents),
+v0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS sym,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM w GROUP BY word),
+p1 AS (SELECT a[i] AS left_s, a[i+1] AS right_s, CAST(sum(cnt) AS BIGINT) AS cnt
+       FROM (SELECT string_split(sym, ' ') AS a, cnt FROM v0) t,
+            (SELECT unnest(generate_series(1, len(a)-1)) AS i) g
+       GROUP BY 1, 2),
+t1 AS (SELECT * FROM p1 ORDER BY cnt DESC, left_s, right_s LIMIT 1),
+v1 AS (SELECT regexp_replace(v0.sym, '\b' || t1.left_s || ' ' || t1.right_s || '\b',
+                             t1.left_s || t1.right_s, 'g') AS sym, v0.cnt
+       FROM v0, t1),
+p2 AS (SELECT a[i] AS left_s, a[i+1] AS right_s, CAST(sum(cnt) AS BIGINT) AS cnt
+       FROM (SELECT string_split(sym, ' ') AS a, cnt FROM v1) t,
+            (SELECT unnest(generate_series(1, len(a)-1)) AS i) g
+       GROUP BY 1, 2),
+t2 AS (SELECT * FROM p2 ORDER BY cnt DESC, left_s, right_s LIMIT 1),
+v2 AS (SELECT regexp_replace(v1.sym, '\b' || t2.left_s || ' ' || t2.right_s || '\b',
+                             t2.left_s || t2.right_s, 'g') AS sym, v1.cnt
+       FROM v1, t2),
+p3 AS (SELECT a[i] AS left_s, a[i+1] AS right_s, CAST(sum(cnt) AS BIGINT) AS cnt
+       FROM (SELECT string_split(sym, ' ') AS a, cnt FROM v2) t,
+            (SELECT unnest(generate_series(1, len(a)-1)) AS i) g
+       GROUP BY 1, 2),
+t3 AS (SELECT * FROM p3 ORDER BY cnt DESC, left_s, right_s LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS step, left_s, right_s, cnt FROM t1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS step, left_s, right_s, cnt FROM t2
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS step, left_s, right_s, cnt FROM t3
 """,
 }

@@ -1,0 +1,98 @@
+"""Wave-4 operator semantics: left-outer join totals, LAG-gap stats,
+rollup consistency, BPE merge greediness.  (Value equality vs DuckDB is
+covered for all of these by test_all_queries_match_oracles; these tests
+pin the semantic invariants that the oracle can't express.)"""
+
+import re
+import sys
+from pathlib import Path
+
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_left_outer_keeps_every_customer(ray_session):
+    from ocr_ray.pipelines.queries import q_orders_cust_totals
+
+    out = q_orders_cust_totals(SF).to_pandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    assert len(out) == len(cust)
+    assert set(out["c_custkey"]) == set(cust["c_custkey"].astype("int64"))
+    # no-order customers surface with exact zeros, not nulls
+    zero = out[out["n_orders"] == 0]
+    assert (zero["total_cents"] == 0).all()
+    assert not out["n_orders"].isna().any()
+
+
+def test_events_gaps_span_is_max_minus_min(ray_session):
+    """Sum of consecutive sorted diffs telescopes to max-min per user."""
+    from ocr_ray.pipelines.queries import q_events_gaps
+
+    out = q_events_gaps(SF).to_pandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["us"] = ev["ts"].astype("int64")
+    ref = ev.groupby("user_id")["us"].agg(["count", "min", "max"])
+    assert len(out) == len(ref)
+    for uid, row in ref.iterrows():
+        assert out.loc[uid, "n_events"] == row["count"]
+        assert out.loc[uid, "span_us"] == row["max"] - row["min"]
+        assert out.loc[uid, "max_gap_us"] <= out.loc[uid, "span_us"]
+
+
+def test_rollup_levels_are_consistent(ray_session):
+    from ocr_ray.pipelines.queries import q_events_rollup
+
+    out = q_events_rollup(SF)
+    fine = out[(out["event_type"] != "ALL") & (out["day"] != "ALL")]
+    per_type = out[(out["event_type"] != "ALL") & (out["day"] == "ALL")]
+    total = out[(out["event_type"] == "ALL") & (out["day"] == "ALL")]
+    assert len(total) == 1
+    assert fine["n_events"].sum() == total["n_events"].iloc[0]
+    assert per_type["n_events"].sum() == total["n_events"].iloc[0]
+    ft = fine.groupby("event_type")["value_cents"].sum()
+    pt = per_type.set_index("event_type")["value_cents"]
+    assert ft.sort_index().equals(pt.sort_index())
+
+
+def test_pivot_row_sums(ray_session):
+    from ocr_ray.pipelines.queries import q_events_pivot
+
+    out = q_events_pivot(SF)
+    parts = out[[c for c in out.columns if c.startswith("n_") and c != "n_total"]]
+    assert (parts.sum(axis=1) == out["n_total"]).all()
+
+
+def test_bpe_merge_is_greedy_left_to_right():
+    """The \\b-anchored re.sub merge must equal the classic token-walk
+    greedy merge, including self-overlapping pairs ('a a a' -> 'aa a')."""
+    def walk_merge(parts, l, r):
+        out, i = [], 0
+        while i < len(parts):
+            if i + 1 < len(parts) and parts[i] == l and parts[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        return out
+
+    cases = [("a a a", "a", "a"), ("a b a b", "a", "b"),
+             ("x a b a b y", "a", "b"), ("aa a aa", "aa", "a"),
+             ("b a a b", "a", "a")]
+    for sym, l, r in cases:
+        pat = re.compile(rf"\b{re.escape(l)} {re.escape(r)}\b")
+        got = pat.sub(l + r, sym).split(" ")
+        assert got == walk_merge(sym.split(" "), l, r), (sym, l, r)
+
+
+def test_bpe_train_merges_are_distinct_and_counted(ray_session):
+    from ocr_ray.pipelines.queries import q_bpe_train
+
+    out = q_bpe_train(SF)
+    assert list(out["step"]) == [1, 2, 3]
+    assert (out["cnt"] > 0).all()
+    pairs = list(zip(out["left_s"], out["right_s"]))
+    assert len(set(pairs)) == 3  # a merged pair can't be re-chosen
