@@ -8,9 +8,12 @@ SQL-expressible query.  Rows-only entries (each with a pytest covering its
 semantics instead): ann_ivf / ann_lsh_topk (genuinely approximate —
 recall-vs-brute-force pytests), rag_embed_answer (reference-verbatim
 np.argsort tie order on heavily tied chunk sims — replica pytest; measured
-150+ docs with exact top-rank ties, so no SQL ordering can match), and the
-transcripts_* pipelines (inputs are synthesized transcripts, not the
-registered sf views; generator-oracle parity is pytest-checked).
+150+ docs with exact top-rank ties, so no SQL ordering can match), and
+transcripts_extract / transcripts_segments / transcripts_benchmark
+(synthesized inputs; generator-oracle parity is pytest-checked AND the
+per-turn equality invariant is driver-value-checked via
+``transcripts_parity`` / ``transcripts_convs``, whose oracle SQL reads
+the golden expected-output parquet the generator writes).
 Everything else — including simhash (62-bit SQL-replicable polynomial
 signatures), LSH buckets (sign projections), fingerprints, and the dedup
 cluster components — is value-checked against DuckDB.
@@ -100,6 +103,48 @@ def _q_transcripts_convs(sf_dir: str):
     return assemble_conversations(turns)
 
 
+def _q_transcripts_parity(sf_dir: str):
+    """Per-turn text-equality surface (the north_rule's core invariant,
+    driver-value-checked): the flagship pipeline's extracted + cleaned
+    text per (conv_id, turn_idx), compared against the golden
+    expected-output table the deterministic generator wrote alongside the
+    transcripts.  The oracle SQL reads that golden parquet directly, so
+    the driver's hash compare IS the per-turn equality check."""
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+
+    ds = build_turn_pipeline(_transcripts_for(sf_dir))
+    return ds.select_columns(["conv_id", "turn_idx", "extracted_text", "clean_text"])
+
+
+def transcripts_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """Golden-table oracles for the synthesized-transcript pipelines,
+    parameterized by sf tier (the registered strings bake the driver's
+    sf0.01 paths; tools/check_oracles rebuilds them per tier).  Calling
+    this also guarantees the golden tables exist before the SQL runs."""
+    root = os.path.dirname(_transcripts_for(sf_dir))
+    return {
+        "transcripts_parity": f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       expected_extracted AS extracted_text, expected_clean AS clean_text
+FROM read_parquet('{root}/oracle/*.parquet')
+""",
+        # conv_text = '[role] clean' turns joined with blank lines in
+        # turn order — same associative-join format as stages/reassemble
+        "transcripts_convs": f"""
+WITH t AS (SELECT conv_id, turn_idx, role
+           FROM read_parquet('{root}/transcripts/*.parquet')),
+o AS (SELECT conv_id, turn_idx, expected_clean
+      FROM read_parquet('{root}/oracle/*.parquet')),
+j AS (SELECT t.conv_id, t.turn_idx,
+             '[' || t.role || '] ' || o.expected_clean AS fmt
+      FROM t JOIN o USING (conv_id, turn_idx))
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(fmt, e'\n\n' ORDER BY turn_idx) AS conv_text
+FROM j GROUP BY conv_id
+""",
+    }
+
+
 def entry() -> Any:
     """Flagship pipeline on a deterministic sf0.001-scale transcript table."""
     return _q_transcripts_extract("/root/testdata/sf0.001")
@@ -113,10 +158,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_convs"] = _q_transcripts_convs
     q["transcripts_segments"] = _q_transcripts_segments
     q["transcripts_benchmark"] = _q_transcripts_benchmark
+    q["transcripts_parity"] = _q_transcripts_parity
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     from ocr_ray.pipelines.queries import ORACLE_SQL
 
-    return dict(ORACLE_SQL)
+    d = dict(ORACLE_SQL)
+    # driver compares at sf0.01; the helper also (re)generates the golden
+    # tables so the SQL is runnable regardless of query/oracle order
+    d.update(transcripts_oracle_sql("/root/testdata/sf0.01"))
+    return d

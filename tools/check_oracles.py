@@ -52,9 +52,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def run_checks(sf_dir: str, names=None) -> list[str]:
-    """Compare every queries() entry against its oracle; returns failure
-    messages (empty = all green).  Assumes a live Ray session."""
-    from ocr_ray.pipelines.queries import ORACLE_SQL, queries
+    """Compare every queries() entry (the full __ray_entry__ surface,
+    including the synthesized-transcript pipelines) against its oracle;
+    returns failure messages (empty = all green).  Assumes a live Ray
+    session."""
+    import __ray_entry__ as entry_mod
+    from ocr_ray.pipelines.queries import ORACLE_SQL as _BASE_SQL
+
+    ORACLE_SQL = dict(_BASE_SQL)
+    # transcripts oracles read golden parquet paths that depend on the sf
+    # tier — rebuild them for the tier under test
+    ORACLE_SQL.update(entry_mod.transcripts_oracle_sql(sf_dir))
+    queries = entry_mod.queries
 
     con = duckdb.connect()
     for t in TABLES:
