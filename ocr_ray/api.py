@@ -606,6 +606,22 @@ def rank_graph(
                     w_col=w_col)
 
 
+def count_triangles(
+    edges: "rd.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_partitions: int = 16,
+) -> "rd.Dataset":
+    """Exact per-node triangle counts (stages/graph.py:triangle_counts):
+    the degree-oriented node iterator — wedge volume bounded ~m^1.5, every
+    stage a hash exchange — for clustering-coefficient / community
+    signals over a link graph."""
+    from ocr_ray.stages.graph import triangle_counts
+
+    return triangle_counts(edges, src_col=src_col, dst_col=dst_col,
+                           n_partitions=n_partitions)
+
+
 def gopher_filter(
     docs: "rd.Dataset",
     text_col: str = "text",

@@ -1353,6 +1353,47 @@ def q_graph_pagerank(sf_dir: str):
     return pagerank(edges, iters=2, n_partitions=8)
 
 
+def q_graph_triangles(sf_dir: str):
+    """Per-node triangle counts on the nation trade graph — the
+    clustering/community-structure primitive of link-graph curation —
+    via the degree-oriented node iterator (stages/graph.py:
+    triangle_counts; Suri & Vassilvitskii WWW'11).  Edge build is the
+    same big-big exchange join as graph_pagerank; then distinct
+    undirected edges, a degree join, (deg, id)-oriented wedge
+    generation (out-degree bounded O(sqrt(m)), so wedge volume is
+    ~m^1.5, never hub-quadratic) and one hash-partitioned wedge-vs-edge
+    closing join.  The oracle recomputes via a 3-way SQL self-join."""
+    from ocr_ray.stages.graph import triangle_counts
+    from ocr_ray.stages.join import exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    supp = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                           columns=["s_suppkey", "s_nationkey"])
+    maps_ref = ray.put((
+        dict(zip(cust["c_custkey"].astype("int64"),
+                 cust["c_nationkey"].astype("int64"))),
+        dict(zip(supp["s_suppkey"].astype("int64"),
+                 supp["s_nationkey"].astype("int64"))),
+    ))
+
+    joined = exchange_join(li, orders, on="l_orderkey",
+                           right_on="o_orderkey", n_partitions=8)
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        c2n, s2n = ray.get(maps_ref)
+        return pd.DataFrame(
+            {"src": b["o_custkey"].map(c2n).astype("int64"),
+             "dst": b["l_suppkey"].map(s2n).astype("int64")})
+
+    edges = joined.map_batches(to_edges, batch_format="pandas")
+    return triangle_counts(edges, n_partitions=8)
+
+
 def q_pipeline_curation2(sf_dir: str):
     """Round-2 curation composite — the model-tier pipeline end-to-end
     as ONE streaming job: hashed-linear classifier gate -> corpus-trained
@@ -3070,6 +3111,7 @@ def queries() -> Dict[str, Callable]:
         "dsir_select": q_dsir_select,
         "corpus_countmin": q_corpus_countmin,
         "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
         "corpus_distinct_sketch": q_corpus_distinct_sketch,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embed": q_dedup_embed,
@@ -4939,6 +4981,21 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
   CAST(1 + sum(CASE WHEN prev IS NOT NULL AND ts - prev > INTERVAL 30 MINUTE
                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM d GROUP BY user_id
+""",
+    "graph_triangles": """
+WITH raw AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY 1
 """,
     "orders_cust_totals": """
 SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_mktsegment,

@@ -107,3 +107,147 @@ def pagerank(
                             dtype="int64"),
         "pr_ppm": np.asarray([pr[int(v)] for v in nodes], dtype="int64"),
     })
+
+
+def triangle_counts(
+    edges: "object",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_partitions: int = 16,
+) -> "object":
+    """Exact per-node triangle counts via the degree-oriented node
+    iterator (the classic MapReduce algorithm, Suri & Vassilvitskii
+    WWW'11): orient every undirected edge from its lower-(degree, id)
+    endpoint to the higher one, generate wedges only among each node's
+    OUT-neighbours (out-degree is O(sqrt(m)) under this orientation, so
+    wedge volume is bounded at sum C(outdeg, 2) ~ m^1.5 instead of the
+    hub-quadratic naive count), then close wedges against the oriented
+    edge set with one hash-partitioned join.  Every stage is a bounded
+    exchange; no node's full neighbourhood ever lands on the driver.
+
+    Returns a Dataset ``(node, n_triangles)`` — nodes in no triangle are
+    absent (inner-join semantics, matching the SQL oracle)."""
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join, exchange_map_partitions
+
+    # 1. distinct undirected edges (a < b), self-loops dropped
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[src_col].to_numpy(dtype="int64")
+        d = b[dst_col].to_numpy(dtype="int64")
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pd.DataFrame(
+            {"a": np.minimum(s, d), "b": np.maximum(s, d), "c": np.int64(1)}
+        )
+
+    und = hash_aggregate(
+        edges.map_batches(undirect, batch_format="pandas"),
+        keys=["a", "b"], aggs={"c": "sum"}, n_partitions=n_partitions,
+    ).drop_columns(["c"])
+
+    # 2. degrees (bounded by |V|), joined back onto both endpoints
+    def explode_nodes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [b["a"].to_numpy(dtype="int64"), b["b"].to_numpy(dtype="int64")]
+                ),
+                "deg": np.int64(1),
+            }
+        )
+
+    deg = hash_aggregate(
+        und.map_batches(explode_nodes, batch_format="pandas"),
+        keys=["node"], aggs={"deg": "sum"}, n_partitions=n_partitions,
+    )
+    da = exchange_join(und, deg, on="a", right_on="node",
+                       n_partitions=n_partitions).map_batches(
+        lambda b: b.rename(columns={"deg": "deg_a"}), batch_format="pandas")
+    dab = exchange_join(da, deg, on="b", right_on="node",
+                        n_partitions=n_partitions).map_batches(
+        lambda b: b.rename(columns={"deg": "deg_b"}), batch_format="pandas")
+
+    # 3. orient by (degree, id): u -> v with (deg_u, u) < (deg_v, v)
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["a"].to_numpy(dtype="int64")
+        bb = b["b"].to_numpy(dtype="int64")
+        pa = np.stack([b["deg_a"].to_numpy(dtype="int64"), a], axis=1)
+        pb = np.stack([b["deg_b"].to_numpy(dtype="int64"), bb], axis=1)
+        a_first = (pa[:, 0] < pb[:, 0]) | (
+            (pa[:, 0] == pb[:, 0]) & (pa[:, 1] < pb[:, 1])
+        )
+        u = np.where(a_first, a, bb)
+        v = np.where(a_first, bb, a)
+        dv = np.where(a_first, pb[:, 0], pa[:, 0])
+        return pd.DataFrame({"u": u, "v": v, "deg_v": dv})
+
+    oriented = dab.map_batches(orient, batch_format="pandas")
+
+    # 4. wedges among each node's out-neighbours, pair ordered by the
+    # same (degree, id) total order so it aligns with edge orientation
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"wx": pd.Series([], dtype="int64"),
+                 "wy": pd.Series([], dtype="int64"),
+                 "apex": pd.Series([], dtype="int64")}
+            )
+        g = g.sort_values(["u", "deg_v", "v"])
+        u = g["u"].to_numpy(dtype="int64")
+        v = g["v"].to_numpy(dtype="int64")
+        starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1, len(u)]
+        xs, ys, ap = [], [], []
+        for s0, s1 in zip(starts[:-1], starts[1:]):
+            k = s1 - s0
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            nb = v[s0:s1]  # already in (deg, id) order
+            xs.append(nb[i])
+            ys.append(nb[j])
+            ap.append(np.full(len(i), u[s0], dtype="int64"))
+        if not xs:
+            return pd.DataFrame(
+                {"wx": pd.Series([], dtype="int64"),
+                 "wy": pd.Series([], dtype="int64"),
+                 "apex": pd.Series([], dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"wx": np.concatenate(xs), "wy": np.concatenate(ys),
+             "apex": np.concatenate(ap)}
+        )
+
+    wedge_ds = exchange_map_partitions(oriented, "u", wedges, n_partitions)
+
+    # 5. close wedges against oriented edges: hash-partitioned join on
+    # the (x, y) pair; each match is one triangle (apex, x, y)
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[g["_side"] == 0]
+        e = g[g["_side"] == 1]
+        hit = w.merge(e[["wx", "wy"]], on=["wx", "wy"], how="inner")
+        if not len(hit):
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "n_triangles": pd.Series([], dtype="int64")})
+        nodes = np.concatenate(
+            [hit["apex"].to_numpy(dtype="int64"),
+             hit["wx"].to_numpy(dtype="int64"),
+             hit["wy"].to_numpy(dtype="int64")]
+        )
+        return pd.DataFrame({"node": nodes, "n_triangles": np.int64(1)})
+
+    tagged_w = wedge_ds.map_batches(
+        lambda b: b.assign(_side=np.int64(0)), batch_format="pandas")
+    tagged_e = oriented.map_batches(
+        lambda b: pd.DataFrame(
+            {"wx": b["u"].to_numpy(dtype="int64"),
+             "wy": b["v"].to_numpy(dtype="int64"),
+             "apex": np.int64(-1), "_side": np.int64(1)}),
+        batch_format="pandas")
+    both = tagged_w.union(tagged_e)
+    tri_nodes = exchange_map_partitions(both, ["wx", "wy"], close, n_partitions)
+    return hash_aggregate(
+        tri_nodes, keys=["node"], aggs={"n_triangles": "sum"},
+        n_partitions=n_partitions,
+    )

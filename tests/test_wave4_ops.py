@@ -96,3 +96,38 @@ def test_bpe_train_merges_are_distinct_and_counted(ray_session):
     assert (out["cnt"] > 0).all()
     pairs = list(zip(out["left_s"], out["right_s"]))
     assert len(set(pairs)) == 3  # a merged pair can't be re-chosen
+
+
+def test_triangle_counts_sparse_graph(ray_session):
+    """Degree-oriented counting vs brute force on a graph with a hub,
+    a pendant path, an isolated edge, self-loops and duplicate edges."""
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_ray.stages.graph import triangle_counts
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),          # triangle
+        (3, 4), (4, 5), (3, 5),          # second triangle sharing node 3
+        (5, 6), (6, 7),                  # path (no triangle)
+        (8, 9),                          # isolated edge
+        (10, 1), (10, 2), (10, 3),       # hub closing two triangles
+        (2, 1), (1, 1), (3, 2),          # duplicate / reversed / self-loop
+    ]
+    ds = rd.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64")
+    )
+    got = triangle_counts(ds, n_partitions=4).to_pandas()
+    got = dict(zip(got["node"], got["n_triangles"]))
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    want = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {(x, y), (x, z), (y, z)} <= und:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+    assert sum(got.values()) % 3 == 0
