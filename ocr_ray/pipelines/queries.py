@@ -2737,6 +2737,113 @@ def q_io_jsonl_roundtrip(sf_dir: str):
     return out
 
 
+def q_events_latest(sf_dir: str):
+    """CDC / upsert compaction: the LATEST event row per user
+    (last-write-wins by (ts, event_id) — the lakehouse MERGE/compact
+    primitive).  Per-batch argmax partial first, so only one candidate
+    row per (batch, user) enters the exchange; a second argmax per
+    partition finishes — raw rows never shuffle twice and the reduce is
+    bounded by |users|."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def latest(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        b = b.sort_values(["user_id", "ts", "event_id"])
+        out = b.groupby("user_id", as_index=False).tail(1)
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].to_numpy(dtype="int64"),
+                "event_id": out["event_id"].to_numpy(dtype="int64"),
+                "ts": out["ts"],
+                "event_type": out["event_type"],
+                "value": out["value"].to_numpy(dtype="float64"),
+            }
+        )
+
+    partial = ds.map_batches(latest, batch_format="pandas")
+    return exchange_map_partitions(partial, "user_id", latest, n_partitions=16)
+
+
+def q_embed_dim_stats(sf_dir: str):
+    """Per-dimension distribution statistics over the int8-quantized
+    embedding table (the 'fit' half of feature standardization /
+    whitening): n, sum, sum-of-squares, min, max per dimension — every
+    value an exact int64, computed as per-batch partials reduced through
+    the bounded hash exchange.  Exchange traffic is O(batches x D),
+    independent of N."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.similarity import quantize_int8
+
+    dim = 64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
+        codes, _ = quantize_int8(m)
+        return pd.DataFrame(
+            {
+                "i": np.arange(dim, dtype="int64"),
+                "n": np.full(dim, len(b), dtype="int64"),
+                "sum_q": codes.sum(axis=0),
+                "sumsq_q": (codes * codes).sum(axis=0),
+                "min_q": codes.min(axis=0),
+                "max_q": codes.max(axis=0),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["i"],
+        aggs={"n": "sum", "sum_q": "sum", "sumsq_q": "sum",
+              "min_q": "min", "max_q": "max"},
+        n_partitions=8,
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_fuzzy_join_customers(sf_dir: str):
+    """Blocked fuzzy join (record linkage) at edit distance <= 1:
+    customer names vs a deterministically corrupted copy (every 7th
+    customer's name with one character dropped at position custkey %
+    len).  Deletion-signature blocking (stages/join.py:fuzzy_join_ed1 —
+    the SymSpell scheme) gives PROVABLY exact recall for the <=1 band
+    with O(rows x strlen) signature volume, so the oracle's brute-force
+    cross-join levenshtein filter must match exactly."""
+    from ocr_ray.stages.join import fuzzy_join_ed1
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    left = cust.map_batches(
+        lambda b: pd.DataFrame(
+            {"left_id": b["c_custkey"].astype("int64"),
+             "left_name": b["c_name"].astype("string")}),
+        batch_format="pandas")
+
+    def mutate(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["c_custkey"] % 7 == 0).to_numpy()
+        k = b["c_custkey"].to_numpy(dtype="int64")[keep]
+        orig = b["c_name"].to_numpy()[keep]
+        names = [n[:p] + n[p + 1:] for n, p in zip(orig, k % np.char.str_len(orig.astype(str)))]
+        return pd.DataFrame(
+            {"right_id": k + 10_000_000,
+             "right_name": pd.Series(names, dtype="string")}
+        )
+
+    right = cust.map_batches(mutate, batch_format="pandas")
+    return fuzzy_join_ed1(left, right, n_partitions=16)
+
+
 # Tokens feeding BPE training: ASCII-only so Python re and DuckDB RE2
 # agree on \b word boundaries in the merge-application regex.
 _BPE_TOKEN = re.compile(r"[a-z0-9]+")
@@ -3098,6 +3205,9 @@ def queries() -> Dict[str, Callable]:
         "embed_gram": q_embed_gram,
         "io_jsonl_roundtrip": q_io_jsonl_roundtrip,
         "bpe_train": q_bpe_train,
+        "events_latest": q_events_latest,
+        "embed_dim_stats": q_embed_dim_stats,
+        "fuzzy_join_customers": q_fuzzy_join_customers,
         "doc_lm": q_doc_lm,
         "dedup_blocks": q_dedup_blocks,
         "embed_kmeans": q_embed_kmeans,
@@ -4981,6 +5091,41 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
   CAST(1 + sum(CASE WHEN prev IS NOT NULL AND ts - prev > INTERVAL 30 MINUTE
                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM d GROUP BY user_id
+""",
+    "events_latest": """
+WITH r AS (SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       ts, event_type, value
+FROM r WHERE rn = 1
+""",
+    "embed_dim_stats": r"""
+WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                  CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+m AS (SELECT vec_id, x,
+             list_max(list_transform(x, v -> abs(v))) AS mx FROM e),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+q AS (SELECT m.vec_id, CAST(dims.i - 1 AS BIGINT) AS i,
+  CASE WHEN m.mx = 0 THEN 0
+       ELSE CAST(floor(x[dims.i] * 127.0 / m.mx + 0.5) AS BIGINT) END AS q
+ FROM m, dims)
+SELECT i, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q * q) AS BIGINT) AS sumsq_q,
+       CAST(min(q) AS BIGINT) AS min_q, CAST(max(q) AS BIGINT) AS max_q
+FROM q GROUP BY 1
+""",
+    "fuzzy_join_customers": """
+WITH o AS (SELECT CAST(c_custkey AS BIGINT) AS left_id, c_name AS lname
+           FROM customer),
+m AS (SELECT CAST(c_custkey + 10000000 AS BIGINT) AS right_id,
+             substr(c_name, 1, CAST(c_custkey % len(c_name) AS INT))
+             || substr(c_name, CAST(c_custkey % len(c_name) AS INT) + 2) AS rname
+      FROM customer WHERE c_custkey % 7 = 0)
+SELECT o.left_id, m.right_id,
+       CAST(levenshtein(o.lname, m.rname) AS BIGINT) AS dist
+FROM o, m WHERE levenshtein(o.lname, m.rname) <= 1
 """,
     "graph_triangles": """
 WITH raw AS (

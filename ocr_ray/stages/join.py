@@ -394,3 +394,130 @@ def exchange_join(
         for j in range(n_partitions)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def _edit_distance_leq1(a: str, b: str) -> int:
+    """Edit distance if <= 1, else 2.  Unit-cost Levenshtein semantics
+    (matches DuckDB's levenshtein for the <=1 band)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return 2
+    if la == lb:  # exactly one substitution?
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return 1 if diff == 1 else 2
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter by one: b must delete exactly one char to equal a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else 2
+
+
+def fuzzy_join_ed1(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_id: str = "left_id",
+    left_name: str = "left_name",
+    right_id: str = "right_id",
+    right_name: str = "right_name",
+    n_partitions: int = 16,
+) -> "rd.Dataset":
+    """Fuzzy equi-join at edit distance <= 1 with deletion-signature
+    blocking (the SymSpell scheme): each string emits itself plus every
+    single-character-deletion variant as a signature; two strings within
+    edit distance 1 PROVABLY share a signature (substitution at i ->
+    both i-deletions equal; deletion/insertion -> the shorter string is
+    a signature of both), so blocking has exact recall — no similarity
+    assumption.  Signatures are hashed to uint64, both sides exchange on
+    the signature hash, candidate id pairs dedup through a bounded hash
+    aggregate, and each partition verifies with the banded edit-distance
+    kernel.  Signature volume is O(rows x string length): linear state,
+    never the cross product.  Returns (left_id, right_id, dist)."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def sigs(b: pd.DataFrame, id_col: str, name_col: str, out_id: str,
+             out_name: str) -> pd.DataFrame:
+        # deterministic cross-process hash (builtin hash() is seeded
+        # per-interpreter and would scatter equal signatures)
+        import hashlib
+
+        ids, hs, names = [], [], []
+        for i, name in zip(b[id_col].astype("int64"), b[name_col]):
+            variants = {name}
+            variants.update(name[:p] + name[p + 1:] for p in range(len(name)))
+            for v in variants:
+                ids.append(i)
+                hs.append(int.from_bytes(
+                    hashlib.blake2b(v.encode(), digest_size=8).digest(),
+                    "big") & 0x7FFFFFFFFFFFFFFF)
+                names.append(name)
+        return pd.DataFrame(
+            {out_id: np.asarray(ids, dtype="int64"),
+             "sig": np.asarray(hs, dtype="int64"),
+             out_name: pd.Series(names, dtype="string")}
+        )
+
+    lsig = left.map_batches(
+        sigs, batch_format="pandas",
+        fn_kwargs={"id_col": left_id, "name_col": left_name,
+                   "out_id": "_lid", "out_name": "_lname"})
+    rsig = right.map_batches(
+        sigs, batch_format="pandas",
+        fn_kwargs={"id_col": right_id, "name_col": right_name,
+                   "out_id": "_rid", "out_name": "_rname"})
+
+    def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["_side"] == 0]
+        rt = g[g["_side"] == 1]
+        if not len(lt) or not len(rt):
+            return pd.DataFrame(
+                {"_lid": pd.Series([], dtype="int64"),
+                 "_rid": pd.Series([], dtype="int64"),
+                 "_lname": pd.Series([], dtype="string"),
+                 "_rname": pd.Series([], dtype="string"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        cand = lt[["sig", "_lid", "_lname"]].merge(
+            rt[["sig", "_rid", "_rname"]], on="sig")
+        cand = cand.drop_duplicates(["_lid", "_rid"])
+        return pd.DataFrame(
+            {"_lid": cand["_lid"].to_numpy(dtype="int64"),
+             "_rid": cand["_rid"].to_numpy(dtype="int64"),
+             "_lname": cand["_lname"].astype("string"),
+             "_rname": cand["_rname"].astype("string"),
+             "n": np.ones(len(cand), dtype="int64")}
+        )
+
+    tagged_l = lsig.map_batches(
+        lambda b: b.assign(_side=np.int64(0), _rid=np.int64(-1),
+                           _rname=pd.Series([""] * len(b), dtype="string")),
+        batch_format="pandas")
+    tagged_r = rsig.map_batches(
+        lambda b: b.assign(_side=np.int64(1), _lid=np.int64(-1),
+                           _lname=pd.Series([""] * len(b), dtype="string")),
+        batch_format="pandas")
+    cands = exchange_map_partitions(
+        tagged_l.union(tagged_r), "sig", pair_up, n_partitions)
+    # candidates can recur across signature partitions: dedup by id pair
+    uniq = hash_aggregate(
+        cands, keys=["_lid", "_rid", "_lname", "_rname"], aggs={"n": "sum"},
+        n_partitions=n_partitions,
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        d = np.asarray(
+            [_edit_distance_leq1(x, y) for x, y in zip(b["_lname"], b["_rname"])],
+            dtype="int64") if len(b) else np.array([], dtype="int64")
+        keep = d <= 1
+        return pd.DataFrame(
+            {left_id: b["_lid"].to_numpy(dtype="int64")[keep],
+             right_id: b["_rid"].to_numpy(dtype="int64")[keep],
+             "dist": d[keep]}
+        )
+
+    return uniq.map_batches(verify, batch_format="pandas")

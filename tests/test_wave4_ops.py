@@ -131,3 +131,39 @@ def test_triangle_counts_sparse_graph(ray_session):
                 want[n] = want.get(n, 0) + 1
     assert got == want
     assert sum(got.values()) % 3 == 0
+
+
+def test_edit_distance_leq1_kernel():
+    from ocr_ray.stages.join import _edit_distance_leq1 as ed
+
+    assert ed("abc", "abc") == 0
+    assert ed("abc", "abd") == 1      # substitution
+    assert ed("abc", "ab") == 1       # deletion
+    assert ed("ab", "abc") == 1       # insertion
+    assert ed("abc", "bca") == 2      # rotation is 2 edits
+    assert ed("abc", "a") == 2        # length gap 2
+    assert ed("", "x") == 1
+    assert ed("", "") == 0
+    assert ed("aXbYc", "abc") == 2
+
+
+def test_fuzzy_join_recall_is_exact(ray_session):
+    """Deletion-signature blocking must find EVERY ed<=1 pair that a
+    brute-force scan finds (sf0.001 customers vs mutants)."""
+    from ocr_ray.pipelines.queries import q_fuzzy_join_customers
+
+    got = q_fuzzy_join_customers(SF).to_pandas()
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orig = dict(zip(cust["c_custkey"].astype("int64"), cust["c_name"]))
+    muts = {}
+    for k, n in orig.items():
+        if k % 7 == 0:
+            p = k % len(n)
+            muts[k + 10_000_000] = n[:p] + n[p + 1:]
+
+    from ocr_ray.stages.join import _edit_distance_leq1 as ed
+
+    want = {(lk, rk) for lk, ln in orig.items() for rk, rn in muts.items()
+            if ed(ln, rn) <= 1}
+    assert set(zip(got["left_id"], got["right_id"])) == want
+    assert (got["dist"] <= 1).all()
