@@ -2737,6 +2737,106 @@ def q_io_jsonl_roundtrip(sf_dir: str):
     return out
 
 
+def q_doc_fim(sf_dir: str):
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    arXiv:2207.14255): deterministically selected docs (doc_id % 2 == 0)
+    are rearranged prefix/suffix/middle with sentinel tokens (PSM
+    layout); split points are exact character thirds, so the transform
+    is a pure per-row map — embarrassingly parallel, zero shuffle — and
+    the oracle replays it with substr arithmetic."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def fim(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype="int64")
+        out, kinds = [], []
+        for i, t in zip(ids, b["text"]):
+            n = len(t)
+            if i % 2 == 0 and n >= 3:
+                p1, p2 = n // 3, 2 * n // 3
+                out.append(
+                    "<PRE>" + t[:p1] + "<SUF>" + t[p2:] + "<MID>" + t[p1:p2]
+                )
+                kinds.append("psm")
+            else:
+                out.append(t)
+                kinds.append("plain")
+        return pd.DataFrame(
+            {"doc_id": ids, "fim_text": out, "layout": kinds}
+        )
+
+    return ds.map_batches(fim, batch_format="pandas")
+
+
+def q_doc_echo(sf_dir: str):
+    """Quality-weighted data echoing (the 'repeat good data' sampling of
+    curated-corpus training, cf. Muennighoff et al. 2023 data-constrained
+    scaling): each doc is replicated ``1 + (n_chars >= 300)`` times with
+    an epoch index — a deterministic per-row explode (flat map), zero
+    shuffle, and the oracle replays it with generate_series."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def echo(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(dtype="int64")
+        reps = 1 + (b["n_chars"].to_numpy(dtype="int64") >= 300).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, reps),
+                "epoch": np.concatenate(
+                    [np.arange(r, dtype="int64") for r in reps]
+                ) if len(b) else np.array([], dtype="int64"),
+                "n_epochs": np.repeat(reps, reps),
+            }
+        )
+
+    return ds.map_batches(echo, batch_format="pandas")
+
+
+def q_events_daily_overlap(sf_dir: str):
+    """FULL OUTER join of two per-day aggregates (signup days vs
+    purchase days — the activity-overlap report): both sides pre-reduced
+    through the hash aggregate before a full-outer exchange join, missing
+    sides surfaced as exact zeros."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    def per_day(event_type: str, out_col: str):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts"],
+        ).map_batches(
+            lambda b, et=event_type, oc=out_col: pd.DataFrame(
+                {
+                    "day": b["ts"][b["event_type"] == et]
+                    .dt.floor("D").dt.strftime("%Y-%m-%d"),
+                    oc: np.int64(1),
+                }
+            ),
+            batch_format="pandas",
+        )
+        return hash_aggregate(ds, keys=["day"], aggs={out_col: "sum"},
+                              n_partitions=8)
+
+    signups = per_day("signup", "n_signups")
+    purchases = per_day("purchase", "n_purchases")
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": b["day"].astype(object),
+                "n_signups": b["n_signups"].fillna(0).astype("int64"),
+                "n_purchases": b["n_purchases"].fillna(0).astype("int64"),
+            }
+        )
+
+    return exchange_join(
+        signups, purchases, on="day", n_partitions=8, how="outer",
+    ).map_batches(fill, batch_format="pandas")
+
+
 def q_events_latest(sf_dir: str):
     """CDC / upsert compaction: the LATEST event row per user
     (last-write-wins by (ts, event_id) — the lakehouse MERGE/compact
@@ -3206,6 +3306,9 @@ def queries() -> Dict[str, Callable]:
         "io_jsonl_roundtrip": q_io_jsonl_roundtrip,
         "bpe_train": q_bpe_train,
         "events_latest": q_events_latest,
+        "doc_fim": q_doc_fim,
+        "doc_echo": q_doc_echo,
+        "events_daily_overlap": q_events_daily_overlap,
         "embed_dim_stats": q_embed_dim_stats,
         "fuzzy_join_customers": q_fuzzy_join_customers,
         "doc_lm": q_doc_lm,
@@ -5091,6 +5194,38 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
   CAST(1 + sum(CASE WHEN prev IS NOT NULL AND ts - prev > INTERVAL 30 MINUTE
                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM d GROUP BY user_id
+""",
+    "doc_fim": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CASE WHEN doc_id % 2 = 0 AND len(text) >= 3
+       THEN '<PRE>' || substr(text, 1, len(text) // 3)
+            || '<SUF>' || substr(text, 2 * len(text) // 3 + 1)
+            || '<MID>' || substr(text, len(text) // 3 + 1,
+                                 2 * len(text) // 3 - len(text) // 3)
+       ELSE text END AS fim_text,
+  CASE WHEN doc_id % 2 = 0 AND len(text) >= 3 THEN 'psm'
+       ELSE 'plain' END AS layout
+FROM documents
+""",
+    "doc_echo": """
+WITH r AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  1 + CAST(n_chars >= 300 AS BIGINT) AS n_epochs
+           FROM documents)
+SELECT doc_id, CAST(unnest(generate_series(0, n_epochs - 1)) AS BIGINT) AS epoch,
+       n_epochs
+FROM r
+""",
+    "events_daily_overlap": """
+WITH s AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  CAST(count(*) AS BIGINT) AS n_signups
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT coalesce(s.day, p.day) AS day,
+       CAST(coalesce(s.n_signups, 0) AS BIGINT) AS n_signups,
+       CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases
+FROM s FULL OUTER JOIN p ON s.day = p.day
 """,
     "events_latest": """
 WITH r AS (SELECT *, row_number() OVER (
