@@ -26,6 +26,8 @@ class PipelineConfig:
     batch_size: int = 2048                    # rows per extractor batch
     extract_concurrency: int | None = None    # extractor pool size; None = cpus-2
     salt_span: int = 1000                     # turns per reassembly sub-group (skew salt)
+    reassemble_partitions: int = 32           # reduce partitions for a STREAMING reassembly input
+                                              # (size total_bytes / worker heap at scale)
     read_columns: tuple = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
     # resumable output
@@ -47,6 +49,7 @@ CONFIG_SCHEMA: Dict[str, str] = {
     "execution.batch_size": "batch_size",
     "execution.extract_concurrency": "extract_concurrency",
     "execution.salt_span": "salt_span",
+    "execution.reassemble_partitions": "reassemble_partitions",
     "execution.read_columns": "read_columns",
     "output.fragment_group_size": "fragment_group_size",
     "output.extractor_version": "extractor_version",

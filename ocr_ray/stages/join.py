@@ -50,9 +50,6 @@ def broadcast_join(
     return large.map_batches(merge_batch, batch_format="pandas")
 
 
-from ocr_ray.stages.reassemble import nonempty_arrow_refs
-
-
 def launch_splits(
     src, by, n_partitions: int, min_rows_per_split: int = 32768
 ) -> List:

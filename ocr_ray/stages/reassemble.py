@@ -63,29 +63,17 @@ def _split_table(t: pa.Table, pk: np.ndarray, n_partitions: int) -> Tuple[pa.Tab
 
 
 @ray.remote(num_cpus=0)
-def _split_turns(t, n_partitions: int, span: int) -> Tuple[pa.Table, ...]:
-    if isinstance(t, pd.DataFrame):  # internal refs may hold pandas blocks
-        t = pa.Table.from_pandas(t, preserve_index=False)
-    t = t.select(_COLS)
+def _split_turns(n_partitions: int, span: int, *parts) -> Tuple[pa.Table, ...]:
+    tables = []
+    for t in parts:
+        if isinstance(t, pd.DataFrame):  # internal refs may hold pandas blocks
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        tables.append(t.select(_COLS))
+    t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
     salt = (t["turn_idx"].to_numpy() // span).astype(np.int32)
     h = pd.util.hash_pandas_object(t["conv_id"].to_pandas(), index=False).to_numpy()
     pk = ((h + salt.astype(np.uint64)) % n_partitions).astype(np.int32)
     return _split_table(t.append_column("salt", pa.array(salt)), pk, n_partitions)
-
-
-def nonempty_arrow_refs(ds: "ray.data.Dataset") -> list:
-    """Arrow block refs of a dataset, skipping zero-row blocks.
-
-    ``groupby().map_groups`` emits ZERO-COLUMN empty blocks for empty
-    groups (observed at higher parallelism); feeding those to a key-split
-    task raises KeyError.  Filtering on block *metadata* costs no fetch."""
-    mat = ds.materialize()
-    refs = []
-    for bundle in mat.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if meta.num_rows:
-                refs.append(ref)
-    return refs if refs else mat.to_arrow_refs()[:1]
 
 
 def _as_array(col) -> pa.Array:
@@ -178,17 +166,58 @@ def assemble_conversations(
     config: PipelineConfig = DEFAULT_CONFIG,
     n_partitions: int | None = None,
 ) -> "ray.data.Dataset":
-    """turns (conv_id, turn_idx, role, clean_text, ...) -> one row per conv."""
+    """turns (conv_id, turn_idx, role, clean_text, ...) -> one row per conv.
+
+    STREAMING phase-1 split: upstream blocks are consumed via
+    ``iter_internal_ref_bundles()`` and salted split tasks launch as each
+    bundle materializes — the exchange's map side overlaps the extract
+    stage instead of waiting behind a full ``materialize()`` barrier (at
+    100 TB that barrier is a whole-dataset object-store round-trip).
+    Consecutive tiny blocks are bundled to ``min_rows`` per split task so
+    tiny-block inputs don't ship blocks x partitions near-empty objects.
+
+    ``n_partitions`` defaults to an already-materialized input's
+    size-based estimate (~64 MB per reduce partition) and to
+    ``config.reassemble_partitions`` for a streaming input — at
+    production scale pass it explicitly (total_bytes / worker-heap
+    budget)."""
     span = config.salt_span
-    mat = turns.materialize()
     if n_partitions is None:
-        # ~64 MB per reduce partition, bounded; small inputs stay cheap
-        n_partitions = max(8, min(256, int(mat.size_bytes() // (64 << 20)) + 1))
-    refs = nonempty_arrow_refs(mat)
-    # coarsen tiny blocks so the exchange stays O(blocks x partitions) small
-    if len(refs) > 4 * n_partitions:
-        refs = mat.repartition(n_partitions).to_arrow_refs()
-    if not refs or mat.count() == 0:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(turns, MaterializedDataset):
+            # ~64 MB per reduce partition, bounded; small inputs stay cheap
+            n_partitions = max(
+                8, min(256, int(turns.size_bytes() // (64 << 20)) + 1)
+            )
+        else:
+            n_partitions = config.reassemble_partitions
+
+    min_rows = 32768
+    splits: List = []
+    pending: List = []
+    pending_rows = 0
+    seen_rows = 0
+    for bundle in turns.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                seen_rows += meta.num_rows
+                pending.append(ref)
+                pending_rows += meta.num_rows
+                if pending_rows >= min_rows:
+                    splits.append(
+                        _split_turns.options(num_returns=n_partitions).remote(
+                            n_partitions, span, *pending
+                        )
+                    )
+                    pending, pending_rows = [], 0
+    if pending:
+        splits.append(
+            _split_turns.options(num_returns=n_partitions).remote(
+                n_partitions, span, *pending
+            )
+        )
+    if not splits or seen_rows == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
@@ -198,11 +227,6 @@ def assemble_conversations(
                 }
             )
         )
-
-    splits: List = [
-        _split_turns.options(num_returns=n_partitions).remote(r, n_partitions, span)
-        for r in refs
-    ]
     part_refs = [
         _assemble_parts.remote(*[s[j] for s in splits]) for j in range(n_partitions)
     ]
