@@ -116,6 +116,49 @@ def _q_transcripts_parity(sf_dir: str):
     return ds.select_columns(["conv_id", "turn_idx", "extracted_text", "clean_text"])
 
 
+def _q_transcripts_mask(sf_dir: str):
+    """Loss-mask accounting (the SFT trainer's assistant-only masking,
+    applied per conversation): how many turns and cleaned characters per
+    conversation are TRAINABLE (role == 'assistant') vs context.  A
+    per-batch combiner reduces each block to per-conv partials before one
+    bounded conv_id hash aggregate — raw turns never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    turns = build_turn_pipeline(_transcripts_for(sf_dir))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_train = (b["role"] == "assistant").to_numpy()
+        n = b["clean_text"].str.len().to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"],
+                "n_turns": np.int64(1),
+                "n_train_turns": is_train.astype("int64"),
+                "train_chars": np.where(is_train, n, 0),
+                "total_chars": n,
+            }
+        )
+
+    out = hash_aggregate(
+        turns.map_batches(partial, batch_format="pandas"),
+        keys=["conv_id"],
+        aggs={"n_turns": "sum", "n_train_turns": "sum",
+              "train_chars": "sum", "total_chars": "sum"},
+        n_partitions=16,
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_turns", "n_train_turns", "train_chars", "total_chars"):
+            b[c] = b[c].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
 def transcripts_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Golden-table oracles for the synthesized-transcript pipelines,
     parameterized by sf tier (the registered strings bake the driver's
@@ -142,6 +185,21 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        string_agg(fmt, e'\n\n' ORDER BY turn_idx) AS conv_text
 FROM j GROUP BY conv_id
 """,
+        "transcripts_mask": f"""
+WITH t AS (SELECT conv_id, turn_idx, role
+           FROM read_parquet('{root}/transcripts/*.parquet')),
+o AS (SELECT conv_id, turn_idx, expected_clean
+      FROM read_parquet('{root}/oracle/*.parquet')),
+j AS (SELECT t.conv_id, t.role, o.expected_clean
+      FROM t JOIN o USING (conv_id, turn_idx))
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_train_turns,
+  CAST(sum(CASE WHEN role = 'assistant' THEN len(expected_clean) ELSE 0 END)
+    AS BIGINT) AS train_chars,
+  CAST(sum(len(expected_clean)) AS BIGINT) AS total_chars
+FROM j GROUP BY conv_id
+""",
     }
 
 
@@ -159,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_segments"] = _q_transcripts_segments
     q["transcripts_benchmark"] = _q_transcripts_benchmark
     q["transcripts_parity"] = _q_transcripts_parity
+    q["transcripts_mask"] = _q_transcripts_mask
     return q
 
 

@@ -713,3 +713,86 @@ def export_jsonl(
     if columns:
         ds = ds.select_columns(columns)
     ds.write_json(out_dir)
+
+
+def train_bpe(sf_dir: str):
+    """Distributed BPE merge-table learning over the corpus word
+    vocabulary (pipelines/queries.py:q_bpe_train): one corpus scan builds
+    the weighted vocab, each round explodes pair partials into a bounded
+    hash aggregate and applies the argmax merge with \\b-anchored
+    left-to-right regex semantics."""
+    from ocr_ray.pipelines.queries import q_bpe_train
+
+    return q_bpe_train(sf_dir)
+
+
+def fuzzy_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    left_id: str = "left_id",
+    left_name: str = "left_name",
+    right_id: str = "right_id",
+    right_name: str = "right_name",
+    n_partitions: int = 16,
+) -> "rd.Dataset":
+    """Record linkage at edit distance <= 1 (stages/join.py:
+    fuzzy_join_ed1): SymSpell deletion-signature blocking — provably
+    exact recall, O(rows x strlen) signatures, never the cross
+    product."""
+    from ocr_ray.stages.join import fuzzy_join_ed1
+
+    return fuzzy_join_ed1(left, right, left_id=left_id, left_name=left_name,
+                          right_id=right_id, right_name=right_name,
+                          n_partitions=n_partitions)
+
+
+def latest_per_key(
+    ds: "rd.Dataset",
+    key: str,
+    order_cols: list,
+    n_partitions: int = 16,
+) -> "rd.Dataset":
+    """CDC / upsert compaction: last-write-wins row per key by
+    ``order_cols`` — per-batch argmax partial, one key exchange, second
+    argmax (the shape of pipelines/queries.py:q_events_latest)."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def latest(b):
+        if not len(b):
+            return b
+        b = b.sort_values([key, *order_cols])
+        return b.groupby(key, as_index=False).tail(1)
+
+    partial = ds.map_batches(latest, batch_format="pandas")
+    return exchange_map_partitions(partial, key, latest, n_partitions)
+
+
+def gram_matrix(
+    embeddings: "rd.Dataset",
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact int64 Gram matrix X^T X over int8-quantized embeddings
+    (the covariance/whitening building block): per-batch D x D partial
+    outer products reduced through the bounded hash exchange —
+    O(batches x D^2) exchange traffic, independent of N.  Returns the
+    upper triangle as (i, j, g) rows."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.similarity import quantize_int8
+
+    iu, ju = np.triu_indices(dim)
+
+    def partial_gram(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        codes, _ = quantize_int8(m)
+        g = codes.T @ codes
+        return pd.DataFrame(
+            {"i": iu.astype("int64"), "j": ju.astype("int64"), "g": g[iu, ju]}
+        )
+
+    out = hash_aggregate(
+        embeddings.map_batches(partial_gram, batch_format="pandas"),
+        keys=["i", "j"], aggs={"g": "sum"}, n_partitions=8,
+    ).to_pandas()
+    out["g"] = out["g"].astype("int64")
+    return out

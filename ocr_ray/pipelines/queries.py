@@ -2668,29 +2668,12 @@ def q_embed_gram(sf_dir: str):
     partial, so the exchange traffic is O(batches x D^2), independent of
     N.  Integer codes (similarity.py:quantize_int8) make every cell exact,
     so the oracle value-checks all 2080 sums."""
-    from ocr_ray.stages.aggregate import hash_aggregate
-    from ocr_ray.stages.similarity import quantize_int8
-
-    dim = 64
-    iu, ju = np.triu_indices(dim)
-
-    def partial_gram(b: pd.DataFrame) -> pd.DataFrame:
-        m = np.asarray([np.asarray(v, dtype=np.float64) for v in b["embedding"]])
-        codes, _ = quantize_int8(m)
-        g = codes.T @ codes  # int64 (D, D)
-        return pd.DataFrame(
-            {"i": iu.astype("int64"), "j": ju.astype("int64"), "g": g[iu, ju]}
-        )
+    from ocr_ray.api import gram_matrix
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
     )
-    out = hash_aggregate(
-        ds.map_batches(partial_gram, batch_format="pandas"),
-        keys=["i", "j"], aggs={"g": "sum"}, n_partitions=8,
-    ).to_pandas()
-    out["g"] = out["g"].astype("int64")
-    return out
+    return gram_matrix(ds, dim=64)
 
 
 def q_io_jsonl_roundtrip(sf_dir: str):
