@@ -122,7 +122,11 @@ def _concat_pd(pieces) -> pd.DataFrame:
     tables = [t.replace_schema_metadata(None) for t in pieces if t.num_rows]
     if not tables:
         return pieces[0].replace_schema_metadata(None).to_pandas()
-    return pa.concat_tables(tables).to_pandas()
+    # promote unifies FIELD ORDER by name: pieces of a union whose two legs
+    # emitted the same columns in different orders concat cleanly (observed
+    # on the fuzzy-join exchange at sf0.1, where block bundling no longer
+    # merges both legs into one split task)
+    return pa.concat_tables(tables, promote_options="default").to_pandas()
 
 
 @ray.remote(num_cpus=0)
@@ -490,13 +494,14 @@ def fuzzy_join_ed1(
              "n": np.ones(len(cand), dtype="int64")}
         )
 
+    _COLS = ["sig", "_side", "_lid", "_lname", "_rid", "_rname"]
     tagged_l = lsig.map_batches(
         lambda b: b.assign(_side=np.int64(0), _rid=np.int64(-1),
-                           _rname=pd.Series([""] * len(b), dtype="string")),
+                           _rname=pd.Series([""] * len(b), dtype="string"))[_COLS],
         batch_format="pandas")
     tagged_r = rsig.map_batches(
         lambda b: b.assign(_side=np.int64(1), _lid=np.int64(-1),
-                           _lname=pd.Series([""] * len(b), dtype="string")),
+                           _lname=pd.Series([""] * len(b), dtype="string"))[_COLS],
         batch_format="pandas")
     cands = exchange_map_partitions(
         tagged_l.union(tagged_r), "sig", pair_up, n_partitions)
