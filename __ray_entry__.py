@@ -159,6 +159,200 @@ def _q_transcripts_mask(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _q_transcripts_toolstats(sf_dir: str):
+    """Per-tool usage statistics over the raw transcript table (the agent
+    telemetry rollup): call count, distinct conversations touched, and the
+    exact sum of turn positions (kept integer — no float averaging — so
+    the driver value-check is bit-exact).  Per-batch (tool, conv_id) pair
+    dedup bounds the exchange to the distinct-pair table; one tool-keyed
+    exchange finishes with an exact nunique."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    ds = rd.read_parquet(
+        _transcripts_for(sf_dir),
+        columns=["conv_id", "turn_idx", "role", "tool"],
+    ).filter(expr="role == 'tool'")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n=1, sum_turn_idx=b["turn_idx"].astype("int64"))
+        return b.groupby(["tool", "conv_id"], as_index=False).agg(
+            n=("n", "sum"), sum_turn_idx=("sum_turn_idx", "sum")
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tool").agg(
+            n_calls=("n", "sum"),
+            n_convs=("conv_id", "nunique"),
+            sum_turn_idx=("sum_turn_idx", "sum"),
+        ).reset_index()
+        for c in ("n_calls", "n_convs", "sum_turn_idx"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return exchange_map_partitions(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["tool"], combine, n_partitions=4,
+    )
+
+
+def _q_transcripts_alternation(sf_dir: str):
+    """Role-sequence validation per conversation (the transcript-integrity
+    gate an SFT pipeline runs before building examples): over the
+    user/assistant dialogue subsequence in turn order, count adjacent
+    same-role repeats (``n_breaks``); plus total turns, dialogue turns,
+    and whether turn 0 is a system prompt.  One conv_id hash exchange;
+    every per-conv statistic is a vectorized sort + groupby-shift inside
+    the partition."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    ds = rd.read_parquet(
+        _transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "role"]
+    )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype="object"),
+                "n_turns": pd.Series([], dtype="int64"),
+                "n_dialogue": pd.Series([], dtype="int64"),
+                "n_breaks": pd.Series([], dtype="int64"),
+                "starts_system": pd.Series([], dtype="int64"),
+            })
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        base = g.groupby("conv_id", as_index=False).agg(n_turns=("turn_idx", "size"))
+        first = g[g["turn_idx"] == 0]
+        base = base.merge(
+            pd.DataFrame({
+                "conv_id": first["conv_id"],
+                "starts_system": (first["role"] == "system").astype("int64"),
+            }),
+            on="conv_id", how="left",
+        )
+        d = g[g["role"].isin(["user", "assistant"])].copy()
+        if len(d):
+            prev = d.groupby("conv_id")["role"].shift()
+            d["brk"] = (d["role"] == prev).astype("int64")
+            dia = d.groupby("conv_id", as_index=False).agg(
+                n_dialogue=("role", "size"), n_breaks=("brk", "sum")
+            )
+            base = base.merge(dia, on="conv_id", how="left")
+        else:
+            base["n_dialogue"] = np.int64(0)
+            base["n_breaks"] = np.int64(0)
+        for c in ("n_turns", "n_dialogue", "n_breaks", "starts_system"):
+            base[c] = base[c].fillna(0).astype("int64")
+        return base
+
+    return exchange_map_partitions(ds, "conv_id", stats, n_partitions=16)
+
+
+def _q_transcripts_sft(sf_dir: str):
+    """SFT example builder — the transform that turns extracted
+    conversations into (prompt, completion) training rows: one example per
+    assistant turn, prompt = up to the 3 preceding turns formatted
+    ``[role] clean`` joined by newlines (the bounded context window),
+    completion = the turn's cleaned text.  Runs the flagship extraction
+    pipeline, then ONE conv_id hash exchange; the context join is a
+    vectorized per-conv groupby-shift — no per-row Python loop, no
+    whole-conversation re-materialization."""
+    import pandas as pd
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    turns = build_turn_pipeline(_transcripts_for(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "role", "clean_text"]
+    )
+
+    def examples(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype="object"),
+                "turn_idx": pd.Series([], dtype="int64"),
+                "prompt": pd.Series([], dtype="object"),
+                "completion": pd.Series([], dtype="object"),
+            })
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
+        g["_fmt"] = "[" + g["role"] + "] " + g["clean_text"]
+        by = g.groupby("conv_id")["_fmt"]
+        p1, p2, p3 = by.shift(1), by.shift(2), by.shift(3)
+        # concat_ws semantics, oldest context first; nulls form a prefix
+        # (shift(k) null => shift(k+1) null), so each present part except
+        # the last carries its own separator
+        import numpy as np
+
+        prompt = pd.Series(
+            np.where(p3.notna(), p3.fillna("") + "\n", "")
+            + np.where(p2.notna(), p2.fillna("") + "\n", "")
+            + p1.fillna(""),
+            index=g.index,
+        )
+        keep = g["role"] == "assistant"
+        return pd.DataFrame({
+            "conv_id": g["conv_id"][keep],
+            "turn_idx": g["turn_idx"][keep].astype("int64"),
+            "prompt": prompt[keep],
+            "completion": g["clean_text"][keep],
+        })
+
+    return exchange_map_partitions(turns, "conv_id", examples, n_partitions=16)
+
+
+def _q_transcripts_turn_dedup(sf_dir: str):
+    """Cross-conversation duplicate assistant responses (templated-reply
+    detection — the turn-granular exact dedup an SFT curation run applies
+    before training): group non-empty assistant ``clean_text`` corpus-wide,
+    emit (first_key, n_copies) for every response text occurring >= 2
+    times, where first_key is the lexicographically first
+    ``conv_id:turn_idx`` holder.  Texts are content-hashed per batch
+    (vectorized sha256 prefix) so the exchange ships 16-byte keys +
+    composite ids, never payloads; all rows of one hash co-locate, so
+    min/sum are exact."""
+    import pandas as pd
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.dedup import add_content_hash
+
+    turns = build_turn_pipeline(_transcripts_for(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "role", "clean_text"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["role"] == "assistant") & (b["clean_text"] != "")]
+        b = add_content_hash(b.copy(), col="clean_text")
+        b["first_key"] = (
+            b["conv_id"] + ":" + b["turn_idx"].astype("int64").map("{:06d}".format)
+        )
+        b["n_copies"] = 1
+        return b[["content_hash", "first_key", "n_copies"]]
+
+    agg = hash_aggregate(
+        turns.map_batches(partial, batch_format="pandas"),
+        keys=["content_hash"],
+        aggs={"first_key": "min", "n_copies": "sum"},
+        n_partitions=16,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_copies"] >= 2]
+        return pd.DataFrame({
+            "first_key": b["first_key"].astype("object"),
+            "n_copies": b["n_copies"].astype("int64"),
+        })
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def transcripts_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Golden-table oracles for the synthesized-transcript pipelines,
     parameterized by sf tier (the registered strings bake the driver's
@@ -200,6 +394,63 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
   CAST(sum(len(expected_clean)) AS BIGINT) AS total_chars
 FROM j GROUP BY conv_id
 """,
+        "transcripts_toolstats": f"""
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(turn_idx) AS BIGINT) AS sum_turn_idx
+FROM read_parquet('{root}/transcripts/*.parquet')
+WHERE role = 'tool' GROUP BY tool
+""",
+        "transcripts_alternation": f"""
+WITH t AS (SELECT conv_id, turn_idx, role
+           FROM read_parquet('{root}/transcripts/*.parquet')),
+base AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(max(CASE WHEN turn_idx = 0 AND role = 'system' THEN 1 ELSE 0 END)
+         AS BIGINT) AS starts_system
+    FROM t GROUP BY conv_id),
+d AS (SELECT conv_id, role,
+    lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pr
+    FROM t WHERE role IN ('user', 'assistant')),
+dia AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_dialogue,
+    CAST(sum(CASE WHEN role = pr THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+    FROM d GROUP BY conv_id)
+SELECT base.conv_id, base.n_turns,
+    COALESCE(dia.n_dialogue, 0) AS n_dialogue,
+    COALESCE(dia.n_breaks, 0) AS n_breaks,
+    base.starts_system
+FROM base LEFT JOIN dia USING (conv_id)
+""",
+        "transcripts_sft": f"""
+WITH t AS (SELECT conv_id, turn_idx, role
+           FROM read_parquet('{root}/transcripts/*.parquet')),
+o AS (SELECT conv_id, turn_idx, expected_clean
+      FROM read_parquet('{root}/oracle/*.parquet')),
+j AS (SELECT t.conv_id, t.turn_idx, t.role, o.expected_clean,
+             '[' || t.role || '] ' || o.expected_clean AS fmt
+      FROM t JOIN o USING (conv_id, turn_idx)),
+w AS (SELECT conv_id, turn_idx, role, expected_clean,
+    lag(fmt, 1) OVER win AS p1,
+    lag(fmt, 2) OVER win AS p2,
+    lag(fmt, 3) OVER win AS p3
+    FROM j WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       concat_ws(chr(10), p3, p2, p1) AS prompt,
+       expected_clean AS completion
+FROM w WHERE role = 'assistant'
+""",
+        "transcripts_turn_dedup": f"""
+WITH t AS (SELECT conv_id, turn_idx, role
+           FROM read_parquet('{root}/transcripts/*.parquet')),
+o AS (SELECT conv_id, turn_idx, expected_clean
+      FROM read_parquet('{root}/oracle/*.parquet')),
+j AS (SELECT t.conv_id, t.turn_idx, o.expected_clean
+      FROM t JOIN o USING (conv_id, turn_idx)
+      WHERE t.role = 'assistant' AND o.expected_clean <> '')
+SELECT min(conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0'))
+         AS first_key,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM j GROUP BY expected_clean HAVING count(*) >= 2
+""",
     }
 
 
@@ -218,6 +469,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_benchmark"] = _q_transcripts_benchmark
     q["transcripts_parity"] = _q_transcripts_parity
     q["transcripts_mask"] = _q_transcripts_mask
+    q["transcripts_toolstats"] = _q_transcripts_toolstats
+    q["transcripts_alternation"] = _q_transcripts_alternation
+    q["transcripts_sft"] = _q_transcripts_sft
+    q["transcripts_turn_dedup"] = _q_transcripts_turn_dedup
     return q
 
 
