@@ -348,6 +348,25 @@ def q_corpus_stats(sf_dir: str):
     ).astype("int64")
 
 
+def q_doc_winnow(sf_dir: str):
+    """Winnowing fingerprint selection (Schleimer et al. SIGMOD 2003 — the
+    MOSS local fingerprinting scheme): per document, the distinct
+    rightmost-min k-gram hashes selected by every length-w window, as
+    (doc_id, pos, fp) rows.  Any shared run of >= w+k-1 tokens between two
+    docs is guaranteed a shared fingerprint, so an equi-join on fp is the
+    plagiarism/overlap candidate generator whose density (~2/(w+1) of
+    k-grams) is tunable.  Pure per-row map over a column-pruned scan —
+    embarrassingly parallel, no shuffle; the tiebreak folds into one
+    integer key (h*C - pos) so selection is a vectorized sliding-window
+    min on both sides of the oracle."""
+    from ocr_ray.stages.analysis import winnow_docs_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(winnow_docs_batch, batch_format="pandas")
+
+
 def q_doc_repetition(sf_dir: str):
     """Intra-document repetition signals (the Gopher/MassiveText-style
     repetition filter): per doc, total vs distinct adjacent bigrams and the
@@ -3253,6 +3272,7 @@ def queries() -> Dict[str, Callable]:
         "doc_sample_stratified": q_doc_sample_stratified,
         "pipeline_curation": q_pipeline_curation,
         "doc_repetition": q_doc_repetition,
+        "doc_winnow": q_doc_winnow,
         "doc_gopher": q_doc_gopher,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
@@ -3643,6 +3663,32 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
                                       i -> w[i] || ' ' || w[i+1])) AS p
          FROM t WHERE len(w) >= 2)) AS BIGINT) AS n_distinct_bigrams
 FROM t
+""",
+    # winnowing: same token-hash polynomial as doc_fingerprint, k-gram
+    # fold, and the identical h*2^20 - pos tiebreak key — the window MIN
+    # is the exact same int64 arithmetic as the numpy sliding-window min
+    "doc_winnow": r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w_ FROM documents),
+h AS (SELECT doc_id, list_transform(w_, tok ->
+        list_reduce(list_prepend(7, list_transform(string_split(tok, ''), c -> unicode(c))),
+                    (a, b) -> (a * 31 + b) % 1000003)) AS th
+      FROM t WHERE len(w_) >= 4),
+kg AS (SELECT doc_id, unnest(generate_series(1, len(th) - 3)) AS s, th FROM h),
+keyed AS (SELECT doc_id, s - 1 AS pos,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), th[s : s + 3]),
+             (a, b) -> (a * 1000003 + b) % 2147483647) AS BIGINT) * 1048576
+          - (s - 1) AS key
+       FROM kg),
+wins AS (SELECT doc_id, pos,
+           min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mk,
+           count(*) OVER (PARTITION BY doc_id) AS m
+         FROM keyed),
+sel AS (SELECT DISTINCT doc_id, mk FROM wins WHERE pos <= greatest(m - 5, 0))
+SELECT doc_id,
+  CAST(((-mk) % 1048576 + 1048576) % 1048576 AS BIGINT) AS pos,
+  CAST((mk + ((-mk) % 1048576 + 1048576) % 1048576) // 1048576 AS BIGINT) AS fp
+FROM sel
 """,
     "doc_repetition": """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),

@@ -318,6 +318,67 @@ def fingerprint_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+# SIGMOD 2003 — the MOSS local document-fingerprinting algorithm).
+# Guarantee: any shared substring of >= WINNOW_W + WINNOW_K - 1 tokens
+# between two documents yields at least one shared selected fingerprint.
+# Constants are frozen into the DuckDB oracle; WINNOW_C bounds kgram
+# positions (docs are capped far below 2^20 kgrams at this payload size).
+WINNOW_K = 4          # tokens per k-gram
+WINNOW_W = 5          # window size (k-grams per window)
+WINNOW_C = 1 << 20    # position tiebreak radix: key = h*C - pos
+
+
+def winnow_docs_batch(batch: pd.DataFrame, k: int = WINNOW_K,
+                      w: int = WINNOW_W) -> pd.DataFrame:
+    """One row per SELECTED fingerprint: (doc_id, pos, fp).
+
+    Per doc: token hashes (same SQL-replicable codepoint polynomial as
+    fingerprint_docs_batch), k-gram rolling hashes kg[j] = fold
+    (a*1000003 + th) % (2^31-1), then rightmost-min winnowing — each
+    length-w window of k-grams selects its minimum hash, rightmost on
+    ties.  The tiebreak is folded into a single integer key
+    ``h*C - pos`` (favoring larger pos at equal h; exact in int64 since
+    h < 2^31, C = 2^20), so the per-window argmin is one vectorized
+    sliding-window min and the DuckDB oracle is the identical window
+    MIN.  Docs with fewer than k tokens emit nothing; docs with fewer
+    than w k-grams use one whole-sequence window."""
+    from ocr_ray.stages.embed import hash_token
+
+    B, M = 1000003, (1 << 31) - 1
+    ids_out: list = []
+    pos_out: list = []
+    fp_out: list = []
+    for doc_id, text in zip(batch["doc_id"], batch["text"]):
+        toks = text.split()
+        n = len(toks)
+        if n < k:
+            continue
+        th = np.fromiter((hash_token(t) for t in toks), dtype=np.int64, count=n)
+        m = n - k + 1
+        kg = np.zeros(m, dtype=np.int64)
+        for i in range(k):  # kg*B < 2^51: exact in int64
+            kg = (kg * B + th[i:i + m]) % M
+        key = kg * WINNOW_C - np.arange(m, dtype=np.int64)
+        if m <= w:
+            mins = np.array([key.min()], dtype=np.int64)
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(key, w).min(axis=1)
+        sel = np.unique(mins)
+        p = (-sel) % WINNOW_C          # decode pos: key = h*C - pos
+        h = (sel + p) // WINNOW_C
+        ids_out.append(np.full(sel.size, doc_id, dtype=np.int64))
+        pos_out.append(p)
+        fp_out.append(h)
+    if not ids_out:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "pos": pd.Series([], dtype="int64"),
+                             "fp": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"doc_id": np.concatenate(ids_out),
+                         "pos": np.concatenate(pos_out),
+                         "fp": np.concatenate(fp_out)})
+
+
 # Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models:
 # Methods, Analysis & Insights from Training Gopher", Table A1).  All
 # keep-conditions are evaluated as scaled-integer comparisons so the

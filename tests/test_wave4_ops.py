@@ -167,3 +167,30 @@ def test_fuzzy_join_recall_is_exact(ray_session):
             if ed(ln, rn) <= 1}
     assert set(zip(got["left_id"], got["right_id"])) == want
     assert (got["dist"] <= 1).all()
+
+
+def test_winnow_shared_run_guarantee():
+    """Winnowing guarantee (Schleimer et al. §3): two docs sharing a run of
+    >= w + k - 1 tokens must share at least one selected fingerprint."""
+    from ocr_ray.stages.analysis import WINNOW_K, WINNOW_W, winnow_docs_batch
+
+    shared = " ".join(f"tok{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    a = "alpha beta gamma " + shared + " delta epsilon"
+    b = "zeta eta " + shared + " theta iota kappa lambda"
+    out = winnow_docs_batch(pd.DataFrame({"doc_id": [1, 2], "text": [a, b]}))
+    fps = out.groupby("doc_id")["fp"].agg(set)
+    assert fps[1] & fps[2], "no shared fingerprint for a w+k-1 shared run"
+
+
+def test_winnow_short_doc_edges():
+    from ocr_ray.stages.analysis import winnow_docs_batch
+
+    out = winnow_docs_batch(
+        pd.DataFrame({"doc_id": [1, 2, 3],
+                      "text": ["a b c",            # < k tokens: nothing
+                               "a b c d",          # exactly k: one kgram
+                               "a b c d e f"]})    # m=3 <= w: one window
+    )
+    assert 1 not in set(out["doc_id"])
+    assert len(out[out["doc_id"] == 2]) == 1
+    assert len(out[out["doc_id"] == 3]) == 1  # single whole-sequence window
