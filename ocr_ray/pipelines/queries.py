@@ -367,6 +367,61 @@ def q_doc_winnow(sf_dir: str):
     return ds.map_batches(winnow_docs_batch, batch_format="pandas")
 
 
+def q_doc_overlap(sf_dir: str):
+    """Document-overlap candidates THROUGH the winnowing fingerprints —
+    the end-to-end MOSS detector: distinct (doc, fp) rows exchange BY
+    FINGERPRINT (all holders of an fp co-locate, so the document-frequency
+    gate and pair enumeration are partition-local), boilerplate
+    fingerprints held by > 32 docs are dropped (the skew guard: a chrome
+    fp shared by millions of docs would otherwise explode one partition
+    quadratically — standard practice, cf. the max_df gate in
+    split_contamination), surviving pairs aggregate to per-pair shared-fp
+    counts, and pairs sharing >= 2 fingerprints are reported.  Shuffle
+    volume: one row per (doc, distinct fp) plus the candidate pairs —
+    never payload text."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    fp_rows = q_doc_winnow(sf_dir)
+
+    def distinct_fp(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["doc_id", "fp"]].drop_duplicates()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_l: list = []
+        out_r: list = []
+        for _, grp in g.drop_duplicates(["doc_id", "fp"]).groupby("fp", sort=False):
+            ids = np.sort(grp["doc_id"].unique())
+            if len(ids) < 2 or len(ids) > 32:
+                continue
+            iu = np.triu_indices(len(ids), k=1)
+            out_l.append(ids[iu[0]])
+            out_r.append(ids[iu[1]])
+        if not out_l:
+            return pd.DataFrame({"left_id": pd.Series([], dtype="int64"),
+                                 "right_id": pd.Series([], dtype="int64"),
+                                 "n_shared": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "left_id": np.concatenate(out_l).astype("int64"),
+            "right_id": np.concatenate(out_r).astype("int64"),
+            "n_shared": np.int64(1),
+        })
+
+    cand = exchange_map_partitions(
+        fp_rows.map_batches(distinct_fp, batch_format="pandas"),
+        "fp", pairs, n_partitions=16,
+    )
+    agg = hash_aggregate(cand, keys=["left_id", "right_id"],
+                         aggs={"n_shared": "sum"}, n_partitions=16)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_shared"] >= 2].copy()
+        b["n_shared"] = b["n_shared"].astype("int64")
+        return b
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def q_doc_repetition(sf_dir: str):
     """Intra-document repetition signals (the Gopher/MassiveText-style
     repetition filter): per doc, total vs distinct adjacent bigrams and the
@@ -3273,6 +3328,7 @@ def queries() -> Dict[str, Callable]:
         "pipeline_curation": q_pipeline_curation,
         "doc_repetition": q_doc_repetition,
         "doc_winnow": q_doc_winnow,
+        "doc_overlap": q_doc_overlap,
         "doc_gopher": q_doc_gopher,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
@@ -3425,6 +3481,32 @@ _BLOOM_CPOS = "\nUNION ".join(
 _BLOOM_TEST = "\n   AND ".join(
     f"{_bloom_probe_sql(a, b)} IN (SELECT pos FROM cpos)" for a, b in _BLOOM_CONSTS
 )
+
+# winnowing fingerprint selection, shared by doc_winnow (directly) and
+# doc_overlap (as the candidate-generation CTE)
+_WINNOW_SQL = r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w_ FROM documents),
+h AS (SELECT doc_id, list_transform(w_, tok ->
+        list_reduce(list_prepend(7, list_transform(string_split(tok, ''), c -> unicode(c))),
+                    (a, b) -> (a * 31 + b) % 1000003)) AS th
+      FROM t WHERE len(w_) >= 4),
+kg AS (SELECT doc_id, unnest(generate_series(1, len(th) - 3)) AS s, th FROM h),
+keyed AS (SELECT doc_id, s - 1 AS pos,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), th[s : s + 3]),
+             (a, b) -> (a * 1000003 + b) % 2147483647) AS BIGINT) * 1048576
+          - (s - 1) AS key
+       FROM kg),
+wins AS (SELECT doc_id, pos,
+           min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mk,
+           count(*) OVER (PARTITION BY doc_id) AS m
+         FROM keyed),
+sel AS (SELECT DISTINCT doc_id, mk FROM wins WHERE pos <= greatest(m - 5, 0))
+SELECT doc_id,
+  CAST(((-mk) % 1048576 + 1048576) % 1048576 AS BIGINT) AS pos,
+  CAST((mk + ((-mk) % 1048576 + 1048576) % 1048576) // 1048576 AS BIGINT) AS fp
+FROM sel
+"""
 
 ORACLE_SQL: Dict[str, str] = {
     "doc_clean": rf"""
@@ -3667,28 +3749,19 @@ FROM t
     # winnowing: same token-hash polynomial as doc_fingerprint, k-gram
     # fold, and the identical h*2^20 - pos tiebreak key — the window MIN
     # is the exact same int64 arithmetic as the numpy sliding-window min
-    "doc_winnow": r"""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w_ FROM documents),
-h AS (SELECT doc_id, list_transform(w_, tok ->
-        list_reduce(list_prepend(7, list_transform(string_split(tok, ''), c -> unicode(c))),
-                    (a, b) -> (a * 31 + b) % 1000003)) AS th
-      FROM t WHERE len(w_) >= 4),
-kg AS (SELECT doc_id, unnest(generate_series(1, len(th) - 3)) AS s, th FROM h),
-keyed AS (SELECT doc_id, s - 1 AS pos,
-        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), th[s : s + 3]),
-             (a, b) -> (a * 1000003 + b) % 2147483647) AS BIGINT) * 1048576
-          - (s - 1) AS key
-       FROM kg),
-wins AS (SELECT doc_id, pos,
-           min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mk,
-           count(*) OVER (PARTITION BY doc_id) AS m
-         FROM keyed),
-sel AS (SELECT DISTINCT doc_id, mk FROM wins WHERE pos <= greatest(m - 5, 0))
-SELECT doc_id,
-  CAST(((-mk) % 1048576 + 1048576) % 1048576 AS BIGINT) AS pos,
-  CAST((mk + ((-mk) % 1048576 + 1048576) % 1048576) // 1048576 AS BIGINT) AS fp
-FROM sel
+    "doc_winnow": _WINNOW_SQL,
+    # overlap candidates THROUGH the winnow fingerprints: distinct
+    # (doc, fp), boilerplate fps (df > 32) dropped on both sides, pair
+    # counts — the end-to-end MOSS overlap detector
+    "doc_overlap": f"""
+WITH base AS ({_WINNOW_SQL}),
+wf AS (SELECT DISTINCT doc_id, fp FROM base),
+eligible AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) BETWEEN 2 AND 32),
+p AS (SELECT a.doc_id AS l, b.doc_id AS r
+      FROM wf a JOIN wf b USING (fp) JOIN eligible USING (fp)
+      WHERE a.doc_id < b.doc_id)
+SELECT l AS left_id, r AS right_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM p GROUP BY l, r HAVING count(*) >= 2
 """,
     "doc_repetition": """
 WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
