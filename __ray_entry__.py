@@ -353,6 +353,56 @@ def _q_transcripts_turn_dedup(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def _q_transcripts_convdedup(sf_dir: str):
+    """Conversation-level near-dup detection — MinHash+LSH over ASSEMBLED
+    conversation texts (the whole-dialogue dedup an SFT curation run needs:
+    re-rolled sessions, retried agent runs and copy-pasted dialogues differ
+    by a turn or two, not verbatim).  Deterministic positives: every
+    conversation is unioned with a mutant missing its final turn
+    (id + 10M).  One conv_id exchange assembles base+mutant texts, then the
+    fully distributed LSH pipeline (stages/dedup.py:minhash_dedup_pairs)
+    with 32 bands x 2 rows: at the 0.8 verify threshold the per-pair miss
+    probability is (1 - J^2)^32 <= 6e-15, so the output provably equals
+    the all-pairs shingle-Jaccard filter the DuckDB oracle computes —
+    value-checked, not rows-only.  Low-similarity candidate noise from the
+    shallow bands is discarded by the exact verify step (precision is
+    exact by construction; at production scale raise rows_per_band and
+    the guaranteed-recall threshold together)."""
+    import pandas as pd
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.stages.dedup import minhash_dedup_pairs
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    turns = build_turn_pipeline(_transcripts_for(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "role", "clean_text"]
+    )
+
+    def conv_texts(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"cid": pd.Series([], dtype="int64"),
+                                 "text": pd.Series([], dtype="object")})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
+        g["_fmt"] = "[" + g["role"] + "] " + g["clean_text"]
+        base = g.groupby("conv_id")["_fmt"].agg("\n\n".join)
+        last = g.groupby("conv_id")["turn_idx"].transform("max")
+        mut = g[g["turn_idx"] != last]
+        mtxt = mut.groupby("conv_id")["_fmt"].agg("\n\n".join)
+        bids = base.index.to_series().str[5:].astype("int64").to_numpy()
+        mids = mtxt.index.to_series().str[5:].astype("int64").to_numpy() + 10_000_000
+        return pd.concat(
+            [pd.DataFrame({"cid": bids, "text": base.to_numpy()}),
+             pd.DataFrame({"cid": mids, "text": mtxt.to_numpy()})],
+            ignore_index=True,
+        )
+
+    both = exchange_map_partitions(turns, "conv_id", conv_texts, n_partitions=16)
+    return minhash_dedup_pairs(
+        both, n_perm=64, n_bands=32, shingle_k=3, threshold=0.8,
+        text_col="text", id_col="cid", n_partitions=16,
+    )
+
+
 def transcripts_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Golden-table oracles for the synthesized-transcript pipelines,
     parameterized by sf tier (the registered strings bake the driver's
@@ -451,6 +501,41 @@ SELECT min(conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0'))
        CAST(count(*) AS BIGINT) AS n_copies
 FROM j GROUP BY expected_clean HAVING count(*) >= 2
 """,
+        # conversation near-dup: all-pairs shingle Jaccard >= 0.8 over the
+        # base + drop-last-turn-mutant union (sparse shingle self-join —
+        # the LSH pipeline's guaranteed-recall output must equal it)
+        "transcripts_convdedup": f"""
+WITH t AS (SELECT conv_id, turn_idx, role
+           FROM read_parquet('{root}/transcripts/*.parquet')),
+o AS (SELECT conv_id, turn_idx, expected_clean
+      FROM read_parquet('{root}/oracle/*.parquet')),
+j AS (SELECT t.conv_id, t.turn_idx,
+             '[' || t.role || '] ' || o.expected_clean AS fmt,
+             max(t.turn_idx) OVER (PARTITION BY t.conv_id) AS mx
+      FROM t JOIN o USING (conv_id, turn_idx)),
+base AS (SELECT CAST(substr(conv_id, 6) AS BIGINT) AS id,
+                string_agg(fmt, e'\n\n' ORDER BY turn_idx) AS text
+         FROM j GROUP BY conv_id),
+mut AS (SELECT CAST(substr(conv_id, 6) AS BIGINT) + 10000000 AS id,
+               string_agg(fmt, e'\n\n' ORDER BY turn_idx) AS text
+        FROM j WHERE turn_idx < mx GROUP BY conv_id),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+ww AS (SELECT id, string_split_regex(trim(text), '\\s+') AS w FROM u),
+s AS (SELECT id,
+        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+      FROM ww),
+sz AS (SELECT id, len(sh) AS n FROM s),
+f AS (SELECT id, unnest(sh) AS g FROM s),
+inter AS (SELECT a.id AS l, b.id AS r, count(*) AS i
+          FROM f a JOIN f b ON a.g = b.g AND a.id < b.id
+          GROUP BY a.id, b.id)
+SELECT CAST(l AS BIGINT) AS left_id, CAST(r AS BIGINT) AS right_id,
+  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.id = l JOIN sz sb ON sb.id = r
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+""",
     }
 
 
@@ -473,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_alternation"] = _q_transcripts_alternation
     q["transcripts_sft"] = _q_transcripts_sft
     q["transcripts_turn_dedup"] = _q_transcripts_turn_dedup
+    q["transcripts_convdedup"] = _q_transcripts_convdedup
     return q
 
 
