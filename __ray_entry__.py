@@ -403,6 +403,177 @@ def _q_transcripts_convdedup(sf_dir: str):
     )
 
 
+def _q_pipeline_sft(sf_dir: str):
+    """End-to-end SFT curation composite — the full transcript-to-training
+    -examples pipeline as ONE streaming job: flagship extraction →
+    role-alternation gate (conversations with any adjacent same-role
+    dialogue repeat are dropped entirely — malformed sessions) → SFT
+    example construction (last-3-turns context window per assistant turn)
+    → corpus-wide exact completion dedup, keep-first (templated replies
+    collapse to their lexicographically first holder; empty completions
+    dropped).  Three bounded exchanges total: conv_id (gate + examples
+    fused in one partition pass), then completion-hash (16-byte keys +
+    ids move, never payloads twice).  The oracle chains the same steps
+    as CTEs over the golden table."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    turns = build_turn_pipeline(_transcripts_for(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "role", "clean_text"]
+    )
+
+    def gated_examples(g: pd.DataFrame) -> pd.DataFrame:
+        """Alternation gate + SFT example build, fused: the exchange
+        already co-located every turn of a conversation."""
+        empty = pd.DataFrame({
+            "conv_id": pd.Series([], dtype="object"),
+            "turn_idx": pd.Series([], dtype="int64"),
+            "prompt": pd.Series([], dtype="object"),
+            "completion": pd.Series([], dtype="object"),
+        })
+        if not len(g):
+            return empty
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
+        d = g[g["role"].isin(["user", "assistant"])]
+        prev = d.groupby("conv_id")["role"].shift()
+        bad = set(d.loc[d["role"] == prev, "conv_id"])
+        g = g[~g["conv_id"].isin(bad)]
+        if not len(g):
+            return empty
+        g["_fmt"] = "[" + g["role"] + "] " + g["clean_text"]
+        by = g.groupby("conv_id")["_fmt"]
+        p1, p2, p3 = by.shift(1), by.shift(2), by.shift(3)
+        prompt = pd.Series(
+            np.where(p3.notna(), p3.fillna("") + "\n", "")
+            + np.where(p2.notna(), p2.fillna("") + "\n", "")
+            + p1.fillna(""),
+            index=g.index,
+        )
+        keep = (g["role"] == "assistant") & (g["clean_text"] != "")
+        return pd.DataFrame({
+            "conv_id": g["conv_id"][keep],
+            "turn_idx": g["turn_idx"][keep].astype("int64"),
+            "prompt": prompt[keep],
+            "completion": g["clean_text"][keep],
+        })
+
+    examples = exchange_map_partitions(turns, "conv_id", gated_examples,
+                                       n_partitions=16)
+
+    def hashed(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_h"] = [hashlib.sha256(t.encode()).hexdigest()[:16]
+                   for t in b["completion"]]
+        b["_key"] = (b["conv_id"] + ":"
+                     + b["turn_idx"].astype("int64").map("{:06d}".format))
+        return b
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g.drop(columns=["_h", "_key"], errors="ignore")
+        g = g.loc[g.groupby("_h")["_key"].transform("min") == g["_key"]]
+        return g.drop(columns=["_h", "_key"])
+
+    return exchange_map_partitions(
+        examples.map_batches(hashed, batch_format="pandas"),
+        "_h", keep_first, n_partitions=16,
+    )
+
+
+def _q_transcripts_packed(sf_dir: str):
+    """Packed-batch layout with loss masks — the final artifact an SFT
+    trainer consumes: every turn's exact global token offset and
+    1024-token training bin under the canonical (conv_id, turn_idx)
+    stream order, plus its trainable (assistant) flag.  Exact distributed
+    prefix-sum with NO sort-shuffle and NO driver row data: conversations
+    bucket by conv-index high bits (order-preserving), pass 1 reduces
+    per-bucket token sums (64 ints to the driver), pass 2 exchanges by
+    bucket and adds local cumsums to the driver's bucket offsets — the
+    same scan shape as stages/shuffle.py:deterministic_pack, but in
+    dialogue order so conversations stay contiguous in the packed
+    stream."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    BUDGET = 1024
+    tdir = _transcripts_for(sf_dir)
+    # max conv index from the raw table (one-column scan; no extraction)
+    maxc = int(
+        rd.read_parquet(tdir, columns=["conv_id"])
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {"c": [b["conv_id"].str[5:].astype("int64").max()]}),
+            batch_format="pandas")
+        .max("c")
+    )
+    shift = max(0, int(maxc + 1).bit_length() - 6)  # <= 64 buckets
+
+    turns = build_turn_pipeline(tdir).select_columns(
+        ["conv_id", "turn_idx", "role", "clean_text"]
+    )
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        cint = b["conv_id"].str[5:].astype("int64")
+        ntok = np.fromiter((len(t.split()) for t in b["clean_text"]),
+                           dtype=np.int64, count=len(b))
+        return pd.DataFrame({
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"].astype("int64"),
+            "trainable": (b["role"] == "assistant").astype("int64"),
+            "n_tokens": ntok,
+            "_bucket": (cint.to_numpy() >> shift).astype("int64"),
+        })
+
+    kt = turns.map_batches(keyed, batch_format="pandas")
+
+    def sum_buckets(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("_bucket")["n_tokens"].sum()
+        return pd.DataFrame({"_bucket": g.index.to_numpy(dtype="int64"),
+                             "s": g.to_numpy(dtype="int64")})
+
+    sums = (kt.map_batches(sum_buckets, batch_format="pandas")
+            .to_pandas().groupby("_bucket")["s"].sum())
+    n_buckets = (maxc >> shift) + 1
+    tok_offsets = np.zeros(n_buckets + 1, dtype=np.int64)
+    tok_offsets[sums.index.to_numpy(dtype="int64") + 1] = sums.to_numpy()
+    tok_offsets = np.cumsum(tok_offsets)
+
+    def pack_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype="object"),
+                "turn_idx": pd.Series([], dtype="int64"),
+                "trainable": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "start_offset": pd.Series([], dtype="int64"),
+                "bin": pd.Series([], dtype="int64"),
+            })
+        out = []
+        for bk, grp in g.groupby("_bucket", sort=True):
+            grp = grp.sort_values(["conv_id", "turn_idx"],
+                                  kind="mergesort").copy()
+            n = grp["n_tokens"].to_numpy(dtype="int64")
+            grp["start_offset"] = tok_offsets[int(bk)] + np.concatenate(
+                ([0], np.cumsum(n)[:-1]))
+            out.append(grp)
+        g = pd.concat(out, ignore_index=True)
+        g["bin"] = g["start_offset"] // BUDGET
+        return g.drop(columns=["_bucket"])
+
+    return exchange_map_partitions(kt, "_bucket", pack_partition,
+                                   n_partitions=16)
+
+
 def transcripts_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Golden-table oracles for the synthesized-transcript pipelines,
     parameterized by sf tier (the registered strings bake the driver's
@@ -536,6 +707,57 @@ SELECT CAST(l AS BIGINT) AS left_id, CAST(r AS BIGINT) AS right_id,
 FROM inter JOIN sz sa ON sa.id = l JOIN sz sb ON sb.id = r
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
 """,
+        # the SFT curation composite, chained as CTEs: alternation gate ->
+        # example build (lag window) -> keep-first completion dedup
+        "pipeline_sft": f"""
+WITH t AS (SELECT conv_id, turn_idx, role
+           FROM read_parquet('{root}/transcripts/*.parquet')),
+o AS (SELECT conv_id, turn_idx, expected_clean
+      FROM read_parquet('{root}/oracle/*.parquet')),
+d AS (SELECT conv_id, role,
+        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pr
+      FROM t WHERE role IN ('user', 'assistant')),
+bad AS (SELECT DISTINCT conv_id FROM d WHERE role = pr),
+j AS (SELECT t.conv_id, t.turn_idx, t.role, o.expected_clean,
+             '[' || t.role || '] ' || o.expected_clean AS fmt
+      FROM t JOIN o USING (conv_id, turn_idx)
+      WHERE t.conv_id NOT IN (SELECT conv_id FROM bad)),
+w AS (SELECT conv_id, turn_idx, role, expected_clean,
+        lag(fmt, 1) OVER win AS p1,
+        lag(fmt, 2) OVER win AS p2,
+        lag(fmt, 3) OVER win AS p3
+      FROM j WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)),
+ex AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         concat_ws(chr(10), p3, p2, p1) AS prompt,
+         expected_clean AS completion,
+         conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0') AS key
+       FROM w WHERE role = 'assistant' AND expected_clean <> '')
+SELECT conv_id, turn_idx, prompt, completion
+FROM ex QUALIFY key = min(key) OVER (PARTITION BY completion)
+""",
+        # packed layout: exact global prefix sum of per-turn token counts
+        # in (conv_id, turn_idx) stream order
+        "transcripts_packed": f"""
+WITH t AS (SELECT conv_id, turn_idx, role
+           FROM read_parquet('{root}/transcripts/*.parquet')),
+o AS (SELECT conv_id, turn_idx, expected_clean
+      FROM read_parquet('{root}/oracle/*.parquet')),
+n AS (SELECT t.conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx,
+        CAST(CASE WHEN t.role = 'assistant' THEN 1 ELSE 0 END AS BIGINT)
+          AS trainable,
+        CAST(CASE WHEN trim(o.expected_clean) = '' THEN 0
+             ELSE len(string_split_regex(trim(o.expected_clean), '\\s+'))
+             END AS BIGINT) AS n_tokens
+      FROM t JOIN o USING (conv_id, turn_idx)),
+w AS (SELECT conv_id, turn_idx, trainable, n_tokens,
+        CAST(COALESCE(sum(n_tokens) OVER (ORDER BY conv_id, turn_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_offset
+      FROM n)
+SELECT conv_id, turn_idx, trainable, n_tokens, start_offset,
+       CAST(start_offset // 1024 AS BIGINT) AS bin
+FROM w
+""",
     }
 
 
@@ -559,6 +781,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_sft"] = _q_transcripts_sft
     q["transcripts_turn_dedup"] = _q_transcripts_turn_dedup
     q["transcripts_convdedup"] = _q_transcripts_convdedup
+    q["pipeline_sft"] = _q_pipeline_sft
+    q["transcripts_packed"] = _q_transcripts_packed
     return q
 
 

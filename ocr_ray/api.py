@@ -796,3 +796,52 @@ def gram_matrix(
     ).to_pandas()
     out["g"] = out["g"].astype("int64")
     return out
+
+
+def winnow_fingerprints(
+    docs: "rd.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Winnowing fingerprint selection (Schleimer et al. SIGMOD'03 — the
+    MOSS scheme; stages/analysis.py:winnow_docs_batch): one (doc_id, pos,
+    fp) row per selected k-gram hash.  Any shared token run of
+    >= WINNOW_W + WINNOW_K - 1 tokens between two docs shares a
+    fingerprint.  Pure per-row map, no shuffle."""
+    from ocr_ray.stages.analysis import winnow_docs_batch
+
+    if text_col != "text" or id_col != "doc_id":
+        docs = docs.map_batches(
+            lambda b: b.rename(columns={id_col: "doc_id", text_col: "text"}),
+            batch_format="pandas",
+        )
+    return docs.map_batches(winnow_docs_batch, batch_format="pandas")
+
+
+def detect_overlap(sf_dir: str) -> "rd.Dataset":
+    """End-to-end MOSS overlap candidates over the documents table
+    (pipelines/queries.py:q_doc_overlap): winnow fingerprints exchanged by
+    fp with a df<=32 boilerplate gate, per-pair shared-fingerprint
+    counts."""
+    from ocr_ray.pipelines.queries import q_doc_overlap
+
+    return q_doc_overlap(sf_dir)
+
+
+def build_sft_examples(sf_dir: str) -> "rd.Dataset":
+    """The full transcript->SFT-examples curation composite
+    (__ray_entry__._q_pipeline_sft): extraction -> role-alternation gate
+    -> (prompt, completion) example build with a last-3-turns context
+    window -> corpus-wide keep-first completion dedup."""
+    import __ray_entry__ as entry
+
+    return entry._q_pipeline_sft(sf_dir)
+
+
+def dedup_conversations(sf_dir: str) -> "rd.Dataset":
+    """Conversation-level MinHash near-dup pairs over assembled dialogue
+    texts (__ray_entry__._q_transcripts_convdedup): 32x2 banding gives
+    provable recall at the 0.8 shingle-Jaccard verify threshold."""
+    import __ray_entry__ as entry
+
+    return entry._q_transcripts_convdedup(sf_dir)
