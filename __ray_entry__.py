@@ -574,6 +574,43 @@ def _q_transcripts_packed(sf_dir: str):
                                    n_partitions=16)
 
 
+def _q_transcripts_toolflow(sf_dir: str):
+    """Tool-transition matrix over the raw transcripts (agent telemetry:
+    which tool follows which inside a conversation): for consecutive
+    tool-role turns in turn order, count (prev_tool, tool) pairs
+    corpus-wide, with '^' marking a conversation's first tool call.  One
+    conv_id exchange computes per-partition transition partials (a
+    bounded |tools|^2 table each), then a tiny pair aggregate."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    ds = rd.read_parquet(
+        _transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "role", "tool"]
+    ).filter(expr="role == 'tool'")
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"prev_tool": pd.Series([], dtype="object"),
+                                 "tool": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        prev = g.groupby("conv_id")["tool"].shift().fillna("^")
+        out = pd.DataFrame({"prev_tool": prev, "tool": g["tool"], "n": 1})
+        return out.groupby(["prev_tool", "tool"], as_index=False)["n"].sum()
+
+    partials = exchange_map_partitions(ds, "conv_id", transitions,
+                                       n_partitions=16)
+    out = hash_aggregate(partials, keys=["prev_tool", "tool"],
+                         aggs={"n": "sum"}, n_partitions=4)
+    return out.map_batches(
+        lambda b: b.assign(n=b["n"].astype("int64")), batch_format="pandas"
+    )
+
+
 def transcripts_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Golden-table oracles for the synthesized-transcript pipelines,
     parameterized by sf tier (the registered strings bake the driver's
@@ -758,6 +795,17 @@ SELECT conv_id, turn_idx, trainable, n_tokens, start_offset,
        CAST(start_offset // 1024 AS BIGINT) AS bin
 FROM w
 """,
+        "transcripts_toolflow": f"""
+WITH t AS (SELECT conv_id, turn_idx, tool
+           FROM read_parquet('{root}/transcripts/*.parquet')
+           WHERE role = 'tool'),
+w AS (SELECT conv_id, tool,
+        COALESCE(lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                 '^') AS prev_tool
+      FROM t)
+SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY prev_tool, tool
+""",
     }
 
 
@@ -783,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_convdedup"] = _q_transcripts_convdedup
     q["pipeline_sft"] = _q_pipeline_sft
     q["transcripts_packed"] = _q_transcripts_packed
+    q["transcripts_toolflow"] = _q_transcripts_toolflow
     return q
 
 
