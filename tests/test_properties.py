@@ -106,3 +106,79 @@ def test_quantile_histogram_equals_sort(values, q):
     via_hist = hist[idx][0]
     via_sort = sorted(values)[rank - 1]
     assert via_hist == via_sort
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                min_size=0, max_size=60))
+def test_winnow_matches_bruteforce(words):
+    """The vectorized sliding-window winnowing equals a brute-force
+    per-window rightmost-min reference for arbitrary token streams."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.stages.analysis import (
+        WINNOW_K, WINNOW_W, winnow_docs_batch)
+    from ocr_ray.stages.embed import hash_token
+
+    text = " ".join(words)
+    got = winnow_docs_batch(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    got_set = set(zip(got["pos"], got["fp"]))
+
+    n = len(words)
+    if n < WINNOW_K:
+        assert got_set == set()
+        return
+    B, M = 1000003, (1 << 31) - 1
+    th = [hash_token(t) for t in words]
+    m = n - WINNOW_K + 1
+    kg = []
+    for j in range(m):
+        a = 0
+        for i in range(WINNOW_K):
+            a = (a * B + th[j + i]) % M
+        kg.append(a)
+    want = set()
+    starts = range(m - WINNOW_W + 1) if m > WINNOW_W else [0]
+    for j in starts:
+        win = kg[j:j + WINNOW_W]
+        mn = min(win)
+        # rightmost occurrence of the min in the window
+        p = j + max(i for i, v in enumerate(win) if v == mn)
+        want.add((p, mn))
+    assert got_set == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.tuples(st.sampled_from(["user", "assistant", "system", "tool"]),
+              st.sampled_from(["", "one", "two words", "three word text"])),
+    min_size=1, max_size=12))
+def test_sft_prompt_window_matches_naive(turns):
+    """The groupby-shift SFT prompt construction equals a naive per-turn
+    walk (last-3 formatted turns joined by newlines)."""
+    import pandas as pd
+
+    g = pd.DataFrame({
+        "conv_id": ["c"] * len(turns),
+        "turn_idx": list(range(len(turns))),
+        "role": [r for r, _ in turns],
+        "clean_text": [t for _, t in turns],
+    })
+    # reproduce the query's vectorized construction (same expressions as
+    # _q_transcripts_sft's partition fn), then compare to the naive walk
+    import numpy as np
+
+    gg = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
+    gg["_fmt"] = "[" + gg["role"] + "] " + gg["clean_text"]
+    by = gg.groupby("conv_id")["_fmt"]
+    p1, p2, p3 = by.shift(1), by.shift(2), by.shift(3)
+    prompt = pd.Series(
+        np.where(p3.notna(), p3.fillna("") + "\n", "")
+        + np.where(p2.notna(), p2.fillna("") + "\n", "")
+        + p1.fillna(""), index=gg.index)
+
+    fmts = list(gg["_fmt"])
+    for i in range(len(turns)):
+        want = "\n".join(fmts[max(0, i - 3):i])
+        assert prompt.iloc[i] == want
