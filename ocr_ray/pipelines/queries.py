@@ -348,6 +348,89 @@ def q_corpus_stats(sf_dir: str):
     ).astype("int64")
 
 
+def q_corpus_drift(sf_dir: str):
+    """Per-source term-distribution drift monitor — total-variation
+    distance (in exact ppm integers) between each source's unigram
+    distribution and the corpus-wide distribution: the data-quality
+    alarm a production pipeline runs per ingest batch ("did src7's
+    content shift?").  TV = 1/2 sum_t |p_s(t) - p_c(t)|; with ppm
+    integer division both sides every cell is exact int64, so even this
+    statistical monitor is value-checked (reported as ``tv2_ppm`` =
+    sum |ppm_s - ppm_c|, i.e. 2e6 x TV).
+
+    Plan: (source, term) combiner counts -> one hash aggregate; tiny
+    per-source totals to the driver (bounded by |sources|, broadcast in
+    the closure); one exchange BY TERM — a partition owns every source's
+    count for its terms, so present-cell |ppm_s - ppm_c| and the
+    absent-cell complement (sum of its terms' corpus ppm minus the
+    present ones per source) are both local integer sums; final
+    per-source partial-sum aggregate.  Exchange volume: the (source,
+    term) count table, never token streams."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        counts: Dict[str, "Counter[str]"] = {}
+        for s, t in zip(b["source"], b["text"]):
+            counts.setdefault(s, Counter()).update(_TERM.findall(t.lower()))
+        rows = [(s, term, n) for s, c in counts.items() for term, n in c.items()]
+        return pd.DataFrame({
+            "source": [r[0] for r in rows],
+            "term": [r[1] for r in rows],
+            "n": pd.Series([r[2] for r in rows], dtype="int64"),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "text"])
+    st = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                        keys=["source", "term"], aggs={"n": "sum"},
+                        n_partitions=16)
+
+    totals = st.map_batches(
+        lambda b: b.groupby("source", as_index=False)["n"].sum(),
+        batch_format="pandas",
+    ).to_pandas().groupby("source")["n"].sum()  # bounded: one row per source
+    tot_by_source = totals.to_dict()
+    tot_c = int(totals.sum())
+    sources = sorted(tot_by_source)
+
+    def tv_partial(g: pd.DataFrame) -> pd.DataFrame:
+        out_src = np.asarray(sources, dtype=object)
+        if not len(g):
+            return pd.DataFrame({"source": out_src,
+                                 "sum_abs": np.zeros(len(sources), dtype="int64")})
+        nt = g.groupby("term")["n"].transform("sum").to_numpy(dtype="int64")
+        n = g["n"].to_numpy(dtype="int64")
+        tot_s = g["source"].map(tot_by_source).to_numpy(dtype="int64")
+        ppm_s = (n * 1_000_000) // tot_s
+        ppm_c = (nt * 1_000_000) // tot_c
+        present = pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "d": np.abs(ppm_s - ppm_c),
+            "pc": ppm_c,
+        }).groupby("source").agg(d=("d", "sum"), pc=("pc", "sum"))
+        term_tot = g.groupby("term")["n"].sum().to_numpy(dtype="int64")
+        sum_all_pc = int(((term_tot * 1_000_000) // tot_c).sum())
+        d = present["d"].reindex(sources).fillna(0).to_numpy(dtype="int64")
+        pc = present["pc"].reindex(sources).fillna(0).to_numpy(dtype="int64")
+        return pd.DataFrame({"source": out_src,
+                             "sum_abs": d + (sum_all_pc - pc)})
+
+    parts = exchange_map_partitions(st, "term", tv_partial, n_partitions=16)
+    out = hash_aggregate(parts, keys=["source"], aggs={"sum_abs": "sum"},
+                         n_partitions=4)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["total_tokens"] = b["source"].map(tot_by_source).astype("int64")
+        b["tv2_ppm"] = b["sum_abs"].astype("int64")
+        return b[["source", "total_tokens", "tv2_ppm"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_doc_winnow(sf_dir: str):
     """Winnowing fingerprint selection (Schleimer et al. SIGMOD 2003 — the
     MOSS local fingerprinting scheme): per document, the distinct
@@ -3329,6 +3412,7 @@ def queries() -> Dict[str, Callable]:
         "doc_repetition": q_doc_repetition,
         "doc_winnow": q_doc_winnow,
         "doc_overlap": q_doc_overlap,
+        "corpus_drift": q_corpus_drift,
         "doc_gopher": q_doc_gopher,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
@@ -3750,6 +3834,24 @@ FROM t
     # fold, and the identical h*2^20 - pos tiebreak key — the window MIN
     # is the exact same int64 arithmetic as the numpy sliding-window min
     "doc_winnow": _WINNOW_SQL,
+    # drift monitor: exact integer ppm grid (sources x vocab), absent
+    # cells materialized by the cross join; same // floor division
+    "corpus_drift": """
+WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents),
+st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+ts AS (SELECT source, sum(n) AS tot FROM st GROUP BY 1),
+tt AS (SELECT term, sum(n) AS nt FROM st GROUP BY 1),
+tc AS (SELECT sum(n) AS t FROM st),
+grid AS (SELECT s.source, t.term, COALESCE(st.n, 0) AS n, t.nt
+         FROM (SELECT DISTINCT source FROM st) s
+         CROSS JOIN tt t
+         LEFT JOIN st ON st.source = s.source AND st.term = t.term)
+SELECT g.source, CAST(ts.tot AS BIGINT) AS total_tokens,
+  CAST(sum(abs((g.n * 1000000) // ts.tot
+               - (g.nt * 1000000) // (SELECT t FROM tc))) AS BIGINT) AS tv2_ppm
+FROM grid g JOIN ts USING (source) GROUP BY g.source, ts.tot
+""",
     # overlap candidates THROUGH the winnow fingerprints: distinct
     # (doc, fp), boilerplate fps (df > 32) dropped on both sides, pair
     # counts — the end-to-end MOSS overlap detector
