@@ -2320,6 +2320,66 @@ def q_events_active_7d(sf_dir: str):
     return out
 
 
+def q_events_anomaly(sf_dir: str):
+    """Volume-anomaly detection per event type — the pipeline-health
+    monitor: a day is anomalous for a type when its event count deviates
+    from the type's median daily count by more than 3x the median
+    absolute deviation (robust z-score, Hampel rule).  Both the median
+    and the MAD use the LOWER-median convention (the ceil(m/2)-th
+    smallest value), so every statistic is an exact int64 and even this
+    statistical monitor is value-checked.  Plan: per-(type, day) counts
+    through the streaming hash aggregate (bounded: |types| x |days|),
+    one exchange BY TYPE (all of a type's days co-locate), vectorized
+    per-type median/MAD inside the partition."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": b["ts"].dt.floor("D"),
+            "n": np.int64(1),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+    counts = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                            keys=["event_type", "day"], aggs={"n": "sum"},
+                            n_partitions=8)
+
+    def lower_median(a: np.ndarray) -> int:
+        a = np.sort(a)
+        return int(a[(a.size + 1) // 2 - 1])
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="object"),
+                "day": pd.Series([], dtype="datetime64[us]"),
+                "n": pd.Series([], dtype="int64"),
+                "med": pd.Series([], dtype="int64"),
+                "mad": pd.Series([], dtype="int64"),
+                "is_anomaly": pd.Series([], dtype="int64"),
+            })
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            n = grp["n"].to_numpy(dtype="int64")
+            med = lower_median(n)
+            dev = np.abs(n - med)
+            mad = lower_median(dev)
+            out.append(pd.DataFrame({
+                "event_type": et,
+                "day": grp["day"],
+                "n": n,
+                "med": np.int64(med),
+                "mad": np.int64(mad),
+                "is_anomaly": (dev > 3 * mad).astype("int64"),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return exchange_map_partitions(counts, "event_type", flag, n_partitions=8)
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by first-activity week
     (Monday-truncated, DuckDB date_trunc('week') parity), counted as
@@ -3413,6 +3473,7 @@ def queries() -> Dict[str, Callable]:
         "doc_winnow": q_doc_winnow,
         "doc_overlap": q_doc_overlap,
         "corpus_drift": q_corpus_drift,
+        "events_anomaly": q_events_anomaly,
         "doc_gopher": q_doc_gopher,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
@@ -3851,6 +3912,33 @@ SELECT g.source, CAST(ts.tot AS BIGINT) AS total_tokens,
   CAST(sum(abs((g.n * 1000000) // ts.tot
                - (g.nt * 1000000) // (SELECT t FROM tc))) AS BIGINT) AS tv2_ppm
 FROM grid g JOIN ts USING (source) GROUP BY g.source, ts.tot
+""",
+    # Hampel-rule anomaly flags with lower-median convention: the
+    # ceil(m/2)-th smallest = max over the first ceil(m/2) rows sorted
+    # ascending — exact integers end to end
+    "events_anomaly": """
+WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS m
+      FROM c),
+med AS (SELECT event_type,
+               max(n) FILTER (WHERE rn <= (m + 1) // 2) AS med
+        FROM r GROUP BY event_type),
+d AS (SELECT c.event_type, c.day, c.n, med.med, abs(c.n - med.med) AS dev
+      FROM c JOIN med USING (event_type)),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS m
+       FROM d),
+mad AS (SELECT event_type,
+               max(dev) FILTER (WHERE rn <= (m + 1) // 2) AS mad
+        FROM r2 GROUP BY event_type)
+SELECT d.event_type, d.day, d.n, CAST(d.med AS BIGINT) AS med,
+       CAST(mad.mad AS BIGINT) AS mad,
+       CAST(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT)
+         AS is_anomaly
+FROM d JOIN mad USING (event_type)
 """,
     # overlap candidates THROUGH the winnow fingerprints: distinct
     # (doc, fp), boilerplate fps (df > 32) dropped on both sides, pair
