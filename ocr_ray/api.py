@@ -845,3 +845,24 @@ def dedup_conversations(sf_dir: str) -> "rd.Dataset":
     import __ray_entry__ as entry
 
     return entry._q_transcripts_convdedup(sf_dir)
+
+
+def compact_output(
+    in_dir: str,
+    out_dir: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-files compaction — the lakehouse maintenance op for outputs
+    written incrementally (many small parquet fragments read slowly and
+    bloat metadata): stream the directory, repartition to
+    ``ceil(total_bytes / target_mb)`` blocks, rewrite.  Returns the
+    number of output blocks.  Row contents are untouched; only the file
+    layout changes (one all-to-all move of the data, the unavoidable
+    cost of re-binning)."""
+    import math
+
+    ds = rd.read_parquet(in_dir)
+    size = ds.size_bytes() or 1
+    n_blocks = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+    ds.repartition(n_blocks).write_parquet(out_dir)
+    return n_blocks

@@ -194,3 +194,25 @@ def test_winnow_short_doc_edges():
     assert 1 not in set(out["doc_id"])
     assert len(out[out["doc_id"] == 2]) == 1
     assert len(out[out["doc_id"] == 3]) == 1  # single whole-sequence window
+
+
+def test_compact_output_preserves_rows(ray_session, tmp_path):
+    import ray.data as rd
+
+    import ocr_ray.api as api
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    rd.range(5000).map_batches(
+        lambda b: pd.DataFrame({"x": b["id"], "y": b["id"] * 2}),
+        batch_format="pandas",
+    ).repartition(40).write_parquet(src)
+    import glob
+
+    n_in = len(glob.glob(src + "/*.parquet"))
+    api.compact_output(src, dst, target_mb=128)
+    n_out = len(glob.glob(dst + "/*.parquet"))
+    assert n_out < n_in
+    a = rd.read_parquet(src).to_pandas().sort_values("x").reset_index(drop=True)
+    b = rd.read_parquet(dst).to_pandas().sort_values("x").reset_index(drop=True)
+    assert a.equals(b)
