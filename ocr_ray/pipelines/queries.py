@@ -505,6 +505,21 @@ def q_doc_overlap(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicated-span detection (stages/dedup.py:duplicated_spans —
+    the Lee et al. 2022 ExactSubstr primitive via overlapping-window
+    hashing): maximal token spans whose every L=8-token window occurs
+    elsewhere in the corpus, per document.  The remove step is then a
+    per-row splice of [span_start, span_end] — this query emits the spans
+    themselves so the oracle value-checks the detection geometry."""
+    from ocr_ray.stages.dedup import duplicated_spans
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return duplicated_spans(docs, L=8, n_partitions=16)
+
+
 def q_doc_repetition(sf_dir: str):
     """Intra-document repetition signals (the Gopher/MassiveText-style
     repetition filter): per doc, total vs distinct adjacent bigrams and the
@@ -3474,6 +3489,7 @@ def queries() -> Dict[str, Callable]:
         "doc_overlap": q_doc_overlap,
         "corpus_drift": q_corpus_drift,
         "events_anomaly": q_events_anomaly,
+        "dedup_spans": q_dedup_spans,
         "doc_gopher": q_doc_gopher,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
@@ -3939,6 +3955,42 @@ SELECT d.event_type, d.day, d.n, CAST(d.med AS BIGINT) AS med,
        CAST(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT)
          AS is_anomaly
 FROM d JOIN mad USING (event_type)
+""",
+    # ExactSubstr spans: identical two-family 62-bit window hashes
+    # (PolySimHasher families), global dup test, gaps-and-islands merge
+    "dedup_spans": r"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  string_split_regex(trim(text), '\s+') AS w
+           FROM documents WHERE trim(text) <> ''),
+th AS (SELECT id, len(w) AS n,
+   list_transform(w, tok -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, tok -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM t),
+kg AS (SELECT id, unnest(generate_series(1, n - 7)) AS s, t1, t2
+       FROM th WHERE n >= 8),
+wh AS (SELECT id, s - 1 AS pos,
+   list_reduce(list_prepend(CAST(0 AS BIGINT), t1[s : s + 7]),
+               (a, b) -> (a * 1000003 + b) % 2147483647)
+   + list_reduce(list_prepend(CAST(0 AS BIGINT), t2[s : s + 7]),
+                 (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 AS h
+ FROM kg),
+flag AS (SELECT id, pos FROM
+           (SELECT id, pos, count(*) OVER (PARTITION BY h) AS c FROM wh)
+         WHERE c >= 2),
+ord AS (SELECT id, pos,
+   CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) <= 8
+        THEN 0 ELSE 1 END AS brk
+ FROM flag),
+grp AS (SELECT id, pos,
+   sum(brk) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+ FROM ord)
+SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end
+FROM grp GROUP BY id, gid
 """,
     # overlap candidates THROUGH the winnow fingerprints: distinct
     # (doc, fp), boilerplate fps (df > 32) dropped on both sides, pair

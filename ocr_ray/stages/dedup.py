@@ -1189,6 +1189,120 @@ def _block_hashes(t1: np.ndarray, t2: np.ndarray, w: int) -> np.ndarray:
     return out
 
 
+def _window_hashes(t1: np.ndarray, t2: np.ndarray, L: int) -> np.ndarray:
+    """62-bit hash per OVERLAPPING L-token window (one per start position)
+    — the positional variant of :func:`_block_hashes`; same two-family
+    polynomial fold, vectorized across windows."""
+    n = t1.size
+    if n < L:
+        return np.array([], dtype=np.int64)
+    m = n - L + 1
+    s1 = np.zeros(m, dtype=np.int64)
+    s2 = np.zeros(m, dtype=np.int64)
+    for j in range(L):  # t1 < 1000003: products < 2^51, exact int64
+        s1 = (s1 * _P1_MOD + t1[j:j + m]) % _MOD31
+        s2 = (s2 * _P2_MOD + t2[j:j + m]) % _MOD31
+    return s1 + (s2 << 31)
+
+
+def duplicated_spans(
+    docs: "object",
+    L: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 16,
+) -> "object":
+    """Exact duplicated-span detection — the ExactSubstr primitive of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), via overlapping window hashing instead of a suffix array:
+    every L-token window whose content occurs anywhere else in the corpus
+    (another doc OR another position of the same doc) is flagged, and per
+    doc the flagged windows merge into MAXIMAL duplicated spans
+    [span_start, span_end] (token indices, inclusive).  Any duplicated
+    token run of length >= L is covered by flagged windows, so the merged
+    spans exactly tile the duplicated regions.
+
+    Windows are keyed by the SQL-replicable two-family 62-bit polynomial
+    hash (:func:`_window_hashes` — same families as
+    :class:`PolySimHasher`), so the DuckDB oracle recomputes identical
+    keys and the dup test is deterministic on both sides; at ~2^62 key
+    space, cross-content collisions are negligible (~n^2/2^63) and
+    IDENTICAL in engine and oracle.  Two bounded exchanges: (h, id, pos)
+    rows BY HASH (a partition owns every occurrence of its hashes, so
+    the >=2 test is local and only flagged int pairs come out), then
+    flagged positions BY DOC for the vectorized island merge.  Exchange
+    volume: one 3-int row per token position — never text."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    hasher = PolySimHasher()
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b[id_col].to_numpy(dtype="int64")
+        hs, out_id, out_pos = [], [], []
+        for i, t in enumerate(b[text_col]):
+            toks = t.split()
+            if len(toks) < L:
+                continue
+            th = hasher._token_hashes(toks)
+            wh = _window_hashes(th[:, 0], th[:, 1], L)
+            hs.append(wh)
+            out_id.append(np.full(wh.size, ids[i], dtype=np.int64))
+            out_pos.append(np.arange(wh.size, dtype=np.int64))
+        if not hs:
+            return pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                                 "id": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"h": np.concatenate(hs),
+                             "id": np.concatenate(out_id),
+                             "pos": np.concatenate(out_pos)})
+
+    @ray.remote(num_cpus=0)
+    def flag_dups(*pieces):
+        g = _concat_pd(pieces)
+        if not len(g):
+            return pa.Table.from_pandas(
+                pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                              "pos": pd.Series([], dtype="int64")}),
+                preserve_index=False)
+        c = g.groupby("h")["h"].transform("size")
+        return pa.Table.from_pandas(
+            g.loc[c >= 2, ["id", "pos"]].reset_index(drop=True),
+            preserve_index=False)
+
+    @ray.remote(num_cpus=0)
+    def merge_spans(*pieces):
+        g = _concat_pd(pieces)
+        if not len(g):
+            return pa.Table.from_pandas(
+                pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "span_start": pd.Series([], dtype="int64"),
+                              "span_end": pd.Series([], dtype="int64")}),
+                preserve_index=False)
+        g = g.sort_values(["id", "pos"], kind="mergesort")
+        prev = g.groupby("id")["pos"].shift()
+        brk = ((g["pos"] - prev > L) | prev.isna()).astype("int64")
+        gid = brk.cumsum()
+        out = g.assign(_g=gid).groupby(["id", "_g"], as_index=False).agg(
+            span_start=("pos", "min"), span_end=("pos", "max"))
+        out["span_end"] = out["span_end"] + (L - 1)
+        out = out.rename(columns={"id": "doc_id"}).drop(columns=["_g"])
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    rows = docs.map_batches(explode, batch_format="pandas")
+    P = n_partitions
+    hsplit = _exchange(rows, "h", P)
+    flag_refs = [flag_dups.remote(*[s[j] for s in hsplit]) for j in range(P)]
+    dsplit = _exchange(flag_refs, "id", P)
+    return rd.from_arrow_refs(
+        [merge_spans.remote(*[s[j] for s in dsplit]) for j in range(P)]
+    )
+
+
 def block_dedup(
     docs: "object",
     w: int = 6,

@@ -216,3 +216,30 @@ def test_compact_output_preserves_rows(ray_session, tmp_path):
     a = rd.read_parquet(src).to_pandas().sort_values("x").reset_index(drop=True)
     b = rd.read_parquet(dst).to_pandas().sort_values("x").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_duplicated_spans_geometry(ray_session):
+    """A shared 10-token run yields ONE maximal span exactly covering it
+    on both docs; unique text yields nothing; an intra-doc repeat of the
+    window length is detected too."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import duplicated_spans
+
+    shared = " ".join(f"tok{i}" for i in range(10))          # 10 tokens
+    a = "aa bb cc " + shared + " dd ee"                      # run at 3..12
+    b = shared + " xx yy zz ww vv uu tt ss"                  # run at 0..9
+    c = "one two three four five six seven eight nine ten"   # unique
+    rep = " ".join(f"r{i}" for i in range(8))
+    d = rep + " mid1 mid2 " + rep                            # intra-doc dup
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": [a, b, c, d]}))
+    out = duplicated_spans(docs, L=8).to_pandas()
+    spans = {int(r.doc_id): (int(r.span_start), int(r.span_end))
+             for r in out.itertuples() if r.doc_id in (1, 2)}
+    assert spans[1] == (3, 12)
+    assert spans[2] == (0, 9)
+    assert 3 not in set(out["doc_id"])
+    d_spans = sorted((int(r.span_start), int(r.span_end))
+                     for r in out.itertuples() if r.doc_id == 4)
+    assert d_spans == [(0, 7), (10, 17)]
