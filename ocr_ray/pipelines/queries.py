@@ -520,6 +520,19 @@ def q_dedup_spans(sf_dir: str):
     return duplicated_spans(docs, L=8, n_partitions=16)
 
 
+def q_dedup_spans_remove(sf_dir: str):
+    """The ExactSubstr removal step (stages/dedup.py:
+    remove_duplicated_spans): every duplicated >=8-token span spliced out
+    of its document, with per-doc token accounting and the rebuilt text —
+    value-checked to the character."""
+    from ocr_ray.stages.dedup import remove_duplicated_spans
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return remove_duplicated_spans(docs, L=8, n_partitions=16)
+
+
 def q_doc_repetition(sf_dir: str):
     """Intra-document repetition signals (the Gopher/MassiveText-style
     repetition filter): per doc, total vs distinct adjacent bigrams and the
@@ -3490,6 +3503,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_drift": q_corpus_drift,
         "events_anomaly": q_events_anomaly,
         "dedup_spans": q_dedup_spans,
+        "dedup_spans_remove": q_dedup_spans_remove,
         "doc_gopher": q_doc_gopher,
         "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
@@ -3667,6 +3681,45 @@ SELECT doc_id,
   CAST(((-mk) % 1048576 + 1048576) % 1048576 AS BIGINT) AS pos,
   CAST((mk + ((-mk) % 1048576 + 1048576) % 1048576) // 1048576 AS BIGINT) AS fp
 FROM sel
+"""
+
+# ExactSubstr span detection, shared by dedup_spans (directly) and
+# dedup_spans_remove (as the spans CTE): identical two-family 62-bit
+# window hashes (PolySimHasher families), global dup test,
+# gaps-and-islands merge
+_SPANS_SQL = r"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                  string_split_regex(trim(text), '\s+') AS w
+           FROM documents WHERE trim(text) <> ''),
+th AS (SELECT id, len(w) AS n,
+   list_transform(w, tok -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, tok -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM t),
+kg AS (SELECT id, unnest(generate_series(1, n - 7)) AS s, t1, t2
+       FROM th WHERE n >= 8),
+wh AS (SELECT id, s - 1 AS pos,
+   list_reduce(list_prepend(CAST(0 AS BIGINT), t1[s : s + 7]),
+               (a, b) -> (a * 1000003 + b) % 2147483647)
+   + list_reduce(list_prepend(CAST(0 AS BIGINT), t2[s : s + 7]),
+                 (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 AS h
+ FROM kg),
+flag AS (SELECT id, pos FROM
+           (SELECT id, pos, count(*) OVER (PARTITION BY h) AS c FROM wh)
+         WHERE c >= 2),
+ord AS (SELECT id, pos,
+   CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) <= 8
+        THEN 0 ELSE 1 END AS brk
+ FROM flag),
+grp AS (SELECT id, pos,
+   sum(brk) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+ FROM ord)
+SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end
+FROM grp GROUP BY id, gid
 """
 
 ORACLE_SQL: Dict[str, str] = {
@@ -3958,39 +4011,30 @@ FROM d JOIN mad USING (event_type)
 """,
     # ExactSubstr spans: identical two-family 62-bit window hashes
     # (PolySimHasher families), global dup test, gaps-and-islands merge
-    "dedup_spans": r"""
-WITH t AS (SELECT CAST(doc_id AS BIGINT) AS id,
-                  string_split_regex(trim(text), '\s+') AS w
-           FROM documents WHERE trim(text) <> ''),
-th AS (SELECT id, len(w) AS n,
-   list_transform(w, tok -> list_reduce(list_prepend(CAST(7 AS BIGINT),
-       list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
-       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
-   list_transform(w, tok -> list_reduce(list_prepend(CAST(11 AS BIGINT),
-       list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
-       (a, b) -> (a * 37 + b) % 1000033)) AS t2
- FROM t),
-kg AS (SELECT id, unnest(generate_series(1, n - 7)) AS s, t1, t2
-       FROM th WHERE n >= 8),
-wh AS (SELECT id, s - 1 AS pos,
-   list_reduce(list_prepend(CAST(0 AS BIGINT), t1[s : s + 7]),
-               (a, b) -> (a * 1000003 + b) % 2147483647)
-   + list_reduce(list_prepend(CAST(0 AS BIGINT), t2[s : s + 7]),
-                 (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 AS h
- FROM kg),
-flag AS (SELECT id, pos FROM
-           (SELECT id, pos, count(*) OVER (PARTITION BY h) AS c FROM wh)
-         WHERE c >= 2),
-ord AS (SELECT id, pos,
-   CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) <= 8
-        THEN 0 ELSE 1 END AS brk
- FROM flag),
-grp AS (SELECT id, pos,
-   sum(brk) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
- FROM ord)
-SELECT id AS doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + 7 AS BIGINT) AS span_end
-FROM grp GROUP BY id, gid
+    "dedup_spans": _SPANS_SQL,
+    # removal: splice covered token positions out, rebuild text in order;
+    # fully-duplicated docs keep a row with empty dedup_text
+    "dedup_spans_remove": f"""
+WITH spans AS ({_SPANS_SQL}),
+t AS (SELECT CAST(doc_id AS BIGINT) AS id,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE trim(text) <> ''),
+tok AS (SELECT id, unnest(w) AS tok,
+               unnest(generate_series(1, len(w))) AS p
+        FROM t),
+cover AS (SELECT doc_id AS id,
+                 unnest(generate_series(span_start + 1, span_end + 1)) AS p
+          FROM spans),
+kept AS (SELECT tok.id, tok.tok, tok.p
+         FROM tok LEFT JOIN cover ON tok.id = cover.id AND tok.p = cover.p
+         WHERE cover.p IS NULL),
+k AS (SELECT id, CAST(count(*) AS BIGINT) AS cnt,
+             string_agg(tok, ' ' ORDER BY p) AS txt
+      FROM kept GROUP BY id)
+SELECT t.id AS doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(len(t.w) - COALESCE(k.cnt, 0) AS BIGINT) AS n_dup_tokens,
+       COALESCE(k.txt, '') AS dedup_text
+FROM t LEFT JOIN k ON t.id = k.id
 """,
     # overlap candidates THROUGH the winnow fingerprints: distinct
     # (doc, fp), boilerplate fps (df > 32) dropped on both sides, pair

@@ -1303,6 +1303,83 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    docs: "object",
+    L: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 16,
+) -> "object":
+    """The ExactSubstr REMOVE step: splice every duplicated span found by
+    :func:`duplicated_spans` out of its document (remove-all semantics,
+    as in block_dedup — rows keep their id with counts and the rebuilt
+    text).  One extra exchange: spans BY DOC meet the doc texts (moved
+    once); the splice is a numpy position mask per doc.  Docs with no
+    tokens are dropped (no token stream to rebuild); span-free docs pass
+    through intact."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    spans = duplicated_spans(docs, L=L, text_col=text_col, id_col=id_col,
+                             n_partitions=n_partitions)
+
+    def span_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": b["doc_id"].astype("int64"),
+            "s": b["span_start"].astype("int64"),
+            "e": b["span_end"].astype("int64"),
+        })
+
+    def doc_side(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": b[id_col].astype("int64"),
+                             "_text": b[text_col]})
+
+    @ray.remote(num_cpus=0)
+    def splice(n_span: int, *pieces):
+        sp = _concat_pd(pieces[:n_span])
+        d = _concat_pd(pieces[n_span:])
+        if not len(d):
+            return pa.Table.from_pandas(
+                pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "n_tokens": pd.Series([], dtype="int64"),
+                              "n_dup_tokens": pd.Series([], dtype="int64"),
+                              "dedup_text": pd.Series([], dtype="object")}),
+                preserve_index=False)
+        by_doc = {k: v for k, v in sp.groupby("id")} if len(sp) else {}
+        ids, ntok, ndup, texts = [], [], [], []
+        for did, text in zip(d["id"].tolist(), d["_text"]):
+            toks = text.split()
+            if not toks:
+                continue
+            mask = np.zeros(len(toks), dtype=bool)
+            g = by_doc.get(did)
+            if g is not None:
+                for s, e in zip(g["s"].tolist(), g["e"].tolist()):
+                    mask[s:e + 1] = True
+            ids.append(did)
+            ntok.append(len(toks))
+            ndup.append(int(mask.sum()))
+            texts.append(" ".join(t for t, m in zip(toks, mask) if not m))
+        return pa.Table.from_pandas(
+            pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                          "n_tokens": np.asarray(ntok, dtype=np.int64),
+                          "n_dup_tokens": np.asarray(ndup, dtype=np.int64),
+                          "dedup_text": texts}),
+            preserve_index=False)
+
+    P = n_partitions
+    ssplit = _exchange(spans.map_batches(span_rows, batch_format="pandas"),
+                       "id", P)
+    dsplit = _exchange(docs.map_batches(doc_side, batch_format="pandas"),
+                       "id", P)
+    return rd.from_arrow_refs(
+        [splice.remote(len(ssplit), *[s[j] for s in ssplit + dsplit])
+         for j in range(P)]
+    )
+
+
 def block_dedup(
     docs: "object",
     w: int = 6,
