@@ -866,3 +866,37 @@ def compact_output(
     n_blocks = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
     ds.repartition(n_blocks).write_parquet(out_dir)
     return n_blocks
+
+
+def find_duplicated_spans(docs: "rd.Dataset", L: int = 8) -> "rd.Dataset":
+    """Exact duplicated-span detection (Lee et al. 2022 ExactSubstr
+    analog; stages/dedup.py:duplicated_spans): maximal token spans whose
+    every L-token window occurs elsewhere in the corpus."""
+    from ocr_ray.stages.dedup import duplicated_spans
+
+    return duplicated_spans(docs, L=L)
+
+
+def remove_duplicated_spans(docs: "rd.Dataset", L: int = 8) -> "rd.Dataset":
+    """ExactSubstr removal: splice duplicated spans out of each document,
+    with per-doc token accounting (stages/dedup.py:
+    remove_duplicated_spans)."""
+    from ocr_ray.stages.dedup import remove_duplicated_spans as _rm
+
+    return _rm(docs, L=L)
+
+
+def drift_by_source(sf_dir: str):
+    """Per-source term-distribution drift (exact ppm total variation;
+    pipelines/queries.py:q_corpus_drift)."""
+    from ocr_ray.pipelines.queries import q_corpus_drift
+
+    return q_corpus_drift(sf_dir)
+
+
+def detect_anomalies(sf_dir: str):
+    """Hampel-rule (median/3xMAD) daily volume anomalies per event type
+    (pipelines/queries.py:q_events_anomaly)."""
+    from ocr_ray.pipelines.queries import q_events_anomaly
+
+    return q_events_anomaly(sf_dir)
