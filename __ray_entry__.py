@@ -611,6 +611,55 @@ def _q_transcripts_toolflow(sf_dir: str):
     )
 
 
+def _q_transcripts_latency(sf_dir: str):
+    """Response-latency telemetry from the timestamp column: for every
+    adjacent user->assistant turn pair inside a conversation, the gap in
+    exact microseconds; per conversation the response count and the
+    sum/max gap (all int64 — no float averaging, so value-checked).  One
+    conv_id exchange, vectorized groupby-shift inside the partition."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    ds = rd.read_parquet(
+        _transcripts_for(sf_dir), columns=["conv_id", "turn_idx", "role", "ts"]
+    )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype="object"),
+                "n_responses": pd.Series([], dtype="int64"),
+                "sum_gap_us": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="int64"),
+            })
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        by = g.groupby("conv_id")
+        prev_role = by["role"].shift()
+        prev_ts = by["ts"].shift()
+        m = (g["role"] == "assistant") & (prev_role == "user")
+        gap = (g["ts"] - prev_ts).dt.total_seconds() * 1_000_000
+        d = pd.DataFrame({"conv_id": g["conv_id"][m],
+                          "gap": gap[m].astype("int64")})
+        if not len(d):
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype="object"),
+                "n_responses": pd.Series([], dtype="int64"),
+                "sum_gap_us": pd.Series([], dtype="int64"),
+                "max_gap_us": pd.Series([], dtype="int64"),
+            })
+        out = d.groupby("conv_id", as_index=False).agg(
+            n_responses=("gap", "size"), sum_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"))
+        for c in ("n_responses", "sum_gap_us", "max_gap_us"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return exchange_map_partitions(ds, "conv_id", stats, n_partitions=16)
+
+
 def transcripts_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Golden-table oracles for the synthesized-transcript pipelines,
     parameterized by sf tier (the registered strings bake the driver's
@@ -806,6 +855,20 @@ w AS (SELECT conv_id, tool,
 SELECT prev_tool, tool, CAST(count(*) AS BIGINT) AS n
 FROM w GROUP BY prev_tool, tool
 """,
+        "transcripts_latency": f"""
+WITH t AS (SELECT conv_id, turn_idx, role, ts
+           FROM read_parquet('{root}/transcripts/*.parquet')),
+w AS (SELECT conv_id, role, ts,
+        lag(role) OVER win AS pr, lag(ts) OVER win AS pts
+      FROM t WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx)),
+g AS (SELECT conv_id,
+        CAST(date_diff('microsecond', pts, ts) AS BIGINT) AS gap
+      FROM w WHERE role = 'assistant' AND pr = 'user')
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g GROUP BY conv_id
+""",
     }
 
 
@@ -832,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pipeline_sft"] = _q_pipeline_sft
     q["transcripts_packed"] = _q_transcripts_packed
     q["transcripts_toolflow"] = _q_transcripts_toolflow
+    q["transcripts_latency"] = _q_transcripts_latency
     return q
 
 
