@@ -159,6 +159,35 @@ def _q_transcripts_mask(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def _prompt_window(g):
+    """Last-3-turns SFT prompt per row of a (conv-sorted) turn frame:
+    ``[role] clean`` strings joined oldest-first by newlines, exactly
+    DuckDB's ``concat_ws(chr(10), p3, p2, p1)`` (nulls form a prefix —
+    shift(k) null implies shift(k+1) null — so each present part except
+    the last carries its own separator).  Shared by transcripts_sft,
+    pipeline_sft and the property test; returns a Series aligned to
+    ``g.index``.  ``g`` must already be sorted by (conv_id, turn_idx)."""
+    import numpy as np
+    import pandas as pd
+
+    fmt = "[" + g["role"] + "] " + g["clean_text"]
+    by = fmt.groupby(g["conv_id"])
+    p1, p2, p3 = by.shift(1), by.shift(2), by.shift(3)
+    return pd.Series(
+        np.where(p3.notna(), p3.fillna("") + "\n", "")
+        + np.where(p2.notna(), p2.fillna("") + "\n", "")
+        + p1.fillna(""),
+        index=g.index,
+    )
+
+
+def _conv_turn_key(b):
+    """Lexicographic ``conv_id:turn_idx`` composite (zero-padded so string
+    order equals (conv_id, turn_idx) order) — the deterministic keep-first
+    key shared by turn dedup and the SFT composite."""
+    return b["conv_id"] + ":" + b["turn_idx"].astype("int64").map("{:06d}".format)
+
+
 def _q_transcripts_toolstats(sf_dir: str):
     """Per-tool usage statistics over the raw transcript table (the agent
     telemetry rollup): call count, distinct conversations touched, and the
@@ -282,20 +311,7 @@ def _q_transcripts_sft(sf_dir: str):
                 "completion": pd.Series([], dtype="object"),
             })
         g = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
-        g["_fmt"] = "[" + g["role"] + "] " + g["clean_text"]
-        by = g.groupby("conv_id")["_fmt"]
-        p1, p2, p3 = by.shift(1), by.shift(2), by.shift(3)
-        # concat_ws semantics, oldest context first; nulls form a prefix
-        # (shift(k) null => shift(k+1) null), so each present part except
-        # the last carries its own separator
-        import numpy as np
-
-        prompt = pd.Series(
-            np.where(p3.notna(), p3.fillna("") + "\n", "")
-            + np.where(p2.notna(), p2.fillna("") + "\n", "")
-            + p1.fillna(""),
-            index=g.index,
-        )
+        prompt = _prompt_window(g)
         keep = g["role"] == "assistant"
         return pd.DataFrame({
             "conv_id": g["conv_id"][keep],
@@ -330,9 +346,7 @@ def _q_transcripts_turn_dedup(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[(b["role"] == "assistant") & (b["clean_text"] != "")]
         b = add_content_hash(b.copy(), col="clean_text")
-        b["first_key"] = (
-            b["conv_id"] + ":" + b["turn_idx"].astype("int64").map("{:06d}".format)
-        )
+        b["first_key"] = _conv_turn_key(b)
         b["n_copies"] = 1
         return b[["content_hash", "first_key", "n_copies"]]
 
@@ -415,12 +429,10 @@ def _q_pipeline_sft(sf_dir: str):
     fused in one partition pass), then completion-hash (16-byte keys +
     ids move, never payloads twice).  The oracle chains the same steps
     as CTEs over the golden table."""
-    import hashlib
-
-    import numpy as np
     import pandas as pd
 
     from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.stages.dedup import add_content_hash
     from ocr_ray.stages.join import exchange_map_partitions
 
     turns = build_turn_pipeline(_transcripts_for(sf_dir)).select_columns(
@@ -442,18 +454,10 @@ def _q_pipeline_sft(sf_dir: str):
         d = g[g["role"].isin(["user", "assistant"])]
         prev = d.groupby("conv_id")["role"].shift()
         bad = set(d.loc[d["role"] == prev, "conv_id"])
-        g = g[~g["conv_id"].isin(bad)]
+        g = g[~g["conv_id"].isin(bad)].copy()
         if not len(g):
             return empty
-        g["_fmt"] = "[" + g["role"] + "] " + g["clean_text"]
-        by = g.groupby("conv_id")["_fmt"]
-        p1, p2, p3 = by.shift(1), by.shift(2), by.shift(3)
-        prompt = pd.Series(
-            np.where(p3.notna(), p3.fillna("") + "\n", "")
-            + np.where(p2.notna(), p2.fillna("") + "\n", "")
-            + p1.fillna(""),
-            index=g.index,
-        )
+        prompt = _prompt_window(g)
         keep = (g["role"] == "assistant") & (g["clean_text"] != "")
         return pd.DataFrame({
             "conv_id": g["conv_id"][keep],
@@ -466,11 +470,9 @@ def _q_pipeline_sft(sf_dir: str):
                                        n_partitions=16)
 
     def hashed(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["_h"] = [hashlib.sha256(t.encode()).hexdigest()[:16]
-                   for t in b["completion"]]
-        b["_key"] = (b["conv_id"] + ":"
-                     + b["turn_idx"].astype("int64").map("{:06d}".format))
+        b = add_content_hash(b.copy(), col="completion").rename(
+            columns={"content_hash": "_h"})
+        b["_key"] = _conv_turn_key(b)
         return b
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
@@ -534,7 +536,11 @@ def _q_transcripts_packed(sf_dir: str):
             "_bucket": (cint.to_numpy() >> shift).astype("int64"),
         })
 
-    kt = turns.map_batches(keyed, batch_format="pandas")
+    # materialize the REDUCED per-turn table (5 scalar columns, no
+    # payload text): it is consumed twice (bucket-sum pass + exchange)
+    # and re-running the extraction pipeline per consumer would double
+    # the query's compute
+    kt = turns.map_batches(keyed, batch_format="pandas").materialize()
 
     def sum_buckets(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("_bucket")["n_tokens"].sum()
@@ -635,14 +641,17 @@ def _q_transcripts_latency(sf_dir: str):
                 "sum_gap_us": pd.Series([], dtype="int64"),
                 "max_gap_us": pd.Series([], dtype="int64"),
             })
-        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
+        # integer microseconds end to end: float total_seconds() would
+        # truncate inexact divisions (249us -> 248) and break the oracle
+        g["_tsus"] = g["ts"].values.astype("datetime64[us]").astype("int64")
         by = g.groupby("conv_id")
         prev_role = by["role"].shift()
-        prev_ts = by["ts"].shift()
+        prev_ts = by["_tsus"].shift().astype("Int64")
         m = (g["role"] == "assistant") & (prev_role == "user")
-        gap = (g["ts"] - prev_ts).dt.total_seconds() * 1_000_000
+        gap = (g["_tsus"] - prev_ts)[m]
         d = pd.DataFrame({"conv_id": g["conv_id"][m],
-                          "gap": gap[m].astype("int64")})
+                          "gap": gap.astype("int64")})
         if not len(d):
             return pd.DataFrame({
                 "conv_id": pd.Series([], dtype="object"),

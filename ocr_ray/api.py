@@ -811,8 +811,11 @@ def winnow_fingerprints(
     from ocr_ray.stages.analysis import winnow_docs_batch
 
     if text_col != "text" or id_col != "doc_id":
+        # select first: a pre-existing unrelated 'text'/'doc_id' column
+        # would otherwise survive the rename as a duplicate label
         docs = docs.map_batches(
-            lambda b: b.rename(columns={id_col: "doc_id", text_col: "text"}),
+            lambda b: b[[id_col, text_col]].rename(
+                columns={id_col: "doc_id", text_col: "text"}),
             batch_format="pandas",
         )
     return docs.map_batches(winnow_docs_batch, batch_format="pandas")
@@ -860,9 +863,13 @@ def compact_output(
     layout changes (one all-to-all move of the data, the unavoidable
     cost of re-binning)."""
     import math
+    import os
 
     ds = rd.read_parquet(in_dir)
-    size = ds.size_bytes() or 1
+    # size from the input files ON DISK: the in-memory Arrow estimate is
+    # several-fold larger than serialized parquet for text-heavy tables,
+    # which would undershoot target_mb badly
+    size = sum(os.path.getsize(f) for f in ds.input_files()) or 1
     n_blocks = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
     ds.repartition(n_blocks).write_parquet(out_dir)
     return n_blocks

@@ -530,7 +530,9 @@ def q_dedup_spans_remove(sf_dir: str):
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    return remove_duplicated_spans(docs, L=8, n_partitions=16)
+    # deterministic parquet read: a second scan beats pinning the table
+    return remove_duplicated_spans(docs, L=8, n_partitions=16,
+                                   materialize_input=False)
 
 
 def q_doc_repetition(sf_dir: str):

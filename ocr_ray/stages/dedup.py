@@ -1309,6 +1309,7 @@ def remove_duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_partitions: int = 16,
+    materialize_input: bool = True,
 ) -> "object":
     """The ExactSubstr REMOVE step: splice every duplicated span found by
     :func:`duplicated_spans` out of its document (remove-all semantics,
@@ -1316,12 +1317,22 @@ def remove_duplicated_spans(
     text).  One extra exchange: spans BY DOC meet the doc texts (moved
     once); the splice is a numpy position mask per doc.  Docs with no
     tokens are dropped (no token stream to rebuild); span-free docs pass
-    through intact."""
+    through intact.
+
+    ``docs`` is consumed twice (span detection + the text side of the
+    splice); by default it is materialized once so a lazy or
+    nondeterministic upstream is not re-executed (spans applied to texts
+    they were not computed from).  Pass ``materialize_input=False`` only
+    when the input is a deterministic source read (e.g. a plain
+    ``read_parquet``), where a second scan is cheaper than pinning the
+    table in the object store."""
     import pyarrow as pa
 
     import ray
     import ray.data as rd
 
+    if materialize_input:
+        docs = docs.materialize()
     spans = duplicated_spans(docs, L=L, text_col=text_col, id_col=id_col,
                              n_partitions=n_partitions)
 

@@ -165,20 +165,14 @@ def test_sft_prompt_window_matches_naive(turns):
         "role": [r for r, _ in turns],
         "clean_text": [t for _, t in turns],
     })
-    # reproduce the query's vectorized construction (same expressions as
-    # _q_transcripts_sft's partition fn), then compare to the naive walk
-    import numpy as np
+    # the SHARED helper the queries use, compared to an independent
+    # naive per-turn walk
+    import __ray_entry__ as entry
 
     gg = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
-    gg["_fmt"] = "[" + gg["role"] + "] " + gg["clean_text"]
-    by = gg.groupby("conv_id")["_fmt"]
-    p1, p2, p3 = by.shift(1), by.shift(2), by.shift(3)
-    prompt = pd.Series(
-        np.where(p3.notna(), p3.fillna("") + "\n", "")
-        + np.where(p2.notna(), p2.fillna("") + "\n", "")
-        + p1.fillna(""), index=gg.index)
+    prompt = entry._prompt_window(gg)
 
-    fmts = list(gg["_fmt"])
+    fmts = list("[" + gg["role"] + "] " + gg["clean_text"])
     for i in range(len(turns)):
         want = "\n".join(fmts[max(0, i - 3):i])
         assert prompt.iloc[i] == want
