@@ -2129,6 +2129,70 @@ def q_q1_pricing(sf_dir: str):
     return out
 
 
+def q_q3_shipping(sf_dir: str):
+    """TPC-H Q3-style shipping priority — the canonical 3-way join +
+    grouped aggregate + global top-k: BUILDING-segment customers semi-
+    filter orders (keys only ship), date predicates pushed into all three
+    parquet scans (row-group pruning), the big-big lineitem x orders side
+    goes through the exchange join, revenue reduced per batch to exact
+    integer cents BEFORE the key exchange, and the top-10 comes off the
+    (already per-order aggregated) table via sort+limit — deterministic
+    tie-break (revenue desc, orderkey asc)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    cutoff = pd.Timestamp("1995-03-15")
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    ).select_columns(["c_custkey"])
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < pa.scalar(cutoff),
+    )
+    osel = exchange_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                         how="semi", n_partitions=8)
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > pa.scalar(cutoff),
+    )
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # exact residual filter + per-batch combiner: integer cents with
+        # the same IEEE association the oracle uses
+        b = b[b["l_shipdate"] > cutoff]
+        b = b.assign(rev_cents=np.floor(
+            b["l_extendedprice"] * (1 - b["l_discount"]) * 100 + 0.5
+        ).astype("int64"))
+        return b.groupby("l_orderkey", as_index=False)[["rev_cents"]].sum()
+
+    li_red = hash_aggregate(
+        li.map_batches(li_partial, batch_format="pandas"),
+        keys=["l_orderkey"], aggs={"rev_cents": "sum"}, n_partitions=16,
+    )
+
+    j = exchange_join(li_red, osel, on="l_orderkey", right_on="o_orderkey",
+                      how="inner", n_partitions=16)
+
+    top = (
+        j.select_columns(["l_orderkey", "o_orderdate", "rev_cents"])
+        .sort(["rev_cents", "l_orderkey"], descending=[True, False])
+        .limit(10).to_pandas()
+    )
+    top["l_orderkey"] = top["l_orderkey"].astype("int64")
+    top["rev_cents"] = top["rev_cents"].astype("int64")
+    return top[["l_orderkey", "o_orderdate", "rev_cents"]]
+
+
 def q_top_customers(sf_dir: str):
     """Revenue top-10: pre-aggregate orders per custkey, broadcast-join the
     (small) customer dimension via ray.put, global sort + limit."""
@@ -3504,6 +3568,7 @@ def queries() -> Dict[str, Callable]:
         "doc_overlap": q_doc_overlap,
         "corpus_drift": q_corpus_drift,
         "events_anomaly": q_events_anomaly,
+        "q3_shipping": q_q3_shipping,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_remove": q_dedup_spans_remove,
         "doc_gopher": q_doc_gopher,
@@ -4010,6 +4075,18 @@ SELECT d.event_type, d.day, d.n, CAST(d.med AS BIGINT) AS med,
        CAST(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END AS BIGINT)
          AS is_anomaly
 FROM d JOIN mad USING (event_type)
+""",
+    "q3_shipping": """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, o_orderdate,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+       AS BIGINT)) AS BIGINT) AS rev_cents
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY rev_cents DESC, l_orderkey LIMIT 10
 """,
     # ExactSubstr spans: identical two-family 62-bit window hashes
     # (PolySimHasher families), global dup test, gaps-and-islands merge
