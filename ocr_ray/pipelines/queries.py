@@ -2193,6 +2193,52 @@ def q_q3_shipping(sf_dir: str):
     return top[["l_orderkey", "o_orderdate", "rev_cents"]]
 
 
+def q_q17_small_qty(sf_dir: str):
+    """TPC-H Q17-style correlated-aggregate join — revenue from
+    small-quantity orders: lineitems whose quantity is below 0.2x their
+    part's average quantity.  The float comparison ``qty < 0.2 * avg`` is
+    rewritten as the integer inequality ``5 * count * qty < sum_qty``
+    (quantities are integral), so the boundary is EXACT on both sides —
+    no IEEE summation-order hazard.  Per-part (count, sum) partials
+    reduce through the streaming hash aggregate (bounded by |parts|),
+    then one partkey exchange joins the stats back to the rows; output
+    is the single-row total in cents + qualifying row count."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def stat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(c=np.int64(1), sq=b["l_quantity"].astype("int64"))
+        return b.groupby("l_partkey", as_index=False)[["c", "sq"]].sum()
+
+    stats = hash_aggregate(
+        li.map_batches(stat_partial, batch_format="pandas"),
+        keys=["l_partkey"], aggs={"c": "sum", "sq": "sum"}, n_partitions=16,
+    )
+
+    j = exchange_join(li, stats, on="l_partkey", n_partitions=16)
+
+    def qualify(b: pd.DataFrame) -> pd.DataFrame:
+        qty = b["l_quantity"].astype("int64")
+        keep = 5 * b["c"].astype("int64") * qty < b["sq"].astype("int64")
+        kept = b[keep]
+        return pd.DataFrame({
+            "total_cents": [int(np.floor(
+                kept["l_extendedprice"] * 100 + 0.5).astype("int64").sum())],
+            "n_rows": [np.int64(keep.sum())],
+        })
+
+    out = j.map_batches(qualify, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "total_cents": [np.int64(out["total_cents"].sum())],
+        "n_rows": [np.int64(out["n_rows"].sum())],
+    })
+
+
 def q_top_customers(sf_dir: str):
     """Revenue top-10: pre-aggregate orders per custkey, broadcast-join the
     (small) customer dimension via ray.put, global sort + limit."""
@@ -3569,6 +3615,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_drift": q_corpus_drift,
         "events_anomaly": q_events_anomaly,
         "q3_shipping": q_q3_shipping,
+        "q17_small_qty": q_q17_small_qty,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_remove": q_dedup_spans_remove,
         "doc_gopher": q_doc_gopher,
@@ -4087,6 +4134,18 @@ WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
   AND l_shipdate > TIMESTAMP '1995-03-15'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY rev_cents DESC, l_orderkey LIMIT 10
+""",
+    # integer rewrite of qty < 0.2*avg: 5*count*qty < sum_qty (integral
+    # quantities) — boundary-exact, no float summation-order hazard
+    "q17_small_qty": """
+WITH s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+           FROM lineitem GROUP BY 1)
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN s USING (l_partkey)
+WHERE 5 * s.c * CAST(l_quantity AS BIGINT) < s.sq
 """,
     # ExactSubstr spans: identical two-family 62-bit window hashes
     # (PolySimHasher families), global dup test, gaps-and-islands merge
