@@ -2239,6 +2239,51 @@ def q_q17_small_qty(sf_dir: str):
     })
 
 
+def q_q13_custdist(sf_dir: str):
+    """TPC-H Q13-style customer order-count distribution — the
+    count-of-counts histogram over a LEFT join (zero-order customers kept
+    with c_count = 0): non-urgent orders reduce to per-customer counts
+    through the streaming hash aggregate, the customer key column LEFT
+    exchange-joins those counts (missing side = exact zero), and the
+    final histogram is a second bounded aggregate over the count values.
+    Shuffle volume: per-customer count rows, never the order stream."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).filter(expr="o_orderpriority != '1-URGENT'")
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(c_count=np.int64(1))
+        return b.groupby("o_custkey", as_index=False)[["c_count"]].sum()
+
+    counts = hash_aggregate(
+        orders.map_batches(cnt_partial, batch_format="pandas"),
+        keys=["o_custkey"], aggs={"c_count": "sum"}, n_partitions=16,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    j = exchange_join(cust, counts, on="c_custkey", right_on="o_custkey",
+                      how="left", n_partitions=16)
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(c_count=b["c_count"].fillna(0).astype("int64"),
+                     custdist=np.int64(1))
+        return b.groupby("c_count", as_index=False)[["custdist"]].sum()
+
+    out = hash_aggregate(
+        j.map_batches(hist_partial, batch_format="pandas"),
+        keys=["c_count"], aggs={"custdist": "sum"}, n_partitions=4,
+    ).to_pandas()
+    out["c_count"] = out["c_count"].astype("int64")
+    out["custdist"] = out["custdist"].astype("int64")
+    return out
+
+
 def q_top_customers(sf_dir: str):
     """Revenue top-10: pre-aggregate orders per custkey, broadcast-join the
     (small) customer dimension via ray.put, global sort + limit."""
@@ -3616,6 +3661,7 @@ def queries() -> Dict[str, Callable]:
         "events_anomaly": q_events_anomaly,
         "q3_shipping": q_q3_shipping,
         "q17_small_qty": q_q17_small_qty,
+        "q13_custdist": q_q13_custdist,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_remove": q_dedup_spans_remove,
         "doc_gopher": q_doc_gopher,
@@ -4146,6 +4192,15 @@ SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem JOIN s USING (l_partkey)
 WHERE 5 * s.c * CAST(l_quantity AS BIGINT) < s.sq
+""",
+    "q13_custdist": """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
 """,
     # ExactSubstr spans: identical two-family 62-bit window hashes
     # (PolySimHasher families), global dup test, gaps-and-islands merge
