@@ -669,6 +669,43 @@ def _q_transcripts_latency(sf_dir: str):
     return exchange_map_partitions(ds, "conv_id", stats, n_partitions=16)
 
 
+def _q_transcripts_split(sf_dir: str):
+    """Leakage-safe train/val/test assignment at the CONVERSATION level
+    (splitting at turn granularity leaks dialogue context across splits):
+    deterministic 80/10/10 by the SQL-replicable polynomial hash of the
+    conv_id string — zero shuffle for the assignment itself, one bounded
+    conv aggregate for the per-conv turn counts.  Reproducible across
+    runs, engines and cluster sizes (pure function of the key)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.embed import hash_token
+
+    ds = rd.read_parquet(_transcripts_for(sf_dir), columns=["conv_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("conv_id", as_index=False).size()
+        return g.rename(columns={"size": "n_turns"})
+
+    agg = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                         keys=["conv_id"], aggs={"n_turns": "sum"},
+                         n_partitions=16)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        buckets = b["conv_id"].map(lambda c: hash_token(c) % 100)
+        split = buckets.map(
+            lambda x: "train" if x < 80 else ("val" if x < 90 else "test"))
+        return pd.DataFrame({
+            "conv_id": b["conv_id"],
+            "split": split.astype("object"),
+            "n_turns": b["n_turns"].astype("int64"),
+        })
+
+    return agg.map_batches(assign, batch_format="pandas")
+
+
 def transcripts_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Golden-table oracles for the synthesized-transcript pipelines,
     parameterized by sf tier (the registered strings bake the driver's
@@ -878,6 +915,22 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_responses,
        CAST(max(gap) AS BIGINT) AS max_gap_us
 FROM g GROUP BY conv_id
 """,
+        "transcripts_split": f"""
+WITH c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+           FROM read_parquet('{root}/transcripts/*.parquet')
+           GROUP BY conv_id),
+h AS (SELECT conv_id, n_turns,
+        list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(string_split(conv_id, ''),
+                           ch -> CAST(unicode(ch) AS BIGINT))),
+            (a, b) -> (a * 31 + b) % 1000003) % 100 AS bucket
+      FROM c)
+SELECT conv_id,
+  CASE WHEN bucket < 80 THEN 'train'
+       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+  n_turns
+FROM h
+""",
     }
 
 
@@ -905,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_packed"] = _q_transcripts_packed
     q["transcripts_toolflow"] = _q_transcripts_toolflow
     q["transcripts_latency"] = _q_transcripts_latency
+    q["transcripts_split"] = _q_transcripts_split
     return q
 
 
