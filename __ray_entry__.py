@@ -706,6 +706,53 @@ def _q_transcripts_split(sf_dir: str):
     return agg.map_batches(assign, batch_format="pandas")
 
 
+def _q_transcripts_decontaminate(sf_dir: str):
+    """Cross-split contamination guard at the CONVERSATION level: every
+    val/test conversation sharing ANY 3-word shingle of its assembled
+    dialogue text with any train conversation is flagged (the leakage
+    check run before an eval set is trusted).  Splits are the SAME pure
+    conv_id-hash assignment as transcripts_split, so no side table
+    ships; boilerplate shingles held by > 50 conversations are excluded
+    (the skew guard — role-tag/error-template shingles would otherwise
+    flag everything AND pile one partition).  One conv exchange builds
+    texts, then the shingle-hash exchange of
+    stages/dedup.py:cross_split_contamination."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.stages.dedup import cross_split_contamination
+    from ocr_ray.stages.embed import hash_token
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    turns = build_turn_pipeline(_transcripts_for(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "role", "clean_text"]
+    )
+
+    def conv_texts(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "text": pd.Series([], dtype="object")})
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
+        g["_fmt"] = "[" + g["role"] + "] " + g["clean_text"]
+        base = g.groupby("conv_id")["_fmt"].agg("\n\n".join)
+        ids = base.index.to_series().str[5:].astype("int64").to_numpy()
+        return pd.DataFrame({"doc_id": ids, "text": base.to_numpy()})
+
+    convs = exchange_map_partitions(turns, "conv_id", conv_texts,
+                                    n_partitions=16)
+
+    def split_of(ids: np.ndarray):
+        buckets = np.array([hash_token(f"conv-{int(i):08d}") % 100
+                            for i in ids])
+        labels = np.where(buckets < 80, "train",
+                          np.where(buckets < 90, "val", "test"))
+        return buckets < 80, labels
+
+    return cross_split_contamination(convs, split_of, shingle_k=3,
+                                     n_partitions=16, max_df=50)
+
+
 def transcripts_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Golden-table oracles for the synthesized-transcript pipelines,
     parameterized by sf tier (the registered strings bake the driver's
@@ -931,6 +978,53 @@ SELECT conv_id,
   n_turns
 FROM h
 """,
+        # conv-level leakage: identical PolySimHasher 62-bit shingle
+        # features over assembled conv texts, same conv_id-hash split as
+        # transcripts_split, df<=50 boilerplate gate
+        "transcripts_decontaminate": f"""
+WITH t AS (SELECT conv_id, turn_idx, role
+           FROM read_parquet('{root}/transcripts/*.parquet')),
+o AS (SELECT conv_id, turn_idx, expected_clean
+      FROM read_parquet('{root}/oracle/*.parquet')),
+j AS (SELECT t.conv_id, t.turn_idx,
+             '[' || t.role || '] ' || o.expected_clean AS fmt
+      FROM t JOIN o USING (conv_id, turn_idx)),
+u AS (SELECT CAST(substr(conv_id, 6) AS BIGINT) AS id,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(string_split(conv_id, ''),
+                                ch -> CAST(unicode(ch) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000003) % 100 AS bucket,
+             string_agg(fmt, e'\n\n' ORDER BY turn_idx) AS text
+      FROM j GROUP BY conv_id),
+ww AS (SELECT id, bucket, string_split_regex(trim(text), '\\s+') AS w FROM u),
+th AS (SELECT id, bucket, len(w) AS n,
+   list_transform(w, tok -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1,
+   list_transform(w, tok -> list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033)) AS t2
+ FROM ww),
+feats AS (SELECT id, bucket,
+   CASE WHEN n < 3 THEN
+     [ list_reduce(list_prepend(CAST(0 AS BIGINT), t1), (a, b) -> (a * 1000003 + b) % 2147483647)
+       + list_reduce(list_prepend(CAST(0 AS BIGINT), t2), (a, b) -> (a * 1000033 + b) % 2147483647) * 2147483648 ]
+   ELSE
+     list_distinct(list_transform(generate_series(1, n - 2), i ->
+       ((t1[i] * 1000003 + t1[i+1]) % 2147483647 * 1000003 + t1[i+2]) % 2147483647
+       + ((t2[i] * 1000033 + t2[i+1]) % 2147483647 * 1000033 + t2[i+2]) % 2147483647 * 2147483648))
+   END AS h
+ FROM th),
+f AS (SELECT id, bucket, unnest(h) AS h FROM feats),
+fd AS (SELECT h FROM (SELECT h, count(DISTINCT id) AS df FROM f GROUP BY h)
+       WHERE df <= 50),
+fg AS (SELECT f.id, f.bucket, f.h FROM f JOIN fd USING (h)),
+tr AS (SELECT DISTINCT h FROM fg WHERE bucket < 80)
+SELECT DISTINCT fg.id AS doc_id,
+       CASE WHEN fg.bucket < 90 THEN 'val' ELSE 'test' END AS split
+FROM fg
+WHERE fg.bucket >= 80 AND fg.h IN (SELECT h FROM tr)
+""",
     }
 
 
@@ -959,6 +1053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_toolflow"] = _q_transcripts_toolflow
     q["transcripts_latency"] = _q_transcripts_latency
     q["transcripts_split"] = _q_transcripts_split
+    q["transcripts_decontaminate"] = _q_transcripts_decontaminate
     return q
 
 
