@@ -753,6 +753,20 @@ def _q_transcripts_decontaminate(sf_dir: str):
                                      n_partitions=16, max_df=50)
 
 
+def _q_transcripts_contract(sf_dir: str):
+    """Data-contract gate over the raw transcript table
+    (stages/validate.py:contract_check): one summary row of violation
+    counts — nulls per column, negative/null turn indices, out-of-enum
+    roles, null timestamps, oversized payloads.  One scan, one small row
+    per batch to the reduce; the ingest-shard quarantine check."""
+    import ray.data as rd
+
+    from ocr_ray.stages.validate import contract_check
+
+    ds = rd.read_parquet(_transcripts_for(sf_dir))
+    return contract_check(ds)
+
+
 def transcripts_oracle_sql(sf_dir: str) -> dict[str, str]:
     """Golden-table oracles for the synthesized-transcript pipelines,
     parameterized by sf tier (the registered strings bake the driver's
@@ -1025,6 +1039,21 @@ SELECT DISTINCT fg.id AS doc_id,
 FROM fg
 WHERE fg.bucket >= 80 AND fg.h IN (SELECT h FROM tr)
 """,
+        "transcripts_contract": f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_conv_id,
+  CAST(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_role,
+  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+  CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tool,
+  CAST(sum(CASE WHEN COALESCE(turn_idx, -1) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_idx,
+  CAST(sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_idx,
+  CAST(sum(CASE WHEN role NOT IN ('system', 'user', 'assistant', 'tool')
+                 OR role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_enum,
+  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+  CAST(sum(CASE WHEN len(COALESCE(text, '')) > 1048576 THEN 1 ELSE 0 END)
+       AS BIGINT) AS oversize_text
+FROM read_parquet('{root}/transcripts/*.parquet')
+""",
     }
 
 
@@ -1054,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_latency"] = _q_transcripts_latency
     q["transcripts_split"] = _q_transcripts_split
     q["transcripts_decontaminate"] = _q_transcripts_decontaminate
+    q["transcripts_contract"] = _q_transcripts_contract
     return q
 
 

@@ -81,3 +81,45 @@ def sequence_validation(
         ds.map_batches(partial, batch_format="pandas"),
         [key_col], combine, n_partitions=n_partitions,
     )
+
+
+def contract_check(
+    ds: "rd.Dataset",
+    string_cols=("conv_id", "role", "text", "tool"),
+    enum_col: str = "role",
+    enum_values=("system", "user", "assistant", "tool"),
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    max_text_len: int = 1 << 20,
+) -> "rd.Dataset":
+    """Data-contract gate (the great-expectations pattern as a streaming
+    aggregate): per-batch partial violation counts — nulls per checked
+    column, negative indices, out-of-enum roles, oversized payloads,
+    null timestamps — reduced to ONE summary row.  The partial is a
+    single vectorized pass per batch; the reduce ships one small row per
+    batch, so the gate costs one scan regardless of table size.  Run it
+    before trusting an ingest shard; a nonzero cell routes the shard to
+    quarantine instead of the pipeline."""
+    import numpy as np
+
+    enum_set = set(enum_values)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = {"n_rows": np.int64(len(b))}
+        for c in string_cols:
+            out[f"null_{c}"] = np.int64(b[c].isna().sum())
+        out["neg_idx"] = np.int64((b[idx_col].fillna(-1) < 0).sum())
+        out["null_idx"] = np.int64(b[idx_col].isna().sum())
+        out["bad_enum"] = np.int64((~b[enum_col].isin(enum_set)).sum())
+        out["null_ts"] = np.int64(b[ts_col].isna().sum())
+        out["oversize_text"] = np.int64(
+            (b[text_col].str.len().fillna(0) > max_text_len).sum())
+        return pd.DataFrame([out])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sum().to_frame().T.astype("int64")
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = parts.to_pandas()
+    return combine(out)

@@ -243,3 +243,22 @@ def test_duplicated_spans_geometry(ray_session):
     d_spans = sorted((int(r.span_start), int(r.span_end))
                      for r in out.itertuples() if r.doc_id == 4)
     assert d_spans == [(0, 7), (10, 17)]
+
+
+def test_contract_check_counts_violations(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.stages.validate import contract_check
+
+    good = {"conv_id": "c1", "turn_idx": 0, "role": "user",
+            "text": "hi", "tool": "", "ts": pd.Timestamp("2024-01-01")}
+    bad = dict(good, turn_idx=-3, role="robot", ts=pd.NaT, text=None)
+    df = pd.DataFrame([good, good, bad])
+    out = contract_check(rd.from_pandas(df))
+    row = out.iloc[0]
+    assert row["n_rows"] == 3
+    assert row["neg_idx"] == 1
+    assert row["bad_enum"] == 1
+    assert row["null_ts"] == 1
+    assert row["null_text"] == 1
+    assert row["null_conv_id"] == 0
