@@ -2565,6 +2565,42 @@ def q_events_anomaly(sf_dir: str):
     return exchange_map_partitions(counts, "event_type", flag, n_partitions=8)
 
 
+def q_events_props_stats(sf_dir: str):
+    """Semi-structured payload extraction — the JSON-properties pattern:
+    pull the ``k`` field out of each event's JSON ``props`` string with a
+    VECTORIZED regex (one ``str.extract`` per batch, no per-row
+    json.loads), then the standard combiner + bounded hash aggregate per
+    event type.  All statistics integer-exact.  At scale the extraction
+    cost dominates, so keeping it a C-level column kernel (not a Python
+    JSON parse loop) is the difference between CPU-bound and done."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        d = pd.DataFrame({"event_type": b["event_type"], "n": np.int64(1),
+                          "sum_k": k, "min_k": k, "max_k": k})
+        return d.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"),
+            min_k=("min_k", "min"), max_k=("max_k", "max"))
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["event_type"],
+        aggs={"n": "sum", "sum_k": "sum", "min_k": "min", "max_k": "max"},
+        n_partitions=4,
+    )
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n", "sum_k", "min_k", "max_k"):
+            b[c] = b[c].astype("int64")
+        return b
+
+    return out.map_batches(cast, batch_format="pandas")
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by first-activity week
     (Monday-truncated, DuckDB date_trunc('week') parity), counted as
@@ -3662,6 +3698,7 @@ def queries() -> Dict[str, Callable]:
         "q3_shipping": q_q3_shipping,
         "q17_small_qty": q_q17_small_qty,
         "q13_custdist": q_q13_custdist,
+        "events_props_stats": q_events_props_stats,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_remove": q_dedup_spans_remove,
         "doc_gopher": q_doc_gopher,
@@ -4192,6 +4229,13 @@ SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem JOIN s USING (l_partkey)
 WHERE 5 * s.c * CAST(l_quantity AS BIGINT) < s.sq
+""",
+    "events_props_stats": r"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
 """,
     "q13_custdist": """
 SELECT CAST(c_count AS BIGINT) AS c_count,
