@@ -262,3 +262,18 @@ def test_contract_check_counts_violations(ray_session):
     assert row["null_ts"] == 1
     assert row["null_text"] == 1
     assert row["null_conv_id"] == 0
+
+
+def test_duplicated_spans_partition_invariant(ray_session):
+    """Span output must not depend on the exchange partition count."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import duplicated_spans
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet").select_columns(
+        ["doc_id", "text"])
+    a = duplicated_spans(docs, L=8, n_partitions=3).to_pandas()
+    b = duplicated_spans(docs, L=8, n_partitions=16).to_pandas()
+    key = ["doc_id", "span_start", "span_end"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
