@@ -2284,6 +2284,51 @@ def q_q13_custdist(sf_dir: str):
     return out
 
 
+def q_q4_priority(sf_dir: str):
+    """TPC-H Q4-style order-priority check — EXISTS with a correlated
+    predicate: count orders per priority having at least one lineitem
+    shipped more than 90 days after the order date.  The correlated
+    comparison needs both sides' columns, so lineitem ship dates exchange
+    -join the order header once (keys + two timestamps move, nothing
+    else); the per-order EXISTS collapses inside the same partition
+    (distinct orderkeys), and the final priority rollup is a bounded
+    aggregate."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = exchange_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                      n_partitions=16)
+
+    def exists_partial(b: pd.DataFrame) -> pd.DataFrame:
+        late = b["l_shipdate"] > b["o_orderdate"] + pd.Timedelta(days=90)
+        d = b[late][["l_orderkey", "o_orderpriority"]].drop_duplicates()
+        d = d.assign(n=np.int64(1))
+        return d
+
+    per_order = hash_aggregate(
+        j.map_batches(exists_partial, batch_format="pandas"),
+        keys=["l_orderkey", "o_orderpriority"], aggs={"n": "max"},
+        n_partitions=16,
+    )
+
+    def rollup(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("o_orderpriority", as_index=False)["n"].sum()
+        return out.rename(columns={"n": "order_count"})
+
+    out = hash_aggregate(
+        per_order.map_batches(rollup, batch_format="pandas"),
+        keys=["o_orderpriority"], aggs={"order_count": "sum"}, n_partitions=2,
+    ).to_pandas()
+    out["order_count"] = out["order_count"].astype("int64")
+    return out
+
+
 def q_top_customers(sf_dir: str):
     """Revenue top-10: pre-aggregate orders per custkey, broadcast-join the
     (small) customer dimension via ray.put, global sort + limit."""
@@ -3699,6 +3744,7 @@ def queries() -> Dict[str, Callable]:
         "q17_small_qty": q_q17_small_qty,
         "q13_custdist": q_q13_custdist,
         "events_props_stats": q_events_props_stats,
+        "q4_priority": q_q4_priority,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_remove": q_dedup_spans_remove,
         "doc_gopher": q_doc_gopher,
@@ -4236,6 +4282,14 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
   CAST(min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
   CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
+""",
+    "q4_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
 """,
     "q13_custdist": """
 SELECT CAST(c_count AS BIGINT) AS c_count,
