@@ -2646,6 +2646,37 @@ def q_events_props_stats(sf_dir: str):
     return out.map_batches(cast, batch_format="pandas")
 
 
+def q_events_rate(sf_dir: str):
+    """Per-event sliding lookback count — the rate-limit / fraud-scoring
+    primitive: for every event, how many events the same user produced in
+    the hour ENDING at it (peers at the exact same timestamp included,
+    self excluded — SQL RANGE-frame semantics).  One user_id exchange;
+    inside the partition each user's sorted timestamp array answers all
+    its events with two vectorized searchsorted calls — no per-row loop,
+    no self-join materialization."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def rate(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_prior_1h": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        out_id, out_n = [], []
+        for _, grp in g.groupby("user_id", sort=False):
+            ts = grp["ts"].values.astype("datetime64[us]").astype("int64")
+            lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+            hi = np.searchsorted(ts, ts, side="right")
+            out_id.append(grp["event_id"].to_numpy(dtype="int64"))
+            out_n.append(hi - lo - 1)
+        return pd.DataFrame({"event_id": np.concatenate(out_id),
+                             "n_prior_1h": np.concatenate(out_n).astype("int64")})
+
+    return exchange_map_partitions(ds, "user_id", rate, n_partitions=16)
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by first-activity week
     (Monday-truncated, DuckDB date_trunc('week') parity), counted as
@@ -3745,6 +3776,7 @@ def queries() -> Dict[str, Callable]:
         "q13_custdist": q_q13_custdist,
         "events_props_stats": q_events_props_stats,
         "q4_priority": q_q4_priority,
+        "events_rate": q_events_rate,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_remove": q_dedup_spans_remove,
         "doc_gopher": q_doc_gopher,
@@ -4282,6 +4314,14 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
   CAST(min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
   CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
+""",
+    # RANGE frame peers-included minus self == searchsorted window count
+    "events_rate": """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) - 1
+       AS BIGINT) AS n_prior_1h
+FROM events
 """,
     "q4_priority": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
