@@ -2677,6 +2677,47 @@ def q_events_rate(sf_dir: str):
     return exchange_map_partitions(ds, "user_id", rate, n_partitions=16)
 
 
+def q_events_copresence(sf_dir: str):
+    """Temporal co-presence pairs THROUGH the overlapping-intervals range
+    join (join.py:range_join_multi — the flat-map variant range_join's
+    contract excludes): every ordered pair of same-user events at most
+    one hour apart, emitted once under the deterministic (ts, event_id)
+    order.  Intervals are each event's [ts, ts+1h] lookahead window, so
+    the join IS the pair generator; the containment filter plus the
+    strict ordering dedupe ties.  Same-ts pairs order by event_id."""
+    from ocr_ray.stages.join import range_join_multi
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def windows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b["user_id"].astype("int64"),
+            "l_event": b["event_id"].astype("int64"),
+            "l_ts": b["ts"],
+            "start_ts": b["ts"],
+            "end_ts": b["ts"] + pd.Timedelta(hours=1),
+        })
+
+    pairs = range_join_multi(
+        ev, ev.map_batches(windows, batch_format="pandas"),
+        by="user_id", point_col="ts", start_col="start_ts",
+        end_col="end_ts", n_partitions=16,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["l_ts"] < b["ts"]) | (
+            (b["l_ts"] == b["ts"]) & (b["l_event"] < b["event_id"]))
+        d = b[keep]
+        return pd.DataFrame({
+            "user_id": d["user_id"].astype("int64"),
+            "left_event": d["l_event"].astype("int64"),
+            "right_event": d["event_id"].astype("int64"),
+        })
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by first-activity week
     (Monday-truncated, DuckDB date_trunc('week') parity), counted as
@@ -3777,6 +3818,7 @@ def queries() -> Dict[str, Callable]:
         "events_props_stats": q_events_props_stats,
         "q4_priority": q_q4_priority,
         "events_rate": q_events_rate,
+        "events_copresence": q_events_copresence,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_remove": q_dedup_spans_remove,
         "doc_gopher": q_doc_gopher,
@@ -4322,6 +4364,14 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) - 1
        AS BIGINT) AS n_prior_1h
 FROM events
+""",
+    "events_copresence": """
+SELECT a.user_id, CAST(a.event_id AS BIGINT) AS left_event,
+       CAST(b.event_id AS BIGINT) AS right_event
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+ AND b.ts <= a.ts + INTERVAL 1 HOUR
 """,
     "q4_priority": """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -523,3 +523,48 @@ def fuzzy_join_ed1(
         )
 
     return uniq.map_batches(verify, batch_format="pandas")
+
+
+@ray.remote(num_cpus=0)
+def _range_multi_partition(n_left: int, by: str, point_col: str,
+                           start_col: str, end_col: str, *pieces):
+    import pyarrow as pa
+
+    points = _concat_pd(pieces[:n_left])
+    ivals = _concat_pd(pieces[n_left:])
+    if not len(points) or not len(ivals):
+        out = points.merge(ivals, on=by).iloc[0:0]
+        return pa.Table.from_pandas(out, preserve_index=False)
+    out = points.merge(ivals, on=by)
+    keep = (out[start_col] <= out[point_col]) & (out[point_col] <= out[end_col])
+    return pa.Table.from_pandas(out[keep].reset_index(drop=True),
+                                preserve_index=False)
+
+
+def range_join_multi(
+    points: "rd.Dataset",
+    intervals: "rd.Dataset",
+    by: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    n_partitions: int = 64,
+) -> "rd.Dataset":
+    """Overlapping-intervals range join — the flat-map variant
+    :func:`range_join`'s docstring promises: each point row is emitted
+    once per same-key interval CONTAINING it (0..N output rows per
+    point), carrying both sides' payload columns.  Same two-sided hash
+    exchange; inside a partition the key equi-merge runs first and the
+    containment filter prunes.  Partitioning assumption: one key's
+    points x intervals product fits a worker — for hot keys pre-bucket
+    the interval axis (range-partition ``point_col``) before calling."""
+    lsplits = launch_splits(points, by, n_partitions)
+    rsplits = launch_splits(intervals, by, n_partitions)
+    out_refs = [
+        _range_multi_partition.remote(
+            len(lsplits), by, point_col, start_col, end_col,
+            *[s[j] for s in lsplits], *[s[j] for s in rsplits],
+        )
+        for j in range(n_partitions)
+    ]
+    return rd.from_arrow_refs(out_refs)
