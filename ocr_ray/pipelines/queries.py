@@ -1399,6 +1399,63 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_embeddings(ds, k=8, iters=2, n_partitions=4)
 
 
+def q_embed_topics(sf_dir: str):
+    """Cluster labeling — the report a curation run reads after
+    clustering: top-3 terms per k-means cluster (embeddings cluster via
+    the exact-integer Lloyd path of q_embed_kmeans; the 1:1 vec_id ->
+    doc_id mapping joins assignments to document text through one key
+    exchange; term counts reduce per (cluster, term); the final grouped
+    top-k is a bounded per-cluster sort with deterministic (n desc,
+    term asc) ties).  Because the k-means trajectory is bit-exact, even
+    this two-model composite is value-checked end to end."""
+    from collections import Counter
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.cluster import kmeans_embeddings
+    from ocr_ray.stages.join import exchange_join, exchange_map_partitions
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    assigns = kmeans_embeddings(emb, k=8, iters=2, n_partitions=4)
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    j = exchange_join(
+        docs,
+        assigns.map_batches(
+            lambda b: b[["vec_id", "cluster"]], batch_format="pandas"),
+        on="doc_id", right_on="vec_id", n_partitions=8,
+    )
+
+    def term_partial(b: pd.DataFrame) -> pd.DataFrame:
+        counts: Dict[int, "Counter[str]"] = {}
+        for c, t in zip(b["cluster"], b["text"]):
+            counts.setdefault(int(c), Counter()).update(_TERM.findall(t.lower()))
+        rows = [(c, term, n) for c, ctr in counts.items()
+                for term, n in ctr.items()]
+        return pd.DataFrame({
+            "cluster": pd.Series([r[0] for r in rows], dtype="int64"),
+            "term": [r[1] for r in rows],
+            "n": pd.Series([r[2] for r in rows], dtype="int64"),
+        })
+
+    counts = hash_aggregate(j.map_batches(term_partial, batch_format="pandas"),
+                            keys=["cluster", "term"], aggs={"n": "sum"},
+                            n_partitions=8)
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g
+        g = g.sort_values(["cluster", "n", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("cluster").head(3).copy()
+        out["cluster"] = out["cluster"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return exchange_map_partitions(counts, "cluster", top3, n_partitions=4)
+
+
 def q_doc_rank_len(sf_dir: str):
     """Exact global order statistics without a sort (stages/shuffle.py:
     value_rank): rank + percentile of every doc by n_chars via monotone
@@ -3819,6 +3876,7 @@ def queries() -> Dict[str, Callable]:
         "q4_priority": q_q4_priority,
         "events_rate": q_events_rate,
         "events_copresence": q_events_copresence,
+        "embed_topics": q_embed_topics,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_remove": q_dedup_spans_remove,
         "doc_gopher": q_doc_gopher,
@@ -6149,3 +6207,20 @@ UNION ALL
 SELECT CAST(3 AS BIGINT) AS step, left_s, right_s, cnt FROM t3
 """,
 }
+
+# chained composite oracle: the exact-integer k-means assignment CTE
+# (identical to embed_kmeans) feeding term counting + grouped top-3 —
+# appended post-dict so it can embed the embed_kmeans SQL verbatim
+ORACLE_SQL["embed_topics"] = f"""
+WITH assign AS ({ORACLE_SQL['embed_kmeans']}),
+tok AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+ct AS (SELECT a.cluster, t.term, CAST(count(*) AS BIGINT) AS n
+       FROM tok t JOIN assign a ON t.doc_id = a.vec_id
+       GROUP BY a.cluster, t.term)
+SELECT CAST(cluster AS BIGINT) AS cluster, term, n
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY cluster ORDER BY n DESC, term) AS rn FROM ct)
+WHERE rn <= 3
+"""
