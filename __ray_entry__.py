@@ -737,6 +737,14 @@ def _q_transcripts_decontaminate(sf_dir: str):
         g["_fmt"] = "[" + g["role"] + "] " + g["clean_text"]
         base = g.groupby("conv_id")["_fmt"].agg("\n\n".join)
         ids = base.index.to_series().str[5:].astype("int64").to_numpy()
+        # split_of below re-derives conv_id strings from these ints; a
+        # silent round-trip mismatch would mis-bucket the leakage guard,
+        # so fail loudly if the id format ever drifts
+        recon = pd.Series([f"conv-{int(i):08d}" for i in ids])
+        if not (recon.to_numpy() == base.index.to_numpy()).all():
+            raise ValueError(
+                "conv_id format drifted from 'conv-%08d' — decontaminate's "
+                "id round-trip (and its split hashing) would mis-bucket")
         return pd.DataFrame({"doc_id": ids, "text": base.to_numpy()})
 
     convs = exchange_map_partitions(turns, "conv_id", conv_texts,

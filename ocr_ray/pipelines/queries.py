@@ -1445,7 +1445,11 @@ def q_embed_topics(sf_dir: str):
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
-            return g
+            # typed empty: a raw empty frame round-trips 'term' to Arrow
+            # null type and destabilizes the Dataset's unified schema
+            return pd.DataFrame({"cluster": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
         g = g.sort_values(["cluster", "n", "term"],
                           ascending=[True, False, True], kind="mergesort")
         out = g.groupby("cluster").head(3).copy()
@@ -2344,42 +2348,42 @@ def q_q13_custdist(sf_dir: str):
 def q_q4_priority(sf_dir: str):
     """TPC-H Q4-style order-priority check — EXISTS with a correlated
     predicate: count orders per priority having at least one lineitem
-    shipped more than 90 days after the order date.  The correlated
-    comparison needs both sides' columns, so lineitem ship dates exchange
-    -join the order header once (keys + two timestamps move, nothing
-    else); the per-order EXISTS collapses inside the same partition
-    (distinct orderkeys), and the final priority rollup is a bounded
-    aggregate."""
+    shipped more than 90 days after the order date.  EXISTS over a date
+    comparison only needs each order's MAXIMUM ship date, so lineitem is
+    reduced to one (l_orderkey, max_shipdate) row through the streaming
+    hash aggregate BEFORE the exchange join — shuffle volume is the
+    per-order table (~|lineitem|/4 here, unboundedly better at TPC-H
+    fan-outs), and the per-order EXISTS is a single vectorized
+    comparison; the final priority rollup is a bounded aggregate."""
     from ocr_ray.stages.aggregate import hash_aggregate
     from ocr_ray.stages.join import exchange_join
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_orderkey", "l_shipdate"])
+
+    def max_ship(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+
+    li_red = hash_aggregate(
+        li.map_batches(max_ship, batch_format="pandas"),
+        keys=["l_orderkey"], aggs={"l_shipdate": "max"}, n_partitions=16,
+    )
+
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
-    j = exchange_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+    j = exchange_join(li_red, orders, on="l_orderkey", right_on="o_orderkey",
                       n_partitions=16)
 
     def exists_partial(b: pd.DataFrame) -> pd.DataFrame:
         late = b["l_shipdate"] > b["o_orderdate"] + pd.Timedelta(days=90)
-        d = b[late][["l_orderkey", "o_orderpriority"]].drop_duplicates()
-        d = d.assign(n=np.int64(1))
-        return d
-
-    per_order = hash_aggregate(
-        j.map_batches(exists_partial, batch_format="pandas"),
-        keys=["l_orderkey", "o_orderpriority"], aggs={"n": "max"},
-        n_partitions=16,
-    )
-
-    def rollup(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.groupby("o_orderpriority", as_index=False)["n"].sum()
-        return out.rename(columns={"n": "order_count"})
+        d = b[late][["o_orderpriority"]].copy()
+        d["order_count"] = np.int64(1)
+        return d.groupby("o_orderpriority", as_index=False)["order_count"].sum()
 
     out = hash_aggregate(
-        per_order.map_batches(rollup, batch_format="pandas"),
+        j.map_batches(exists_partial, batch_format="pandas"),
         keys=["o_orderpriority"], aggs={"order_count": "sum"}, n_partitions=2,
     ).to_pandas()
     out["order_count"] = out["order_count"].astype("int64")
@@ -2681,12 +2685,20 @@ def q_events_props_stats(sf_dir: str):
                          columns=["event_type", "props"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        k = b["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        # malformed/absent keys extract as NaN and are EXCLUDED from the
+        # stats rather than crashing the astype — pandas aggregates skip
+        # NaN exactly as the oracle's TRY_CAST -> NULL does
+        k = pd.to_numeric(
+            b["props"].str.extract(r'"k": (\d+)', expand=False),
+            errors="coerce")
         d = pd.DataFrame({"event_type": b["event_type"], "n": np.int64(1),
                           "sum_k": k, "min_k": k, "max_k": k})
-        return d.groupby("event_type", as_index=False).agg(
+        out = d.groupby("event_type", as_index=False).agg(
             n=("n", "sum"), sum_k=("sum_k", "sum"),
             min_k=("min_k", "min"), max_k=("max_k", "max"))
+        for c in ("sum_k", "min_k", "max_k"):
+            out[c] = out[c].fillna(0).astype("int64")
+        return out
 
     out = hash_aggregate(
         ds.map_batches(partial, batch_format="pandas"),
@@ -4408,11 +4420,13 @@ SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
 FROM lineitem JOIN s USING (l_partkey)
 WHERE 5 * s.c * CAST(l_quantity AS BIGINT) < s.sq
 """,
+    # TRY_CAST -> NULL mirrors the engine's to_numeric(errors='coerce'):
+    # malformed payloads are excluded from stats, not fatal
     "events_props_stats": r"""
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-  CAST(min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
-  CAST(max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+  CAST(COALESCE(sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 0) AS BIGINT) AS sum_k,
+  CAST(COALESCE(min(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 0) AS BIGINT) AS min_k,
+  CAST(COALESCE(max(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 0) AS BIGINT) AS max_k
 FROM events GROUP BY event_type
 """,
     # RANGE frame peers-included minus self == searchsorted window count

@@ -533,8 +533,21 @@ def _range_multi_partition(n_left: int, by: str, point_col: str,
     points = _concat_pd(pieces[:n_left])
     ivals = _concat_pd(pieces[n_left:])
     if not len(points) or not len(ivals):
-        out = points.merge(ivals, on=by).iloc[0:0]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # empty side: synthesize the joined schema without merging (an
+        # all-empty side may carry a pre-map schema missing `by`)
+        cols = {c: points[c].iloc[0:0] if c in points.columns else pd.Series([])
+                for c in points.columns}
+        for c in ivals.columns:
+            if c not in cols:
+                cols[c] = ivals[c].iloc[0:0]
+        return pa.Table.from_pandas(pd.DataFrame(cols).iloc[0:0],
+                                    preserve_index=False)
+    overlap = (set(points.columns) & set(ivals.columns)) - {by}
+    if overlap:
+        raise ValueError(
+            f"range_join_multi: sides share payload columns {sorted(overlap)}"
+            " — rename one side before joining (pandas would suffix them"
+            " and the containment columns would no longer resolve)")
     out = points.merge(ivals, on=by)
     keep = (out[start_col] <= out[point_col]) & (out[point_col] <= out[end_col])
     return pa.Table.from_pandas(out[keep].reset_index(drop=True),

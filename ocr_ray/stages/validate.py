@@ -92,15 +92,15 @@ def contract_check(
     ts_col: str = "ts",
     text_col: str = "text",
     max_text_len: int = 1 << 20,
-) -> "rd.Dataset":
+) -> pd.DataFrame:
     """Data-contract gate (the great-expectations pattern as a streaming
     aggregate): per-batch partial violation counts — nulls per checked
     column, negative indices, out-of-enum roles, oversized payloads,
-    null timestamps — reduced to ONE summary row.  The partial is a
-    single vectorized pass per batch; the reduce ships one small row per
-    batch, so the gate costs one scan regardless of table size.  Run it
-    before trusting an ingest shard; a nonzero cell routes the shard to
-    quarantine instead of the pipeline."""
+    null timestamps — reduced to ONE summary row, returned as a
+    driver-side single-row DataFrame (the scan streams; only one small
+    row per batch reaches the driver).  Run it before trusting an ingest
+    shard; a nonzero cell routes the shard to quarantine instead of the
+    pipeline."""
     import numpy as np
 
     enum_set = set(enum_values)
