@@ -907,3 +907,33 @@ def detect_anomalies(sf_dir: str):
     from ocr_ray.pipelines.queries import q_events_anomaly
 
     return q_events_anomaly(sf_dir)
+
+
+def apply_upserts(
+    base: "rd.Dataset",
+    changes: "rd.Dataset",
+    key: str,
+    order_cols: list,
+    out_dir: str,
+) -> None:
+    """CDC MERGE/upsert apply — the lakehouse compaction sink: union the
+    base table with the change stream, keep the last-write-wins row per
+    key by ``order_cols`` (the latest_per_key exchange), write the
+    compacted result as partitioned parquet.  Deletes are modeled as
+    change rows a downstream filter drops (soft-delete column), matching
+    standard CDC practice."""
+    latest_per_key(base.union(changes), key, order_cols).write_parquet(out_dir)
+
+
+def write_clustered(
+    ds: "rd.Dataset",
+    col: str,
+    out_dir: str,
+) -> None:
+    """Sort-clustered parquet write — the data-layout optimization that
+    makes read-side pruning work: rows are globally sorted by ``col`` so
+    each output file covers a disjoint key range, and a later
+    ``read_parquet(columns=..., filter=...)`` on that column skips whole
+    files/row-groups instead of scanning.  One all-to-all (the sort) at
+    write time buys every future selective read."""
+    ds.sort(col).write_parquet(out_dir)

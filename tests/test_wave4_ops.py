@@ -277,3 +277,44 @@ def test_duplicated_spans_partition_invariant(ray_session):
     key = ["doc_id", "span_start", "span_end"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_apply_upserts_last_write_wins(ray_session, tmp_path):
+    import ray.data as rd
+
+    import ocr_ray.api as api
+
+    base = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3], "v": ["a", "b", "c"], "ver": [1, 1, 1]}))
+    changes = rd.from_pandas(pd.DataFrame({
+        "k": [2, 4], "v": ["b2", "d"], "ver": [2, 1]}))
+    out = str(tmp_path / "merged")
+    api.apply_upserts(base, changes, key="k", order_cols=["ver"], out_dir=out)
+    got = rd.read_parquet(out).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == [1, 2, 3, 4]
+    assert got.set_index("k")["v"].to_dict() == {1: "a", 2: "b2", 3: "c", 4: "d"}
+
+
+def test_write_clustered_files_have_disjoint_ranges(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import ocr_ray.api as api
+
+    ds = rd.range(20000).map_batches(
+        lambda b: pd.DataFrame({"x": b["id"]}), batch_format="pandas"
+    ).random_shuffle(seed=7)
+    out = str(tmp_path / "clustered")
+    api.write_clustered(ds, "x", out)
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f, columns=["x"])
+        if t.num_rows:
+            import pyarrow.compute as pc
+            ranges.append((pc.min(t["x"]).as_py(), pc.max(t["x"]).as_py()))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file key ranges overlap — clustering broken"
