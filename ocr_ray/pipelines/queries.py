@@ -2787,6 +2787,68 @@ def q_events_copresence(sf_dir: str):
     return pairs.map_batches(finish, batch_format="pandas")
 
 
+def q_events_daily_filled(sf_dir: str):
+    """Calendar gap-filling — the time-series resample primitive: per
+    (event_type, day) counts with EVERY day of the observed span present
+    for every type, absent days as exact zeros (dashboards and anomaly
+    scans break on missing rows, not wrong ones).  The observed span
+    comes from a bounded two-value aggregate; the dense grid (|types| x
+    |days|, bounded) is generated driver-side and LEFT-joined to the
+    count table through one exchange — event rows shuffle only as
+    per-(type, day) partials."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "day": b["ts"].dt.floor("D"),
+                             "n": np.int64(1)})
+
+    counts = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
+                            keys=["event_type", "day"], aggs={"n": "sum"},
+                            n_partitions=8).materialize()  # consumed twice
+
+    # bounded: one row per (type, min/max day) partial -> driver
+    meta = counts.map_batches(
+        lambda b: pd.DataFrame({
+            "event_type": b["event_type"],
+            "lo": b["day"], "hi": b["day"]}),
+        batch_format="pandas",
+    ).to_pandas()
+    lo, hi = meta["lo"].min(), meta["hi"].max()
+    types = sorted(meta["event_type"].unique())
+    days = pd.date_range(lo, hi, freq="D")
+    grid = pd.DataFrame({
+        "event_type": np.repeat(types, len(days)),
+        "day": np.tile(days, len(types)),
+    })
+    grid["gk"] = grid["event_type"] + "|" + grid["day"].astype(str)
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "gk": b["event_type"] + "|" + b["day"].astype(str),
+            "n": b["n"].astype("int64"),
+        })
+
+    j = exchange_join(
+        rd.from_pandas(grid),
+        counts.map_batches(keyed, batch_format="pandas"),
+        on="gk", how="left", n_partitions=8,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "day": b["day"],
+            "n": b["n"].fillna(0).astype("int64"),
+        })
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
 def q_events_retention(sf_dir: str):
     """Cohort retention matrix: users grouped by first-activity week
     (Monday-truncated, DuckDB date_trunc('week') parity), counted as
@@ -3889,6 +3951,7 @@ def queries() -> Dict[str, Callable]:
         "events_rate": q_events_rate,
         "events_copresence": q_events_copresence,
         "embed_topics": q_embed_topics,
+        "events_daily_filled": q_events_daily_filled,
         "dedup_spans": q_dedup_spans,
         "dedup_spans_remove": q_dedup_spans_remove,
         "doc_gopher": q_doc_gopher,
@@ -4436,6 +4499,19 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) - 1
        AS BIGINT) AS n_prior_1h
 FROM events
+""",
+    "events_daily_filled": """
+WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+days AS (SELECT unnest(generate_series(
+           (SELECT lo FROM span), (SELECT hi FROM span),
+           INTERVAL 1 DAY)) AS day),
+grid AS (SELECT t.event_type, d.day
+         FROM (SELECT DISTINCT event_type FROM c) t CROSS JOIN days d)
+SELECT g.event_type, g.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN c USING (event_type, day)
 """,
     "events_copresence": """
 SELECT a.user_id, CAST(a.event_id AS BIGINT) AS left_event,
