@@ -318,3 +318,24 @@ def test_write_clustered_files_have_disjoint_ranges(ray_session, tmp_path):
     assert len(ranges) > 1
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file key ranges overlap — clustering broken"
+
+
+def test_daily_filled_inserts_zero_days(ray_session, tmp_path):
+    """The fixture span has no gaps, so prove the fill on synthetic data:
+    a type active on days 1 and 4 gains zero rows for days 2-3, and the
+    grid covers the GLOBAL span for every type."""
+    from ocr_ray.pipelines.queries import q_events_daily_filled
+
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-04", "2024-01-02"]),
+        "event_type": ["click", "click", "view"],
+    })
+    df.to_parquet(tmp_path / "events.parquet")
+    out = q_events_daily_filled(str(tmp_path)).to_pandas()
+    click = out[out["event_type"] == "click"].set_index("day")["n"]
+    assert len(out) == 8  # 2 types x 4-day global span
+    assert click[pd.Timestamp("2024-01-02")] == 0
+    assert click[pd.Timestamp("2024-01-03")] == 0
+    assert click[pd.Timestamp("2024-01-01")] == 1
+    view = out[out["event_type"] == "view"].set_index("day")["n"]
+    assert view[pd.Timestamp("2024-01-04")] == 0
