@@ -32,6 +32,12 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "100000"))
 
+# Ray Data's own guidance: >=50% of memory for the object store (default
+# 42.9% on this box).  Measured on the headline: 9.2-9.9 s vs 10.0-13.3 s
+# across A/B orderings — never worse, up to ~25% better on cold page
+# cache.  Inherited by the --scaling subprocesses via the environment.
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
+
 
 def _bench_transcripts(n_convs: int) -> str:
     """Deterministic bench transcript table (generated once, cached in /tmp)."""
