@@ -372,9 +372,20 @@ def minhash_dedup_pairs(
         left = _concat_pd(pieces[:n_left])
         rdocs = _concat_pd(pieces[n_left:])
         b = left.merge(rdocs, on="right_id", how="inner")
+        # one shingle set per DISTINCT text: ids recur across candidate
+        # pairs, and on long documents (conversation-level dedup) set
+        # construction dominates the verify without this memo
+        _sets: Dict[str, frozenset] = {}
+
+        def _ss(t: str) -> frozenset:
+            s = _sets.get(t)
+            if s is None:
+                s = _sets.setdefault(t, shingle_set(t, shingle_k))
+            return s
+
         jac = np.array(
             [
-                jaccard_sets(shingle_set(lt, shingle_k), shingle_set(rt, shingle_k))
+                jaccard_sets(_ss(lt), _ss(rt))
                 for lt, rt in zip(b["_ltext"], b["_rtext"])
             ],
             dtype=np.float64,
