@@ -2811,13 +2811,18 @@ def q_events_daily_filled(sf_dir: str):
                             keys=["event_type", "day"], aggs={"n": "sum"},
                             n_partitions=8).materialize()  # consumed twice
 
-    # bounded: one row per (type, min/max day) partial -> driver
+    # bounded: one (type, min, max) row PER BATCH reaches the driver
     meta = counts.map_batches(
-        lambda b: pd.DataFrame({
-            "event_type": b["event_type"],
-            "lo": b["day"], "hi": b["day"]}),
+        lambda b: b.groupby("event_type", as_index=False).agg(
+            lo=("day", "min"), hi=("day", "max")),
         batch_format="pandas",
     ).to_pandas()
+    if not len(meta):  # empty table: empty grid, matching the oracle
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype="object"),
+            "day": pd.Series([], dtype="datetime64[us]"),
+            "n": pd.Series([], dtype="int64"),
+        })
     lo, hi = meta["lo"].min(), meta["hi"].max()
     types = sorted(meta["event_type"].unique())
     days = pd.date_range(lo, hi, freq="D")
@@ -4500,10 +4505,12 @@ SELECT CAST(event_id AS BIGINT) AS event_id,
        AS BIGINT) AS n_prior_1h
 FROM events
 """,
+    # event_type IS NOT NULL aligns with the engine side, where pandas
+    # groupby drops null keys (dirty rows are the contract gate's job)
     "events_daily_filled": """
 WITH c AS (SELECT event_type, date_trunc('day', ts) AS day,
                   CAST(count(*) AS BIGINT) AS n
-           FROM events GROUP BY 1, 2),
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
 span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
 days AS (SELECT unnest(generate_series(
            (SELECT lo FROM span), (SELECT hi FROM span),

@@ -380,6 +380,8 @@ def minhash_dedup_pairs(
         def _ss(t: str) -> frozenset:
             s = _sets.get(t)
             if s is None:
+                if len(_sets) > 4096:  # bound task heap on huge partitions
+                    _sets.clear()
                 s = _sets.setdefault(t, shingle_set(t, shingle_k))
             return s
 
