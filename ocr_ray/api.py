@@ -76,15 +76,34 @@ def dedup_pairs(
     )
 
     if method == "exact":
-        hashed = docs.map_batches(
-            lambda b: add_content_hash(b, col=text_col), batch_format="pandas"
-        ).to_pandas()
-        out_l, out_r = [], []
-        for _, g in hashed.groupby("content_hash"):
-            ids = sorted(g[id_col])
-            out_l.extend(ids[0] for _ in ids[1:])
-            out_r.extend(ids[1:])
-        return pd.DataFrame({"left_id": out_l, "right_id": out_r})
+        # distributed, same shape as pipelines/queries.py:q_dedup_exact —
+        # text is dropped before the exchange (16-byte hash keys move, not
+        # payloads) and pair emission happens inside the hash partitions;
+        # only the (small) verified pair table reaches the driver
+        from ocr_ray.stages.join import exchange_map_partitions
+
+        def hash_only(b: pd.DataFrame) -> pd.DataFrame:
+            h = add_content_hash(b, col=text_col)
+            return pd.DataFrame(
+                {id_col: h[id_col], "content_hash": h["content_hash"]}
+            )
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g):
+                return pd.DataFrame({"left_id": pd.Series([], dtype="int64"),
+                                     "right_id": pd.Series([], dtype="int64")})
+            g = g.sort_values(["content_hash", id_col], kind="mergesort")
+            first = g.groupby("content_hash")[id_col].transform("min")
+            dup = g[id_col] != first
+            return pd.DataFrame(
+                {"left_id": first[dup].to_numpy(dtype="int64"),
+                 "right_id": g.loc[dup, id_col].to_numpy(dtype="int64")}
+            )
+
+        hashed = docs.map_batches(hash_only, batch_format="pandas")
+        out = exchange_map_partitions(hashed, "content_hash", pairs,
+                                      n_partitions=16).to_pandas()
+        return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
 
     # both LSH paths are end-to-end distributed (stages/dedup.py); the facade
     # materializes only the (small) verified pair table
@@ -754,13 +773,21 @@ def latest_per_key(
 ) -> "rd.Dataset":
     """CDC / upsert compaction: last-write-wins row per key by
     ``order_cols`` — per-batch argmax partial, one key exchange, second
-    argmax (the shape of pipelines/queries.py:q_events_latest)."""
+    argmax (the shape of pipelines/queries.py:q_events_latest).
+
+    ``order_cols`` must be a TOTAL order per key for the winner to be
+    deterministic across runs/partitionings: the sort is stable
+    (mergesort), so rows tied on every order col resolve by arrival
+    order, which a distributed input does not fix.  Callers merging two
+    streams with equal order values (e.g. a change row carrying the same
+    version as its base row) must append an explicit precedence column —
+    see :func:`apply_upserts`."""
     from ocr_ray.stages.join import exchange_map_partitions
 
     def latest(b):
         if not len(b):
             return b
-        b = b.sort_values([key, *order_cols])
+        b = b.sort_values([key, *order_cols], kind="mergesort")
         return b.groupby(key, as_index=False).tail(1)
 
     partial = ds.map_batches(latest, batch_format="pandas")
@@ -921,8 +948,29 @@ def apply_upserts(
     key by ``order_cols`` (the latest_per_key exchange), write the
     compacted result as partitioned parquet.  Deletes are modeled as
     change rows a downstream filter drops (soft-delete column), matching
-    standard CDC practice."""
-    latest_per_key(base.union(changes), key, order_cols).write_parquet(out_dir)
+    standard CDC practice.
+
+    A change row tied with its base row on every order col wins
+    deterministically (standard CDC merge expectation): each side is
+    tagged with a precedence flag (base=0, change=1) appended as the
+    final order col, then dropped from the output."""
+    import pandas as pd
+
+    def _tag(prec: int):
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["_cdc_prec"] = np.int64(prec)
+            return b
+        return tag
+
+    merged = latest_per_key(
+        base.map_batches(_tag(0), batch_format="pandas").union(
+            changes.map_batches(_tag(1), batch_format="pandas")
+        ),
+        key,
+        [*order_cols, "_cdc_prec"],
+    )
+    merged.drop_columns(["_cdc_prec"]).write_parquet(out_dir)
 
 
 def write_clustered(

@@ -2684,33 +2684,49 @@ def q_events_props_stats(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "props"])
 
+    # sentinels must survive a float64 round-trip exactly (the partial's k
+    # column is float64 because of the NaNs) — INT64_MAX does not, so use
+    # +/-2^62, far outside any BIGINT the oracle's TRY_CAST accepts in data
+    _SENT_MIN = np.int64(1) << 62   # "no value seen" for the min partial
+    _SENT_MAX = -(np.int64(1) << 62)
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         # malformed/absent keys extract as NaN and are EXCLUDED from the
-        # stats rather than crashing the astype — pandas aggregates skip
-        # NaN exactly as the oracle's TRY_CAST -> NULL does
+        # stats rather than crashing the astype — exactly the oracle's
+        # TRY_CAST -> NULL.  A batch slice whose every k is NaN must not
+        # poison the global min/max, so min/max partials use +/-INT64
+        # sentinels (never selected once any real value exists) and nk
+        # carries the non-null count so the final pass can apply the
+        # oracle's COALESCE(..., 0) for all-NULL groups.
         k = pd.to_numeric(
             b["props"].str.extract(r'"k": (\d+)', expand=False),
             errors="coerce")
         d = pd.DataFrame({"event_type": b["event_type"], "n": np.int64(1),
+                          "nk": k.notna().astype("int64"),
                           "sum_k": k, "min_k": k, "max_k": k})
         out = d.groupby("event_type", as_index=False).agg(
-            n=("n", "sum"), sum_k=("sum_k", "sum"),
+            n=("n", "sum"), nk=("nk", "sum"), sum_k=("sum_k", "sum"),
             min_k=("min_k", "min"), max_k=("max_k", "max"))
-        for c in ("sum_k", "min_k", "max_k"):
-            out[c] = out[c].fillna(0).astype("int64")
+        out["sum_k"] = out["sum_k"].fillna(0).astype("int64")
+        out["min_k"] = out["min_k"].fillna(_SENT_MIN).astype("int64")
+        out["max_k"] = out["max_k"].fillna(_SENT_MAX).astype("int64")
         return out
 
     out = hash_aggregate(
         ds.map_batches(partial, batch_format="pandas"),
         keys=["event_type"],
-        aggs={"n": "sum", "sum_k": "sum", "min_k": "min", "max_k": "max"},
+        aggs={"n": "sum", "nk": "sum", "sum_k": "sum",
+              "min_k": "min", "max_k": "max"},
         n_partitions=4,
     )
 
     def cast(b: pd.DataFrame) -> pd.DataFrame:
-        for c in ("n", "sum_k", "min_k", "max_k"):
+        for c in ("n", "nk", "sum_k", "min_k", "max_k"):
             b[c] = b[c].astype("int64")
-        return b
+        empty = b["nk"] == 0  # COALESCE(min/max, 0) for all-NULL groups
+        b.loc[empty, "min_k"] = 0
+        b.loc[empty, "max_k"] = 0
+        return b.drop(columns=["nk"])
 
     return out.map_batches(cast, batch_format="pandas")
 

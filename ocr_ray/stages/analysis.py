@@ -354,8 +354,17 @@ def winnow_docs_batch(batch: pd.DataFrame, k: int = WINNOW_K,
         n = len(toks)
         if n < k:
             continue
-        th = np.fromiter((hash_token(t) for t in toks), dtype=np.int64, count=n)
         m = n - k + 1
+        if m >= WINNOW_C:
+            # the folded tiebreak key h*C - pos is only injective for
+            # pos < C; a >=2^20-kgram (~1M-token) doc would silently wrap
+            # pos and corrupt the decoded (fp, pos) — fail loudly instead
+            raise ValueError(
+                f"winnow_docs_batch: doc_id={doc_id} has {m} k-grams "
+                f">= WINNOW_C={WINNOW_C}; split oversized docs upstream "
+                "(the position tiebreak radix cannot represent them)"
+            )
+        th = np.fromiter((hash_token(t) for t in toks), dtype=np.int64, count=n)
         kg = np.zeros(m, dtype=np.int64)
         for i in range(k):  # kg*B < 2^51: exact in int64
             kg = (kg * B + th[i:i + m]) % M

@@ -404,6 +404,19 @@ def minhash_dedup_pairs(
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    # the (id, text) projection feeds THREE consumers (band explode +
+    # both text-attach sides); materialize it once so the source is
+    # scanned a single time — a lazy read_parquet input would otherwise
+    # be re-read per consumer (2 extra corpus scans at 100 TB).  Mirrors
+    # simhash_dedup_pairs' single-materialize of its signature table.
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(docs, MaterializedDataset):
+        docs = docs.map_batches(
+            lambda b: pd.DataFrame({id_col: b[id_col], text_col: b[text_col]}),
+            batch_format="pandas",
+        ).materialize()
+
     bands = docs.map_batches(
         minhash_bands_batch, batch_format="pandas",
         fn_kwargs={"n_perm": n_perm, "n_bands": n_bands, "shingle_k": shingle_k,
