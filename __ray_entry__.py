@@ -148,7 +148,7 @@ def _q_transcripts_mask(sf_dir: str):
         keys=["conv_id"],
         aggs={"n_turns": "sum", "n_train_turns": "sum",
               "train_chars": "sum", "total_chars": "sum"},
-        n_partitions=16,
+        n_partitions=None,
     )
 
     def cast(b: pd.DataFrame) -> pd.DataFrame:
@@ -281,7 +281,7 @@ def _q_transcripts_alternation(sf_dir: str):
             base[c] = base[c].fillna(0).astype("int64")
         return base
 
-    return exchange_map_partitions(ds, "conv_id", stats, n_partitions=16)
+    return exchange_map_partitions(ds, "conv_id", stats, n_partitions=None)
 
 
 def _q_transcripts_sft(sf_dir: str):
@@ -320,7 +320,7 @@ def _q_transcripts_sft(sf_dir: str):
             "completion": g["clean_text"][keep],
         })
 
-    return exchange_map_partitions(turns, "conv_id", examples, n_partitions=16)
+    return exchange_map_partitions(turns, "conv_id", examples, n_partitions=None)
 
 
 def _q_transcripts_turn_dedup(sf_dir: str):
@@ -354,7 +354,7 @@ def _q_transcripts_turn_dedup(sf_dir: str):
         turns.map_batches(partial, batch_format="pandas"),
         keys=["content_hash"],
         aggs={"first_key": "min", "n_copies": "sum"},
-        n_partitions=16,
+        n_partitions=None,
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -410,10 +410,10 @@ def _q_transcripts_convdedup(sf_dir: str):
             ignore_index=True,
         )
 
-    both = exchange_map_partitions(turns, "conv_id", conv_texts, n_partitions=16)
+    both = exchange_map_partitions(turns, "conv_id", conv_texts, n_partitions=None)
     return minhash_dedup_pairs(
         both, n_perm=64, n_bands=32, shingle_k=3, threshold=0.8,
-        text_col="text", id_col="cid", n_partitions=16,
+        text_col="text", id_col="cid", n_partitions=None,
     )
 
 
@@ -467,7 +467,7 @@ def _q_pipeline_sft(sf_dir: str):
         })
 
     examples = exchange_map_partitions(turns, "conv_id", gated_examples,
-                                       n_partitions=16)
+                                       n_partitions=None)
 
     def hashed(b: pd.DataFrame) -> pd.DataFrame:
         b = add_content_hash(b.copy(), col="completion").rename(
@@ -483,7 +483,7 @@ def _q_pipeline_sft(sf_dir: str):
 
     return exchange_map_partitions(
         examples.map_batches(hashed, batch_format="pandas"),
-        "_h", keep_first, n_partitions=16,
+        "_h", keep_first, n_partitions=None,
     )
 
 
@@ -577,7 +577,7 @@ def _q_transcripts_packed(sf_dir: str):
         return g.drop(columns=["_bucket"])
 
     return exchange_map_partitions(kt, "_bucket", pack_partition,
-                                   n_partitions=16)
+                                   n_partitions=None)
 
 
 def _q_transcripts_toolflow(sf_dir: str):
@@ -609,7 +609,7 @@ def _q_transcripts_toolflow(sf_dir: str):
         return out.groupby(["prev_tool", "tool"], as_index=False)["n"].sum()
 
     partials = exchange_map_partitions(ds, "conv_id", transitions,
-                                       n_partitions=16)
+                                       n_partitions=None)
     out = hash_aggregate(partials, keys=["prev_tool", "tool"],
                          aggs={"n": "sum"}, n_partitions=4)
     return out.map_batches(
@@ -666,7 +666,7 @@ def _q_transcripts_latency(sf_dir: str):
             out[c] = out[c].astype("int64")
         return out
 
-    return exchange_map_partitions(ds, "conv_id", stats, n_partitions=16)
+    return exchange_map_partitions(ds, "conv_id", stats, n_partitions=None)
 
 
 def _q_transcripts_split(sf_dir: str):
@@ -691,7 +691,7 @@ def _q_transcripts_split(sf_dir: str):
 
     agg = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
                          keys=["conv_id"], aggs={"n_turns": "sum"},
-                         n_partitions=16)
+                         n_partitions=None)
 
     def assign(b: pd.DataFrame) -> pd.DataFrame:
         buckets = b["conv_id"].map(lambda c: hash_token(c) % 100)
@@ -748,7 +748,7 @@ def _q_transcripts_decontaminate(sf_dir: str):
         return pd.DataFrame({"doc_id": ids, "text": base.to_numpy()})
 
     convs = exchange_map_partitions(turns, "conv_id", conv_texts,
-                                    n_partitions=16)
+                                    n_partitions=None)
 
     def split_of(ids: np.ndarray):
         buckets = np.array([hash_token(f"conv-{int(i):08d}") % 100
@@ -758,7 +758,7 @@ def _q_transcripts_decontaminate(sf_dir: str):
         return buckets < 80, labels
 
     return cross_split_contamination(convs, split_of, shingle_k=3,
-                                     n_partitions=16, max_df=50)
+                                     n_partitions=None, max_df=50)
 
 
 def _q_transcripts_contract(sf_dir: str):
@@ -1070,6 +1070,36 @@ def entry() -> Any:
     return _q_transcripts_extract("/root/testdata/sf0.001")
 
 
+def _q_transcripts_model_rescore(sf_dir: str):
+    """A4 model-backed best-of-N over the flagship extraction: the ridge
+    scorer artifact (built once, deterministic) replaces the heuristic
+    score inside the Extractor actors via PipelineConfig.model_artifact —
+    loaded once per actor in Extractor.__init__ (the reference's VLM
+    load-once contract).  Returns per-engine win counts; rows-only check
+    (engine choice isn't SQL-expressible), semantics pinned by
+    tests/test_model_engine.py."""
+    import pandas as pd
+
+    from ocr_ray.config import PipelineConfig
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.pipelines.queries import _ensure_model_artifact
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    cfg = PipelineConfig(model_artifact=_ensure_model_artifact())
+    ds = build_turn_pipeline(_transcripts_for(sf_dir), config=cfg)
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("engine", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    out = hash_aggregate(
+        ds.map_batches(count, batch_format="pandas"),
+        keys=["engine"], aggs={"n": "sum"}, n_partitions=4,
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("engine").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines.queries import queries as _queries
 
@@ -1092,6 +1122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_split"] = _q_transcripts_split
     q["transcripts_decontaminate"] = _q_transcripts_decontaminate
     q["transcripts_contract"] = _q_transcripts_contract
+    q["transcripts_model_rescore"] = _q_transcripts_model_rescore
     return q
 
 

@@ -102,7 +102,7 @@ def dedup_pairs(
 
         hashed = docs.map_batches(hash_only, batch_format="pandas")
         out = exchange_map_partitions(hashed, "content_hash", pairs,
-                                      n_partitions=16).to_pandas()
+                                      n_partitions=None).to_pandas()
         return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
 
     # both LSH paths are end-to-end distributed (stages/dedup.py); the facade
@@ -110,11 +110,11 @@ def dedup_pairs(
     if method == "minhash":
         return minhash_dedup_pairs(
             docs, shingle_k=3, threshold=threshold,
-            text_col=text_col, id_col=id_col, n_partitions=8,
+            text_col=text_col, id_col=id_col, n_partitions=None,
         ).to_pandas()
     if method == "simhash":
         return simhash_dedup_pairs(
-            docs, text_col=text_col, id_col=id_col, n_partitions=8,
+            docs, text_col=text_col, id_col=id_col, n_partitions=None,
         ).to_pandas()
 
     raise ValueError(f"unknown dedup method: {method}")
@@ -139,15 +139,15 @@ def dedup_clusters(
     if method == "minhash":
         pairs = minhash_dedup_pairs(
             docs, threshold=threshold, text_col=text_col, id_col=id_col,
-            n_partitions=8,
+            n_partitions=None,
         )
     elif method == "simhash":
         pairs = simhash_dedup_pairs(
-            docs, text_col=text_col, id_col=id_col, n_partitions=8,
+            docs, text_col=text_col, id_col=id_col, n_partitions=None,
         )
     else:
         raise ValueError(f"unknown dedup method: {method}")
-    return connected_components(pairs, n_partitions=8)
+    return connected_components(pairs, n_partitions=None)
 
 
 def redact_pii(docs: "rd.Dataset", text_col: str = "text") -> "rd.Dataset":
@@ -302,7 +302,7 @@ def curate(
     kept = hash_aggregate(
         docs.map_batches(quality_gate, batch_format="pandas")
             .map_batches(hash_text, batch_format="pandas"),
-        keys=["content_hash"], aggs={id_col: "min"}, n_partitions=16,
+        keys=["content_hash"], aggs={id_col: "min"}, n_partitions=None,
     )
 
     def assign_split(b: pd.DataFrame) -> pd.DataFrame:
@@ -519,7 +519,7 @@ def build_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
-    n_partitions: int = 32,
+    n_partitions: "int | None" = None,
 ) -> "rd.Dataset":
     """Term-partitioned inverted index (stages/index.py:build_postings):
     one row per term with df, tf_total and the ascending doc-id postings
@@ -629,7 +629,7 @@ def count_triangles(
     edges: "rd.Dataset",
     src_col: str = "src",
     dst_col: str = "dst",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "rd.Dataset":
     """Exact per-node triangle counts (stages/graph.py:triangle_counts):
     the degree-oriented node iterator — wedge volume bounded ~m^1.5, every
@@ -752,7 +752,7 @@ def fuzzy_join(
     left_name: str = "left_name",
     right_id: str = "right_id",
     right_name: str = "right_name",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "rd.Dataset":
     """Record linkage at edit distance <= 1 (stages/join.py:
     fuzzy_join_ed1): SymSpell deletion-signature blocking — provably
@@ -769,7 +769,7 @@ def latest_per_key(
     ds: "rd.Dataset",
     key: str,
     order_cols: list,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "rd.Dataset":
     """CDC / upsert compaction: last-write-wins row per key by
     ``order_cols`` — per-batch argmax partial, one key exchange, second
@@ -819,7 +819,7 @@ def gram_matrix(
 
     out = hash_aggregate(
         embeddings.map_batches(partial_gram, batch_format="pandas"),
-        keys=["i", "j"], aggs={"g": "sum"}, n_partitions=8,
+        keys=["i", "j"], aggs={"g": "sum"}, n_partitions=None,
     ).to_pandas()
     out["g"] = out["g"].astype("int64")
     return out

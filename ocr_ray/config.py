@@ -21,6 +21,9 @@ class PipelineConfig:
     denoise: str = "standard"                 # 'standard' | 'heavy' (M7 NL-means analog)
     layout_variant: str = "adaptive"          # 'adaptive' | 'fixed20' | 'lex10'
     payload_cap: int = 32768                  # chars per turn (resize/optimize analog, M6)
+    model_artifact: Optional[str] = None      # A4 model-backed best-of-N scorer
+                                              # (stages/model_engine.py pickle path);
+                                              # None = heuristic scorer (golden parity)
 
     # execution
     batch_size: int = 2048                    # rows per extractor batch
@@ -46,6 +49,7 @@ CONFIG_SCHEMA: Dict[str, str] = {
     "extraction.denoise": "denoise",
     "extraction.layout_variant": "layout_variant",
     "extraction.payload_cap": "payload_cap",
+    "extraction.model_artifact": "model_artifact",
     "execution.batch_size": "batch_size",
     "execution.extract_concurrency": "extract_concurrency",
     "execution.salt_span": "salt_span",

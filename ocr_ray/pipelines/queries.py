@@ -154,7 +154,7 @@ def q_split_contamination(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    return cross_split_contamination(ds, split_of, n_partitions=16)
+    return cross_split_contamination(ds, split_of, n_partitions=None)
 
 
 def q_doc_tfidf(sf_dir: str):
@@ -179,7 +179,7 @@ def q_doc_tfidf(sf_dir: str):
     docs = rd.read_parquet(path, columns=["doc_id", "text"])
     df_tbl = hash_aggregate(
         docs.map_batches(distinct_terms, batch_format="pandas"),
-        keys=["term"], aggs={"df": "count"}, n_partitions=16,
+        keys=["term"], aggs={"df": "count"}, n_partitions=None,
     ).to_pandas()
     df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"].astype("int64"))))
 
@@ -386,7 +386,7 @@ def q_corpus_drift(sf_dir: str):
                          columns=["source", "text"])
     st = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
                         keys=["source", "term"], aggs={"n": "sum"},
-                        n_partitions=16)
+                        n_partitions=None)
 
     totals = st.map_batches(
         lambda b: b.groupby("source", as_index=False)["n"].sum(),
@@ -418,7 +418,7 @@ def q_corpus_drift(sf_dir: str):
         return pd.DataFrame({"source": out_src,
                              "sum_abs": d + (sum_all_pc - pc)})
 
-    parts = exchange_map_partitions(st, "term", tv_partial, n_partitions=16)
+    parts = exchange_map_partitions(st, "term", tv_partial, n_partitions=None)
     out = hash_aggregate(parts, keys=["source"], aggs={"sum_abs": "sum"},
                          n_partitions=4)
 
@@ -492,10 +492,10 @@ def q_doc_overlap(sf_dir: str):
 
     cand = exchange_map_partitions(
         fp_rows.map_batches(distinct_fp, batch_format="pandas"),
-        "fp", pairs, n_partitions=16,
+        "fp", pairs, n_partitions=None,
     )
     agg = hash_aggregate(cand, keys=["left_id", "right_id"],
-                         aggs={"n_shared": "sum"}, n_partitions=16)
+                         aggs={"n_shared": "sum"}, n_partitions=None)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["n_shared"] >= 2].copy()
@@ -517,7 +517,7 @@ def q_dedup_spans(sf_dir: str):
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    return duplicated_spans(docs, L=8, n_partitions=16)
+    return duplicated_spans(docs, L=8, n_partitions=None)
 
 
 def q_dedup_spans_remove(sf_dir: str):
@@ -531,7 +531,7 @@ def q_dedup_spans_remove(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     # deterministic parquet read: a second scan beats pinning the table
-    return remove_duplicated_spans(docs, L=8, n_partitions=16,
+    return remove_duplicated_spans(docs, L=8, n_partitions=None,
                                    materialize_input=False)
 
 
@@ -772,7 +772,7 @@ def q_pipeline_curation(sf_dir: str):
     survivors = ds.map_batches(quality_gate, batch_format="pandas")
     kept = hash_aggregate(
         survivors.map_batches(hash_text, batch_format="pandas"),
-        keys=["content_hash"], aggs={"doc_id": "min"}, n_partitions=16,
+        keys=["content_hash"], aggs={"doc_id": "min"}, n_partitions=None,
     )
 
     def assign_split(b: pd.DataFrame) -> pd.DataFrame:
@@ -911,7 +911,7 @@ def q_doc_top_terms(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
     counts = hash_aggregate(
         ds.map_batches(partial, batch_format="pandas"),
-        keys=["term"], aggs={"n": "sum"}, n_partitions=16,
+        keys=["term"], aggs={"n": "sum"}, n_partitions=None,
     )
     top = counts.sort(["n", "term"], descending=[True, False]).limit(50).to_pandas()
     top["n"] = top["n"].astype("int64")
@@ -1034,7 +1034,7 @@ def q_dedup_exact(sf_dir: str):
 
     hashed = ds.map_batches(hash_only, batch_format="pandas")
     out = hash_aggregate(hashed, keys=["content_hash"],
-                         aggs={"doc_id": "min"}, n_partitions=16)
+                         aggs={"doc_id": "min"}, n_partitions=None)
     return out.select_columns(["doc_id"])
 
 
@@ -1096,7 +1096,7 @@ def q_dedup_minhash(sf_dir: str):
     )
     return minhash_dedup_pairs(
         docs, n_perm=64, n_bands=16, shingle_k=MINHASH_SHINGLE_K,
-        threshold=JACCARD_THRESHOLD, n_partitions=16,
+        threshold=JACCARD_THRESHOLD, n_partitions=None,
     )
 
 
@@ -1128,7 +1128,7 @@ def q_dedup_simhash(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     both = docs.union(docs.map_batches(mutate, batch_format="pandas"))
-    return simhash_dedup_pairs(both, n_partitions=16)
+    return simhash_dedup_pairs(both, n_partitions=None)
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -1146,7 +1146,7 @@ def q_dedup_clusters(sf_dir: str):
     )
     pairs = minhash_dedup_pairs(
         docs, n_perm=64, n_bands=16, shingle_k=MINHASH_SHINGLE_K,
-        threshold=JACCARD_THRESHOLD, n_partitions=16,
+        threshold=JACCARD_THRESHOLD, n_partitions=None,
     )
     return connected_components(pairs, n_partitions=8)
 
@@ -1174,10 +1174,10 @@ def q_dedup_keep(sf_dir: str):
     )
     pairs = minhash_dedup_pairs(
         docs, n_perm=64, n_bands=16, shingle_k=MINHASH_SHINGLE_K,
-        threshold=JACCARD_THRESHOLD, n_partitions=16,
+        threshold=JACCARD_THRESHOLD, n_partitions=None,
     )
     clusters = connected_components(pairs, n_partitions=8)
-    return keep_representatives(docs, clusters, n_partitions=16)
+    return keep_representatives(docs, clusters, n_partitions=None)
 
 
 def q_doc_source_stats(sf_dir: str):
@@ -1222,7 +1222,7 @@ def q_doc_source_stats(sf_dir: str):
         )
 
     combined = exchange_map_partitions(
-        hashed, "content_hash", mark_and_combine, n_partitions=16
+        hashed, "content_hash", mark_and_combine, n_partitions=None
     )
 
     def per_source(g: pd.DataFrame) -> pd.DataFrame:
@@ -1249,7 +1249,7 @@ def q_doc_novelty(sf_dir: str):
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    return shingle_novelty(docs, shingle_k=3, n_partitions=16)
+    return shingle_novelty(docs, shingle_k=3, n_partitions=None)
 
 
 def q_corpus_distinct_sketch(sf_dir: str):
@@ -1845,7 +1845,7 @@ def q_dedup_embed_lsh(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     both = ds.union(ds.map_batches(mutate, batch_format="pandas"))
-    return lsh_embed_dedup_pairs(both, threshold=0.9, n_partitions=16)
+    return lsh_embed_dedup_pairs(both, threshold=0.9, n_partitions=None)
 
 
 # ====================================================== text -> embedding
@@ -2238,11 +2238,11 @@ def q_q3_shipping(sf_dir: str):
 
     li_red = hash_aggregate(
         li.map_batches(li_partial, batch_format="pandas"),
-        keys=["l_orderkey"], aggs={"rev_cents": "sum"}, n_partitions=16,
+        keys=["l_orderkey"], aggs={"rev_cents": "sum"}, n_partitions=None,
     )
 
     j = exchange_join(li_red, osel, on="l_orderkey", right_on="o_orderkey",
-                      how="inner", n_partitions=16)
+                      how="inner", n_partitions=None)
 
     top = (
         j.select_columns(["l_orderkey", "o_orderdate", "rev_cents"])
@@ -2278,10 +2278,10 @@ def q_q17_small_qty(sf_dir: str):
 
     stats = hash_aggregate(
         li.map_batches(stat_partial, batch_format="pandas"),
-        keys=["l_partkey"], aggs={"c": "sum", "sq": "sum"}, n_partitions=16,
+        keys=["l_partkey"], aggs={"c": "sum", "sq": "sum"}, n_partitions=None,
     )
 
-    j = exchange_join(li, stats, on="l_partkey", n_partitions=16)
+    j = exchange_join(li, stats, on="l_partkey", n_partitions=None)
 
     def qualify(b: pd.DataFrame) -> pd.DataFrame:
         qty = b["l_quantity"].astype("int64")
@@ -2322,14 +2322,14 @@ def q_q13_custdist(sf_dir: str):
 
     counts = hash_aggregate(
         orders.map_batches(cnt_partial, batch_format="pandas"),
-        keys=["o_custkey"], aggs={"c_count": "sum"}, n_partitions=16,
+        keys=["o_custkey"], aggs={"c_count": "sum"}, n_partitions=None,
     )
 
     cust = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
     )
     j = exchange_join(cust, counts, on="c_custkey", right_on="o_custkey",
-                      how="left", n_partitions=16)
+                      how="left", n_partitions=None)
 
     def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(c_count=b["c_count"].fillna(0).astype("int64"),
@@ -2366,7 +2366,7 @@ def q_q4_priority(sf_dir: str):
 
     li_red = hash_aggregate(
         li.map_batches(max_ship, batch_format="pandas"),
-        keys=["l_orderkey"], aggs={"l_shipdate": "max"}, n_partitions=16,
+        keys=["l_orderkey"], aggs={"l_shipdate": "max"}, n_partitions=None,
     )
 
     orders = rd.read_parquet(
@@ -2374,7 +2374,7 @@ def q_q4_priority(sf_dir: str):
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
     j = exchange_join(li_red, orders, on="l_orderkey", right_on="o_orderkey",
-                      n_partitions=16)
+                      n_partitions=None)
 
     def exists_partial(b: pd.DataFrame) -> pd.DataFrame:
         late = b["l_shipdate"] > b["o_orderdate"] + pd.Timedelta(days=90)
@@ -2484,7 +2484,7 @@ def q_events_hourly_users(sf_dir: str):
     )
     return exchange_map_partitions(
         ds.map_batches(partial, batch_format="pandas"),
-        ["hour"], combine, n_partitions=16,
+        ["hour"], combine, n_partitions=None,
     )
 
 
@@ -2526,7 +2526,7 @@ def q_events_funnel(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "event_type", "ts"],
     ).filter(expr="event_type in ['signup', 'view', 'purchase']")
-    parts = exchange_map_partitions(ds, ["user_id"], chain, n_partitions=16)
+    parts = exchange_map_partitions(ds, ["user_id"], chain, n_partitions=None)
     out = parts.to_pandas().groupby("stage", as_index=False)["n_users"].sum()
     out["n_users"] = out["n_users"].astype("int64")
     return out
@@ -2573,7 +2573,7 @@ def q_events_value_quantiles(sf_dir: str):
     )
     hist = hash_aggregate(
         ds.map_batches(partial, batch_format="pandas"),
-        keys=["event_type", "cents"], aggs={"k": "sum"}, n_partitions=16,
+        keys=["event_type", "cents"], aggs={"k": "sum"}, n_partitions=None,
     )
     return exchange_map_partitions(hist, ["event_type"], quant, 8)
 
@@ -2604,7 +2604,7 @@ def q_events_active_7d(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
-    parts = exchange_map_partitions(ds, ["user_id"], cover, n_partitions=16)
+    parts = exchange_map_partitions(ds, ["user_id"], cover, n_partitions=None)
     out = hash_aggregate(parts, keys=["day"], aggs={"n_users": "sum"},
                          n_partitions=4).to_pandas()
     out["n_users"] = out["n_users"].astype("int64")
@@ -2759,7 +2759,7 @@ def q_events_rate(sf_dir: str):
         return pd.DataFrame({"event_id": np.concatenate(out_id),
                              "n_prior_1h": np.concatenate(out_n).astype("int64")})
 
-    return exchange_map_partitions(ds, "user_id", rate, n_partitions=16)
+    return exchange_map_partitions(ds, "user_id", rate, n_partitions=None)
 
 
 def q_events_copresence(sf_dir: str):
@@ -2787,7 +2787,7 @@ def q_events_copresence(sf_dir: str):
     pairs = range_join_multi(
         ev, ev.map_batches(windows, batch_format="pandas"),
         by="user_id", point_col="ts", start_col="start_ts",
-        end_col="end_ts", n_partitions=16,
+        end_col="end_ts", n_partitions=None,
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -2894,7 +2894,7 @@ def q_events_retention(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
-    parts = exchange_map_partitions(ds, ["user_id"], per_user, n_partitions=16)
+    parts = exchange_map_partitions(ds, ["user_id"], per_user, n_partitions=None)
     out = hash_aggregate(
         parts, keys=["cohort_week", "week_offset"],
         aggs={"n_users": "sum"}, n_partitions=4,
@@ -3031,7 +3031,7 @@ def q_events_asof(sf_dir: str):
         signups.map_batches(strip_r, batch_format="pandas"),
         by="user_id",
         on="ts",
-        n_partitions=16,
+        n_partitions=None,
     )
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -3076,11 +3076,11 @@ def q_events_range_join(sf_dir: str):
     from ocr_ray.stages.join import exchange_map_partitions
 
     intervals = exchange_map_partitions(ev, "user_id", session_intervals,
-                                        n_partitions=16)
+                                        n_partitions=None)
     out = range_join(
         ev, intervals, by="user_id", point_col="ts",
         start_col="start_ts", end_col="end_ts", idx_col="session_idx",
-        n_partitions=16,
+        n_partitions=None,
     ).to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     out["session_idx"] = out["session_idx"].astype("int64")
@@ -3109,7 +3109,7 @@ def q_customers_no_orders(sf_dir: str):
         >= pa.scalar(pd.Timestamp("2001-01-01")),
     )
     return exchange_join(cust, orders, on="c_custkey", right_on="o_custkey",
-                         n_partitions=16, how="anti")
+                         n_partitions=None, how="anti")
 
 
 def q_parts_ordered(sf_dir: str):
@@ -3123,7 +3123,7 @@ def q_parts_ordered(sf_dir: str):
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                          columns=["l_partkey"])
     return exchange_join(part, li, on="p_partkey", right_on="l_partkey",
-                         n_partitions=16, how="semi")
+                         n_partitions=None, how="semi")
 
 
 def q_orders_line_gaps(sf_dir: str):
@@ -3143,7 +3143,7 @@ def q_orders_line_gaps(sf_dir: str):
         batch_format="pandas",
     )
     return sequence_validation(
-        li, key_col="l_orderkey", idx_col="l_linenumber", base=1, n_partitions=16
+        li, key_col="l_orderkey", idx_col="l_linenumber", base=1, n_partitions=None
     )
 
 
@@ -3236,7 +3236,7 @@ def q_orders_cust_totals(sf_dir: str):
 
     return exchange_join(
         cust, agg, on="c_custkey", right_on="o_custkey",
-        n_partitions=16, how="left",
+        n_partitions=None, how="left",
     ).map_batches(fill, batch_format="pandas")
 
 
@@ -3557,7 +3557,7 @@ def q_events_latest(sf_dir: str):
         )
 
     partial = ds.map_batches(latest, batch_format="pandas")
-    return exchange_map_partitions(partial, "user_id", latest, n_partitions=16)
+    return exchange_map_partitions(partial, "user_id", latest, n_partitions=None)
 
 
 def q_embed_dim_stats(sf_dir: str):
@@ -3631,7 +3631,7 @@ def q_fuzzy_join_customers(sf_dir: str):
         )
 
     right = cust.map_batches(mutate, batch_format="pandas")
-    return fuzzy_join_ed1(left, right, n_partitions=16)
+    return fuzzy_join_ed1(left, right, n_partitions=None)
 
 
 # Tokens feeding BPE training: ASCII-only so Python re and DuckDB RE2
@@ -3669,7 +3669,7 @@ def q_bpe_train(sf_dir: str):
     )
     vocab = hash_aggregate(
         docs.map_batches(tokenize, batch_format="pandas"),
-        keys=["word"], aggs={"cnt": "sum"}, n_partitions=16,
+        keys=["word"], aggs={"cnt": "sum"}, n_partitions=None,
     ).map_batches(
         lambda b: pd.DataFrame(
             {"sym": [" ".join(w) for w in b["word"]], "cnt": b["cnt"].astype("int64")}
@@ -3933,6 +3933,62 @@ def q_multimodal_frames(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+MODEL_ARTIFACT_PATH = "/tmp/ocr_ray_quality_ridge.pkl"
+
+
+def _ensure_model_artifact() -> str:
+    """Build (deterministic seed-0 fit) the A4 scorer artifact if absent —
+    the stand-in for a pretrained-weights download into the model cache."""
+    from ocr_ray.stages.model_engine import build_model_artifact
+
+    if not os.path.exists(MODEL_ARTIFACT_PATH):
+        build_model_artifact(MODEL_ARTIFACT_PATH)
+    return MODEL_ARTIFACT_PATH
+
+
+def q_model_score_docs(sf_dir: str):
+    """A4 model-backed engine, end-to-end: the ridge-scorer artifact loads
+    ONCE PER ACTOR (stages/model_engine.py:ModelScorer.__init__ — the
+    reference's lru_cache'd AutoModel load, src/ocr/nanonets_ocr.py:34-44)
+    and each batch scores with a single int64 matmul.  Integer-exact, so
+    the DuckDB oracle replicates the score from character-class counts and
+    the driver value-checks the whole model path."""
+    from ocr_ray.stages.model_engine import ModelScorer
+
+    path = _ensure_model_artifact()
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(
+        ModelScorer,
+        fn_constructor_kwargs={"artifact_path": path},
+        concurrency=2,           # actor pool: artifact deserialized twice total
+        batch_format="pandas",   # (once per actor), never per batch
+    )
+    return out.select_columns(["doc_id", "model_score"])
+
+
+def q_rag_model_answer(sf_dir: str):
+    """A6 pluggable QA model through the full RAG orchestration: EmbedRAG
+    with the deterministic HF-pipeline stand-in injected as ``answer_fn``
+    (stages/rag.py:SentenceOverlapQA; the reference slot is
+    ocr_app/models/model_manager.py:114-157's distilbert-squad pipeline).
+    Non-SQL-expressible (model answers); rows-only driver check + the
+    replica pytest in tests/test_model_engine.py value-checks semantics."""
+    from ocr_ray.stages.rag import EmbedRAG, SentenceOverlapQA
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        EmbedRAG,
+        fn_constructor_kwargs={"query": "what is the quality metric",
+                               "answer_fn": SentenceOverlapQA},
+        concurrency=2,
+        batch_format="pandas",
+    )
+
+
 # ================================================================ registry
 def queries() -> Dict[str, Callable]:
     return {
@@ -4061,6 +4117,8 @@ def queries() -> Dict[str, Callable]:
         "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "model_score_docs": q_model_score_docs,
+        "rag_model_answer": q_rag_model_answer,
     }
 
 
@@ -6337,3 +6395,32 @@ FROM (SELECT *, row_number() OVER
         (PARTITION BY cluster ORDER BY n DESC, term) AS rn FROM ct)
 WHERE rn <= 3
 """
+
+
+def _model_score_sql() -> str:
+    """Oracle for the A4 model path, generated from the same deterministic
+    fit the engine loads (stages/model_engine.py:fit_artifact): the score
+    is a BIGINT dot product of character-class counts, so SQL reproduces
+    the model's inference exactly — the driver value-checks weights,
+    featurization and the actor-pool plumbing in one hash compare."""
+    from ocr_ray.stages.model_engine import fit_artifact
+
+    a = fit_artifact()
+    w, b = a["w_int"], a["b_int"]
+    return f"""
+WITH f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents)
+SELECT doc_id,
+  CAST(({w[0]})*n_chars + ({w[1]})*n_alpha + ({w[2]})*n_space + ({w[3]})*n_digit
+     + ({w[4]})*n_upper + ({w[5]})*n_punct + ({b})*n_chars AS BIGINT) AS model_score
+FROM f
+"""
+
+
+ORACLE_SQL["model_score_docs"] = _model_score_sql()

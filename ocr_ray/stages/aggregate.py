@@ -34,12 +34,16 @@ def hash_aggregate(
     ds: "ray.data.Dataset",
     keys: List[str],
     aggs: Dict[str, str],
-    n_partitions: int = 64,
+    n_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Aggregate ``aggs`` (col -> 'sum'|'min'|'max'|'count') per ``keys``.
 
     'count' counts input rows into the named output column; other ops apply
     to an existing column.  Output columns keep the input names.
+    ``n_partitions=None`` auto-sizes from the input's metadata size
+    estimate (join.resolve_partitions) — an over-estimate here, since the
+    per-batch partial shrinks data before the exchange, which only buys
+    extra (cheap) partitions.
     """
     from ocr_ray.stages.join import exchange_map_partitions
 
@@ -167,7 +171,7 @@ def countmin_sketch(
     tokenizer=None,
     d: int = CM_D,
     w: int = CM_W,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """One streaming pass -> merged CountMin table as a Dataset of
     ``(r, cell, c)`` rows (<= d*w of them, independent of corpus size).
@@ -279,7 +283,7 @@ def hll_mix(key: int) -> int:
 def hll_distinct_terms(
     ds: "ray.data.Dataset",
     text_col: str = "text",
-    n_partitions: int = 8,
+    n_partitions: "int | None" = None,
 ) -> "ray.data.Dataset":
     """Approximate distinct-term count via HyperLogLog — fixed 256-register
     state regardless of corpus size (the register-based sibling of the KMV

@@ -111,7 +111,7 @@ def benchmark_engines(
     transcripts_dir: str,
     oracle_dir: str,
     engines: tuple = ("tagstrip", "density", "domtree"),
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
     concurrency: int = 4,
 ) -> "rd.Dataset":
     """Distributed engine benchmark: join payloads with ground truth on the

@@ -69,7 +69,7 @@ def kmeans_centroids(
     iters: int = 2,
     embed_col: str = "embedding",
     id_col: str = "vec_id",
-    n_partitions: int = 8,
+    n_partitions: "int | None" = None,
 ) -> np.ndarray:
     """The Lloyd loop alone: returns the final (k, d) int64 centroid
     array after ``iters`` exact-integer updates (see module docstring
@@ -128,7 +128,7 @@ def kmeans_embeddings(
     iters: int = 2,
     embed_col: str = "embedding",
     id_col: str = "vec_id",
-    n_partitions: int = 8,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """T exact-integer Lloyd iterations; returns (id, cluster, dist)
     where ``dist`` is the exact int64 squared fixed-point distance to
@@ -162,7 +162,7 @@ def semantic_dedup(
     dist_threshold: int = 1_300_000_000_000,
     embed_col: str = "embedding",
     id_col: str = "vec_id",
-    n_partitions: int = 8,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """SemDeDup: cluster the embedding space, then mark every vector
     that sits within ``dist_threshold`` (exact int64 squared fixed-point

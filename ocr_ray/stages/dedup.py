@@ -230,13 +230,14 @@ def bucket_pairs(
     bucket_rows: "object",
     bucket_cols: List[str],
     id_col: str = "doc_id",
-    n_partitions: int = 64,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Candidate pairs from co-bucketed rows, shuffling into a *bounded*
     number of groups: ``Dataset.groupby`` degrades with distinct-key count,
     so buckets are hashed into ``n_partitions`` partitions and each
     partition enumerates its buckets' pairs locally (a whole bucket shares a
     partition, so no pair is lost)."""
+    n_partitions = resolve_partitions(bucket_rows, n_partitions, default=64)
 
     def add_pk(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -314,7 +315,10 @@ def simhash_bands_batch(batch: pd.DataFrame, scheme: str = "poly", **kw) -> pd.D
     return h(batch)
 
 
-from ocr_ray.stages.join import _concat_pd  # shared exchange concat helper
+from ocr_ray.stages.join import (  # shared exchange helpers
+    _concat_pd,
+    resolve_partitions,
+)
 
 
 def _exchange(src, by, n_partitions: int) -> List[List]:
@@ -334,7 +338,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.95,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
     concurrency: int = 2,  # kept for API compat; task pool self-scales
 ) -> "object":
     """MinHash+LSH near-dup pairs, end-to-end distributed.
@@ -433,7 +437,7 @@ def minhash_dedup_pairs(
             {"right_id": b[id_col].astype("int64"), "_rtext": b[text_col]}
         )
 
-    P = n_partitions
+    P = n_partitions = resolve_partitions(docs, n_partitions)
     bsplit = _exchange(bands, ["band_id", "band_hash"], P)
     pair_refs = [pairs_task.remote(*[s[j] for s in bsplit]) for j in range(P)]
 
@@ -464,7 +468,7 @@ def simhash_dedup_pairs(
     max_hamming: int = 9,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
     concurrency: int = 2,  # kept for API compat; task pool self-scales
     scheme: str = "poly",
 ) -> "object":
@@ -541,7 +545,7 @@ def simhash_dedup_pairs(
              "_rsig": b["simhash"].astype("uint64")}
         )
 
-    P = n_partitions
+    P = n_partitions = resolve_partitions(sig_rows, n_partitions)
     bsplit = _exchange(sig_rows, ["band_id", "band_key"], P)
     pair_refs = [pairs_task.remote(*[s[j] for s in bsplit]) for j in range(P)]
 
@@ -636,7 +640,7 @@ def cross_split_contamination(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
     max_df: int = 0,
 ) -> "object":
     """Train/eval contamination check — a first-class guard for training
@@ -710,7 +714,7 @@ def cross_split_contamination(
                                     preserve_index=False)
 
     rows = docs.map_batches(explode, batch_format="pandas")
-    P = n_partitions
+    P = n_partitions = resolve_partitions(docs, n_partitions)
     hsplit = _exchange(rows, "h", P)
     local_refs = [
         contaminated_local.remote(*[s[j] for s in hsplit]) for j in range(P)
@@ -724,7 +728,7 @@ def keep_representatives(
     docs: "object",
     clusters: "object",
     id_col: str = "doc_id",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Survivor ids after cluster-collapse dedup: every id in ``docs``
     except cluster members whose ``cluster_id`` label differs from their
@@ -761,7 +765,7 @@ def shingle_novelty(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Per-document novelty score — the fraction of a doc's distinct k-word
     shingles whose global first occurrence (minimum doc id among all docs
@@ -837,7 +841,7 @@ def shingle_novelty(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     rows = docs.map_batches(explode, batch_format="pandas")
-    P = n_partitions
+    P = n_partitions = resolve_partitions(docs, n_partitions)
     hsplit = _exchange(rows, "h", P)
     local_refs = [novel_local.remote(*[s[j] for s in hsplit]) for j in range(P)]
     dsplit = _exchange(local_refs, "doc_id", P)
@@ -850,7 +854,7 @@ def connected_components(
     pairs: "object",
     left_col: str = "left_id",
     right_col: str = "right_id",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
     max_rounds: int = 50,
 ) -> "object":
     """Duplicate-cluster labels from a near-dup pair table: every id that
@@ -873,7 +877,7 @@ def connected_components(
     import ray
     import ray.data as rd
 
-    P = n_partitions
+    P = n_partitions = resolve_partitions(pairs, n_partitions)
 
     def to_adj(b: pd.DataFrame) -> pd.DataFrame:
         u = b[left_col].to_numpy(dtype="int64")
@@ -1086,7 +1090,7 @@ def incremental_containment(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Incremental shard-vs-corpus dedup: score each NEW document by the
     fraction of its distinct k-word shingles already present anywhere in
@@ -1173,7 +1177,7 @@ def incremental_containment(
         out["is_dup"] = (out["containment"] >= thr).astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    P = n_partitions
+    P = n_partitions = resolve_partitions(corpus, n_partitions)
     ssplit = _exchange(shard.map_batches(explode_shard, batch_format="pandas"),
                        "h", P)
     csplit = _exchange(corpus.map_batches(explode_corpus, batch_format="pandas"),
@@ -1236,7 +1240,7 @@ def duplicated_spans(
     L: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Exact duplicated-span detection — the ExactSubstr primitive of Lee
     et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -1320,7 +1324,7 @@ def duplicated_spans(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     rows = docs.map_batches(explode, batch_format="pandas")
-    P = n_partitions
+    P = n_partitions = resolve_partitions(docs, n_partitions)
     hsplit = _exchange(rows, "h", P)
     flag_refs = [flag_dups.remote(*[s[j] for s in hsplit]) for j in range(P)]
     dsplit = _exchange(flag_refs, "id", P)
@@ -1334,7 +1338,7 @@ def remove_duplicated_spans(
     L: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
     materialize_input: bool = True,
 ) -> "object":
     """The ExactSubstr REMOVE step: splice every duplicated span found by
@@ -1406,7 +1410,7 @@ def remove_duplicated_spans(
                           "dedup_text": texts}),
             preserve_index=False)
 
-    P = n_partitions
+    P = n_partitions = resolve_partitions(docs, n_partitions)
     ssplit = _exchange(spans.map_batches(span_rows, batch_format="pandas"),
                        "id", P)
     dsplit = _exchange(docs.map_batches(doc_side, batch_format="pandas"),
@@ -1423,7 +1427,7 @@ def block_dedup(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
     carry_cols=(),
 ) -> "object":
     """Cross-document duplicated-block removal — the CCNet/MassiveText
@@ -1533,7 +1537,7 @@ def block_dedup(
             out[c] = b[c].to_numpy()
         return pd.DataFrame(out)
 
-    P = n_partitions
+    P = n_partitions = resolve_partitions(docs, n_partitions)
     hsplit = _exchange(docs.map_batches(explode, batch_format="pandas"),
                        "bh", P)
     removed_refs = [removed_local.remote(*[s[j] for s in hsplit])

@@ -55,7 +55,7 @@ def train_unigram_counts(
     docs: "object",
     text_col: str = "text",
     b_uni: int = B_UNI,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> np.ndarray:
     """One streaming scan -> dense hashed unigram count table (int64,
     ``b_uni`` cells).  Driver-side data is bounded by the table size."""
@@ -136,7 +136,7 @@ def dsir_score(
     threshold_ppm: int = 0,
     b_uni: int = B_UNI,
     concurrency: int = 2,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
     carry_cols: Sequence[str] = (),
 ) -> "object":
     """Fit-then-score: learn hashed unigram tables from ``target`` and

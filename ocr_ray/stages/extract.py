@@ -79,6 +79,20 @@ class Extractor:
         ]
         self.layout_variant = config.layout_variant
         self.emit_segments = emit_segments
+        # optional model-backed scorer (A4 analog): the artifact is loaded
+        # ONCE PER ACTOR here — the load-once contract of the reference's
+        # lru_cache'd AutoProcessor/Model (src/ocr/nanonets_ocr.py:34-44).
+        # When unset (default) best-of-N keeps the heuristic scorer and
+        # output is byte-identical to the golden-parity path.
+        if config.model_artifact:
+            import pickle
+
+            from ocr_ray.stages.model_engine import model_score_fn
+
+            with open(config.model_artifact, "rb") as f:
+                self._model_score: Callable | None = model_score_fn(pickle.load(f))
+        else:
+            self._model_score = None
         if with_clean:
             from ocr_ray.functions.textops import CLEANUP_COLUMN_MODES
 
@@ -101,7 +115,8 @@ class Extractor:
                 continue
             score = seen_scores.get(text)
             if score is None:
-                score = score_ocr_result(text)
+                score = (self._model_score(text) if self._model_score
+                         else score_ocr_result(text))
                 seen_scores[text] = score
             if score > best_score:
                 best_text, best_engine, best_score = text, name, score

@@ -43,7 +43,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     w_col: str = "w",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> pd.DataFrame:
     """Run ``iters`` exact-integer PageRank steps over an aggregated
     weighted edge Dataset; returns the small node table ``(node, out_w,
@@ -113,7 +113,7 @@ def triangle_counts(
     edges: "object",
     src_col: str = "src",
     dst_col: str = "dst",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Exact per-node triangle counts via the degree-oriented node
     iterator (the classic MapReduce algorithm, Suri & Vassilvitskii

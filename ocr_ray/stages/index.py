@@ -46,7 +46,7 @@ def build_postings(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_partitions: int = 32,
+    n_partitions: "int | None" = None,
     max_df: Optional[int] = None,
 ) -> "rd.Dataset":
     """Inverted index: one row per surviving term with ``df`` (document

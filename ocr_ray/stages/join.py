@@ -27,6 +27,7 @@ construction.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -34,6 +35,71 @@ import pandas as pd
 
 import ray
 import ray.data as rd
+
+# ~64 MB of estimated in-memory input per reduce partition (override with
+# OCR_RAY_EXCHANGE_BUDGET_MB); same sizing rule as
+# reassemble.assemble_conversations, lifted here per VERDICT r2 so the
+# exchange layer derives partition counts from input size instead of
+# hardcoded constants.
+_BUDGET_ENV = "OCR_RAY_EXCHANGE_BUDGET_MB"
+
+
+def _estimate_bytes(src) -> Optional[int]:
+    """Metadata-only in-memory size estimate of a Dataset, or None.
+
+    Materialized datasets know their exact size.  Lazy datasets must NOT
+    be executed just to size an exchange, so we walk the logical plan to
+    the leaf read ops and sum their datasources' own estimates (the same
+    numbers a lazy ``read_parquet(...).size_bytes()`` reports without
+    execution).  Transforms between the read and the exchange (column
+    drops, partial aggregation) make this an over-estimate, which only
+    errs toward more, smaller partitions — bounded by the cap below."""
+    try:
+        from ray.data.dataset import MaterializedDataset
+
+        if isinstance(src, MaterializedDataset):
+            return src.size_bytes()
+        if not hasattr(src, "_plan"):
+            return None
+        total, found = 0, False
+        stack = [src._plan._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            deps = getattr(op, "input_dependencies", None) or []
+            if deps:
+                stack.extend(deps)
+                continue
+            dsrc = getattr(op, "_datasource", None)
+            est = dsrc.estimate_inmemory_data_size() if dsrc is not None else None
+            if est:
+                total += est
+                found = True
+        return total if found else None
+    except Exception:
+        return None
+
+
+def resolve_partitions(
+    src,
+    explicit: Optional[int],
+    default: int = 16,
+    budget_mb: Optional[int] = None,
+) -> int:
+    """Partition count for an exchange over ``src``: the explicit value if
+    the caller passed one, else ``max(8, min(256, est_bytes/budget + 1))``
+    from a metadata-only size estimate, else ``default`` (non-Dataset
+    inputs, estimate unavailable).  The [8, 256] clamp keeps tiny inputs
+    cheap and bounds per-split fan-out; at production scale pass
+    ``n_partitions`` explicitly (total_bytes / worker-heap budget) — 256
+    partitions of a 100 TB exchange would be ~400 GB each."""
+    if explicit is not None:
+        return explicit
+    if budget_mb is None:
+        budget_mb = int(os.environ.get(_BUDGET_ENV, "64"))
+    est = _estimate_bytes(src)
+    if est is None:
+        return default
+    return max(8, min(256, int(est // (budget_mb << 20)) + 1))
 
 
 def broadcast_join(
@@ -138,7 +204,7 @@ def _apply_partition(fn, *pieces):
 
 
 def exchange_map_partitions(
-    ds: "rd.Dataset", by, fn, n_partitions: int = 32
+    ds: "rd.Dataset", by, fn, n_partitions: Optional[int] = None
 ) -> "rd.Dataset":
     """``groupby(key).map_groups`` semantics over the raw-task hash
     exchange: every row of one key meets in exactly one partition and
@@ -146,7 +212,9 @@ def exchange_map_partitions(
     across the partition's keys inside ``fn``).  Streams — split tasks
     launch as upstream blocks materialize; no Dataset.groupby sort-shuffle
     (measured ~1.5-2 s fixed cost per groupby at bench scale, and the
-    sort-based all-to-all dominates at larger scales)."""
+    sort-based all-to-all dominates at larger scales).  ``n_partitions``
+    defaults to the size-derived estimate (:func:`resolve_partitions`)."""
+    n_partitions = resolve_partitions(ds, n_partitions, default=32)
     splits = launch_splits(ds, by, n_partitions)
     return rd.from_arrow_refs(
         [
@@ -232,7 +300,7 @@ def asof_join(
     right: "rd.Dataset",
     by: str,
     on: str,
-    n_partitions: int = 64,
+    n_partitions: Optional[int] = None,
     direction: str = "backward",
     suffix: str = "_r",
 ) -> "rd.Dataset":
@@ -248,6 +316,7 @@ def asof_join(
     Skewed ``by`` keys concentrate in one partition — acceptable while a
     single key's rows fit a worker; beyond that, range-partition ``on``
     within the hot key (not needed at current scales)."""
+    n_partitions = resolve_partitions(left, n_partitions, default=64)
     lsplits = launch_splits(left, by, n_partitions)
     rsplits = launch_splits(right, by, n_partitions)
     out_refs = [
@@ -298,7 +367,7 @@ def range_join(
     start_col: str,
     end_col: str,
     idx_col: str = "interval_idx",
-    n_partitions: int = 64,
+    n_partitions: Optional[int] = None,
 ) -> "rd.Dataset":
     """Range (interval-containment) join — an operator Ray Data lacks,
     implemented like :func:`asof_join` as a two-sided hash exchange.
@@ -308,6 +377,7 @@ def range_join(
     must be NON-OVERLAPPING (the containing interval is found by binary
     search over sorted starts); overlapping-interval semantics would return
     multiple rows and need an explicit flat-map variant instead."""
+    n_partitions = resolve_partitions(points, n_partitions, default=64)
     lsplits = launch_splits(points, by, n_partitions)
     rsplits = launch_splits(intervals, by, n_partitions)
     out_refs = [
@@ -324,7 +394,7 @@ def hash_join(
     left: "rd.Dataset",
     right: "rd.Dataset",
     on: str,
-    n_partitions: int = 32,
+    n_partitions: Optional[int] = None,
     how: str = "inner",
     right_on: Optional[str] = None,
 ) -> "rd.Dataset":
@@ -332,6 +402,7 @@ def hash_join(
     ``Dataset.join`` (one all-to-all per side on the key hash).  Skewed keys:
     raise ``n_partitions``; pathological single hot keys should be broadcast
     or salted upstream instead of joined here."""
+    n_partitions = resolve_partitions(left, n_partitions, default=32)
     return left.join(
         right,
         join_type=how,
@@ -374,7 +445,7 @@ def exchange_join(
     right: "rd.Dataset",
     on: str,
     right_on: Optional[str] = None,
-    n_partitions: int = 16,
+    n_partitions: Optional[int] = None,
     how: str = "inner",
 ) -> "rd.Dataset":
     """Equi-join over the explicit two-sided hash exchange (same mechanism
@@ -384,6 +455,7 @@ def exchange_join(
     right choice for mid-pipeline joins of bounded-size tables such as
     dedup-candidate verification; prefer :func:`hash_join` when both sides
     are huge and long-lived aggregator actors amortize."""
+    n_partitions = resolve_partitions(left, n_partitions)
     ron = right_on or on
     lsplits = launch_splits(left, on, n_partitions)
     rsplits = launch_splits(right, ron, n_partitions)
@@ -424,7 +496,7 @@ def fuzzy_join_ed1(
     left_name: str = "left_name",
     right_id: str = "right_id",
     right_name: str = "right_name",
-    n_partitions: int = 16,
+    n_partitions: Optional[int] = None,
 ) -> "rd.Dataset":
     """Fuzzy equi-join at edit distance <= 1 with deletion-signature
     blocking (the SymSpell scheme): each string emits itself plus every
@@ -438,6 +510,8 @@ def fuzzy_join_ed1(
     kernel.  Signature volume is O(rows x string length): linear state,
     never the cross product.  Returns (left_id, right_id, dist)."""
     import pyarrow as pa
+
+    n_partitions = resolve_partitions(left, n_partitions)
 
     from ocr_ray.stages.aggregate import hash_aggregate
 
@@ -561,7 +635,7 @@ def range_join_multi(
     point_col: str,
     start_col: str,
     end_col: str,
-    n_partitions: int = 64,
+    n_partitions: Optional[int] = None,
 ) -> "rd.Dataset":
     """Overlapping-intervals range join — the flat-map variant
     :func:`range_join`'s docstring promises: each point row is emitted
@@ -571,6 +645,7 @@ def range_join_multi(
     containment filter prunes.  Partitioning assumption: one key's
     points x intervals product fits a worker — for hot keys pre-bucket
     the interval axis (range-partition ``point_col``) before calling."""
+    n_partitions = resolve_partitions(points, n_partitions, default=64)
     lsplits = launch_splits(points, by, n_partitions)
     rsplits = launch_splits(intervals, by, n_partitions)
     out_refs = [

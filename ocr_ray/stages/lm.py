@@ -92,7 +92,7 @@ def train_bigram_counts(
     text_col: str = "text",
     b_uni: int = B_UNI,
     b_big: int = B_BIG,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pass 1: hashed unigram/bigram count tables over the corpus.
 
@@ -194,7 +194,7 @@ def lm_score(
     b_uni: int = B_UNI,
     b_big: int = B_BIG,
     concurrency: int = 2,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
     carry_cols=(),
 ) -> "object":
     """Train-then-score: pass 1 learns the hashed bigram LM from

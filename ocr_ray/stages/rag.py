@@ -14,7 +14,7 @@ ocr_ray.functions; these stages lift them over document tables:
 
 from __future__ import annotations
 
-from typing import List
+from typing import Callable, List, Optional
 
 import pandas as pd
 
@@ -70,20 +70,64 @@ class AnswerExtractor:
         )
 
 
+class SentenceOverlapQA:
+    """Deterministic stand-in for the reference's HF QA pipeline
+    (``ocr_app/models/model_manager.py:114-157`` loads
+    ``pipeline("question-answering", model="distilbert-...-squad")``):
+    same call contract — ``qa(question, context)`` returns
+    ``{"answer", "score", "start", "end"}`` — with extractive semantics
+    (the answer is a span of the context): the sentence with the highest
+    query-word overlap wins, score = overlap fraction.  A real deployment
+    replaces this class with the HF pipeline object and nothing else in
+    the stage changes; construction happens once per actor (load-once)."""
+
+    def __init__(self):
+        import re
+
+        self._sent = re.compile(r"[^.!?]+[.!?]?")
+
+    def __call__(self, question: str, context: str) -> dict:
+        qwords = {w for w in question.lower().split() if len(w) > 2}
+        best, best_n = "", -1
+        for m in self._sent.finditer(context):
+            sent = m.group().strip()
+            n = sum(1 for w in sent.lower().split() if w in qwords)
+            if n > best_n:
+                best, best_n = sent, n
+        score = best_n / max(len(qwords), 1)
+        start = context.find(best) if best else -1
+        return {"answer": best, "score": round(float(score), 6),
+                "start": start, "end": start + len(best)}
+
+
 class EmbedRAG:
     """R6 full RAG orchestration (``ocr_app/rag/rag_processor.py:33-110``):
     per document, paragraph-chunk -> embed chunks AND the query with the
     same embedder -> cosine retrieve top-k (``text_utils.py:158-169``:
     ``np.argsort(sims)[-k:][::-1]`` — reference tie order kept verbatim) ->
-    context = top chunks joined with ' ' -> heuristic answer extraction
-    (the QA-model slot).  Confidence = best cosine, per the reference's
-    result dict shape.
+    context = top chunks joined with ' ' -> answer extraction.
 
-    Actor-pool stage: the embedder (with its token cache) and the query
-    vector are built once per actor; everything per batch is local to the
-    batch — no shuffle."""
+    ``answer_fn`` is the pluggable QA-model slot (A6): any callable with
+    the HF question-answering pipeline contract
+    ``fn(question, context) -> {"answer", "score", ...}`` — e.g.
+    :class:`SentenceOverlapQA`, or a real
+    ``transformers.pipeline("question-answering", ...)`` where available.
+    ``None`` keeps the parity-verified heuristic extractor (R5) and the
+    output schema of previous rounds; with a model the per-row ``answer``
+    comes from the model and ``answer_score`` carries its score.
+    Confidence stays the best cosine, per the reference's result dict.
 
-    def __init__(self, query: str, k: int = 3, dim: int = 64):
+    Actor-pool stage: the embedder (with its token cache), the query
+    vector AND the answer model are built once per actor; everything per
+    batch is local to the batch — no shuffle."""
+
+    def __init__(
+        self,
+        query: str,
+        k: int = 3,
+        dim: int = 64,
+        answer_fn: "Optional[Callable[[], Callable]]" = None,
+    ):
         import numpy as np
 
         from ocr_ray.stages.embed import HashingEmbedder
@@ -93,12 +137,19 @@ class EmbedRAG:
         self.qv, _ = self.embedder.embed_one(query)
         self.query = query
         self.k = k
+        # answer_fn is a zero-arg FACTORY (e.g. the class itself) so model
+        # construction/weight load happens here, once per actor — passing a
+        # constructed model from the driver would serialize its weights
+        # into every task submission instead
+        self.answer_model = answer_fn() if answer_fn is not None else None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         np = self.np
         out = {"doc_id": [], "answer": [], "confidence": [], "n_chunks": []}
+        scores = [] if self.answer_model is not None else None
         for doc_id, text in zip(batch["doc_id"], batch["text"]):
             chunks = split_text_into_chunks(text)
+            ans_score = 0.0
             if not chunks:
                 answer, conf = "No text available to answer the question.", 0.0
             else:
@@ -106,10 +157,19 @@ class EmbedRAG:
                 sims = m @ self.qv
                 top = np.argsort(sims)[-self.k:][::-1]
                 context = " ".join(chunks[i] for i in top)
-                answer = extract_answer_from_context(self.query, context)
+                if self.answer_model is not None:
+                    res = self.answer_model(self.query, context)
+                    answer, ans_score = res["answer"], float(res["score"])
+                else:
+                    answer = extract_answer_from_context(self.query, context)
                 conf = float(sims[top[0]])
             out["doc_id"].append(doc_id)
             out["answer"].append(answer)
             out["confidence"].append(round(conf, 6))
             out["n_chunks"].append(len(chunks))
-        return pd.DataFrame(out)
+            if scores is not None:
+                scores.append(round(ans_score, 6))
+        res_df = pd.DataFrame(out)
+        if scores is not None:
+            res_df["answer_score"] = scores
+        return res_df

@@ -48,7 +48,7 @@ def deterministic_shuffle(
     ds: "object",
     id_col: str = "doc_id",
     n_buckets: int = 64,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Add ``shuffle_hash`` and ``pos`` (exact global rank under
     ``ORDER BY (shuffle_hash, id)``) to every row.  Carries all input
@@ -102,7 +102,7 @@ def deterministic_pack(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 64,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Sequence packing for training: concat-and-chunk bin assignment.
 
@@ -178,7 +178,7 @@ def grouped_rank(
     id_col: str = "doc_id",
     quota: int | None = None,
     n_buckets: int = 64,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Exact per-group rank under the deterministic shuffle order — the
     per-domain quota-sampling primitive (take a reproducible "random"
@@ -257,7 +257,7 @@ def value_rank(
     value_col: str,
     id_col: str = "doc_id",
     n_buckets: int = 1024,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Exact global rank by an integer VALUE column — order statistics
     (percentiles, top-X% selection, curriculum ordering) without a

@@ -206,7 +206,7 @@ def lsh_embed_dedup_pairs(
     n_tables: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "object":
     """Embedding near-dup at scale: multi-table LSH candidates + the same
     raw-task exchange plan as the text dedup paths (stages/dedup.py) —
@@ -285,7 +285,9 @@ def lsh_embed_dedup_pairs(
             {"right_id": b[id_col].astype("int64"), "_rvec": b[vec_col]}
         )
 
-    P = n_partitions
+    from ocr_ray.stages.join import resolve_partitions
+
+    P = n_partitions = resolve_partitions(embeddings, n_partitions)
     bsplit = _exchange(buckets, ["table_id", "bucket"], P)
     pair_refs = [pairs_task.remote(*[s[j] for s in bsplit]) for j in range(P)]
 

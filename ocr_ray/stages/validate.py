@@ -41,7 +41,7 @@ def sequence_validation(
     key_col: str,
     idx_col: str,
     base: int = 0,
-    n_partitions: int = 16,
+    n_partitions: "int | None" = None,
 ) -> "rd.Dataset":
     from ocr_ray.stages.join import exchange_map_partitions
 

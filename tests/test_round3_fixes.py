@@ -166,3 +166,53 @@ def test_winnow_guard_oversized_doc_raises():
     ok = pd.DataFrame({"doc_id": [2], "text": ["a b c d e f g h"]})
     out = winnow_docs_batch(ok)
     assert len(out) > 0
+
+
+def test_auto_partitions_size_derived(ray_session, monkeypatch):
+    """VERDICT r2 #4: exchange partition counts derive from input size.
+    Same results under an artificially tiny per-partition budget (more,
+    smaller partitions) as under the default — the exchange contract is
+    partition-count invariant."""
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import resolve_partitions
+
+    # explicit wins; non-dataset falls back to default
+    assert resolve_partitions(None, 7) == 7
+    assert resolve_partitions([1, 2], None, default=5) == 5
+
+    df = pd.DataFrame({"k": np.arange(2000, dtype="int64") % 13,
+                       "v": np.ones(2000, dtype="int64")})
+    ds = rd.from_pandas(df)  # materialized -> exact size estimate
+    n_default = resolve_partitions(ds, None)
+    monkeypatch.setenv("OCR_RAY_EXCHANGE_BUDGET_MB", "1")
+    # a tiny budget must never shrink the partition count
+    assert resolve_partitions(ds, None) >= n_default
+
+    # end-to-end: aggregate result identical under the tiny budget
+    out_small = (hash_aggregate(ds, keys=["k"], aggs={"v": "sum"})
+                 .to_pandas().sort_values("k").reset_index(drop=True))
+    monkeypatch.delenv("OCR_RAY_EXCHANGE_BUDGET_MB")
+    out_norm = (hash_aggregate(ds, keys=["k"], aggs={"v": "sum"})
+                .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out_small, out_norm)
+    exp = (df.groupby("k", as_index=False)["v"].sum()
+           .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out_norm, exp)
+
+
+def test_auto_partitions_lazy_read_is_metadata_only(ray_session):
+    """The size estimate for a lazy read-based pipeline comes from parquet
+    metadata — resolving partitions must not execute the dataset."""
+    import ray.data as rd
+
+    from ocr_ray.stages.join import _estimate_bytes, resolve_partitions
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    lazy = ds.map_batches(lambda b: b, batch_format="pandas")
+    est = _estimate_bytes(lazy)
+    assert est is not None and est > 0
+    n = resolve_partitions(lazy, None)
+    assert 8 <= n <= 256
