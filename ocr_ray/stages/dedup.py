@@ -867,11 +867,17 @@ def connected_components(
     tasks join local labels to local edges and scatter candidate labels to
     the neighbor's partition (``num_returns=n_partitions`` — the message
     shuffle never touches the driver), and "update" tasks take the
-    per-partition min and report only a changed-count int back.  Rounds =
-    graph diameter; near-dup clusters are near-cliques (diameter <= ~3),
-    so the loop converges in a handful of rounds — for long-chain graphs
-    add pointer jumping (label <- label[label]) before scaling up.
-    Driver-side state per round: P integers, never row data."""
+    per-partition min and report only a changed-count int back.  Each
+    round also POINTER-JUMPS (label <- label[label]): every non-root
+    label row asks the partition OWNING its current label (same id-hash
+    partitioning, so the owner lookup is one exchange) for that label's
+    label and takes the min — path lengths halve per round, so long-chain
+    graphs converge in O(log diameter) rounds instead of O(diameter),
+    while near-clique dup clusters still finish in 2-3.  Terminates when
+    a propagation+jump round changes nothing (propagation fixpoint ==
+    every node holds its component minimum; jumps only move labels to
+    other in-component ids, so the invariant and the result are exact).
+    Driver-side state per round: 2P integers, never row data."""
     import pyarrow as pa
 
     import ray
@@ -925,18 +931,64 @@ def connected_components(
         if not len(msgs) or not len(lab):
             return labels_tbl, 0
         best = msgs.groupby("id", as_index=False)["label"].min()
+        # nullable Int64 keeps ids exact through the left join: a float64
+        # NaN column would lose precision above 2^53 and
+        # fillna(INT64_MAX) overflows the int64 cast to INT64_MIN for ids
+        # with no message this round (jump messages cover only non-roots)
+        best["label"] = best["label"].astype("Int64")
         m = lab.merge(best, on="id", how="left", suffixes=("", "_new"))
-        new = np.fmin(m["label"].to_numpy(dtype="int64"),
-                      m["label_new"].fillna(np.iinfo(np.int64).max).to_numpy(dtype="int64"))
-        changed = int((new != m["label"].to_numpy(dtype="int64")).sum())
+        own = m["label"].to_numpy(dtype="int64")
+        cand = (m["label_new"].where(m["label_new"].notna(), m["label"])
+                .astype("int64").to_numpy())
+        new = np.minimum(own, cand)
+        changed = int((new != own).sum())
         out = pa.Table.from_pandas(
             pd.DataFrame({"id": m["id"].to_numpy(dtype="int64"), "label": new}),
             preserve_index=False,
         )
         return out, changed
 
+    @ray.remote(num_cpus=0)
+    def jump_request(labels_tbl):
+        # route each non-root (id, label) row to the partition that OWNS
+        # the label id (same hash as the label partitioning itself)
+        lab = labels_tbl.to_pandas()
+        sub = lab[lab["label"] != lab["id"]]
+        h = pd.util.hash_pandas_object(sub["label"].astype("int64"),
+                                       index=False).to_numpy()
+        part = (h % P).astype(np.int64)
+        return tuple(
+            pa.Table.from_pandas(sub[part == j], preserve_index=False)
+            for j in range(P)
+        )
+
+    @ray.remote(num_cpus=0)
+    def jump_reply(labels_tbl, *req_pieces):
+        # this partition owns the requested label ids: answer with the
+        # label's label, routed back to the requester's id partition
+        lab = labels_tbl.to_pandas()
+        req = _concat_pd(req_pieces)
+        if len(req) and len(lab):
+            m = req.merge(lab, left_on="label", right_on="id", how="inner",
+                          suffixes=("", "_owner"))
+            msgs = pd.DataFrame(
+                {"id": m["id"].to_numpy(dtype="int64"),
+                 "label": m["label_owner"].to_numpy(dtype="int64")}
+            )
+        else:
+            msgs = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                 "label": pd.Series([], dtype="int64")})
+        h = pd.util.hash_pandas_object(msgs["id"].astype("int64"),
+                                       index=False).to_numpy()
+        part = (h % P).astype(np.int64)
+        return tuple(
+            pa.Table.from_pandas(msgs[part == j], preserve_index=False)
+            for j in range(P)
+        )
+
     labels = [init_labels.remote(*edge_parts[j]) for j in range(P)]
     for _ in range(max_rounds):
+        # propagation: neighbors' labels
         outs = [
             emit.options(num_returns=P).remote(labels[j], *edge_parts[j])
             for j in range(P)
@@ -947,15 +999,30 @@ def connected_components(
             new_labels.append(nl)
             counts.append(ch)
         labels = new_labels
+        # pointer jump: label <- min(label, label[label])
+        reqs = [jump_request.options(num_returns=P).remote(labels[j])
+                for j in range(P)]
+        replies = [
+            jump_reply.options(num_returns=P).remote(
+                labels[j], *[reqs[i][j] for i in range(P)]
+            )
+            for j in range(P)
+        ]
+        new_labels = []
+        for j in range(P):
+            nl, ch = update.remote(labels[j], *[replies[i][j] for i in range(P)])
+            new_labels.append(nl)
+            counts.append(ch)
+        labels = new_labels
         if sum(ray.get(counts)) == 0:
             break
     else:
-        # silent early termination would mislabel clusters; long-chain
-        # graphs need pointer jumping (label <- label[label]) or a higher
-        # max_rounds — fail loudly rather than return wrong components
+        # with jumping, rounds needed ~ log2(diameter) + propagation
+        # constant; hitting the backstop means something is wrong — fail
+        # loudly rather than return mislabeled clusters
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds "
-            "(graph diameter exceeds max_rounds; raise max_rounds)"
+            "(unexpected with pointer jumping; raise max_rounds)"
         )
 
     @ray.remote(num_cpus=0)

@@ -316,7 +316,9 @@ def asof_join(
     Skewed ``by`` keys concentrate in one partition — acceptable while a
     single key's rows fit a worker; beyond that, range-partition ``on``
     within the hot key (not needed at current scales)."""
-    n_partitions = resolve_partitions(left, n_partitions, default=64)
+    if n_partitions is None:  # size by the larger side: both sides shuffle
+        n_partitions = max(resolve_partitions(left, None, default=64),
+                           resolve_partitions(right, None, default=8))
     lsplits = launch_splits(left, by, n_partitions)
     rsplits = launch_splits(right, by, n_partitions)
     out_refs = [
@@ -377,7 +379,9 @@ def range_join(
     must be NON-OVERLAPPING (the containing interval is found by binary
     search over sorted starts); overlapping-interval semantics would return
     multiple rows and need an explicit flat-map variant instead."""
-    n_partitions = resolve_partitions(points, n_partitions, default=64)
+    if n_partitions is None:
+        n_partitions = max(resolve_partitions(points, None, default=64),
+                           resolve_partitions(intervals, None, default=8))
     lsplits = launch_splits(points, by, n_partitions)
     rsplits = launch_splits(intervals, by, n_partitions)
     out_refs = [
@@ -402,7 +406,9 @@ def hash_join(
     ``Dataset.join`` (one all-to-all per side on the key hash).  Skewed keys:
     raise ``n_partitions``; pathological single hot keys should be broadcast
     or salted upstream instead of joined here."""
-    n_partitions = resolve_partitions(left, n_partitions, default=32)
+    if n_partitions is None:
+        n_partitions = max(resolve_partitions(left, None, default=32),
+                           resolve_partitions(right, None, default=8))
     return left.join(
         right,
         join_type=how,
@@ -455,7 +461,9 @@ def exchange_join(
     right choice for mid-pipeline joins of bounded-size tables such as
     dedup-candidate verification; prefer :func:`hash_join` when both sides
     are huge and long-lived aggregator actors amortize."""
-    n_partitions = resolve_partitions(left, n_partitions)
+    if n_partitions is None:
+        n_partitions = max(resolve_partitions(left, None),
+                           resolve_partitions(right, None, default=8))
     ron = right_on or on
     lsplits = launch_splits(left, on, n_partitions)
     rsplits = launch_splits(right, ron, n_partitions)
@@ -645,7 +653,9 @@ def range_join_multi(
     containment filter prunes.  Partitioning assumption: one key's
     points x intervals product fits a worker — for hot keys pre-bucket
     the interval axis (range-partition ``point_col``) before calling."""
-    n_partitions = resolve_partitions(points, n_partitions, default=64)
+    if n_partitions is None:
+        n_partitions = max(resolve_partitions(points, None, default=64),
+                           resolve_partitions(intervals, None, default=8))
     lsplits = launch_splits(points, by, n_partitions)
     rsplits = launch_splits(intervals, by, n_partitions)
     out_refs = [

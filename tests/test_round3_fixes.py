@@ -216,3 +216,33 @@ def test_auto_partitions_lazy_read_is_metadata_only(ray_session):
     assert est is not None and est > 0
     n = resolve_partitions(lazy, None)
     assert 8 <= n <= 256
+
+
+def test_connected_components_long_chain_pointer_jumping(ray_session):
+    """A 300-node path graph needs ~300 min-propagation rounds; pointer
+    jumping must converge it well inside the default max_rounds and label
+    every node with the chain minimum."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import connected_components
+
+    n = 300
+    pairs = pd.DataFrame({
+        "left_id": np.arange(n - 1, dtype="int64"),
+        "right_id": np.arange(1, n, dtype="int64"),
+    })
+    out = (connected_components(rd.from_pandas(pairs), n_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == n
+    assert set(out["cluster_id"]) == {0}
+
+    # two chains + a singleton pair: labels stay per-component
+    pairs2 = pd.concat([
+        pairs,
+        pd.DataFrame({"left_id": np.arange(1000, 1099, dtype="int64"),
+                      "right_id": np.arange(1001, 1100, dtype="int64")}),
+    ], ignore_index=True)
+    out2 = (connected_components(rd.from_pandas(pairs2), n_partitions=4)
+            .to_pandas())
+    assert set(out2.loc[out2["doc_id"] >= 1000, "cluster_id"]) == {1000}
+    assert set(out2.loc[out2["doc_id"] < 1000, "cluster_id"]) == {0}
