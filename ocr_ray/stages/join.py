@@ -79,6 +79,29 @@ def _estimate_bytes(src) -> Optional[int]:
         return None
 
 
+_CPU_FLOOR_CACHE: List[int] = []
+
+
+def _cpu_floor() -> int:
+    """Lower bound on reduce parallelism: ``min(cluster CPUs, 16)``,
+    floored at 8.  Size-derived counts alone under-parallelize SMALL
+    inputs on wide nodes (a 10 MB exchange would run 8 merge tasks while
+    32 cores idle); the floor keeps the reduce side busy without blowing
+    up tiny-object counts, and at real data sizes the size term dominates
+    anyway.  Cached for the session (one GCS lookup)."""
+    if not _CPU_FLOOR_CACHE:
+        cpus = 8
+        try:
+            import ray
+
+            if ray.is_initialized():
+                cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            pass
+        _CPU_FLOOR_CACHE.append(max(8, min(cpus, 16)))
+    return _CPU_FLOOR_CACHE[0]
+
+
 def resolve_partitions(
     src,
     explicit: Optional[int],
@@ -86,12 +109,12 @@ def resolve_partitions(
     budget_mb: Optional[int] = None,
 ) -> int:
     """Partition count for an exchange over ``src``: the explicit value if
-    the caller passed one, else ``max(8, min(256, est_bytes/budget + 1))``
+    the caller passed one, else ``max(cpu_floor, min(256, est/budget + 1))``
     from a metadata-only size estimate, else ``default`` (non-Dataset
-    inputs, estimate unavailable).  The [8, 256] clamp keeps tiny inputs
-    cheap and bounds per-split fan-out; at production scale pass
-    ``n_partitions`` explicitly (total_bytes / worker-heap budget) — 256
-    partitions of a 100 TB exchange would be ~400 GB each."""
+    inputs, estimate unavailable).  The clamp keeps tiny inputs cheap and
+    bounds per-split fan-out; at production scale pass ``n_partitions``
+    explicitly (total_bytes / worker-heap budget) — 256 partitions of a
+    100 TB exchange would be ~400 GB each."""
     if explicit is not None:
         return explicit
     if budget_mb is None:
@@ -99,7 +122,7 @@ def resolve_partitions(
     est = _estimate_bytes(src)
     if est is None:
         return default
-    return max(8, min(256, int(est // (budget_mb << 20)) + 1))
+    return max(_cpu_floor(), min(256, int(est // (budget_mb << 20)) + 1))
 
 
 def broadcast_join(
