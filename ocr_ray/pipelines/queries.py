@@ -1558,6 +1558,49 @@ def q_corpus_countmin(sf_dir: str):
     return top
 
 
+def q_corpus_heavy_hitters(sf_dir: str):
+    """Exact frequency-threshold heavy hitters (count*k > N, k=64) via
+    Misra-Gries candidate summaries + an exact verify pass
+    (stages/aggregate.py:heavy_hitters — the provable-superset two-pass
+    plan).  Approximate machinery, EXACT deterministic output: the
+    oracle is the plain SQL threshold query."""
+    from ocr_ray.stages.aggregate import heavy_hitters
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return heavy_hitters(ds, k=64, n_partitions=8)
+
+
+def q_doc_sample_weighted(sf_dir: str):
+    """Deterministic weighted (probability-proportional-to-size) sample —
+    priority sampling (Duffield, Lund & Thorup 2007) with a hash-derived
+    priority: u = multiplicative hash of doc_id (uniform in [0, 2^32)),
+    priority = (u * 2^20) // max(n_chars, 1), take the 100 smallest.
+    P(priority < t) grows with n_chars, so inclusion probability is
+    ~proportional to document length; all arithmetic is int64-exact
+    (u*2^20 <= 2^52), so the sample is reproducible across engines, runs
+    and partitionings — no RNG state, no shuffle.  Per-batch top-100
+    bounds what leaves each block; the global merge sorts <= 100 x
+    n_blocks candidate rows."""
+    K = 100
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype("int64")
+        u = (ids * SPLIT_MULT) % (1 << 32)
+        w = np.maximum(b["n_chars"].astype("int64"), 1)
+        pri = (u * (1 << 20)) // w
+        out = pd.DataFrame({"doc_id": ids, "priority": pri.astype("int64")})
+        return out.nsmallest(K, ["priority", "doc_id"])
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars"])
+    out = (ds.map_batches(partial, batch_format="pandas")
+           .sort(["priority", "doc_id"]).limit(K).to_pandas())
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["priority"] = out["priority"].astype("int64")
+    return out[["doc_id", "priority"]]
+
+
 def q_graph_pagerank(sf_dir: str):
     """Link-graph quality prior (stages/graph.py): build the nation
     'trade graph' — an edge per (customer nation -> supplier nation)
@@ -2388,6 +2431,332 @@ def q_q4_priority(sf_dir: str):
     ).to_pandas()
     out["order_count"] = out["order_count"].astype("int64")
     return out
+
+
+def q_q5_local_volume(sf_dir: str):
+    """TPC-H Q5-style local-supplier volume — the canonical 6-way join
+    (region x nation x customer x orders x lineitem x supplier) with the
+    customer-nation == supplier-nation equality.  Plan: the two dimension
+    tables collapse driver-side into a nationkey set + name map (25/5
+    rows; at any scale nation/region stay broadcastable); supplier
+    restricted to the region rides into the lineitem scan as a broadcast
+    (suppkey -> s_nationkey) inner merge, so only region-local lineitems
+    survive; lineitem revenue is pre-reduced per (orderkey, s_nationkey)
+    BEFORE the one big-big exchange join against the (orders semi-joined
+    customer) side, and the nation-equality filter + final rollup run on
+    the already-reduced rows.  Shuffle volume: per-order partials, never
+    the lineitem stream."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import broadcast_join, exchange_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = rd.read_parquet(
+        os.path.join(sf_dir, "region.parquet")).to_pandas()
+    asia = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    local = nation[nation["n_regionkey"] == asia]
+    names = dict(zip(local["n_nationkey"].astype(int),
+                     local["n_name"].astype(str)))
+    keys = set(names)
+
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(keys)].rename(
+        columns={"s_suppkey": "l_suppkey"})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(rev_cents=np.floor(
+            b["l_extendedprice"] * (1 - b["l_discount"]) * 100 + 0.5
+        ).astype("int64"))
+        return b.groupby(["l_orderkey", "s_nationkey"], as_index=False)[
+            ["rev_cents"]].sum()
+
+    li_red = hash_aggregate(
+        broadcast_join(li, supp, on="l_suppkey")  # inner: drops non-ASIA
+        .map_batches(li_partial, batch_format="pandas"),
+        keys=["l_orderkey", "s_nationkey"], aggs={"rev_cents": "sum"},
+        n_partitions=None,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).filter(lambda r: r["c_nationkey"] in keys)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(lo))
+        & (pads.field("o_orderdate") < pa.scalar(hi)),
+    )
+
+    def date_residual(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        return b[["o_orderkey", "o_custkey"]]
+
+    osel = exchange_join(
+        orders.map_batches(date_residual, batch_format="pandas"),
+        cust, on="o_custkey", right_on="c_custkey", n_partitions=None,
+    )
+
+    j = exchange_join(li_red, osel, on="l_orderkey", right_on="o_orderkey",
+                      n_partitions=None)
+
+    def local_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nationkey"] == b["c_nationkey"]]
+        return b.groupby("s_nationkey", as_index=False)[["rev_cents"]].sum()
+
+    out = hash_aggregate(
+        j.map_batches(local_partial, batch_format="pandas"),
+        keys=["s_nationkey"], aggs={"rev_cents": "sum"}, n_partitions=2,
+    ).to_pandas()
+    out["n_name"] = out["s_nationkey"].astype(int).map(names)
+    out["revenue_cents"] = out["rev_cents"].astype("int64")
+    out = out.sort_values(["revenue_cents", "n_name"],
+                          ascending=[False, True], kind="mergesort")
+    return out[["n_name", "revenue_cents"]].reset_index(drop=True)
+
+
+def q_q10_returned(sf_dir: str):
+    """TPC-H Q10-style returned-item report — top-20 customers by revenue
+    lost to returns in a quarter: per-order 'R'-flag revenue reduces
+    through the streaming hash aggregate before the orderkey exchange
+    join, re-keys to custkey for a second bounded aggregate, and only the
+    per-customer totals (|customers| rows, not |lineitem|) join the
+    customer dimension; nation names attach from a driver-side map (25
+    rows).  Deterministic top-k tie-break (revenue desc, custkey asc)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    lo, hi = pd.Timestamp("1996-07-01"), pd.Timestamp("1996-10-01")
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(lo))
+        & (pads.field("o_orderdate") < pa.scalar(hi)),
+    )
+
+    def date_residual(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)]
+        return b[["o_orderkey", "o_custkey"]]
+
+    osel = orders.map_batches(date_residual, batch_format="pandas")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        b = b.assign(rev_cents=np.floor(
+            b["l_extendedprice"] * (1 - b["l_discount"]) * 100 + 0.5
+        ).astype("int64"))
+        return b.groupby("l_orderkey", as_index=False)[["rev_cents"]].sum()
+
+    li_red = hash_aggregate(
+        li.map_batches(li_partial, batch_format="pandas"),
+        keys=["l_orderkey"], aggs={"rev_cents": "sum"}, n_partitions=None,
+    )
+
+    j = exchange_join(li_red, osel, on="l_orderkey", right_on="o_orderkey",
+                      n_partitions=None)
+
+    def cust_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", as_index=False)[["rev_cents"]].sum()
+
+    per_cust = hash_aggregate(
+        j.map_batches(cust_partial, batch_format="pandas"),
+        keys=["o_custkey"], aggs={"rev_cents": "sum"}, n_partitions=None,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    names = dict(zip(nation["n_nationkey"].astype(int),
+                     nation["n_name"].astype(str)))
+
+    out = (
+        exchange_join(per_cust, cust, on="o_custkey", right_on="c_custkey",
+                      n_partitions=None)
+        .sort(["rev_cents", "o_custkey"], descending=[True, False])
+        .limit(20).to_pandas()
+    )
+    out["c_custkey"] = out["o_custkey"].astype("int64")
+    out["revenue_cents"] = out["rev_cents"].astype("int64")
+    out["acctbal_cents"] = np.floor(
+        out["c_acctbal"] * 100 + 0.5).astype("int64")
+    out["n_name"] = out["c_nationkey"].astype(int).map(names)
+    return out[["c_custkey", "c_name", "revenue_cents", "acctbal_cents",
+                "n_name"]].reset_index(drop=True)
+
+
+def q_q18_top_spenders(sf_dir: str):
+    """TPC-H Q18-style large-volume-customer scan — HAVING over a
+    billion-group aggregate: per-order quantity sums reduce through the
+    streaming hash aggregate (integral quantities -> exact int64), the
+    HAVING > 200 filter drops to the few qualifying orders BEFORE any
+    join, and those few rows exchange-join orders then customer.  The
+    top-100 sort runs over the already-filtered qualifier set.  Shuffle
+    volume after the first aggregate is O(qualifying orders)."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(sum_qty=b["l_quantity"].astype("int64"))
+        return b.groupby("l_orderkey", as_index=False)[["sum_qty"]].sum()
+
+    big = hash_aggregate(
+        li.map_batches(qty_partial, batch_format="pandas"),
+        keys=["l_orderkey"], aggs={"sum_qty": "sum"}, n_partitions=None,
+    ).filter(lambda r: r["sum_qty"] > 200)
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    j = exchange_join(big, orders, on="l_orderkey", right_on="o_orderkey",
+                      n_partitions=None)
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    j2 = exchange_join(j, cust, on="o_custkey", right_on="c_custkey",
+                       n_partitions=None)
+
+    def finalize(b: pd.DataFrame) -> pd.DataFrame:
+        # exchange_join keeps the left key column (o_custkey), not c_custkey
+        b = b.assign(totalprice_cents=np.floor(
+            b["o_totalprice"] * 100 + 0.5).astype("int64"))
+        return b[["o_custkey", "c_name", "l_orderkey", "o_orderdate",
+                  "totalprice_cents", "sum_qty"]]
+
+    out = (
+        j2.map_batches(finalize, batch_format="pandas")
+        .sort(["totalprice_cents", "l_orderkey"], descending=[True, False])
+        .limit(100).to_pandas()
+    )
+    out = out.rename(columns={"l_orderkey": "o_orderkey",
+                              "o_custkey": "c_custkey"})
+    for c in ["c_custkey", "o_orderkey", "totalprice_cents", "sum_qty"]:
+        out[c] = out[c].astype("int64")
+    return out[["c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "totalprice_cents", "sum_qty"]]
+
+
+def q_q7_nation_flows(sf_dir: str):
+    """TPC-H Q7-style bilateral trade volume — revenue between a nation
+    pair by ship year, both directions: suppliers of the two nations ride
+    into the lineitem scan as a broadcast inner merge (only pair-local
+    shipments survive), revenue pre-reduces per (orderkey, supp_nation,
+    year); the customer side pre-filters to the pair and exchange-joins
+    orders; one orderkey exchange join + the cross-pair filter + a
+    bounded (2 x 2 x years) rollup finish it.  Both 'big' tables are
+    reduced before any all-to-all."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import broadcast_join, exchange_join
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    names = dict(zip(nation["n_nationkey"].astype(int),
+                     nation["n_name"].astype(str)))
+    pair = {1, 2}
+
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(pair)].rename(
+        columns={"s_suppkey": "l_suppkey"})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(lo))
+        & (pads.field("l_shipdate") < pa.scalar(hi)),
+    )
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        b = b.assign(
+            l_year=b["l_shipdate"].dt.year.astype("int64"),
+            rev_cents=np.floor(
+                b["l_extendedprice"] * (1 - b["l_discount"]) * 100 + 0.5
+            ).astype("int64"),
+        )
+        return b.groupby(["l_orderkey", "s_nationkey", "l_year"],
+                         as_index=False)[["rev_cents"]].sum()
+
+    li_red = hash_aggregate(
+        broadcast_join(li, supp, on="l_suppkey")
+        .map_batches(li_partial, batch_format="pandas"),
+        keys=["l_orderkey", "s_nationkey", "l_year"],
+        aggs={"rev_cents": "sum"}, n_partitions=None,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).filter(lambda r: r["c_nationkey"] in pair)
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    osel = exchange_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                         n_partitions=None)
+
+    j = exchange_join(li_red, osel, on="l_orderkey", right_on="o_orderkey",
+                      n_partitions=None)
+
+    def flow_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["s_nationkey"] != b["c_nationkey"]]
+        return b.groupby(["s_nationkey", "c_nationkey", "l_year"],
+                         as_index=False)[["rev_cents"]].sum()
+
+    out = hash_aggregate(
+        j.map_batches(flow_partial, batch_format="pandas"),
+        keys=["s_nationkey", "c_nationkey", "l_year"],
+        aggs={"rev_cents": "sum"}, n_partitions=2,
+    ).to_pandas()
+    if not len(out):
+        # Ray quirk: to_pandas() on an all-empty-block Dataset drops
+        # columns — rebuild the typed empty (no pair-local trade at all)
+        return pd.DataFrame({
+            "supp_nation": pd.Series(dtype=object),
+            "cust_nation": pd.Series(dtype=object),
+            "l_year": pd.Series(dtype="int64"),
+            "revenue_cents": pd.Series(dtype="int64"),
+        })
+    out["supp_nation"] = out["s_nationkey"].astype(int).map(names)
+    out["cust_nation"] = out["c_nationkey"].astype(int).map(names)
+    out["l_year"] = out["l_year"].astype("int64")
+    out["revenue_cents"] = out["rev_cents"].astype("int64")
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year"],
+                          kind="mergesort")
+    return out[["supp_nation", "cust_nation", "l_year",
+                "revenue_cents"]].reset_index(drop=True)
 
 
 def q_top_customers(sf_dir: str):
@@ -4025,6 +4394,12 @@ def queries() -> Dict[str, Callable]:
         "q13_custdist": q_q13_custdist,
         "events_props_stats": q_events_props_stats,
         "q4_priority": q_q4_priority,
+        "q5_local_volume": q_q5_local_volume,
+        "corpus_heavy_hitters": q_corpus_heavy_hitters,
+        "doc_sample_weighted": q_doc_sample_weighted,
+        "q7_nation_flows": q_q7_nation_flows,
+        "q10_returned": q_q10_returned,
+        "q18_top_spenders": q_q18_top_spenders,
         "events_rate": q_events_rate,
         "events_copresence": q_events_copresence,
         "embed_topics": q_embed_topics,
@@ -4618,6 +4993,88 @@ FROM (SELECT c_custkey, count(o_orderkey) AS c_count
         ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
       GROUP BY c_custkey)
 GROUP BY c_count
+""",
+    # exact threshold test over the full term stream: the engine's
+    # MG-candidates + verify pass provably returns the same set
+    "corpus_heavy_hitters": """
+WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+           FROM documents),
+tot AS (SELECT count(*) AS total FROM t),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term)
+SELECT term, n FROM c, tot WHERE n * 64 > total
+ORDER BY n DESC, term
+""",
+    # priority sampling: u*2^20 <= 2^52, exact in BIGINT on both sides
+    "doc_sample_weighted": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(((doc_id * 2654435761) % 4294967296) * 1048576
+            // GREATEST(n_chars, 1) AS BIGINT) AS priority
+FROM documents
+ORDER BY priority, doc_id
+LIMIT 100
+""",
+    # per-row floor(x*100+0.5) cents BEFORE the sum matches the engine's
+    # exact-integer revenue association on all four TPC-H-style joins below
+    "q5_local_volume": """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+""",
+    "q7_nation_flows": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+    "q10_returned": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 4, 5
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+""",
+    "q18_top_spenders": """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+       CAST(sum_qty AS BIGINT) AS sum_qty
+FROM (SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum_qty > 200) q
+JOIN orders   ON o_orderkey = q.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 100
 """,
     # ExactSubstr spans: identical two-family 62-bit window hashes
     # (PolySimHasher families), global dup test, gaps-and-islands merge

@@ -60,6 +60,14 @@ def hash_aggregate(
         return b.groupby(keys, as_index=False).agg(spec)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
+        need = [*keys, *aggs]
+        if not len(g) and any(c not in g.columns for c in need):
+            # an all-empty exchange delivers the pre-map schema (Ray Data
+            # passes zero-row blocks through map_batches without running
+            # the UDF — join._split_blocks): rebuild the typed-empty
+            # result so the aggregate stays total on empty inputs
+            return pd.DataFrame({c: pd.Series(dtype=(
+                g[c].dtype if c in g.columns else "object")) for c in need})
         spec = {col: _COMBINE[op] for col, op in aggs.items()}
         return g.groupby(keys, as_index=False).agg(spec)
 
@@ -349,3 +357,87 @@ def hll_distinct_terms(
          "est_raw": pd.Series([est_raw], dtype="float64"),
          "est_distinct": pd.Series([est], dtype="float64")}
     ))
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset",
+    k: int = 64,
+    text_col: str = "text",
+    tokenizer=None,
+    n_partitions: "int | None" = None,
+) -> pd.DataFrame:
+    """EXACT frequency-threshold heavy hitters (terms with count*k > N)
+    via the classic two-pass candidate-then-verify plan — the pattern
+    that makes "top terms of a 100 TB corpus" tractable without ever
+    shuffling the full term-frequency table:
+
+    1. Per-batch Misra-Gries summaries: an exact batch Counter compressed
+       to <= k entries by subtracting the (k+1)-th largest count and
+       dropping non-positives (the COMPRESS op of Agarwal et al.,
+       "Mergeable Summaries", TODS 2013).  Each batch's entry count
+       underestimates its true batch count by at most n_b/(k+1).
+    2. Union-sum the summaries through the bounded hash exchange: the
+       summed lower bound lb(t) >= true(t) - N/(k+1), so every true
+       heavy hitter (true(t) > N/k) satisfies lb(t) > N/(k(k+1)) — the
+       integer-exact candidate filter lb*k*(k+1) > N is a PROVABLE
+       superset, typically a few hundred terms.
+    3. Exact verify: one more corpus pass counting ONLY the broadcast
+       candidate set, a tiny exchange, and the exact threshold test
+       count*k > N.
+
+    Output is a driver-side DataFrame (term, n), n desc / term asc —
+    deterministic and equal to the exact SQL answer, which is what makes
+    an approximate-sketch pipeline oracle-checkable."""
+    import re
+
+    import numpy as np
+    import ray
+
+    tok = tokenizer or re.compile(r"[a-z0-9]+").findall
+
+    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        c: "Counter[str]" = Counter()
+        n = 0
+        for t in b[text_col]:
+            toks = tok(t.lower())
+            n += len(toks)
+            c.update(toks)
+        if len(c) > k:
+            cut = sorted(c.values(), reverse=True)[k]  # (k+1)-th largest
+            c = {t: v - cut for t, v in c.items() if v > cut}
+        return pd.DataFrame(
+            {"term": ["\x00n"] + list(c.keys()),
+             "lb": pd.Series([n] + list(c.values()), dtype="int64")}
+        )
+
+    summed = hash_aggregate(
+        ds.map_batches(mg_partial, batch_format="pandas"),
+        keys=["term"], aggs={"lb": "sum"}, n_partitions=n_partitions,
+    ).to_pandas()
+    total = int(summed.loc[summed["term"] == "\x00n", "lb"].sum())
+    cand = summed[(summed["term"] != "\x00n")
+                  & (summed["lb"].astype("int64") * k * (k + 1) > total)]
+    cand_ref = ray.put(frozenset(cand["term"]))
+
+    def exact_partial(b: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        want = ray.get(cand_ref)
+        c: "Counter[str]" = Counter()
+        for t in b[text_col]:
+            c.update(x for x in tok(t.lower()) if x in want)
+        return pd.DataFrame(
+            {"term": list(c.keys()),
+             "n": pd.Series(list(c.values()), dtype="int64")}
+        )
+
+    exact = hash_aggregate(
+        ds.map_batches(exact_partial, batch_format="pandas"),
+        keys=["term"], aggs={"n": "sum"}, n_partitions=n_partitions,
+    ).to_pandas()
+    out = exact[exact["n"].astype("int64") * k > total].copy()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["n", "term"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True))

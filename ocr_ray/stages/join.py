@@ -441,6 +441,22 @@ def hash_join(
     )
 
 
+def _ensure_key(t, col: str):
+    """Append a null-typed key column to an ALL-EMPTY table that lacks it.
+
+    An all-empty exchange side can deliver the pre-map schema (Ray Data
+    passes zero-row blocks through map_batches without running the UDF —
+    see _split_blocks), so the join key may be absent.  Zero rows means
+    the join/aggregate RESULT is unaffected; synthesizing the column
+    keeps the merge kernels total.  A non-empty table missing the key is
+    a real caller bug and still raises."""
+    import pyarrow as pa
+
+    if col in t.column_names or t.num_rows:
+        return t
+    return t.append_column(col, pa.nulls(0))
+
+
 @ray.remote(num_cpus=0)
 def _merge_equi_partition(n_left: int, on: str, right_on: str, how: str, *pieces):
     import pyarrow as pa
@@ -450,19 +466,22 @@ def _merge_equi_partition(n_left: int, on: str, right_on: str, how: str, *pieces
         # column types) survive even when the partition result is empty
         import pyarrow.compute as pc
 
-        lt_a = pa.concat_tables(pieces[:n_left])
-        rt_a = pa.concat_tables(pieces[n_left:])
+        lt_a = _ensure_key(pa.concat_tables(pieces[:n_left]), on)
+        rt_a = _ensure_key(pa.concat_tables(pieces[n_left:]), right_on)
+        if lt_a.num_rows == 0:
+            return lt_a  # empty left: semi and anti are both empty
         vs = rt_a[right_on].combine_chunks()
         if vs.type != lt_a[on].type:
             vs = vs.cast(lt_a[on].type)  # int32 probe keys vs int64 left
+            # (null-typed empty probe side casts to any key type)
         mask = pc.is_in(lt_a[on], value_set=vs)
         if how == "anti":
             mask = pc.fill_null(pc.invert(mask), True)
         else:
             mask = pc.fill_null(mask, False)
         return lt_a.filter(mask)
-    lt = pa.concat_tables(pieces[:n_left]).to_pandas()
-    rt = pa.concat_tables(pieces[n_left:]).to_pandas()
+    lt = _ensure_key(pa.concat_tables(pieces[:n_left]), on).to_pandas()
+    rt = _ensure_key(pa.concat_tables(pieces[n_left:]), right_on).to_pandas()
     out = lt.merge(rt, left_on=on, right_on=right_on, how=how)
     if right_on != on and right_on in out.columns:
         out = out.drop(columns=[right_on])
