@@ -1601,6 +1601,40 @@ def q_doc_sample_weighted(sf_dir: str):
     return out[["doc_id", "priority"]]
 
 
+def q_events_enriched(sf_dir: str):
+    """Row-level enrichment with a per-key aggregate through the
+    SKEW-AWARE join (stages/join.py:skew_join): per-user totals reduce
+    over a user_id-only pruned scan, then the full event stream joins
+    them with Misra-Gries hot-key detection + salt-and-replicate — hot
+    users scatter across all merge tasks instead of serializing one.
+    On web-scale event logs a single bot/service account routinely holds
+    percent-level row share; this is the join that survives it."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import skew_join
+
+    keys = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id"])
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(user_total=np.int64(1))
+        return b.groupby("user_id", as_index=False)[["user_total"]].sum()
+
+    totals = hash_aggregate(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id"])
+        .map_batches(cnt, batch_format="pandas"),
+        keys=["user_id"], aggs={"user_total": "sum"}, n_partitions=None,
+    )
+
+    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id"])
+    out = skew_join(events, totals, on="user_id", n_partitions=8,
+                    k=16, left_key_source=keys).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_total"] = out["user_total"].astype("int64")
+    return out[["event_id", "user_id", "user_total"]]
+
+
 def q_graph_pagerank(sf_dir: str):
     """Link-graph quality prior (stages/graph.py): build the nation
     'trade graph' — an edge per (customer nation -> supplier nation)
@@ -4397,6 +4431,7 @@ def queries() -> Dict[str, Callable]:
         "q5_local_volume": q_q5_local_volume,
         "corpus_heavy_hitters": q_corpus_heavy_hitters,
         "doc_sample_weighted": q_doc_sample_weighted,
+        "events_enriched": q_events_enriched,
         "q7_nation_flows": q_q7_nation_flows,
         "q10_returned": q_q10_returned,
         "q18_top_spenders": q_q18_top_spenders,
@@ -5003,6 +5038,11 @@ tot AS (SELECT count(*) AS total FROM t),
 c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term)
 SELECT term, n FROM c, tot WHERE n * 64 > total
 ORDER BY n DESC, term
+""",
+    "events_enriched": """
+SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
+FROM events
 """,
     # priority sampling: u*2^20 <= 2^52, exact in BIGINT on both sides
     "doc_sample_weighted": """

@@ -708,3 +708,164 @@ def range_join_multi(
         for j in range(n_partitions)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+@ray.remote(num_cpus=0)
+def _split_blocks_skew(by, n_partitions: int, hot, side: str, *parts):
+    """Skew-aware split: hot-key rows bypass the one-partition-per-key
+    rule.  LEFT side: hot rows scatter round-robin over ALL partitions
+    (cold rows hash normally).  RIGHT side: hot rows REPLICATE to every
+    partition, so each scattered left row still meets every matching
+    right row exactly once — the classic salt-and-replicate skew join,
+    exact because hot and cold key sets are disjoint and each left row
+    lands in exactly one partition."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.reassemble import _split_table
+
+    tables = [_as_clean_table(p) for p in parts]
+    t = tables[0] if len(tables) == 1 else pa.concat_tables(
+        tables, promote_options="default"
+    )
+    if t.num_rows == 0:
+        return tuple([t] * n_partitions) if n_partitions > 1 else t
+    key = _canon_key(t[by].to_pandas())
+    h = (pd.util.hash_pandas_object(key, index=False).to_numpy()
+         % n_partitions).astype(np.int64)
+    ishot = key.isin(hot).to_numpy()
+    if side == "left":
+        spread = np.arange(len(h), dtype=np.int64) % n_partitions
+        pk = np.where(ishot, (h + spread) % n_partitions, h).astype(np.int32)
+        return _split_table(t, pk, n_partitions)
+    cold = t.filter(pa.array(~ishot))
+    hot_t = t.filter(pa.array(ishot)).combine_chunks()
+    cold_parts = _split_table(cold, h[~ishot].astype(np.int32), n_partitions)
+    out = tuple(
+        pa.concat_tables([c, hot_t]) if hot_t.num_rows else c
+        for c in cold_parts
+    )
+    return out if n_partitions > 1 else out[0]
+
+
+def skew_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    n_partitions: Optional[int] = None,
+    how: str = "inner",
+    k: int = 64,
+    left_key_source: Optional["rd.Dataset"] = None,
+) -> "rd.Dataset":
+    """Skew-aware equi-join — ONE scan of each side, no materialize of
+    the big side, no straggler reduce task.
+
+    A plain hash exchange sends EVERY row of one key to one merge task,
+    so a key holding 30% of a 100 TB left side turns one task into the
+    job's critical path.  Plan:
+
+    1. **Hot-key detection**: Misra-Gries per-batch key summaries over
+       ``left_key_source`` (pass a key-column-pruned read of the same
+       input — a one-column scan — to keep ``left`` itself
+       single-consumer; defaults to ``left``, which is then materialized
+       once), union-summed through a bounded exchange.  Keys whose
+       summed lower bound satisfies lb*k*(k+1) > N form a PROVABLE
+       superset of every key with frequency > N/k (see
+       aggregate.heavy_hitters); no exact verify needed — treating a
+       near-hot key as hot only costs a little extra replication.
+    2. **Salt-and-replicate exchange** (:func:`_split_blocks_skew`):
+       hot LEFT rows scatter round-robin across all partitions; hot
+       RIGHT rows replicate to all partitions (bounded: <= ~k hot keys
+       x the right side's per-key rows x n_partitions — the scheme
+       assumes a dim-like right side); cold rows hash normally.  One
+       merge task per partition, each holding ~1/P of the hot mass.
+
+    Supports how='inner'|'left' (each left row lands in exactly one
+    partition, each hot left row meets each matching right row exactly
+    once).  With no hot keys detected this degrades to exactly
+    :func:`exchange_join`."""
+    if how not in ("inner", "left"):
+        raise ValueError("skew_join supports how='inner'|'left'")
+    ron = right_on or on
+
+    if left_key_source is None:
+        left = left.materialize()
+        left_key_source = left
+
+    # row count N for the hot threshold: metadata-only for parquet reads
+    # and materialized datasets (the supported left_key_source shapes —
+    # a transformed lazy source would execute here AND in the MG pass)
+    total = int(left_key_source.count())
+
+    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[on].value_counts()
+        if len(c) > k:
+            cut = int(c.iloc[k])  # value_counts sorts descending
+            c = (c - cut)[c > cut]
+        return pd.DataFrame({"_key": c.index,
+                             "lb": c.to_numpy().astype("int64")})
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    summed = hash_aggregate(
+        left_key_source.map_batches(mg_partial, batch_format="pandas"),
+        keys=["_key"], aggs={"lb": "sum"},
+        n_partitions=n_partitions,
+    ).to_pandas()
+    if not len(summed) or "_key" not in summed.columns:
+        # uniform keys: every per-batch MG compress cancels to empty (and
+        # an all-empty Dataset's to_pandas() drops columns) — no hot keys
+        hot = frozenset()
+    else:
+        hot = frozenset(summed.loc[
+            summed["lb"].astype("int64") * k * (k + 1) > total, "_key"
+        ].tolist())
+
+    if not hot:
+        return exchange_join(left, right, on=on, right_on=ron,
+                             n_partitions=n_partitions, how=how)
+
+    if n_partitions is None:
+        n_partitions = max(resolve_partitions(left, None),
+                           resolve_partitions(right, None, default=8))
+
+    if isinstance(left, list):
+        raise TypeError("skew_join takes Datasets, not block refs")
+    lsplits = [
+        _split_blocks_skew.options(num_returns=n_partitions).remote(
+            on, n_partitions, hot, "left", *refs)
+        for refs in _iter_split_bundles(left)
+    ]
+    rsplits = [
+        _split_blocks_skew.options(num_returns=n_partitions).remote(
+            ron, n_partitions, hot, "right", *refs)
+        for refs in _iter_split_bundles(right)
+    ]
+    out_refs = [
+        _merge_equi_partition.remote(
+            len(lsplits), on, ron, how,
+            *[s[j] for s in lsplits], *[s[j] for s in rsplits],
+        )
+        for j in range(n_partitions)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+def _iter_split_bundles(src, min_rows_per_split: int = 32768):
+    """Yield bundled block-ref lists from a Dataset, streaming — the same
+    bundling policy as :func:`launch_splits`, factored so split-task
+    VARIANTS (e.g. the skew splitter) reuse it."""
+    pending, pending_rows, last = [], 0, None
+    for bundle in src.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            last = ref
+            if meta.num_rows:
+                pending.append(ref)
+                pending_rows += meta.num_rows
+                if pending_rows >= min_rows_per_split:
+                    yield pending
+                    pending, pending_rows = [], 0
+    if pending:
+        yield pending
+    elif last is not None:
+        yield [last]  # all-empty input: one schema-bearing empty split

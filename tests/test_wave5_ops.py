@@ -52,3 +52,62 @@ def test_weighted_sample_deterministic_and_length_biased(ray_session):
                            columns=["doc_id", "n_chars"])
     sampled = docs[docs["doc_id"].isin(a["doc_id"])]
     assert sampled["n_chars"].mean() > docs["n_chars"].mean()
+
+
+def test_skew_join_mega_key_exact_and_balanced(ray_session):
+    """skew_join must (a) return exactly the pandas merge under a 40%%
+    single-key skew, and (b) spread the mega key's rows across MANY merge
+    partitions instead of serializing one."""
+    import ray.data as rd
+
+    from ocr_ray.stages.join import skew_join
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.4, 7,
+                    rng.integers(100, 400, size=n)).astype("int64")
+    left = pd.DataFrame({"k": keys, "v": np.arange(n, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(500, dtype="int64"),
+                          "r": np.arange(500, dtype="int64") * 10})
+
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(2)
+    out = skew_join(lds, rds, on="k", n_partitions=8, k=16)
+
+    # (b) no merge partition holds more than ~30% of the output rows
+    # (round-robin scatter: expect ~1/8 each; a plain hash exchange would
+    # put the mega key's 40% of rows in ONE partition)
+    import ray
+
+    refs = [ref for b in out.iter_internal_ref_bundles()
+            for ref, _meta in b.blocks]
+    sizes = [blk.num_rows for blk in ray.get(refs)]
+    assert max(sizes) < 0.3 * sum(sizes), sizes
+
+    got = out.to_pandas().sort_values(["v"]).reset_index(drop=True)
+    want = (left.merge(right, on="k", how="inner")
+            .sort_values(["v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "r"]], want[["k", "v", "r"]])
+
+
+def test_skew_join_left_how_and_no_hot_fallback(ray_session):
+    """how='left' keeps unmatched rows; a uniform key distribution takes
+    the plain exchange_join path (no hot keys) and still matches."""
+    import ray.data as rd
+
+    from ocr_ray.stages.join import skew_join
+
+    left = pd.DataFrame({"k": np.arange(1000, dtype="int64") % 97,
+                         "v": np.arange(1000, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(50, dtype="int64"),
+                          "r": np.arange(50, dtype="int64")})
+    got = skew_join(rd.from_pandas(left).repartition(4),
+                    rd.from_pandas(right), on="k",
+                    n_partitions=4, k=8, how="left").to_pandas()
+    want = left.merge(right, on="k", how="left")
+    got = got.sort_values("v").reset_index(drop=True)
+    want = want.sort_values("v").reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+    assert got["r"].isna().sum() == want["r"].isna().sum()
