@@ -1601,6 +1601,48 @@ def q_doc_sample_weighted(sf_dir: str):
     return out[["doc_id", "priority"]]
 
 
+def q_doc_sample_per_source(sf_dir: str):
+    """Deterministic per-group sampling — k=20 docs per source by the
+    multiplicative id hash: each batch keeps at most k rows per source
+    it sees (bounded combiner), one tiny exchange keyed on source
+    finishes with the exact per-group top-k.  The grouped analog of
+    doc_sample_weighted: quota sampling for dataset curation (equal
+    representation per source regardless of source size), reproducible
+    across runs and partitionings."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    K = 20
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].astype("int64")
+        out = pd.DataFrame({
+            "doc_id": ids,
+            "source": b["source"],
+            "h": ((ids * SPLIT_MULT) % (1 << 32)).astype("int64"),
+        })
+        return (out.sort_values(["h", "doc_id"], kind="mergesort")
+                .groupby("source", as_index=False, sort=False).head(K))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "source" not in g.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "source": pd.Series(dtype="object"),
+                                 "h": pd.Series(dtype="int64")})
+        return (g.sort_values(["h", "doc_id"], kind="mergesort")
+                .groupby("source", as_index=False, sort=False).head(K))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    out = exchange_map_partitions(
+        ds.map_batches(partial, batch_format="pandas"),
+        "source", finish, n_partitions=4,
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["h"] = out["h"].astype("int64")
+    return (out.sort_values(["source", "h", "doc_id"], kind="mergesort")
+            .reset_index(drop=True)[["source", "doc_id", "h"]])
+
+
 def q_events_enriched(sf_dir: str):
     """Row-level enrichment with a per-key aggregate through the
     SKEW-AWARE join (stages/join.py:skew_join): per-user totals reduce
@@ -4432,6 +4474,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_heavy_hitters": q_corpus_heavy_hitters,
         "doc_sample_weighted": q_doc_sample_weighted,
         "events_enriched": q_events_enriched,
+        "doc_sample_per_source": q_doc_sample_per_source,
         "q7_nation_flows": q_q7_nation_flows,
         "q10_returned": q_q10_returned,
         "q18_top_spenders": q_q18_top_spenders,
@@ -5043,6 +5086,16 @@ ORDER BY n DESC, term
 SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
 FROM events
+""",
+    "doc_sample_per_source": """
+WITH h AS (SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY h, doc_id) AS rn
+      FROM h)
+SELECT source, doc_id, h FROM r WHERE rn <= 20
+ORDER BY source, h, doc_id
 """,
     # priority sampling: u*2^20 <= 2^52, exact in BIGINT on both sides
     "doc_sample_weighted": """
