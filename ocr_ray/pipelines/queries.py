@@ -1601,6 +1601,65 @@ def q_doc_sample_weighted(sf_dir: str):
     return out[["doc_id", "priority"]]
 
 
+def q_lineitems_top_customers(sf_dir: str):
+    """Selective big-side join through the Bloom prefilter
+    (stages/join.py:bloom_pruned_join — sideways information passing):
+    the top-10 customers' orderkeys (a sliver of the order stream) are
+    summarized into a fixed-size broadcast Bloom mask, and lineitem rows
+    failing the probes are dropped INSIDE the scan stage — the exchange
+    ships only (matches + rare false positives) instead of the whole
+    lineitem table.  Revenue per top customer, exact."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import bloom_pruned_join
+
+    def total_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(t=np.floor(
+            b["o_totalprice"] * 100 + 0.5).astype("int64"))
+        return b.groupby("o_custkey", as_index=False)[["t"]].sum()
+
+    totals = hash_aggregate(
+        rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(total_partial, batch_format="pandas"),
+        keys=["o_custkey"], aggs={"t": "sum"}, n_partitions=None,
+    ).sort(["t", "o_custkey"], descending=[True, False]).limit(10).to_pandas()
+    top = set(totals["o_custkey"].astype("int64"))
+
+    sel = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).filter(lambda r, _t=top: r["o_custkey"] in _t)
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    j = bloom_pruned_join(li, sel, on="l_orderkey", right_on="o_orderkey",
+                          n_partitions=8)
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            revenue_cents=np.floor(
+                b["l_extendedprice"] * (1 - b["l_discount"]) * 100 + 0.5
+            ).astype("int64"),
+            n_items=np.int64(1),
+        )
+        return b.groupby("o_custkey", as_index=False)[
+            ["revenue_cents", "n_items"]].sum()
+
+    out = hash_aggregate(
+        j.map_batches(rev_partial, batch_format="pandas"),
+        keys=["o_custkey"], aggs={"revenue_cents": "sum", "n_items": "sum"},
+        n_partitions=2,
+    ).to_pandas()
+    out["c_custkey"] = out["o_custkey"].astype("int64")
+    for c in ["revenue_cents", "n_items"]:
+        out[c] = out[c].astype("int64")
+    return (out.sort_values(["revenue_cents", "c_custkey"],
+                            ascending=[False, True], kind="mergesort")
+            .reset_index(drop=True)[["c_custkey", "revenue_cents", "n_items"]])
+
+
 def q_doc_sample_per_source(sf_dir: str):
     """Deterministic per-group sampling — k=20 docs per source by the
     multiplicative id hash: each batch keeps at most k rows per source
@@ -4475,6 +4534,7 @@ def queries() -> Dict[str, Callable]:
         "doc_sample_weighted": q_doc_sample_weighted,
         "events_enriched": q_events_enriched,
         "doc_sample_per_source": q_doc_sample_per_source,
+        "lineitems_top_customers": q_lineitems_top_customers,
         "q7_nation_flows": q_q7_nation_flows,
         "q10_returned": q_q10_returned,
         "q18_top_spenders": q_q18_top_spenders,
@@ -5086,6 +5146,18 @@ ORDER BY n DESC, term
 SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
 FROM events
+""",
+    "lineitems_top_customers": """
+WITH top10 AS (SELECT o_custkey,
+                      sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS t
+               FROM orders GROUP BY 1 ORDER BY t DESC, o_custkey LIMIT 10),
+sel AS (SELECT o_orderkey, o_custkey FROM orders JOIN top10 USING (o_custkey))
+SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN sel ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY revenue_cents DESC, c_custkey
 """,
     "doc_sample_per_source": """
 WITH h AS (SELECT source, CAST(doc_id AS BIGINT) AS doc_id,

@@ -869,3 +869,73 @@ def _iter_split_bundles(src, min_rows_per_split: int = 32768):
         yield pending
     elif last is not None:
         yield [last]  # all-empty input: one schema-bearing empty split
+
+
+# Join-key Bloom prefilter: k multiplicative probes into an m-bit mask.
+# Distinct constants from bloom.py's corpus filter (different domain:
+# int64 join keys, not document content hashes).
+_JBLOOM_CONSTS = ((0x9E3779B97F4A7C15, 0x7F4A7C15),
+                  (0xC2B2AE3D27D4EB4F, 0x165667B1),
+                  (0x2545F4914F6CDD1D, 0x27D4EB2F),
+                  (0xFF51AFD7ED558CCD, 0x9E3779B9))
+
+
+def _jbloom_positions(keys: np.ndarray, m_bits_log2: int) -> np.ndarray:
+    """(n, k) bit positions for int64 keys — top bits of k multiplicative
+    mixes (vectorized uint64 wraparound)."""
+    u = keys.astype(np.uint64)
+    shift = np.uint64(64 - m_bits_log2)
+    return np.stack([((u * np.uint64(a)) + np.uint64(b)) >> shift
+                     for a, b in _JBLOOM_CONSTS], axis=1)
+
+
+def bloom_pruned_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    n_partitions: Optional[int] = None,
+    how: str = "inner",
+    m_bits_log2: int = 20,
+) -> "rd.Dataset":
+    """Equi-join with a Bloom prefilter on the BIG left side — sideways
+    information passing for the selective-join case: when only a sliver
+    of a 100 TB left side has a match, a plain exchange still shuffles
+    every left row.  Here the right side's keys are summarized into an
+    m-bit Bloom filter (fixed m/8 bytes regardless of right size; built
+    with one streaming pass whose per-batch output is <= m positions),
+    the mask is broadcast once via ``ray.put``, and left rows failing
+    any of the k probes are dropped INSIDE map_batches — before the
+    exchange.  False positives only add shuffle volume; the merge task
+    removes them, so results are exact.  how='inner'|'semi' only (a
+    pruned row can't produce its left-outer null extension).
+
+    The right side is consumed twice (key scan + join) and is therefore
+    materialized once here — it is the SMALL side by assumption."""
+    if how not in ("inner", "semi"):
+        raise ValueError("bloom_pruned_join supports how='inner'|'semi'")
+    ron = right_on or on
+    right = right.materialize()
+
+    def key_positions(b: pd.DataFrame) -> pd.DataFrame:
+        pos = np.unique(_jbloom_positions(
+            b[ron].to_numpy().astype(np.int64), m_bits_log2))
+        return pd.DataFrame({"pos": pos.astype("int64")})
+
+    pos = np.unique(
+        right.map_batches(key_positions, batch_format="pandas")
+        .to_pandas()["pos"].to_numpy()
+    )
+    mask = np.zeros(1 << m_bits_log2, dtype=bool)
+    mask[pos] = True
+    mask_ref = ray.put(np.packbits(mask))
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        bits = np.unpackbits(ray.get(mask_ref)).view(bool)
+        p = _jbloom_positions(b[on].to_numpy().astype(np.int64),
+                              m_bits_log2)
+        return b[bits[p].all(axis=1)]
+
+    pruned = left.map_batches(prune, batch_format="pandas")
+    return exchange_join(pruned, right, on=on, right_on=ron,
+                         n_partitions=n_partitions, how=how)

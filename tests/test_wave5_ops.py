@@ -111,3 +111,50 @@ def test_skew_join_left_how_and_no_hot_fallback(ray_session):
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
     assert got["r"].isna().sum() == want["r"].isna().sum()
+
+
+def test_bloom_pruned_join_exact_and_prunes(ray_session):
+    """bloom_pruned_join must equal the plain exchange join AND actually
+    drop (nearly all) non-matching left rows before the exchange."""
+    import ray.data as rd
+
+    from ocr_ray.stages.join import (_jbloom_positions, bloom_pruned_join,
+                                     exchange_join)
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 100_000, size=50_000)
+                         .astype("int64"),
+                         "v": np.arange(50_000, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(0, 500, dtype="int64"),
+                          "r": np.arange(500, dtype="int64")})
+
+    got = bloom_pruned_join(rd.from_pandas(left).repartition(8),
+                            rd.from_pandas(right), on="k",
+                            n_partitions=4).to_pandas()
+    want = left.merge(right, on="k", how="inner")
+    got = got.sort_values(["v"]).reset_index(drop=True)
+    want = want.sort_values(["v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "v", "r"]], want[["k", "v", "r"]])
+
+    # the mask itself: selectivity ~0.5%, 4 probes into 2^20 bits ->
+    # false-positive rate well under 1%; check the prune keeps < 5%
+    pos = np.unique(_jbloom_positions(right["k"].to_numpy(), 20))
+    mask = np.zeros(1 << 20, dtype=bool)
+    mask[pos] = True
+    kept = mask[_jbloom_positions(left["k"].to_numpy(), 20)].all(axis=1)
+    assert kept.sum() < 0.05 * len(left)
+    assert kept.sum() >= len(want)  # no true match ever pruned
+
+
+def test_bloom_pruned_join_semi(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.stages.join import bloom_pruned_join
+
+    left = pd.DataFrame({"k": np.arange(1000, dtype="int64"),
+                         "v": np.arange(1000, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(0, 1000, 50, dtype="int64")})
+    got = bloom_pruned_join(rd.from_pandas(left).repartition(4),
+                            rd.from_pandas(right), on="k",
+                            n_partitions=4, how="semi").to_pandas()
+    assert sorted(got["k"]) == list(range(0, 1000, 50))
