@@ -985,3 +985,75 @@ def write_clustered(
     files/row-groups instead of scanning.  One all-to-all (the sort) at
     write time buys every future selective read."""
     ds.sort(col).write_parquet(out_dir)
+
+
+def join_skewed(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    right_on: "str | None" = None,
+    how: str = "inner",
+    left_key_source: "rd.Dataset | None" = None,
+    n_partitions: "int | None" = None,
+) -> "rd.Dataset":
+    """Skew-aware equi-join (stages/join.py:skew_join): Misra-Gries
+    hot-key detection + salt-and-replicate exchange, so a key holding
+    percent-level row share of the left side spreads across all merge
+    tasks instead of serializing one.  Pass ``left_key_source`` as a
+    key-column-pruned read of the same input to keep the detection pass
+    one-column cheap."""
+    from ocr_ray.stages.join import skew_join
+
+    return skew_join(left, right, on=on, right_on=right_on, how=how,
+                     left_key_source=left_key_source,
+                     n_partitions=n_partitions)
+
+
+def join_selective(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    right_on: "str | None" = None,
+    how: str = "inner",
+    n_partitions: "int | None" = None,
+) -> "rd.Dataset":
+    """Bloom-prefiltered equi-join (stages/join.py:bloom_pruned_join):
+    when only a sliver of the big left side matches, the right side's
+    keys broadcast as a fixed-size Bloom mask and non-matching left rows
+    drop inside the scan stage — the exchange ships matches plus rare
+    false positives (removed exactly at the merge)."""
+    from ocr_ray.stages.join import bloom_pruned_join
+
+    return bloom_pruned_join(left, right, on=on, right_on=right_on,
+                             how=how, n_partitions=n_partitions)
+
+
+def top_terms_exact(
+    docs: "rd.Dataset",
+    k: int = 64,
+    text_col: str = "text",
+) -> "pd.DataFrame":
+    """Exact heavy hitters — every term with count*k > total occurrences
+    (stages/aggregate.py:heavy_hitters: Misra-Gries candidates with a
+    provable superset bound, then an exact verify pass over the
+    broadcast candidate set)."""
+    from ocr_ray.stages.aggregate import heavy_hitters
+
+    return heavy_hitters(docs, k=k, text_col=text_col)
+
+
+def sample_weighted(sf_dir: str) -> "pd.DataFrame":
+    """Deterministic length-weighted priority sample of documents
+    (queries.q_doc_sample_weighted — Duffield-Lund-Thorup priority
+    sampling on the multiplicative id hash, int64-exact)."""
+    from ocr_ray.pipelines.queries import q_doc_sample_weighted
+
+    return q_doc_sample_weighted(sf_dir)
+
+
+def sample_per_group(sf_dir: str) -> "pd.DataFrame":
+    """Deterministic per-source quota sample (k docs per source by id
+    hash; queries.q_doc_sample_per_source)."""
+    from ocr_ray.pipelines.queries import q_doc_sample_per_source
+
+    return q_doc_sample_per_source(sf_dir)

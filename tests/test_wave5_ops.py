@@ -158,3 +158,25 @@ def test_bloom_pruned_join_semi(ray_session):
                             rd.from_pandas(right), on="k",
                             n_partitions=4, how="semi").to_pandas()
     assert sorted(got["k"]) == list(range(0, 1000, 50))
+
+
+def test_api_facades_wave6(ray_session):
+    """Thin api facades delegate to the tested operators."""
+    import ray.data as rd
+
+    import ocr_ray.api as ocr
+
+    left = pd.DataFrame({"k": np.arange(200, dtype="int64") % 5,
+                         "v": np.arange(200, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(5, dtype="int64"),
+                          "r": np.arange(5, dtype="int64")})
+    a = ocr.join_skewed(rd.from_pandas(left), rd.from_pandas(right),
+                        on="k", n_partitions=2).to_pandas()
+    b = ocr.join_selective(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", n_partitions=2).to_pandas()
+    want = left.merge(right, on="k")
+    assert len(a) == len(want) and len(b) == len(want)
+
+    docs = rd.from_pandas(pd.DataFrame({"text": ["big big big small"] * 20}))
+    hh = ocr.top_terms_exact(docs, k=4)
+    assert list(hh["term"]) == ["big"]
