@@ -23,6 +23,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ocr_ray.functions.entities import extract_entities
+from ocr_ray.stages.aggregate import global_topk
 from ocr_ray.stages.analysis import (
     BPE_PATTERN,
     LANG_MARKERS,
@@ -913,7 +914,7 @@ def q_doc_top_terms(sf_dir: str):
         ds.map_batches(partial, batch_format="pandas"),
         keys=["term"], aggs={"n": "sum"}, n_partitions=None,
     )
-    top = counts.sort(["n", "term"], descending=[True, False]).limit(50).to_pandas()
+    top = global_topk(counts, ["n", "term"], 50, descending=[True, False])
     top["n"] = top["n"].astype("int64")
     return top
 
@@ -1552,7 +1553,7 @@ def q_corpus_countmin(sf_dir: str):
 
     counts = hash_aggregate(ds.map_batches(partial, batch_format="pandas"),
                             keys=["term"], aggs={"n": "sum"}, n_partitions=8)
-    top = counts.sort(["n", "term"], descending=[True, False]).limit(20).to_pandas()
+    top = global_topk(counts, ["n", "term"], 20, descending=[True, False])
     top["n"] = top["n"].astype("int64")
     top["n_est"] = countmin_estimate(sketch, top["term"]).to_numpy()
     return top
@@ -1594,8 +1595,8 @@ def q_doc_sample_weighted(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "n_chars"])
-    out = (ds.map_batches(partial, batch_format="pandas")
-           .sort(["priority", "doc_id"]).limit(K).to_pandas())
+    out = global_topk(ds.map_batches(partial, batch_format="pandas"),
+                      ["priority", "doc_id"], K, descending=False)
     out["doc_id"] = out["doc_id"].astype("int64")
     out["priority"] = out["priority"].astype("int64")
     return out[["doc_id", "priority"]]
@@ -1622,7 +1623,9 @@ def q_lineitems_top_customers(sf_dir: str):
                         columns=["o_custkey", "o_totalprice"])
         .map_batches(total_partial, batch_format="pandas"),
         keys=["o_custkey"], aggs={"t": "sum"}, n_partitions=None,
-    ).sort(["t", "o_custkey"], descending=[True, False]).limit(10).to_pandas()
+    )
+    totals = global_topk(totals, ["t", "o_custkey"], 10,
+                         descending=[True, False])
     top = set(totals["o_custkey"].astype("int64"))
 
     sel = rd.read_parquet(
@@ -2119,7 +2122,7 @@ def q_embed_knn(sf_dir: str):
 
     scored = ds.map_batches(task_pool(RawCosine, query_ref=qref),
                             batch_format="pandas")
-    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10).to_pandas()
+    top = global_topk(scored, ["sim", "vec_id"], 10, descending=[True, False])
     top["sim"] = np.round(top["sim"], 6)
     top["vec_id"] = top["vec_id"].astype("int64")
     return top
@@ -2178,7 +2181,7 @@ def q_embed_qknn(sf_dir: str):
         .map_batches(task_pool(QuantizedDot, query_codes_ref=qcodes),
                      batch_format="pandas")
     )
-    top = scored.sort(["dot", "vec_id"], descending=[True, False]).limit(10).to_pandas()
+    top = global_topk(scored, ["dot", "vec_id"], 10, descending=[True, False])
     top["dot"] = top["dot"].astype("int64")
     return top
 
@@ -2257,7 +2260,7 @@ def q_ann_lsh_topk(sf_dir: str):
                   probe_ref=probe_ref, query_ref=qref),
         batch_format="pandas",
     )
-    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10).to_pandas()
+    top = global_topk(scored, ["sim", "vec_id"], 10, descending=[True, False])
     top["vec_id"] = top["vec_id"].astype("int64")
     return top
 
@@ -2316,7 +2319,7 @@ def q_ann_ivf(sf_dir: str):
                   probe_cells=frozenset(probe)),
         batch_format="pandas",
     )
-    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10).to_pandas()
+    top = global_topk(scored, ["sim", "vec_id"], 10, descending=[True, False])
     top["vec_id"] = top["vec_id"].astype("int64")
     return top
 
@@ -2422,11 +2425,9 @@ def q_q3_shipping(sf_dir: str):
     j = exchange_join(li_red, osel, on="l_orderkey", right_on="o_orderkey",
                       how="inner", n_partitions=None)
 
-    top = (
-        j.select_columns(["l_orderkey", "o_orderdate", "rev_cents"])
-        .sort(["rev_cents", "l_orderkey"], descending=[True, False])
-        .limit(10).to_pandas()
-    )
+    top = global_topk(
+        j.select_columns(["l_orderkey", "o_orderdate", "rev_cents"]),
+        ["rev_cents", "l_orderkey"], 10, descending=[True, False])
     top["l_orderkey"] = top["l_orderkey"].astype("int64")
     top["rev_cents"] = top["rev_cents"].astype("int64")
     return top[["l_orderkey", "o_orderdate", "rev_cents"]]
@@ -2729,12 +2730,10 @@ def q_q10_returned(sf_dir: str):
     names = dict(zip(nation["n_nationkey"].astype(int),
                      nation["n_name"].astype(str)))
 
-    out = (
+    out = global_topk(
         exchange_join(per_cust, cust, on="o_custkey", right_on="c_custkey",
-                      n_partitions=None)
-        .sort(["rev_cents", "o_custkey"], descending=[True, False])
-        .limit(20).to_pandas()
-    )
+                      n_partitions=None),
+        ["rev_cents", "o_custkey"], 20, descending=[True, False])
     out["c_custkey"] = out["o_custkey"].astype("int64")
     out["revenue_cents"] = out["rev_cents"].astype("int64")
     out["acctbal_cents"] = np.floor(
@@ -2786,11 +2785,9 @@ def q_q18_top_spenders(sf_dir: str):
         return b[["o_custkey", "c_name", "l_orderkey", "o_orderdate",
                   "totalprice_cents", "sum_qty"]]
 
-    out = (
-        j2.map_batches(finalize, batch_format="pandas")
-        .sort(["totalprice_cents", "l_orderkey"], descending=[True, False])
-        .limit(100).to_pandas()
-    )
+    out = global_topk(
+        j2.map_batches(finalize, batch_format="pandas"),
+        ["totalprice_cents", "l_orderkey"], 100, descending=[True, False])
     out = out.rename(columns={"l_orderkey": "o_orderkey",
                               "o_custkey": "c_custkey"})
     for c in ["c_custkey", "o_orderkey", "totalprice_cents", "sum_qty"]:

@@ -441,3 +441,31 @@ def heavy_hitters(
     out["n"] = out["n"].astype("int64")
     return (out.sort_values(["n", "term"], ascending=[False, True],
                             kind="mergesort").reset_index(drop=True))
+
+
+def global_topk(
+    ds: "ray.data.Dataset",
+    by: "List[str]",
+    k: int,
+    descending: "bool | List[bool]" = True,
+) -> pd.DataFrame:
+    """Global top-k WITHOUT a full distributed sort: each block reduces to
+    its own top-k inside ``map_batches`` (bounded k rows out per block),
+    and one driver-side sort finishes over <= k x n_blocks candidate rows.
+    ``Dataset.sort(...).limit(k)`` is an all-to-all range shuffle of the
+    ENTIRE input before the limit applies; for top-k over a 100 TB
+    aggregate this plan moves k rows per block instead.  Ties must be
+    broken by the trailing ``by`` columns (pass a unique key last) for a
+    deterministic result."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(by)
+    ascending = [not d for d in descending]
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    cand = ds.map_batches(block_topk, batch_format="pandas").to_pandas()
+    if not len(cand) or any(c not in cand.columns for c in by):
+        return cand  # all-empty input (Ray drops columns on empty)
+    return (cand.sort_values(by, ascending=ascending, kind="mergesort")
+            .head(k).reset_index(drop=True))

@@ -180,3 +180,24 @@ def test_api_facades_wave6(ray_session):
     docs = rd.from_pandas(pd.DataFrame({"text": ["big big big small"] * 20}))
     hh = ocr.top_terms_exact(docs, k=4)
     assert list(hh["term"]) == ["big"]
+
+
+def test_global_topk_equals_full_sort(ray_session):
+    """global_topk must equal sort().limit() for any k, both directions,
+    including k larger than the input."""
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import global_topk
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"a": rng.integers(0, 50, size=5000).astype("int64"),
+                       "id": np.arange(5000, dtype="int64")})
+    ds = rd.from_pandas(df).repartition(16)
+    for k in (1, 17, 10_000):
+        got = global_topk(ds, ["a", "id"], k, descending=[True, False])
+        want = (df.sort_values(["a", "id"], ascending=[False, True])
+                .head(k).reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+    got = global_topk(ds, ["a", "id"], 5, descending=False)
+    want = df.sort_values(["a", "id"]).head(5).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
