@@ -1602,6 +1602,42 @@ def q_doc_sample_weighted(sf_dir: str):
     return out[["doc_id", "priority"]]
 
 
+def q_events_dedup(sf_dir: str):
+    """Windowed event dedup — the streaming idempotency primitive: drop
+    an event when the PREVIOUS event of the same (user_id, event_type)
+    lies within 300 s (retry storms, at-least-once delivery).  One
+    user-keyed exchange; inside each partition the gap test is a single
+    vectorized shift-compare over the (user, type, ts, event_id)-sorted
+    frame — LAG semantics, exact.  Null event_type rows are dirty input
+    and excluded (the data-contract gate's job, same convention as
+    events_daily_filled)."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "event_type"]
+        if not len(g) or "user_id" not in g.columns:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="object"),
+                                 "event_type": pd.Series(dtype="object")})
+        g = g[g["event_type"].notna()]
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        same = (g["user_id"].eq(g["user_id"].shift())
+                & g["event_type"].eq(g["event_type"].shift()))
+        gap = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        keep = ~same | (gap > 300)
+        out = g.loc[keep, cols].copy()
+        out["event_id"] = out["event_id"].astype("int64")
+        return out
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return exchange_map_partitions(ds, "user_id", dedup_part,
+                                   n_partitions=8)
+
+
 def q_lineitems_top_customers(sf_dir: str):
     """Selective big-side join through the Bloom prefilter
     (stages/join.py:bloom_pruned_join — sideways information passing):
@@ -4532,6 +4568,7 @@ def queries() -> Dict[str, Callable]:
         "events_enriched": q_events_enriched,
         "doc_sample_per_source": q_doc_sample_per_source,
         "lineitems_top_customers": q_lineitems_top_customers,
+        "events_dedup": q_events_dedup,
         "q7_nation_flows": q_q7_nation_flows,
         "q10_returned": q_q10_returned,
         "q18_top_spenders": q_q18_top_spenders,
@@ -5143,6 +5180,16 @@ ORDER BY n DESC, term
 SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
 FROM events
+""",
+    # LAG-based idempotency window; ties at equal ts order by event_id,
+    # so a same-second retry (gap 0) is always dropped
+    "events_dedup": """
+WITH x AS (SELECT event_id, user_id, event_type, ts,
+                  lag(ts) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS pts
+           FROM events WHERE event_type IS NOT NULL)
+SELECT CAST(event_id AS BIGINT) AS event_id, user_id, event_type
+FROM x WHERE pts IS NULL OR ts - pts > INTERVAL 300 SECOND
 """,
     "lineitems_top_customers": """
 WITH top10 AS (SELECT o_custkey,
