@@ -1635,7 +1635,7 @@ def q_events_dedup(sf_dir: str):
         columns=["event_id", "user_id", "event_type", "ts"],
     )
     return exchange_map_partitions(ds, "user_id", dedup_part,
-                                   n_partitions=8)
+                                   n_partitions=None)
 
 
 def q_lineitems_top_customers(sf_dir: str):
@@ -1667,14 +1667,15 @@ def q_lineitems_top_customers(sf_dir: str):
     sel = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"],
-    ).filter(lambda r, _t=top: r["o_custkey"] in _t)
+    ).map_batches(lambda b, _t=top: b[b["o_custkey"].isin(_t)],
+                  batch_format="pandas")
 
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
     j = bloom_pruned_join(li, sel, on="l_orderkey", right_on="o_orderkey",
-                          n_partitions=8)
+                          n_partitions=None)
 
     def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(
@@ -1733,7 +1734,7 @@ def q_doc_sample_per_source(sf_dir: str):
                          columns=["doc_id", "source"])
     out = exchange_map_partitions(
         ds.map_batches(partial, batch_format="pandas"),
-        "source", finish, n_partitions=4,
+        "source", finish, n_partitions=None,
     ).to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     out["h"] = out["h"].astype("int64")
@@ -1768,7 +1769,7 @@ def q_events_enriched(sf_dir: str):
 
     events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                              columns=["event_id", "user_id"])
-    out = skew_join(events, totals, on="user_id", n_partitions=8,
+    out = skew_join(events, totals, on="user_id", n_partitions=None,
                     k=16, left_key_source=keys).to_pandas()
     out["event_id"] = out["event_id"].astype("int64")
     out["user_total"] = out["user_total"].astype("int64")
@@ -2665,7 +2666,8 @@ def q_q5_local_volume(sf_dir: str):
     cust = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"],
-    ).filter(lambda r: r["c_nationkey"] in keys)
+    ).map_batches(lambda b: b[b["c_nationkey"].isin(keys)],
+                  batch_format="pandas")
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -2800,7 +2802,8 @@ def q_q18_top_spenders(sf_dir: str):
     big = hash_aggregate(
         li.map_batches(qty_partial, batch_format="pandas"),
         keys=["l_orderkey"], aggs={"sum_qty": "sum"}, n_partitions=None,
-    ).filter(lambda r: r["sum_qty"] > 200)
+    ).map_batches(lambda b: b[b["sum_qty"] > 200],
+                  batch_format="pandas")
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -2889,7 +2892,8 @@ def q_q7_nation_flows(sf_dir: str):
     cust = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"],
-    ).filter(lambda r: r["c_nationkey"] in pair)
+    ).map_batches(lambda b: b[b["c_nationkey"].isin(pair)],
+                  batch_format="pandas")
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
                              columns=["o_orderkey", "o_custkey"])
     osel = exchange_join(orders, cust, on="o_custkey", right_on="c_custkey",

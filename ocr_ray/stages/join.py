@@ -880,6 +880,17 @@ _JBLOOM_CONSTS = ((0x9E3779B97F4A7C15, 0x7F4A7C15),
                   (0xFF51AFD7ED558CCD, 0x9E3779B9))
 
 
+def _jbloom_key64(col: "pd.Series") -> np.ndarray:
+    """Join key column -> int64 probe input: integers pass through,
+    everything else (strings, dates) goes through the same deterministic
+    pandas hash the exchange splitter uses — both sides of the join MUST
+    agree, which they do because both call this helper."""
+    if pd.api.types.is_integer_dtype(col):
+        return col.to_numpy().astype(np.int64)
+    return pd.util.hash_pandas_object(
+        _canon_key(col), index=False).to_numpy().astype(np.int64)
+
+
 def _jbloom_positions(keys: np.ndarray, m_bits_log2: int) -> np.ndarray:
     """(n, k) bit positions for int64 keys — top bits of k multiplicative
     mixes (vectorized uint64 wraparound)."""
@@ -919,7 +930,7 @@ def bloom_pruned_join(
 
     def key_positions(b: pd.DataFrame) -> pd.DataFrame:
         pos = np.unique(_jbloom_positions(
-            b[ron].to_numpy().astype(np.int64), m_bits_log2))
+            _jbloom_key64(b[ron]), m_bits_log2))
         return pd.DataFrame({"pos": pos.astype("int64")})
 
     pos = np.unique(
@@ -932,8 +943,7 @@ def bloom_pruned_join(
 
     def prune(b: pd.DataFrame) -> pd.DataFrame:
         bits = np.unpackbits(ray.get(mask_ref)).view(bool)
-        p = _jbloom_positions(b[on].to_numpy().astype(np.int64),
-                              m_bits_log2)
+        p = _jbloom_positions(_jbloom_key64(b[on]), m_bits_log2)
         return b[bits[p].all(axis=1)]
 
     pruned = left.map_batches(prune, batch_format="pandas")

@@ -176,3 +176,55 @@ def test_sft_prompt_window_matches_naive(turns):
     for i in range(len(turns)):
         want = "\n".join(fmts[max(0, i - 3):i])
         assert prompt.iloc[i] == want
+
+
+# -------------------------------------------------- exchange join property
+_KEYS = st.integers(min_value=-3, max_value=6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_KEYS, min_size=0, max_size=40),
+    st.lists(_KEYS, min_size=0, max_size=15),
+    st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+def test_exchange_join_matches_pandas(ray_session, lkeys, rkeys, how):
+    """exchange_join over the raw-task hash exchange must equal the pandas
+    merge for every how, on arbitrary key multisets (dups, empties,
+    one-sided keys) and any partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.join import exchange_join
+
+    left = pd.DataFrame({"k": pd.Series(lkeys, dtype="int64"),
+                         "v": np.arange(len(lkeys), dtype="int64")})
+    right = (pd.DataFrame({"k": pd.Series(sorted(set(rkeys)), dtype="int64")})
+             .assign(r=lambda d: d["k"] * 10))  # unique right keys
+
+    got = exchange_join(
+        rd.from_pandas(left).repartition(3),
+        rd.from_pandas(right).repartition(2) if len(right)
+        else rd.from_pandas(right),
+        on="k", n_partitions=3, how=how,
+    ).to_pandas()
+
+    if how in ("semi", "anti"):
+        m = left["k"].isin(set(right["k"]))
+        want = left[m if how == "semi" else ~m]
+        got = got.sort_values(["v"]).reset_index(drop=True) if len(got) \
+            else got
+        assert len(got) == len(want)
+        if len(want):
+            pd.testing.assert_frame_equal(
+                got[["k", "v"]],
+                want.sort_values("v").reset_index(drop=True)[["k", "v"]])
+        return
+    want = left.merge(right, on="k", how=how)
+    assert len(got) == len(want)
+    if len(want):
+        got = got.sort_values(["v"]).reset_index(drop=True)
+        want = want.sort_values(["v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+        assert (got["r"].fillna(-1) == want["r"].fillna(-1)).all()

@@ -201,3 +201,19 @@ def test_global_topk_equals_full_sort(ray_session):
     got = global_topk(ds, ["a", "id"], 5, descending=False)
     want = df.sort_values(["a", "id"]).head(5).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bloom_pruned_join_string_keys(ray_session):
+    import ray.data as rd
+
+    from ocr_ray.stages.join import bloom_pruned_join
+
+    left = pd.DataFrame({"k": [f"u{i % 40}" for i in range(400)],
+                         "v": np.arange(400, dtype="int64")})
+    right = pd.DataFrame({"k": ["u3", "u7", "u11"], "r": [1, 2, 3]})
+    got = bloom_pruned_join(rd.from_pandas(left).repartition(4),
+                            rd.from_pandas(right), on="k",
+                            n_partitions=4).to_pandas()
+    want = left.merge(right, on="k")
+    assert len(got) == len(want)
+    assert sorted(got["v"]) == sorted(want["v"])
