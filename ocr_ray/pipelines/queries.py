@@ -1602,6 +1602,118 @@ def q_doc_sample_weighted(sf_dir: str):
     return out[["doc_id", "priority"]]
 
 
+def q_events_top_users_per_type(sf_dir: str):
+    """Grouped top-N (top-3 users per event_type by event count, ties by
+    user_id) — the per-category leaderboard shape: per-(type, user)
+    counts reduce through the streaming hash aggregate, then ONE bounded
+    type-keyed exchange finishes the per-group head(3); nothing but the
+    (type, user) count table ever moves."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].notna() & b["user_id"].notna()]
+        b = b.assign(n=np.int64(1))
+        return b.groupby(["event_type", "user_id"], as_index=False)[["n"]].sum()
+
+    counts = hash_aggregate(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["event_type", "user_id"])
+        .map_batches(cnt, batch_format="pandas"),
+        keys=["event_type", "user_id"], aggs={"n": "sum"},
+        n_partitions=None,
+    )
+
+    def head3(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "event_type" not in g.columns:
+            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                 "user_id": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return (g.sort_values(["event_type", "n", "user_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+                .groupby("event_type", as_index=False, sort=False).head(3))
+
+    out = exchange_map_partitions(counts, "event_type", head3,
+                                  n_partitions=None).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["event_type", "n", "user_id"],
+                            ascending=[True, False, True], kind="mergesort")
+            .reset_index(drop=True)[["event_type", "user_id", "n"]])
+
+
+def q_orders_cumulative(sf_dir: str):
+    """Per-customer running order total (cumulative SUM OVER) — one
+    custkey exchange, then a vectorized groupby-cumsum per partition; the
+    canonical per-entity prefix-sum feature (account balance, lifetime
+    spend) without any global sort."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "o_custkey" not in g.columns:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                 "o_custkey": pd.Series(dtype="int64"),
+                                 "run_cents": pd.Series(dtype="int64")})
+        g = g.assign(cents=np.floor(
+            g["o_totalprice"] * 100 + 0.5).astype("int64"))
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        g["run_cents"] = g.groupby("o_custkey")["cents"].cumsum()
+        out = g[["o_orderkey", "o_custkey", "run_cents"]].copy()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    return exchange_map_partitions(ds, "o_custkey", cum, n_partitions=None)
+
+
+def q_io_csv_roundtrip(sf_dir: str):
+    """CSV source/sink integration (S5 writer-family analog alongside
+    io_jsonl_roundtrip): a projected event slice writes to CSV under
+    /tmp, reads back via ray.data.read_csv, and aggregates — proving the
+    text-format round trip preserves values exactly (integer and string
+    columns only: CSV float formatting is not contractual)."""
+    import hashlib
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out_dir = f"/tmp/ocr_ray_csv_{tag}"
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type"])
+
+    def proj(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["event_type"].notna()]
+        return pd.DataFrame({"event_id": b["event_id"].astype("int64"),
+                             "event_type": b["event_type"].astype(str)})
+
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(proj, batch_format="pandas").write_csv(out_dir)
+
+    back = rd.read_csv(out_dir)
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n=np.int64(1),
+                     sum_id=b["event_id"].astype("int64"))
+        return b.groupby("event_type", as_index=False)[["n", "sum_id"]].sum()
+
+    out = hash_aggregate(
+        back.map_batches(agg, batch_format="pandas"),
+        keys=["event_type"], aggs={"n": "sum", "sum_id": "sum"},
+        n_partitions=2,
+    ).to_pandas()
+    for c in ["n", "sum_id"]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_events_dedup(sf_dir: str):
     """Windowed event dedup — the streaming idempotency primitive: drop
     an event when the PREVIOUS event of the same (user_id, event_type)
@@ -4573,6 +4685,9 @@ def queries() -> Dict[str, Callable]:
         "doc_sample_per_source": q_doc_sample_per_source,
         "lineitems_top_customers": q_lineitems_top_customers,
         "events_dedup": q_events_dedup,
+        "events_top_users_per_type": q_events_top_users_per_type,
+        "orders_cumulative": q_orders_cumulative,
+        "io_csv_roundtrip": q_io_csv_roundtrip,
         "q7_nation_flows": q_q7_nation_flows,
         "q10_returned": q_q10_returned,
         "q18_top_spenders": q_q18_top_spenders,
@@ -5184,6 +5299,32 @@ ORDER BY n DESC, term
 SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
 FROM events
+""",
+    "events_top_users_per_type": """
+WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+           FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, user_id) AS rn
+      FROM c)
+SELECT event_type, user_id, n FROM r WHERE rn <= 3
+ORDER BY event_type, n DESC, user_id
+""",
+    "orders_cumulative": """
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+FROM orders
+""",
+    "io_csv_roundtrip": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS sum_id
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type ORDER BY event_type
 """,
     # LAG-based idempotency window; ties at equal ts order by event_id,
     # so a same-second retry (gap 0) is always dropped
