@@ -145,6 +145,47 @@ def run_skew() -> dict:
     return out
 
 
+def run_skew_join() -> dict:
+    """A/B: plain exchange_join vs skew_join on a 40%-mass mega key —
+    measures the straggler cost the salt-and-replicate path removes."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ocr_ray.stages.join import exchange_join, skew_join
+
+    rng = np.random.default_rng(42)
+    n = 4_000_000
+    keys = np.where(rng.random(n) < 0.4, 7,
+                    rng.integers(0, 10_000, size=n)).astype("int64")
+    left = pd.DataFrame({"k": keys, "v": np.arange(n, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(10_000, dtype="int64"),
+                          "r": np.arange(10_000, dtype="int64")})
+    lds = rd.from_pandas(left).repartition(64).materialize()
+    rds = rd.from_pandas(right).materialize()
+
+    out = {"metric": "exchange_join vs skew_join under 40% single-key skew",
+           "rows": n, "num_cpus": NCPU}
+    t0 = time.perf_counter()
+    n1 = exchange_join(lds, rds, on="k", n_partitions=NCPU).count()
+    out["exchange_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n2 = skew_join(lds, rds, on="k", n_partitions=NCPU,
+                   left_key_source=lds.select_columns(["k"])).count()
+    out["skew_join_sec"] = round(time.perf_counter() - t0, 3)
+    assert n1 == n2 == n, (n1, n2, n)
+    out["speedup"] = round(out["exchange_sec"] / out["skew_join_sec"], 3)
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     # larger input than the default bench so fixed per-execution overhead
     # (actor-pool spawn ~3-5s) stays <10% of wall time at 32 CPUs —
@@ -187,6 +228,8 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew-join" in sys.argv:
+        print(json.dumps(run_skew_join()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
     else:
