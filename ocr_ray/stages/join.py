@@ -855,7 +855,7 @@ def _iter_split_bundles(src, min_rows_per_split: int = 32768):
     """Yield bundled block-ref lists from a Dataset, streaming — the same
     bundling policy as :func:`launch_splits`, factored so split-task
     VARIANTS (e.g. the skew splitter) reuse it."""
-    pending, pending_rows, last = [], 0, None
+    pending, pending_rows, last, yielded = [], 0, None, False
     for bundle in src.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             last = ref
@@ -864,11 +864,15 @@ def _iter_split_bundles(src, min_rows_per_split: int = 32768):
                 pending_rows += meta.num_rows
                 if pending_rows >= min_rows_per_split:
                     yield pending
-                    pending, pending_rows = [], 0
+                    pending, pending_rows, yielded = [], 0, True
     if pending:
         yield pending
-    elif last is not None:
-        yield [last]  # all-empty input: one schema-bearing empty split
+    elif not yielded and last is not None:
+        # all-empty input: one schema-bearing empty split.  The `yielded`
+        # guard matters: when the loop drained exactly on a threshold
+        # yield, re-yielding `last` would DUPLICATE the final block
+        # (caught by the --skew-join bench row-count assert).
+        yield [last]
 
 
 # Join-key Bloom prefilter: k multiplicative probes into an m-bit mask.

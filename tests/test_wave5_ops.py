@@ -217,3 +217,24 @@ def test_bloom_pruned_join_string_keys(ray_session):
     want = left.merge(right, on="k")
     assert len(got) == len(want)
     assert sorted(got["v"]) == sorted(want["v"])
+
+
+def test_skew_join_no_duplicate_on_bundling_boundary(ray_session):
+    """Regression: when every block crosses the bundling threshold, the
+    split iterator must NOT re-yield the last block (it used to, adding
+    one block's rows twice — caught by the --skew-join bench assert)."""
+    import ray.data as rd
+
+    from ocr_ray.stages.join import skew_join
+
+    n = 70_000  # 2 blocks x 35k, each >= the 32768 bundling threshold
+    rng = np.random.default_rng(1)
+    keys = np.where(rng.random(n) < 0.5, 1,
+                    rng.integers(10, 500, size=n)).astype("int64")
+    left = pd.DataFrame({"k": keys, "v": np.arange(n, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(500, dtype="int64"),
+                          "r": np.arange(500, dtype="int64")})
+    out = skew_join(rd.from_pandas(left).repartition(2),
+                    rd.from_pandas(right), on="k",
+                    n_partitions=8, k=16)
+    assert out.count() == n
