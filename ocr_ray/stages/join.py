@@ -166,36 +166,11 @@ def launch_splits(
             _split_blocks.options(num_returns=n_partitions).remote(by, n_partitions, r)
             for r in src
         ]
-    splits: List = []
-    last = None
-    pending: List = []
-    pending_rows = 0
-    for bundle in src.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            last = ref
-            if meta.num_rows:
-                pending.append(ref)
-                pending_rows += meta.num_rows
-                if pending_rows >= min_rows_per_split:
-                    splits.append(
-                        _split_blocks.options(num_returns=n_partitions).remote(
-                            by, n_partitions, *pending
-                        )
-                    )
-                    pending, pending_rows = [], 0
-    if pending:
-        splits.append(
-            _split_blocks.options(num_returns=n_partitions).remote(
-                by, n_partitions, *pending
-            )
-        )
-    if not splits and last is not None:
-        # all-empty input: keep one (empty) split so downstream merge tasks
-        # see a schema-bearing piece
-        splits.append(
-            _split_blocks.options(num_returns=n_partitions).remote(by, n_partitions, last)
-        )
-    return splits
+    return [
+        _split_blocks.options(num_returns=n_partitions).remote(
+            by, n_partitions, *refs)
+        for refs in _iter_split_bundles(src, min_rows_per_split)
+    ]
 
 
 def _concat_pd(pieces) -> pd.DataFrame:
