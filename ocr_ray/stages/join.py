@@ -806,14 +806,15 @@ def skew_join(
 
     if isinstance(left, list):
         raise TypeError("skew_join takes Datasets, not block refs")
+    hot_ref = ray.put(hot)  # shipped once, not re-pickled per split task
     lsplits = [
         _split_blocks_skew.options(num_returns=n_partitions).remote(
-            on, n_partitions, hot, "left", *refs)
+            on, n_partitions, hot_ref, "left", *refs)
         for refs in _iter_split_bundles(left)
     ]
     rsplits = [
         _split_blocks_skew.options(num_returns=n_partitions).remote(
-            ron, n_partitions, hot, "right", *refs)
+            ron, n_partitions, hot_ref, "right", *refs)
         for refs in _iter_split_bundles(right)
     ]
     out_refs = [
