@@ -1100,6 +1100,80 @@ def _q_transcripts_model_rescore(sf_dir: str):
     return out.sort_values("engine").reset_index(drop=True)
 
 
+def _q_transcripts_dpo_pairs(sf_dir: str):
+    """DPO-style preference-pair builder from best-of-N engine
+    disagreement: every turn runs all three extraction engines, each
+    output is scored with the reference quality scorer
+    (functions/scoring.py:score_ocr_result, src/ocr_module.py:448-476
+    semantics); chosen = highest-scoring output, rejected = lowest
+    (ties break by engine registry order, so the pair is a pure
+    function of the payload), and turns where every engine agrees emit
+    nothing.  A pure per-row actor-pool map — zero shuffle; the margin
+    ships as exact ppm int64.  Rows-only driver check (engine outputs
+    aren't SQL-expressible); tests/test_wave5_ops.py value-checks the
+    pair semantics against a direct-function replica."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    class PairBuilder:
+        def __init__(self):
+            from ocr_ray.functions.scoring import score_ocr_result
+            from ocr_ray.stages.extract import ENGINES
+
+            self.engines = [(n, ENGINES[n])
+                            for n in ("tagstrip", "density", "domtree")]
+            self.score = score_ocr_result
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for conv_id, turn_idx, payload in zip(
+                b["conv_id"], b["turn_idx"], b["text"]
+            ):
+                outs = []
+                for name, fn in self.engines:
+                    try:
+                        t = fn(payload)
+                    except Exception:
+                        t = ""
+                    outs.append((name, t, self.score(t)))
+                best = max(outs, key=lambda o: o[2])   # first maximal:
+                worst = min(outs, key=lambda o: o[2])  # registry-order tie
+                if best[1] == worst[1]:
+                    continue
+                rows.append({
+                    "conv_id": conv_id,
+                    "turn_idx": int(turn_idx),
+                    "chosen_engine": best[0],
+                    "rejected_engine": worst[0],
+                    "chosen": best[1],
+                    "rejected": worst[1],
+                    "margin_ppm": int(np.floor(
+                        (best[2] - worst[2]) * 1e6 + 0.5)),
+                })
+            cols = ["conv_id", "turn_idx", "chosen_engine",
+                    "rejected_engine", "chosen", "rejected", "margin_ppm"]
+            if not rows:
+                return pd.DataFrame({
+                    "conv_id": pd.Series(dtype="object"),
+                    "turn_idx": pd.Series(dtype="int64"),
+                    "chosen_engine": pd.Series(dtype="object"),
+                    "rejected_engine": pd.Series(dtype="object"),
+                    "chosen": pd.Series(dtype="object"),
+                    "rejected": pd.Series(dtype="object"),
+                    "margin_ppm": pd.Series(dtype="int64"),
+                })
+            out = pd.DataFrame(rows)[cols]
+            out["turn_idx"] = out["turn_idx"].astype("int64")
+            out["margin_ppm"] = out["margin_ppm"].astype("int64")
+            return out
+
+    ds = rd.read_parquet(_transcripts_for(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    return ds.map_batches(PairBuilder, concurrency=4,
+                          batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from ocr_ray.pipelines.queries import queries as _queries
 
@@ -1123,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["transcripts_decontaminate"] = _q_transcripts_decontaminate
     q["transcripts_contract"] = _q_transcripts_contract
     q["transcripts_model_rescore"] = _q_transcripts_model_rescore
+    q["transcripts_dpo_pairs"] = _q_transcripts_dpo_pairs
     return q
 
 

@@ -238,3 +238,45 @@ def test_skew_join_no_duplicate_on_bundling_boundary(ray_session):
                     rd.from_pandas(right), on="k",
                     n_partitions=8, k=16)
     assert out.count() == n
+
+
+def test_dpo_pairs_match_direct_replica(ray_session):
+    """transcripts_dpo_pairs (rows-only in the driver) value-checked here:
+    the distributed pair builder must equal a direct per-row replica over
+    the same payloads, and pairs must be strictly score-ordered."""
+    import os
+
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry._q_transcripts_dpo_pairs(sf).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    from ocr_ray.functions.scoring import score_ocr_result
+    from ocr_ray.stages.extract import ENGINES
+
+    tdir = entry._transcripts_for(sf)
+    src = pd.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])
+    rows = []
+    for conv_id, turn_idx, payload in src.itertuples(index=False):
+        outs = []
+        for n in ("tagstrip", "density", "domtree"):
+            try:
+                t = ENGINES[n](payload)
+            except Exception:
+                t = ""
+            outs.append((n, t, score_ocr_result(t)))
+        best = max(outs, key=lambda o: o[2])
+        worst = min(outs, key=lambda o: o[2])
+        if best[1] == worst[1]:
+            continue
+        rows.append((conv_id, int(turn_idx), best[0], worst[0],
+                     best[1], worst[1],
+                     int(np.floor((best[2] - worst[2]) * 1e6 + 0.5))))
+    want = pd.DataFrame(rows, columns=list(got.columns))
+    want["turn_idx"] = want["turn_idx"].astype("int64")
+    want["margin_ppm"] = want["margin_ppm"].astype("int64")
+    want = want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["margin_ppm"] > 0).all()
