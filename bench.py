@@ -186,6 +186,50 @@ def run_skew_join() -> dict:
     return out
 
 
+def run_bloom_join() -> dict:
+    """A/B: plain exchange_join vs bloom_pruned_join when only ~0.9% of
+    the left side matches — measures the shuffle the Bloom mask avoids."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from ocr_ray.stages.join import bloom_pruned_join, exchange_join
+
+    rng = np.random.default_rng(42)
+    n = 8_000_000
+    left = pd.DataFrame({
+        "k": rng.integers(0, 1_000_000, size=n).astype("int64"),
+        "v": np.arange(n, dtype="int64"),
+        # payload column: the bytes the prune saves from the exchange
+        "payload": pd.Series(["x" * 64] * n, dtype="string"),
+    })
+    right = pd.DataFrame({"k": np.arange(0, 9_000, dtype="int64"),
+                          "r": np.arange(9_000, dtype="int64")})
+    lds = rd.from_pandas(left).repartition(64).materialize()
+    rds = rd.from_pandas(right).materialize()
+
+    out = {"metric": "exchange_join vs bloom_pruned_join at ~0.9% selectivity",
+           "rows": n, "num_cpus": NCPU}
+    t0 = time.perf_counter()
+    n1 = exchange_join(lds, rds, on="k", n_partitions=NCPU).count()
+    out["exchange_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n2 = bloom_pruned_join(lds, rds, on="k", n_partitions=NCPU).count()
+    out["bloom_sec"] = round(time.perf_counter() - t0, 3)
+    assert n1 == n2, (n1, n2)
+    out["matched_rows"] = int(n1)
+    out["speedup"] = round(out["exchange_sec"] / out["bloom_sec"], 3)
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     # larger input than the default bench so fixed per-execution overhead
     # (actor-pool spawn ~3-5s) stays <10% of wall time at 32 CPUs —
@@ -230,6 +274,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--skew-join" in sys.argv:
         print(json.dumps(run_skew_join()))
+    elif "--bloom-join" in sys.argv:
+        print(json.dumps(run_bloom_join()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
     else:
