@@ -1602,6 +1602,20 @@ def q_doc_sample_weighted(sf_dir: str):
     return out[["doc_id", "priority"]]
 
 
+def q_doc_source_distinct_hll(sf_dir: str):
+    """Per-source distinct-vocabulary HLL (stages/aggregate.py:
+    hll_distinct_terms_by — the grouped-sketch pattern: registers keyed
+    by (source, bucket) are the whole aggregation state, one bounded
+    exchange, never a (source, term) shuffle).  Same mix/estimator as
+    corpus_hll, so the oracle replicates it per group exactly,
+    register-for-register."""
+    from ocr_ray.stages.aggregate import hll_distinct_terms_by
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "text"])
+    return hll_distinct_terms_by(ds, "source", n_partitions=8)
+
+
 def q_events_top_users_per_type(sf_dir: str):
     """Grouped top-N (top-3 users per event_type by event count, ties by
     user_id) — the per-category leaderboard shape: per-(type, user)
@@ -4686,6 +4700,7 @@ def queries() -> Dict[str, Callable]:
         "lineitems_top_customers": q_lineitems_top_customers,
         "events_dedup": q_events_dedup,
         "events_top_users_per_type": q_events_top_users_per_type,
+        "doc_source_distinct_hll": q_doc_source_distinct_hll,
         "orders_cumulative": q_orders_cumulative,
         "io_csv_roundtrip": q_io_csv_roundtrip,
         "q7_nation_flows": q_q7_nation_flows,
@@ -5893,6 +5908,51 @@ SELECT CAST(256 AS BIGINT) AS m,
        THEN floor(256.0 * ln(256.0 / n_zero_registers) * 1e6 + 0.5) / 1e6
        ELSE est_raw END AS est_distinct
 FROM fin2
+""",
+    # the corpus_hll chain with `source` carried through every CTE: the
+    # grouped sketch is value-checked register-for-register per source
+    "doc_source_distinct_hll": rf"""
+WITH d0 AS (SELECT source,
+                   CASE WHEN trim(text) = '' THEN []
+                        ELSE string_split_regex(trim(text), '\s+') END AS w
+            FROM documents),
+tok AS (SELECT DISTINCT source, unnest(w) AS t FROM d0),
+th AS (SELECT source,
+   list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003) AS f1,
+   list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033) AS f2
+ FROM tok),
+z0 AS (SELECT source, ((CAST(f1 + f2 * 2147483648 AS HUGEINT) + {_HLL_C0})
+               % 18446744073709551616) AS z FROM th),
+z1 AS (SELECT source, {_hll_mulmod64('xor(z, z >> 30)', _HLL_C1)} AS z FROM z0),
+z2 AS (SELECT source, {_hll_mulmod64('xor(z, z >> 27)', _HLL_C2)} AS z FROM z1),
+mix AS (SELECT source, xor(z, z >> 31) AS x FROM z2),
+reg AS (SELECT source, CAST(x // 72057594037927936 AS BIGINT) AS bucket,
+               CAST(x % 72057594037927936 AS BIGINT) AS wv FROM mix),
+rho AS (SELECT source, bucket,
+               max(CASE WHEN wv = 0 THEN 57 ELSE 57 - len(bin(wv)) END) AS mj
+        FROM reg GROUP BY source, bucket),
+st AS (SELECT source, count(*) AS n_present,
+              coalesce(sum(CAST((1::BIGINT << (63 - mj)) AS HUGEINT)), 0) AS s_present,
+              CAST(coalesce(sum(mj), 0) AS BIGINT) AS sum_rho
+       FROM rho GROUP BY source),
+fin AS (SELECT source, 256 - n_present AS n_zero_registers, sum_rho,
+   s_present + CAST(256 - n_present AS HUGEINT) * (CAST(1::BIGINT << 62 AS HUGEINT) * 2) AS s
+ FROM st),
+fin2 AS (SELECT source, n_zero_registers, sum_rho,
+   floor(CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536.0 * 9223372036854775808.0
+         / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS est_raw
+ FROM fin)
+SELECT source, CAST(256 AS BIGINT) AS m,
+  CAST(n_zero_registers AS BIGINT) AS n_zero_registers,
+  sum_rho, est_raw,
+  CASE WHEN est_raw <= 640.0 AND n_zero_registers > 0
+       THEN floor(256.0 * ln(256.0 / n_zero_registers) * 1e6 + 0.5) / 1e6
+       ELSE est_raw END AS est_distinct
+FROM fin2 ORDER BY source
 """,
     # whole-doc 62-bit keys (same rolling polynomials), k multiplicative
     # probes, corpus position set, membership test — the oracle replicates
