@@ -1602,6 +1602,39 @@ def q_doc_sample_weighted(sf_dir: str):
     return out[["doc_id", "priority"]]
 
 
+def q_io_partitioned_roundtrip(sf_dir: str):
+    """Hive-partitioned write + partition-pruned read: documents write
+    under /tmp partitioned by lang (``write_parquet(partition_cols=...)``
+    — one directory per key, the resumable/selective layout), then the
+    'de' slice reads back by opening ONLY its directory — physical
+    partition pruning, zero bytes of any other language touched.  The
+    aggregate is value-checked against the unpartitioned table."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out_dir = f"/tmp/ocr_ray_part_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                    columns=["doc_id", "lang", "n_chars"]) \
+        .write_parquet(out_dir, partition_cols=["lang"])
+
+    sel = rd.read_parquet(os.path.join(out_dir, "lang=de"))
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(b))],
+            "sum_chars": [np.int64(b["n_chars"].astype("int64").sum())],
+        })
+
+    out = sel.map_batches(agg, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_docs": [np.int64(out["n_docs"].sum())],
+        "sum_chars": [np.int64(out["sum_chars"].sum())],
+    })
+
+
 def q_doc_source_distinct_hll(sf_dir: str):
     """Per-source distinct-vocabulary HLL (stages/aggregate.py:
     hll_distinct_terms_by — the grouped-sketch pattern: registers keyed
@@ -4701,6 +4734,7 @@ def queries() -> Dict[str, Callable]:
         "events_dedup": q_events_dedup,
         "events_top_users_per_type": q_events_top_users_per_type,
         "doc_source_distinct_hll": q_doc_source_distinct_hll,
+        "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
         "orders_cumulative": q_orders_cumulative,
         "io_csv_roundtrip": q_io_csv_roundtrip,
         "q7_nation_flows": q_q7_nation_flows,
@@ -5314,6 +5348,11 @@ ORDER BY n DESC, term
 SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
 FROM events
+""",
+    "io_partitioned_roundtrip": """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE lang = 'de'
 """,
     "events_top_users_per_type": """
 WITH c AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
