@@ -1602,6 +1602,69 @@ def q_doc_sample_weighted(sf_dir: str):
     return out[["doc_id", "priority"]]
 
 
+def q_dedup_exact_normalized(sf_dir: str):
+    """Normalization-keyed exact dedup — 'fuzzy-exact': casefold +
+    collapse every non-alphanumeric run to one space before hashing, so
+    byte-different but content-identical docs (case, punctuation,
+    whitespace variants) collapse into one group.  Same distributed
+    shape as dedup_exact: only 16-byte hashes of the NORMALIZED text
+    move through the exchange; output is the per-group keeper (min
+    doc_id) + variant count."""
+    import hashlib
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    norm = re.compile(r"[^a-z0-9]+")
+
+    def hash_norm(b: pd.DataFrame) -> pd.DataFrame:
+        t = [norm.sub(" ", x.lower()).strip() for x in b["text"]]
+        return pd.DataFrame({
+            "h": [hashlib.sha256(x.encode()).hexdigest()[:16] for x in t],
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_variants": np.int64(1),
+        })
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = hash_aggregate(
+        ds.map_batches(hash_norm, batch_format="pandas"),
+        keys=["h"], aggs={"doc_id": "min", "n_variants": "sum"},
+        n_partitions=None,
+    ).to_pandas()
+    for c in ("doc_id", "n_variants"):
+        out[c] = out[c].astype("int64")
+    return (out.sort_values("doc_id").reset_index(drop=True)
+            [["doc_id", "n_variants"]])
+
+
+def q_doc_langid_confusion(sf_dir: str):
+    """Detector-evaluation confusion matrix: (true lang, detected lang)
+    counts over the whole corpus — the quality-control readout every
+    langid gate needs.  The detector is the oracle-checked stopword
+    profiler (stages/analysis.py:langid_docs_batch semantics); the
+    matrix reduces through per-batch combiners, so the exchange carries
+    at most |langs|^2 rows per block."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.analysis import langid_docs_batch
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = langid_docs_batch(b[["doc_id", "text"]])
+        d = pd.DataFrame({"lang": b["lang"].to_numpy(),
+                          "detected": g["lang_guess"].to_numpy(),
+                          "n": np.int64(1)})
+        return d.groupby(["lang", "detected"], as_index=False)[["n"]].sum()
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "text"])
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "detected"], aggs={"n": "sum"}, n_partitions=2,
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["lang", "detected"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_io_partitioned_roundtrip(sf_dir: str):
     """Hive-partitioned write + partition-pruned read: documents write
     under /tmp partitioned by lang (``write_parquet(partition_cols=...)``
@@ -4735,6 +4798,8 @@ def queries() -> Dict[str, Callable]:
         "events_top_users_per_type": q_events_top_users_per_type,
         "doc_source_distinct_hll": q_doc_source_distinct_hll,
         "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
+        "dedup_exact_normalized": q_dedup_exact_normalized,
+        "doc_langid_confusion": q_doc_langid_confusion,
         "orders_cumulative": q_orders_cumulative,
         "io_csv_roundtrip": q_io_csv_roundtrip,
         "q7_nation_flows": q_q7_nation_flows,
@@ -5147,6 +5212,25 @@ SELECT doc_id, n_en, n_de, n_fr, n_es,
        ELSE 'es' END AS lang_guess
 FROM c
 """,
+    # the doc_langid detector chain with the true-lang column carried
+    # through, rolled up to the (lang, detected) matrix
+    "doc_langid_confusion": rf"""
+WITH t AS (SELECT lang, regexp_extract_all(lower(text), '\w+') AS toks FROM documents),
+c AS (SELECT lang,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in LANG_MARKERS['en'])}))) AS BIGINT) AS n_en,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in LANG_MARKERS['de'])}))) AS BIGINT) AS n_de,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in LANG_MARKERS['fr'])}))) AS BIGINT) AS n_fr,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join(f"'{w}'" for w in LANG_MARKERS['es'])}))) AS BIGINT) AS n_es
+ FROM t),
+g AS (SELECT lang,
+  CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+       WHEN n_fr >= n_es THEN 'fr'
+       ELSE 'es' END AS detected
+ FROM c)
+SELECT lang, detected, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+""",
     "doc_split": f"""
 WITH h AS (SELECT doc_id,
     (CAST(doc_id AS BIGINT) * {SPLIT_MULT}) % 4294967296 AS hv
@@ -5348,6 +5432,16 @@ ORDER BY n DESC, term
 SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
 FROM events
+""",
+    # group by the NORMALIZED text itself — the engine groups by its
+    # sha256, identical partitioning absent a 2^-64 collision
+    "dedup_exact_normalized": r"""
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+           FROM documents)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM n GROUP BY t ORDER BY doc_id
 """,
     "io_partitioned_roundtrip": """
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
