@@ -90,14 +90,16 @@ def dedup_pairs(
 
         def pairs(g: pd.DataFrame) -> pd.DataFrame:
             if not len(g):
-                return pd.DataFrame({"left_id": pd.Series([], dtype="int64"),
-                                     "right_id": pd.Series([], dtype="int64")})
+                return pd.DataFrame({"left_id": pd.Series([], dtype="object"),
+                                     "right_id": pd.Series([], dtype="object")})
+            # id dtype preserved (int, string, UUID — anything orderable):
+            # the keeper is the per-hash minimum under the column's own order
             g = g.sort_values(["content_hash", id_col], kind="mergesort")
             first = g.groupby("content_hash")[id_col].transform("min")
             dup = g[id_col] != first
             return pd.DataFrame(
-                {"left_id": first[dup].to_numpy(dtype="int64"),
-                 "right_id": g.loc[dup, id_col].to_numpy(dtype="int64")}
+                {"left_id": first[dup].to_numpy(),
+                 "right_id": g.loc[dup, id_col].to_numpy()}
             )
 
         hashed = docs.map_batches(hash_only, batch_format="pandas")

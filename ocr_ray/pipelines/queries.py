@@ -4700,12 +4700,16 @@ MODEL_ARTIFACT_PATH = "/tmp/ocr_ray_quality_ridge.pkl"
 
 
 def _ensure_model_artifact() -> str:
-    """Build (deterministic seed-0 fit) the A4 scorer artifact if absent —
-    the stand-in for a pretrained-weights download into the model cache."""
+    """(Re)build the deterministic seed-0 A4 scorer artifact — the
+    stand-in for a pretrained-weights download into the model cache.
+    ALWAYS rewritten (the closed-form fit costs milliseconds): a stale
+    pickle from an older code revision would otherwise pin a wrong or
+    version-mismatched artifact forever, and never loading a
+    pre-existing /tmp pickle also means a foreign file planted at the
+    predictable path is overwritten, not executed."""
     from ocr_ray.stages.model_engine import build_model_artifact
 
-    if not os.path.exists(MODEL_ARTIFACT_PATH):
-        build_model_artifact(MODEL_ARTIFACT_PATH)
+    build_model_artifact(MODEL_ARTIFACT_PATH)
     return MODEL_ARTIFACT_PATH
 
 

@@ -437,6 +437,12 @@ def heavy_hitters(
         ds.map_batches(exact_partial, batch_format="pandas"),
         keys=["term"], aggs={"n": "sum"}, n_partitions=n_partitions,
     ).to_pandas()
+    if not len(exact) or "n" not in exact.columns:
+        # no candidate survived the superset filter (uniform distribution:
+        # nothing is frequent enough) — and Ray's to_pandas() on an
+        # all-empty Dataset drops columns, so rebuild the typed empty
+        return pd.DataFrame({"term": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
     out = exact[exact["n"].astype("int64") * k > total].copy()
     out["n"] = out["n"].astype("int64")
     return (out.sort_values(["n", "term"], ascending=[False, True],

@@ -87,10 +87,19 @@ class Extractor:
         if config.model_artifact:
             import pickle
 
-            from ocr_ray.stages.model_engine import model_score_fn
+            from ocr_ray.stages.model_engine import (ARTIFACT_VERSION,
+                                                     model_score_fn)
 
             with open(config.model_artifact, "rb") as f:
-                self._model_score: Callable | None = model_score_fn(pickle.load(f))
+                art = pickle.load(f)
+            # same contract check ModelScorer enforces: a stale artifact
+            # (different feature order / weight semantics) must fail loud,
+            # not silently steer best-of-N with wrong weights
+            if art.get("version") != ARTIFACT_VERSION:
+                raise ValueError(
+                    f"model artifact version {art.get('version')!r} != "
+                    f"engine contract {ARTIFACT_VERSION!r}")
+            self._model_score: Callable | None = model_score_fn(art)
         else:
             self._model_score = None
         if with_clean:

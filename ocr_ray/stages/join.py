@@ -90,14 +90,17 @@ def _cpu_floor() -> int:
     up tiny-object counts, and at real data sizes the size term dominates
     anyway.  Cached for the session (one GCS lookup)."""
     if not _CPU_FLOOR_CACHE:
-        cpus = 8
         try:
             import ray
 
-            if ray.is_initialized():
-                cpus = int(ray.cluster_resources().get("CPU", 8))
+            if not ray.is_initialized():
+                # don't poison the cache before the session exists — a
+                # pre-init call would pin the floor at 8 for the whole
+                # process even on a 32-core node
+                return 8
+            cpus = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
-            pass
+            return 8
         _CPU_FLOOR_CACHE.append(max(8, min(cpus, 16)))
     return _CPU_FLOOR_CACHE[0]
 
@@ -761,6 +764,8 @@ def skew_join(
     :func:`exchange_join`."""
     if how not in ("inner", "left"):
         raise ValueError("skew_join supports how='inner'|'left'")
+    if isinstance(left, list) or isinstance(right, list):
+        raise TypeError("skew_join takes Datasets, not block refs")
     ron = right_on or on
 
     if left_key_source is None:
@@ -804,8 +809,6 @@ def skew_join(
         n_partitions = max(resolve_partitions(left, None),
                            resolve_partitions(right, None, default=8))
 
-    if isinstance(left, list):
-        raise TypeError("skew_join takes Datasets, not block refs")
     hot_ref = ray.put(hot)  # shipped once, not re-pickled per split task
     lsplits = [
         _split_blocks_skew.options(num_returns=n_partitions).remote(
@@ -913,10 +916,13 @@ def bloom_pruned_join(
             _jbloom_key64(b[ron]), m_bits_log2))
         return pd.DataFrame({"pos": pos.astype("int64")})
 
-    pos = np.unique(
-        right.map_batches(key_positions, batch_format="pandas")
-        .to_pandas()["pos"].to_numpy()
-    )
+    pos_df = right.map_batches(key_positions, batch_format="pandas").to_pandas()
+    if "pos" not in pos_df.columns:
+        # all-empty right: to_pandas() drops columns; an all-zero mask
+        # prunes every left row and the (hardened) exchange returns the
+        # typed empty result, matching exchange_join's contract
+        pos_df = pd.DataFrame({"pos": pd.Series(dtype="int64")})
+    pos = np.unique(pos_df["pos"].to_numpy())
     mask = np.zeros(1 << m_bits_log2, dtype=bool)
     mask[pos] = True
     mask_ref = ray.put(np.packbits(mask))

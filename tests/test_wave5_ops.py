@@ -280,3 +280,48 @@ def test_dpo_pairs_match_direct_replica(ray_session):
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want)
     assert (got["margin_ppm"] > 0).all()
+
+
+def test_heavy_hitters_uniform_corpus_returns_empty(ray_session):
+    """Regression (self-review): no term frequent enough -> typed empty,
+    not a KeyError on the column-dropping all-empty to_pandas()."""
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import heavy_hitters
+
+    df = pd.DataFrame({"text": [f"unique{i} token{i * 7}" for i in range(50)]})
+    got = heavy_hitters(rd.from_pandas(df).repartition(4), k=8)
+    assert list(got.columns) == ["term", "n"]
+    assert len(got) == 0
+
+
+def test_bloom_pruned_join_all_empty_right(ray_session):
+    """Regression (self-review): an all-empty right side must yield the
+    typed-empty join result, matching exchange_join's contract."""
+    import ray.data as rd
+
+    from ocr_ray.stages.join import bloom_pruned_join
+
+    left = pd.DataFrame({"k": np.arange(100, dtype="int64"),
+                         "v": np.arange(100, dtype="int64")})
+    right = (rd.from_pandas(pd.DataFrame({"k": np.arange(5, dtype="int64")}))
+             .filter(lambda r: r["k"] < 0))
+    out = bloom_pruned_join(rd.from_pandas(left).repartition(4), right,
+                            on="k", n_partitions=4)
+    assert out.count() == 0
+
+
+def test_dedup_pairs_exact_string_ids(ray_session):
+    """Regression (self-review): the exact-dedup facade must keep working
+    for non-integer id columns (string/UUID ids)."""
+    import ray.data as rd
+
+    import ocr_ray.api as ocr
+
+    df = pd.DataFrame({"doc_id": [f"u{i:03d}" for i in range(40)],
+                       "text": [f"t{i % 10}" for i in range(40)]})
+    got = ocr.dedup_pairs(rd.from_pandas(df).repartition(4), method="exact",
+                          id_col="doc_id")
+    # each of the 10 texts has 4 copies: keeper = lexicographic min id
+    assert len(got) == 30
+    assert set(got["left_id"]) == {f"u{i:03d}" for i in range(10)}
