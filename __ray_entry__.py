@@ -403,6 +403,14 @@ def _q_transcripts_convdedup(sf_dir: str):
         mut = g[g["turn_idx"] != last]
         mtxt = mut.groupby("conv_id")["_fmt"].agg("\n\n".join)
         bids = base.index.to_series().str[5:].astype("int64").to_numpy()
+        # same loud round-trip guard as decontaminate's copy: a conv_id
+        # format drift would otherwise silently collide base ids with
+        # the +10M mutant id range
+        recon = pd.Series([f"conv-{int(i):08d}" for i in bids])
+        if not (recon.to_numpy() == base.index.to_numpy()).all():
+            raise ValueError(
+                "conv_id format drifted from 'conv-%08d' — convdedup id "
+                "derivation would collide base and mutant id ranges")
         mids = mtxt.index.to_series().str[5:].astype("int64").to_numpy() + 10_000_000
         return pd.concat(
             [pd.DataFrame({"cid": bids, "text": base.to_numpy()}),

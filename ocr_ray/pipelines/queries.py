@@ -115,6 +115,24 @@ def q_doc_langid(sf_dir: str):
 # ====================================================== dataset splitting
 SPLIT_MULT = 2654435761  # Knuth multiplicative constant
 
+
+def _id_hash32(ids):
+    """(id * SPLIT_MULT) mod 2^32, exact for ANY non-negative int64 id.
+
+    Mod-first keeps the product inside uint64 ((2^32-1) * SPLIT_MULT <
+    2^64); the naive int64 multiply silently wraps above id ~3.47e9,
+    diverging from the BIGINT oracle (which overflows loudly instead).
+    Returns a Series when given one (index preserved for mask alignment).
+    The oracles compute the same mod-first form in HUGEINT."""
+    if isinstance(ids, pd.Series):
+        u = ids.to_numpy(dtype=np.uint64)
+        h = (((u % np.uint64(1 << 32)) * np.uint64(SPLIT_MULT))
+             % np.uint64(1 << 32))
+        return pd.Series(h.astype("int64"), index=ids.index)
+    u = np.asarray(ids, dtype=np.uint64)
+    return (((u % np.uint64(1 << 32)) * np.uint64(SPLIT_MULT))
+            % np.uint64(1 << 32)).astype("int64")
+
 # target language mixture for doc_mix (parts, not normalized)
 MIX_WEIGHTS = {"en": 40, "de": 15, "fr": 15, "es": 15, "zh": 15}
 
@@ -126,7 +144,7 @@ def q_doc_split(sf_dir: str):
     stays exact in int64/BIGINT at any realistic id range."""
 
     def split_batch(b: pd.DataFrame) -> pd.DataFrame:
-        h = (b["doc_id"].astype("int64") * SPLIT_MULT) % (1 << 32)
+        h = _id_hash32(b["doc_id"])
         bucket = (h % 100).astype("int64")
         split = np.where(bucket < 80, "train", np.where(bucket < 90, "val", "test"))
         return pd.DataFrame(
@@ -146,7 +164,7 @@ def q_split_contamination(sf_dir: str):
     from ocr_ray.stages.dedup import cross_split_contamination
 
     def split_of(ids):
-        h = (ids.astype("int64") * SPLIT_MULT) % (1 << 32)
+        h = _id_hash32(np.asarray(ids, dtype="int64"))
         bucket = h % 100
         label = np.where(bucket < 80, "train",
                          np.where(bucket < 90, "val", "test"))
@@ -267,10 +285,10 @@ def q_doc_sample_stratified(sf_dir: str):
     """Deterministic stratified downsampling — per-language keep rates
     (en 10%, others 50%) via the same multiplicative id hash as doc_split:
     reproducible across engines/runs, zero shuffle, no RNG state."""
-    RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zz": 50}
+    RATES = {"en": 10, "de": 50, "fr": 50, "es": 50, "zh": 50}
 
     def sample_batch(b: pd.DataFrame) -> pd.DataFrame:
-        h = (b["doc_id"].astype("int64") * SPLIT_MULT) % (1 << 32)
+        h = _id_hash32(b["doc_id"])
         bucket = (h % 100).astype("int64")
         rate = b["lang"].map(RATES).fillna(50).astype("int64")
         keep = bucket < rate
@@ -552,7 +570,11 @@ def q_doc_repetition(sf_dir: str):
             out["doc_id"].append(int(d))
             out["n_pairs"].append(n)
             out["n_distinct_pairs"].append(nd)
-            out["dup_ratio"].append(round((n - nd) / n, 6) if n else 0.0)
+            # floor(x*1e6+0.5): ties away from zero, matching DuckDB's
+            # round() — Python round() is ties-to-even and diverges on
+            # exact dyadic ties like 1/128 (file-header convention)
+            out["dup_ratio"].append(
+                np.floor((n - nd) / n * 1e6 + 0.5) / 1e6 if n else 0.0)
         return pd.DataFrame(out).astype(
             {"doc_id": "int64", "n_pairs": "int64",
              "n_distinct_pairs": "int64", "dup_ratio": "float64"}
@@ -777,7 +799,7 @@ def q_pipeline_curation(sf_dir: str):
     )
 
     def assign_split(b: pd.DataFrame) -> pd.DataFrame:
-        h = (b["doc_id"].astype("int64") * SPLIT_MULT) % (1 << 32)
+        h = _id_hash32(b["doc_id"])
         bucket = (h % 100).astype("int64")
         return pd.DataFrame(
             {"doc_id": b["doc_id"].astype("int64"),
@@ -882,6 +904,11 @@ def q_doc_length_quantiles(sf_dir: str):
     ).to_pandas().sort_values("token_len").reset_index(drop=True)
     cum = hist["cnt"].cumsum().to_numpy()
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        # every text empty: the oracle returns no rows — match it instead
+        # of IndexError'ing on the empty histogram
+        return pd.DataFrame({"q": pd.Series(dtype="float64"),
+                             "token_len": pd.Series(dtype="int64")})
     out = []
     for q in QUANTILES:
         rank = math.ceil(q * n)
@@ -1044,8 +1071,11 @@ def q_dedup_jaccard(sf_dir: str):
     (small) right side is broadcast once via ray.put; the left side streams
     through map_batches doing one matmul per batch.  At scale the candidate
     set must come from MinHash-LSH (q_dedup_minhash) instead of all-pairs."""
-    docs = _doc(sf_dir).to_pandas()  # small side by design (dimension table)
-    _guard_allpairs(len(docs), "dedup_jaccard", "dedup_minhash (LSH)")
+    ds = _doc(sf_dir)
+    # guard BEFORE materializing: count() is parquet-metadata-only, so the
+    # cap actually prevents the driver blow-up it exists for
+    _guard_allpairs(ds.count(), "dedup_jaccard", "dedup_minhash (LSH)")
+    docs = ds.to_pandas()  # small side by design (dimension table)
     docs = docs.sort_values("doc_id").reset_index(drop=True)
     m, sizes = build_token_matrix(list(docs["text"]))
     ids = docs["doc_id"].to_numpy()
@@ -1064,9 +1094,11 @@ def q_dedup_jaccard(sf_dir: str):
             {
                 "left_id": b["doc_id"].to_numpy()[li],
                 "right_id": all_ids[ri],
-                "jaccard": np.round(
-                    inter[li, ri].astype(np.float64) / union[li, ri].astype(np.float64), 6
-                ),
+                # floor(x*1e6+0.5) == DuckDB round() on these positive
+                # ratios (np.round is ties-to-even: 125/128 would diverge)
+                "jaccard": np.floor(
+                    inter[li, ri].astype(np.float64)
+                    / union[li, ri].astype(np.float64) * 1e6 + 0.5) / 1e6,
             }
         )
 
@@ -1373,7 +1405,7 @@ def q_pipeline_refresh(sf_dir: str):
         )
         mask = fresh & g["keep"].to_numpy()
         ids = b["doc_id"].to_numpy().astype("int64")[mask]
-        bucket = (ids * SPLIT_MULT) % (1 << 32) % 100
+        bucket = _id_hash32(ids) % 100
         split = np.where(bucket < 80, "train",
                          np.where(bucket < 90, "val", "test")).tolist()
         # emit Arrow: pandas string columns of possibly-zero length trip
@@ -1587,7 +1619,7 @@ def q_doc_sample_weighted(sf_dir: str):
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].astype("int64")
-        u = (ids * SPLIT_MULT) % (1 << 32)
+        u = _id_hash32(ids)
         w = np.maximum(b["n_chars"].astype("int64"), 1)
         pri = (u * (1 << 20)) // w
         out = pd.DataFrame({"doc_id": ids, "priority": pri.astype("int64")})
@@ -1939,7 +1971,7 @@ def q_doc_sample_per_source(sf_dir: str):
         out = pd.DataFrame({
             "doc_id": ids,
             "source": b["source"],
-            "h": ((ids * SPLIT_MULT) % (1 << 32)).astype("int64"),
+            "h": _id_hash32(ids),
         })
         return (out.sort_values(["h", "doc_id"], kind="mergesort")
                 .groupby("source", as_index=False, sort=False).head(K))
@@ -1998,16 +2030,10 @@ def q_events_enriched(sf_dir: str):
     return out[["event_id", "user_id", "user_total"]]
 
 
-def q_graph_pagerank(sf_dir: str):
-    """Link-graph quality prior (stages/graph.py): build the nation
-    'trade graph' — an edge per (customer nation -> supplier nation)
-    lineitem, via one big-big exchange join (lineitem x orders on
-    orderkey) with the two dimension maps broadcast — then 2 exact-
-    integer PageRank iterations with the broadcast-rank pattern (edges
-    stream, ranks ship once per iteration).  The RefinedWeb-style
-    domain-ranking shape on the TPC-H graph."""
-    from ocr_ray.stages.aggregate import hash_aggregate
-    from ocr_ray.stages.graph import pagerank
+def _nation_trade_edges(sf_dir: str, with_weight: bool):
+    """Shared edge build for the nation trade graph (pagerank/triangles):
+    one big-big exchange join (lineitem x orders on orderkey) with the two
+    dimension maps broadcast once; emits (src, dst[, w]) nation edges."""
     from ocr_ray.stages.join import exchange_join
 
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
@@ -2030,12 +2056,28 @@ def q_graph_pagerank(sf_dir: str):
 
     def to_edges(b: pd.DataFrame) -> pd.DataFrame:
         c2n, s2n = ray.get(maps_ref)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"src": b["o_custkey"].map(c2n).astype("int64"),
-             "dst": b["l_suppkey"].map(s2n).astype("int64"),
-             "w": np.int64(1)})
+             "dst": b["l_suppkey"].map(s2n).astype("int64")})
+        if with_weight:
+            out["w"] = np.int64(1)
+        return out
 
-    edges = hash_aggregate(joined.map_batches(to_edges, batch_format="pandas"),
+    return joined.map_batches(to_edges, batch_format="pandas")
+
+
+def q_graph_pagerank(sf_dir: str):
+    """Link-graph quality prior (stages/graph.py): build the nation
+    'trade graph' — an edge per (customer nation -> supplier nation)
+    lineitem, via the shared exchange-join edge build
+    (_nation_trade_edges) — then 2 exact-integer PageRank iterations
+    with the broadcast-rank pattern (edges stream, ranks ship once per
+    iteration).  The RefinedWeb-style domain-ranking shape on the TPC-H
+    graph."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.graph import pagerank
+
+    edges = hash_aggregate(_nation_trade_edges(sf_dir, with_weight=True),
                            keys=["src", "dst"], aggs={"w": "sum"},
                            n_partitions=8)
     return pagerank(edges, iters=2, n_partitions=8)
@@ -2045,40 +2087,15 @@ def q_graph_triangles(sf_dir: str):
     """Per-node triangle counts on the nation trade graph — the
     clustering/community-structure primitive of link-graph curation —
     via the degree-oriented node iterator (stages/graph.py:
-    triangle_counts; Suri & Vassilvitskii WWW'11).  Edge build is the
-    same big-big exchange join as graph_pagerank; then distinct
-    undirected edges, a degree join, (deg, id)-oriented wedge
-    generation (out-degree bounded O(sqrt(m)), so wedge volume is
-    ~m^1.5, never hub-quadratic) and one hash-partitioned wedge-vs-edge
-    closing join.  The oracle recomputes via a 3-way SQL self-join."""
+    triangle_counts; Suri & Vassilvitskii WWW'11).  Edge build shared
+    with graph_pagerank (_nation_trade_edges); then distinct undirected
+    edges, a degree join, (deg, id)-oriented wedge generation
+    (out-degree bounded O(sqrt(m)), so wedge volume is ~m^1.5, never
+    hub-quadratic) and one hash-partitioned wedge-vs-edge closing join.
+    The oracle recomputes via a 3-way SQL self-join."""
     from ocr_ray.stages.graph import triangle_counts
-    from ocr_ray.stages.join import exchange_join
 
-    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
-                         columns=["l_orderkey", "l_suppkey"])
-    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                             columns=["o_orderkey", "o_custkey"])
-    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                           columns=["c_custkey", "c_nationkey"])
-    supp = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
-                           columns=["s_suppkey", "s_nationkey"])
-    maps_ref = ray.put((
-        dict(zip(cust["c_custkey"].astype("int64"),
-                 cust["c_nationkey"].astype("int64"))),
-        dict(zip(supp["s_suppkey"].astype("int64"),
-                 supp["s_nationkey"].astype("int64"))),
-    ))
-
-    joined = exchange_join(li, orders, on="l_orderkey",
-                           right_on="o_orderkey", n_partitions=8)
-
-    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
-        c2n, s2n = ray.get(maps_ref)
-        return pd.DataFrame(
-            {"src": b["o_custkey"].map(c2n).astype("int64"),
-             "dst": b["l_suppkey"].map(s2n).astype("int64")})
-
-    edges = joined.map_batches(to_edges, batch_format="pandas")
+    edges = _nation_trade_edges(sf_dir, with_weight=False)
     return triangle_counts(edges, n_partitions=8)
 
 
@@ -2227,8 +2244,12 @@ def q_dedup_embed(sf_dir: str):
     batch (same pattern as dedup_jaccard).  At 100 TB the candidate set comes
     from ann_ivf / ann_lsh buckets instead of all-pairs."""
     path = os.path.join(sf_dir, "embeddings.parquet")
+    # guard BEFORE reading: row count from parquet metadata only
+    import pyarrow.parquet as _pq
+
+    _guard_allpairs(_pq.ParquetFile(path).metadata.num_rows,
+                    "dedup_embed", "ann_ivf / ann_lsh_topk buckets")
     pdf = pd.read_parquet(path).sort_values("vec_id").reset_index(drop=True)
-    _guard_allpairs(len(pdf), "dedup_embed", "ann_ivf / ann_lsh_topk buckets")
     m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
     mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
     ids = pdf["vec_id"].to_numpy()
@@ -4025,7 +4046,9 @@ def q_events_gaps(sf_dir: str):
                  "max_gap_us": pd.Series([], dtype="int64")}
             )
         g = g.sort_values(["user_id", "ts"])
-        us = g["ts"].astype("int64").to_numpy()  # epoch micros
+        # normalize to microseconds explicitly: a ns-unit input would make
+        # bare astype('int64') silently emit nanoseconds (1000x the oracle)
+        us = g["ts"].values.astype("datetime64[us]").astype("int64")
         uid = g["user_id"].to_numpy(dtype="int64")
         d = np.diff(us)
         same = uid[1:] == uid[:-1]  # mask cross-user diffs
@@ -5237,7 +5260,7 @@ FROM g GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "doc_split": f"""
 WITH h AS (SELECT doc_id,
-    (CAST(doc_id AS BIGINT) * {SPLIT_MULT}) % 4294967296 AS hv
+    (CAST(doc_id % 4294967296 AS HUGEINT) * {SPLIT_MULT}) % 4294967296 AS hv
   FROM documents)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(hv % 100 AS BIGINT) AS bucket,
@@ -5275,7 +5298,7 @@ SELECT lang, term, n, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
 """,
     "doc_sample_stratified": f"""
 WITH h AS (SELECT doc_id, lang,
-    ((CAST(doc_id AS BIGINT) * {SPLIT_MULT}) % 4294967296) % 100 AS bucket
+    ((CAST(doc_id % 4294967296 AS HUGEINT) * {SPLIT_MULT}) % 4294967296) % 100 AS bucket
   FROM documents)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(bucket AS BIGINT) AS bucket
 FROM h
@@ -5502,7 +5525,7 @@ GROUP BY 1 ORDER BY revenue_cents DESC, c_custkey
 """,
     "doc_sample_per_source": """
 WITH h AS (SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
-                  CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS h
+                  CAST((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS h
            FROM documents),
 r AS (SELECT *, row_number() OVER (PARTITION BY source
                                    ORDER BY h, doc_id) AS rn
@@ -5513,7 +5536,7 @@ ORDER BY source, h, doc_id
     # priority sampling: u*2^20 <= 2^52, exact in BIGINT on both sides
     "doc_sample_weighted": """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(((doc_id * 2654435761) % 4294967296) * 1048576
+       CAST(((CAST(doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296) * 1048576
             // GREATEST(n_chars, 1) AS BIGINT) AS priority
 FROM documents
 ORDER BY priority, doc_id
@@ -5746,7 +5769,7 @@ q AS (SELECT doc_id, text FROM t
       WHERE len(toks) >= 20 AND 2 * len(list_distinct(toks)) >= len(toks)),
 k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
 h AS (SELECT doc_id,
-        ((CAST(doc_id AS BIGINT) * {SPLIT_MULT}) % 4294967296) % 100 AS b
+        ((CAST(doc_id % 4294967296 AS HUGEINT) * {SPLIT_MULT}) % 4294967296) % 100 AS b
       FROM k)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
@@ -5893,7 +5916,7 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
     "split_contamination": rf"""
 WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id,
                    string_split_regex(trim(text), '\s+') AS w,
-                   ((CAST(doc_id AS BIGINT) * {SPLIT_MULT}) % 4294967296) % 100 AS bucket
+                   ((CAST(doc_id % 4294967296 AS HUGEINT) * {SPLIT_MULT}) % 4294967296) % 100 AS bucket
             FROM documents WHERE trim(text) <> ''),
 th AS (SELECT id, bucket, len(w) AS n,
    list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
@@ -6164,7 +6187,7 @@ kept AS (SELECT id FROM gs
     AND n_stop_hits >= 1)
 SELECT CAST(id AS BIGINT) AS doc_id,
   CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-FROM (SELECT id, ((CAST(id AS BIGINT) * {SPLIT_MULT}) % 4294967296) % 100 AS b
+FROM (SELECT id, ((CAST(id % 4294967296 AS HUGEINT) * {SPLIT_MULT}) % 4294967296) % 100 AS b
       FROM kept)
 """,
     # exact-integer k-means: x = floor(v*2^20+0.5)+2^22 (shift keeps
@@ -6240,7 +6263,7 @@ r AS (SELECT n.lang,
       WHERE w.wt > 0 AND n.n > 0)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, r.rate_ppm
 FROM documents d JOIN r USING (lang)
-WHERE ((CAST(d.doc_id AS BIGINT) * 2654435761) % 4294967296) % 1000000
+WHERE ((CAST(d.doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296) % 1000000
       < r.rate_ppm
 """,
     # training-serialization composite: mixture CTEs (doc_mix) -> bigram-LM
@@ -6258,7 +6281,7 @@ r AS (SELECT nn.lang,
       WHERE wts.wt > 0 AND nn.n > 0),
 mixed AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.text
   FROM documents d JOIN r USING (lang)
-  WHERE ((CAST(d.doc_id AS BIGINT) * 2654435761) % 4294967296) % 1000000
+  WHERE ((CAST(d.doc_id % 4294967296 AS HUGEINT) * 2654435761) % 4294967296) % 1000000
         < r.rate_ppm),
 d0 AS (SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS ws
        FROM mixed WHERE trim(text) <> ''),

@@ -325,3 +325,18 @@ def test_dedup_pairs_exact_string_ids(ray_session):
     # each of the 10 texts has 4 copies: keeper = lexicographic min id
     assert len(got) == 30
     assert set(got["left_id"]) == {f"u{i:03d}" for i in range(10)}
+
+
+def test_id_hash32_exact_above_int64_wrap_point():
+    """Regression (self-review): (id * SPLIT_MULT) % 2^32 must stay exact
+    for ids beyond the int64 wrap point (~3.47e9), where the old bare
+    int64 multiply silently wrapped."""
+    from ocr_ray.pipelines.queries import SPLIT_MULT, _id_hash32
+
+    ids = np.array([0, 1, 3_470_000_000, 2**32 - 1, 2**32,
+                    2**40 + 12345, 2**62], dtype="int64")
+    got = _id_hash32(ids)
+    want = [(int(i) * SPLIT_MULT) % (2**32) for i in ids]  # exact bigints
+    assert list(got) == want
+    s = _id_hash32(pd.Series(ids, index=[9, 8, 7, 6, 5, 4, 3]))
+    assert list(s) == want and list(s.index) == [9, 8, 7, 6, 5, 4, 3]
