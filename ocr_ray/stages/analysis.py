@@ -142,8 +142,6 @@ def langid_docs_batch(batch: pd.DataFrame) -> pd.DataFrame:
 # both sides count identical tokens; RE2-safe, no lookarounds)
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _BPE = re.compile(BPE_PATTERN)
-_ALPHA = re.compile(r"[A-Za-z]+")
-_NUM = re.compile(r"[0-9]+")
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
@@ -393,6 +391,8 @@ def winnow_docs_batch(batch: pd.DataFrame, k: int = WINNOW_K,
 # keep-conditions are evaluated as scaled-integer comparisons so the
 # DuckDB oracle is value-exact (no float-threshold boundary splits).
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# single-char class on purpose: Gopher's "word contains an alphabetic
+# character" test uses search(), not a full-run match
 _ALPHA = re.compile(r"[a-zA-Z]")
 _LOWER_RUN = re.compile(r"[a-z]+")
 

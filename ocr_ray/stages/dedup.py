@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -103,9 +104,11 @@ def jaccard_pairs_matrix(ids: np.ndarray, m: np.ndarray, sizes: np.ndarray,
         {
             "left_id": ids[li],
             "right_id": ids[ri],
-            "jaccard": np.round(
-                inter[li, ri].astype(np.float64) / union[li, ri].astype(np.float64), 6
-            ),
+            # floor(x*1e6+0.5): DuckDB round() ties-away semantics on
+            # these non-negative integer ratios (np.round is ties-to-even)
+            "jaccard": np.floor(
+                inter[li, ri].astype(np.float64)
+                / union[li, ri].astype(np.float64) * 1e6 + 0.5) / 1e6,
         }
     )
 
@@ -246,19 +249,7 @@ def bucket_pairs(
         return b
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
-        out_l: List = []
-        out_r: List = []
-        for _, bucket in g.groupby(bucket_cols, sort=False):
-            ids = sorted(bucket[id_col].unique())
-            for a, b in itertools.combinations(ids, 2):
-                out_l.append(a)
-                out_r.append(b)
-        return pd.DataFrame(
-            {
-                "left_id": pd.Series(out_l, dtype="int64"),
-                "right_id": pd.Series(out_r, dtype="int64"),
-            }
-        )
+        return _pairs_from_bucket_partition(g, bucket_cols, id_col)
 
     return (
         bucket_rows.map_batches(add_pk, batch_format="pandas")
@@ -273,12 +264,32 @@ def bucket_pairs(
 # Dataset.groupby stage carries ~1-2 s fixed sort-shuffle cost, and the
 # former pipeline had two of them plus four exchange materializations).
 
+# one bucket holding B ids emits C(B,2) pairs — quadratic by the PAIRS
+# output contract itself (a 100k-member identical-content class, e.g.
+# whitespace-only scrapes, means ~5e9 pairs no matter the engine).  Fail
+# loudly at the bucket instead of OOMing the partition; run exact dedup
+# first to collapse identical-content classes.
+MAX_BUCKET_IDS = int(os.environ.get("OCR_RAY_MAX_BUCKET_IDS", "20000"))
+
+
 def _pairs_from_bucket_partition(g: pd.DataFrame, bucket_cols: List[str],
                                  id_col: str) -> pd.DataFrame:
+    if not len(g) or any(c not in g.columns for c in (*bucket_cols, id_col)):
+        # all-empty exchange input delivers the pre-map schema (Ray Data
+        # skips the UDF on zero-row blocks — join._split_blocks); the
+        # pair set of an empty corpus is empty, not a KeyError
+        return pd.DataFrame({"left_id": pd.Series(dtype="int64"),
+                             "right_id": pd.Series(dtype="int64")})
     out_l: List = []
     out_r: List = []
     for _, bucket in g.groupby(bucket_cols, sort=False):
         ids = sorted(bucket[id_col].unique())
+        if len(ids) > MAX_BUCKET_IDS:
+            raise ValueError(
+                f"LSH bucket holds {len(ids)} ids (> OCR_RAY_MAX_BUCKET_IDS="
+                f"{MAX_BUCKET_IDS}): a duplicate class this large emits "
+                f"~{len(ids) * (len(ids) - 1) // 2:.0e} pairs; run exact "
+                "dedup first to collapse identical-content classes")
         for a, b in itertools.combinations(ids, 2):
             out_l.append(a)
             out_r.append(b)
@@ -367,6 +378,14 @@ def minhash_dedup_pairs(
     def dedupe_attach_left(n_pairs: int, *pieces):
         cands = _concat_pd(pieces[:n_pairs])
         ldocs = _concat_pd(pieces[n_pairs:])
+        if not len(cands) or not len(ldocs):
+            # all-empty exchange side may carry the pre-map schema
+            # (join._split_blocks): the join result is empty either way
+            return pa.Table.from_pandas(pd.DataFrame(
+                {"left_id": pd.Series(dtype="int64"),
+                 "right_id": pd.Series(dtype="int64"),
+                 "_ltext": pd.Series(dtype="object")}),
+                preserve_index=False)
         cands = cands.drop_duplicates(["left_id", "right_id"])
         out = cands.merge(ldocs, on="left_id", how="inner")
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -375,6 +394,12 @@ def minhash_dedup_pairs(
     def attach_right_verify(n_left: int, *pieces):
         left = _concat_pd(pieces[:n_left])
         rdocs = _concat_pd(pieces[n_left:])
+        if not len(left) or not len(rdocs):
+            return pa.Table.from_pandas(pd.DataFrame(
+                {"left_id": pd.Series(dtype="int64"),
+                 "right_id": pd.Series(dtype="int64"),
+                 "jaccard": pd.Series(dtype="float64")}),
+                preserve_index=False)
         b = left.merge(rdocs, on="right_id", how="inner")
         # one shingle set per DISTINCT text: ids recur across candidate
         # pairs, and on long documents (conversation-level dedup) set
@@ -403,7 +428,9 @@ def minhash_dedup_pairs(
                 if len(b) else pd.Series([], dtype="int64"),
                 "right_id": b["right_id"].to_numpy(dtype="int64")[keep]
                 if len(b) else pd.Series([], dtype="int64"),
-                "jaccard": np.round(jac[keep], 6),
+                # floor(x*1e6+0.5) == DuckDB round() ties-away; np.round
+                # is ties-to-even and diverges on dyadic ratios like 125/128
+                "jaccard": np.floor(jac[keep] * 1e6 + 0.5) / 1e6,
             }
         )
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -481,6 +508,13 @@ def simhash_dedup_pairs(
     :func:`minhash_dedup_pairs` — the signature side table (one row per
     band, deduped per partition) replaces doc texts and each partition
     verifies Hamming <= max_hamming vectorized (xor + popcount)."""
+    if scheme == "siphash" and 64 % n_bands != 0:
+        # fail at the driver with guidance, not as an AssertionError in
+        # every worker task: SimHasher requires equal-width 64-bit bands
+        raise ValueError(
+            f"scheme='siphash' bands a 64-bit signature: n_bands must "
+            f"divide 64 (got {n_bands}); use n_bands=8 with "
+            "max_hamming < 8 to keep the provably-exact banding guarantee")
     import pyarrow as pa
 
     import ray
@@ -883,7 +917,9 @@ def connected_components(
     import ray
     import ray.data as rd
 
-    P = n_partitions = resolve_partitions(pairs, n_partitions)
+    # floor at 2: num_returns=1 makes Ray return a bare ObjectRef (not a
+    # 1-list), which the per-partition indexing below can't subscript
+    P = n_partitions = max(2, resolve_partitions(pairs, n_partitions))
 
     def to_adj(b: pd.DataFrame) -> pd.DataFrame:
         u = b[left_col].to_numpy(dtype="int64")

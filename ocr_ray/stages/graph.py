@@ -47,35 +47,35 @@ def pagerank(
 ) -> pd.DataFrame:
     """Run ``iters`` exact-integer PageRank steps over an aggregated
     weighted edge Dataset; returns the small node table ``(node, out_w,
-    pr_ppm)``.  ``edges`` is scanned ``iters + 1`` times (out-weights +
-    one per iteration) — at 100 TB persist the aggregated edge table to
-    parquet first so re-scans hit columnar storage, not recomputation."""
+    pr_ppm)``.  ``edges`` is scanned ``iters + 1`` times (ONE setup pass
+    for out-weights + node universe, then one per iteration) — at 100 TB
+    persist the aggregated edge table to parquet first so re-scans hit
+    columnar storage, not recomputation."""
     import ray
 
     from ocr_ray.stages.aggregate import hash_aggregate
 
-    # out-weights and the node universe: per-group sums exchange-reduced,
-    # then collected — bounded by #nodes (the small side), not #edges
-    ow = hash_aggregate(
-        edges.map_batches(
-            lambda b: pd.DataFrame({"node": b[src_col].to_numpy(dtype="int64"),
-                                    "ow": b[w_col].to_numpy(dtype="int64")}),
-            batch_format="pandas"),
+    # out-weights and the node universe in ONE edge pass: each edge
+    # contributes (src, w) and (dst, 0); the exchange payload stays
+    # bounded by #nodes (the small side), not #edges
+    def node_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([b[src_col].to_numpy(dtype="int64"),
+                                    b[dst_col].to_numpy(dtype="int64")]),
+            "ow": np.concatenate([b[w_col].to_numpy(dtype="int64"),
+                                  np.zeros(len(b), dtype="int64")]),
+        })
+
+    stats = hash_aggregate(
+        edges.map_batches(node_partial, batch_format="pandas"),
         keys=["node"], aggs={"ow": "sum"}, n_partitions=n_partitions,
     ).to_pandas()
-    dsts = hash_aggregate(
-        edges.map_batches(
-            lambda b: pd.DataFrame({"node": b[dst_col].to_numpy(dtype="int64"),
-                                    "c": np.int64(1)}),
-            batch_format="pandas"),
-        keys=["node"], aggs={"c": "sum"}, n_partitions=n_partitions,
-    ).to_pandas()
 
-    nodes = np.union1d(ow["node"].to_numpy(dtype="int64"),
-                       dsts["node"].to_numpy(dtype="int64"))
+    nodes = np.sort(stats["node"].to_numpy(dtype="int64"))  # stable output order
     n = len(nodes)
-    out_w: Dict[int, int] = dict(zip(ow["node"].astype("int64"),
-                                     ow["ow"].astype("int64")))
+    has_out = stats["ow"].astype("int64") > 0
+    out_w: Dict[int, int] = dict(zip(stats.loc[has_out, "node"].astype("int64"),
+                                     stats.loc[has_out, "ow"].astype("int64")))
     pr: Dict[int, int] = {int(v): _PPM // n for v in nodes}
     tele = 150 * _PPM // n
 

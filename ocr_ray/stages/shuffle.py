@@ -65,7 +65,11 @@ def deterministic_shuffle(
         b["_bucket"] = (h.astype(np.uint64) >> shift).astype(np.int64)
         return b
 
-    keyed = ds.map_batches(with_key, batch_format="pandas")
+    # materialize ONCE: the keyed table feeds BOTH the count pass and the
+    # exchange pass — a lazy input would re-execute the whole upstream
+    # per pass (and a nondeterministic one would desynchronize offsets
+    # from ranks, producing duplicate/skipped pos values)
+    keyed = ds.map_batches(with_key, batch_format="pandas").materialize()
 
     # pass 1: per-bucket counts -> prefix offsets (n_buckets rows, driver)
     def count_buckets(b: pd.DataFrame) -> pd.DataFrame:
@@ -114,7 +118,9 @@ def deterministic_pack(
     :func:`deterministic_shuffle` — pass 1 reduces per-bucket token sums
     (``n_buckets`` ints to the driver), pass 2 exchanges by bucket and
     adds local cumsums to the driver-computed bucket offsets.  An exact
-    distributed prefix-sum, no sort, no materialization.
+    distributed prefix-sum, no sort; only the REDUCED (id, n_tokens,
+    hash, bucket) table materializes between the two passes — never the
+    text payloads.
 
     Emits ``(id, n_tokens, start_offset, bin)``; 0-token docs get the
     running offset and pack into whichever bin is open there.
@@ -134,7 +140,8 @@ def deterministic_pack(
             "_bucket": (h.astype(np.uint64) >> shift).astype(np.int64),
         })
 
-    keyed = ds.map_batches(with_tokens, batch_format="pandas")
+    keyed = ds.map_batches(with_tokens,
+                           batch_format="pandas").materialize()  # two-pass consumer
 
     # pass 1: per-bucket token sums -> global token offsets (driver, tiny)
     def sum_buckets(b: pd.DataFrame) -> pd.DataFrame:
@@ -207,7 +214,11 @@ def grouped_rank(
         b["_bucket"] = (h.astype(np.uint64) >> shift).astype(np.int64)
         return b
 
-    keyed = ds.map_batches(with_key, batch_format="pandas")
+    # materialize ONCE: the keyed table feeds BOTH the count pass and the
+    # exchange pass — a lazy input would re-execute the whole upstream
+    # per pass (and a nondeterministic one would desynchronize offsets
+    # from ranks, producing duplicate/skipped pos values)
+    keyed = ds.map_batches(with_key, batch_format="pandas").materialize()
 
     def count_gb(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby([group_col, "_bucket"]).size()
@@ -285,6 +296,10 @@ def value_rank(
                                  "hi": pd.Series([], dtype="int64")})
         return pd.DataFrame({"lo": [int(v.min())], "hi": [int(v.max())]})
 
+    # materialize ONCE: ds feeds the minmax pass AND the bucket passes —
+    # a lazy input would re-execute upstream three times and a
+    # nondeterministic one would desynchronize the range from the rows
+    ds = ds.materialize()
     mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
     vmin, vmax = int(mm["lo"].min()), int(mm["hi"].max())
     span = vmax - vmin + 1
@@ -292,7 +307,14 @@ def value_rank(
     def with_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
         v = b[value_col].to_numpy(dtype="int64")
-        b["_bucket"] = (v - vmin) * n_buckets // span
+        # float64 mapping: all bucketing needs is WEAK monotonicity
+        # (bucket order = value order; exact order inside a bucket comes
+        # from the per-bucket sort).  The previous integer form
+        # (v - vmin) * n_buckets // span silently wrapped int64 for
+        # wide-range columns (62-bit fingerprints) and for vmin < 0 <
+        # vmax the subtraction itself overflowed.
+        f = (v.astype(np.float64) - float(vmin)) * (n_buckets / float(span))
+        b["_bucket"] = np.clip(f.astype(np.int64), 0, n_buckets - 1)
         return b
 
     keyed = ds.map_batches(with_bucket, batch_format="pandas")

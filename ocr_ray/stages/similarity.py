@@ -226,6 +226,14 @@ def lsh_embed_dedup_pairs(
     )
     from ocr_ray.stages.taskpool import task_pool
 
+    # single materialization: the input feeds FOUR consumers (dim probe,
+    # band map, left attach, right attach); launch_splits documents
+    # single-consumer inputs — a lazy input would re-execute once per
+    # consumer (3 extra full scans), and a nondeterministic upstream would
+    # desynchronize the bucket table from the vectors it verifies against
+    # (same rule simhash_dedup_pairs and minhash_dedup_pairs follow)
+    embeddings = embeddings.materialize()
+
     if dim is None:
         dim = len(embeddings.take(1)[0][vec_col])
 

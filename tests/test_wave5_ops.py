@@ -340,3 +340,58 @@ def test_id_hash32_exact_above_int64_wrap_point():
     assert list(got) == want
     s = _id_hash32(pd.Series(ids, index=[9, 8, 7, 6, 5, 4, 3]))
     assert list(s) == want and list(s.index) == [9, 8, 7, 6, 5, 4, 3]
+
+
+def test_value_rank_wide_range_and_negative_values(ray_session):
+    """Regression (third review wave): the bucket map must stay monotone
+    for 62-bit ranges and vmin<0 (the old integer form wrapped int64)."""
+    import ray.data as rd
+
+    from ocr_ray.stages.shuffle import value_rank
+
+    rng = np.random.default_rng(2)
+    v = np.concatenate([
+        rng.integers(-(2**61), 2**61, size=3000),
+        np.array([-(2**61), 2**61 - 1, 0], dtype="int64"),
+    ]).astype("int64")
+    df = pd.DataFrame({"doc_id": np.arange(len(v), dtype="int64"), "val": v})
+    out = value_rank(rd.from_pandas(df).repartition(8), "val",
+                     n_buckets=64, n_partitions=4).to_pandas()
+    out = out.sort_values("rank").reset_index(drop=True)
+    want = df.sort_values(["val", "doc_id"]).reset_index(drop=True)
+    assert (out["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (out["rank"].to_numpy() == np.arange(len(v))).all()
+
+
+def test_simhash_siphash_band_validation(ray_session):
+    """Regression (third review wave): scheme='siphash' with an invalid
+    band count must fail loudly at the driver, not assert in workers."""
+    import pytest
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import simhash_dedup_pairs
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c", "a b c"]}))
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_dedup_pairs(docs, scheme="siphash")  # default n_bands=10
+
+
+def test_lsh_bucket_cap_fails_loudly(monkeypatch):
+    """Regression (third review wave): a mega identical-content class must
+    raise the bucket cap in the pair kernel, not enumerate quadratic
+    pairs (unit-level: the kernel runs inside num_cpus=0 exchange tasks)."""
+    import pytest
+
+    import ocr_ray.stages.dedup as dd
+
+    monkeypatch.setattr(dd, "MAX_BUCKET_IDS", 50)
+    g = pd.DataFrame({"band_id": np.int64(0), "band_hash": np.int64(1),
+                      "doc_id": np.arange(200, dtype="int64")})
+    with pytest.raises(ValueError, match="bucket holds"):
+        dd._pairs_from_bucket_partition(g, ["band_id", "band_hash"], "doc_id")
+    # under the cap: normal enumeration
+    small = g.head(10)
+    out = dd._pairs_from_bucket_partition(small, ["band_id", "band_hash"],
+                                          "doc_id")
+    assert len(out) == 45
