@@ -129,7 +129,7 @@ def run_extraction_job(
 
     done = set()
     if resume:
-        for gid in L.completed_groups(turns_dir, len(groups), config.extractor_version):
+        for gid in L.completed_groups(turns_dir, groups, config.extractor_version):
             # a group committed by a run with with_conversations=False must
             # not be skipped when this run also needs the convs partition
             if with_conversations and not glob.glob(
@@ -167,6 +167,21 @@ def run_extraction_job(
         )
         row_count = int(checks["rows"].sum())
         checksum = f"{int(checks['hash_sum'].sum()) & 0xFFFFFFFFFFFFFFFF:016x}"
+        # compare against the checksum of what we MEANT to write (from the
+        # in-memory materialization) — without this expected value the
+        # readback validated nothing
+        want = (
+            mat.select_columns(["row_hash"])
+            .map_batches(_checksum_batch, batch_format="pyarrow")
+            .to_pandas()
+        )
+        want_sum = f"{int(want['hash_sum'].sum()) & 0xFFFFFFFFFFFFFFFF:016x}"
+        if checksum != want_sum or row_count != int(want["rows"].sum()):
+            raise IOError(
+                f"group {gid}: written output does not match the computed "
+                f"result (checksum {checksum} != {want_sum} or row count "
+                f"{row_count} != {int(want['rows'].sum())}) — write-time "
+                "corruption; the lineage record was NOT committed")
 
         if with_conversations:
             convs = assemble_conversations(mat, config)

@@ -138,8 +138,18 @@ class Extractor:
         return ERROR_TEXT, "error", "all_engines_empty"
 
     def _extract_boxed(self, payload: str) -> Tuple[str, str, str]:
+        # an oversized boxed payload truncated by payload_cap is cut
+        # mid-JSON and lands in the in-band error path below — the C2
+        # unreadable-input contract (reference returns {'text': '',
+        # 'error': ...} for undecodable pages); raise payload_cap for
+        # box-dense corpora rather than expecting partial decode
         try:
             doc = json.loads(payload)
+            # cache the parsed doc for _segments_for: with emit_segments
+            # the same payload would otherwise pay json.loads twice per
+            # row in the actor hot loop (batches process serially, so a
+            # single-entry cache is race-free)
+            self._boxed_cache = (payload, doc)
             boxes = [
                 (b["x0"], b["y0"], b["x1"], b["y1"], b["text"]) for b in doc["boxes"]
             ]
@@ -180,7 +190,10 @@ class Extractor:
             return []
         if kind == "boxed":
             try:
-                boxes = json.loads(payload)["boxes"]
+                cached = getattr(self, "_boxed_cache", None)
+                doc = cached[1] if cached and cached[0] == payload \
+                    else json.loads(payload)
+                boxes = doc["boxes"]
             except Exception:
                 return []
             return [
@@ -217,11 +230,8 @@ class Extractor:
                 out, eng, err = self._extract_html(payload)
                 tab = False
             else:
-                tab = detect_aligned_table(payload)
-                if tab:
-                    out, eng, err = payload, "passthrough_table", ""
-                else:
-                    out, eng, err = repair_wrapping(payload), "wrap_repair", ""
+                out, eng, err = self._extract_text(payload)
+                tab = eng == "passthrough_table"
             extracted.append(out)
             engines.append(eng)
             errors.append(err)

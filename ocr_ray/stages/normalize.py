@@ -19,14 +19,21 @@ from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
 
 _ZERO_WIDTH = "[\u200b\u200c\u200d\u2060\ufeff]"
 _BOXED_PREFIX = r'^\s*\{\s*"page_height"'
-_HTMLISH = r"<\s*(?:html|body|div|p|script|span|h[1-6]|ul|table|a)\b"
+# no \s* after '<': per the HTML spec "< p" is literal text, and the
+# permissive form misrouted prose/math like "x < a and y > b" into the
+# tag-stripping engines (silent content loss on plain-text payloads)
+_HTMLISH = r"<(?:html|body|div|p|script|span|h[1-6]|ul|table|a)\b"
 
 
 # heavy-denoise extras (M7 NL-means analog, config-gated OFF by default —
 # the parity contract covers the standard pass only): C0/C1 control chars
 # (except \t\n\r) stripped, and 4+ repeated runs of common noise
 # punctuation collapsed to one (RE2 has no backreferences, so one pass per
-# character — each is a vectorized kernel)
+# character — each is a vectorized kernel).  Known interaction: the dash
+# collapse also shortens 4+-dash table ruler lines, so heavy mode can
+# demote a dash-ruled aligned table to the wrap-repair path — aggressive
+# denoise trades layout fidelity for noise removal BY DESIGN; keep the
+# default mode for table-bearing corpora.
 _CONTROL = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
 _NOISE_PUNCT = ".!?-=*#_~"
 

@@ -183,15 +183,17 @@ def assemble_conversations(
     budget)."""
     span = config.salt_span
     if n_partitions is None:
-        from ray.data.dataset import MaterializedDataset
+        # the shared sizing policy (join.resolve_partitions — lifted from
+        # this function in round 3 and since extended with lazy-input size
+        # estimation and the CPU-aware floor); config.reassemble_partitions
+        # remains the fallback when no estimate exists
+        from ocr_ray.stages.join import resolve_partitions
 
-        if isinstance(turns, MaterializedDataset):
-            # ~64 MB per reduce partition, bounded; small inputs stay cheap
-            n_partitions = max(
-                8, min(256, int(turns.size_bytes() // (64 << 20)) + 1)
-            )
-        else:
-            n_partitions = config.reassemble_partitions
+        n_partitions = resolve_partitions(
+            turns, None, default=config.reassemble_partitions)
+    # num_returns=1 would hand back a bare ObjectRef (not a 1-list) and the
+    # per-partition indexing below would TypeError — floor at 2
+    n_partitions = max(2, n_partitions)
 
     min_rows = 32768
     splits: List = []

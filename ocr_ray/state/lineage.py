@@ -77,10 +77,17 @@ def read_lineage(out_dir: str, group_id: int) -> LineageRecord | None:
         return None
 
 
-def validate_group(out_dir: str, record: LineageRecord, extractor_version: str) -> bool:
-    """A group is done iff its record matches the running version and the
-    written partition still holds exactly the recorded row count."""
+def validate_group(out_dir: str, record: LineageRecord, extractor_version: str,
+                   expected_fragments: "List[str] | None" = None) -> bool:
+    """A group is done iff its record matches the running version, maps to
+    the SAME input fragments (an added/removed input file shifts the
+    sorted grouping — a stale record would silently map old output to the
+    wrong inputs), and the written partition still holds exactly the
+    recorded row count."""
     if record.extractor_version != extractor_version:
+        return False
+    if (expected_fragments is not None
+            and list(record.fragments) != list(expected_fragments)):
         return False
     gdir = group_out_dir(out_dir, record.group_id)
     files = glob.glob(os.path.join(gdir, "*.parquet"))
@@ -93,10 +100,18 @@ def validate_group(out_dir: str, record: LineageRecord, extractor_version: str) 
     return rows == record.row_count
 
 
-def completed_groups(out_dir: str, n_groups: int, extractor_version: str) -> List[int]:
+def completed_groups(out_dir: str, groups, extractor_version: str) -> List[int]:
+    """``groups``: either the current list of fragment-path groups (each a
+    list of paths — basenames are compared against the committed record)
+    or, legacy, a bare group count (skips the fragment check)."""
+    if isinstance(groups, int):
+        expected = [None] * groups
+    else:
+        expected = [[os.path.basename(p) for p in g] for g in groups]
     done = []
-    for gid in range(n_groups):
+    for gid, exp in enumerate(expected):
         rec = read_lineage(out_dir, gid)
-        if rec is not None and validate_group(out_dir, rec, extractor_version):
+        if rec is not None and validate_group(out_dir, rec,
+                                              extractor_version, exp):
             done.append(gid)
     return done

@@ -110,3 +110,34 @@ def test_kill9_mid_write_resume_content_identical(ray_session, tmp_path):
     convs_ref = _read_sorted(os.path.join(out_ref, "convs"), ["conv_id"])
     convs_res = _read_sorted(os.path.join(out_kill, "convs"), ["conv_id"])
     pd.testing.assert_frame_equal(convs_res, convs_ref)
+
+
+def test_resume_detects_shifted_fragment_groups(ray_session, tmp_path):
+    """Fourth review wave: adding an input file shifts the sorted fragment
+    grouping — resume must NOT keep old group outputs that now map to
+    different inputs (lineage records compare fragment lists)."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from ocr_ray.state.lineage import (LineageRecord, completed_groups,
+                                       write_lineage)
+
+    out = str(tmp_path / "turns")
+    os.makedirs(os.path.join(out, "group=00000"), exist_ok=True)
+    # a committed record for group 0 over fragments [a, b]
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(
+        os.path.join(out, "group=00000", "part.parquet"))
+    write_lineage(out, LineageRecord(
+        group_id=0, fragments=["a.parquet", "b.parquet"],
+        extractor_version="v1", row_count=3, checksum="00", metrics={}))
+
+    same = completed_groups(out, [["/in/a.parquet", "/in/b.parquet"]], "v1")
+    assert same == [0]
+    # an added file shifts the grouping: [a, ab] no longer matches [a, b]
+    shifted = completed_groups(out, [["/in/a.parquet", "/in/ab.parquet"]], "v1")
+    assert shifted == []
+    # legacy int form still works (no fragment check)
+    legacy = completed_groups(out, 1, "v1")
+    assert legacy == [0]
