@@ -1061,10 +1061,10 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
   CAST(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_role,
   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
   CAST(sum(CASE WHEN tool IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tool,
-  CAST(sum(CASE WHEN COALESCE(turn_idx, -1) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_idx,
+  CAST(sum(CASE WHEN COALESCE(turn_idx, 0) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_idx,
   CAST(sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_idx,
   CAST(sum(CASE WHEN role NOT IN ('system', 'user', 'assistant', 'tool')
-                 OR role IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_enum,
+                 AND role IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_enum,
   CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
   CAST(sum(CASE WHEN len(COALESCE(text, '')) > 1048576 THEN 1 ELSE 0 END)
        AS BIGINT) AS oversize_text

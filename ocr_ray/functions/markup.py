@@ -30,7 +30,10 @@ from typing import List, Tuple
 # one tag-or-text tokenizer pass; comments and script/style handled first
 _COMMENT = re.compile(r"<!--.*?-->", re.S)
 _SCRIPT_STYLE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
-_TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\s[^<>]*)?)>")
+# attrs group also matches a bare trailing '/' so attribute-less
+# self-closing tags (<br/>, <nav/>) tokenize instead of leaking verbatim
+# into engine output
+_TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\s[^<>]*|/)?)>")
 _CLASS_OR_ID = re.compile(r"(?:class|id)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)", re.I)
 
 BOILERPLATE_TAGS = {"nav", "header", "footer", "aside", "form", "button", "iframe", "noscript"}
@@ -275,7 +278,9 @@ def repair_wrapping(text: str) -> str:
 
 
 # ---------------------------------------------------------------- kind sniff
-_HTMLISH = re.compile(r"<\s*(?:html|body|div|p|script|span|h[1-6]|ul|table|a)\b", re.I)
+# no \s* after '<' — kept in lockstep with normalize.py's sniffer ("< p"
+# is literal text per the HTML spec; the permissive form misrouted prose)
+_HTMLISH = re.compile(r"<(?:html|body|div|p|script|span|h[1-6]|ul|table|a)\b", re.I)
 _BOXED = re.compile(r'^\s*\{\s*"page_height"')
 
 

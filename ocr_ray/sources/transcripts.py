@@ -53,7 +53,9 @@ ORACLE_SCHEMA = pa.schema(
 )
 
 PAYLOAD_CAP = 32768  # max chars per turn before truncation (M6 analog)
-ERROR_TEXT = "Error: All OCR engines failed"  # in-band parity, ocr_app/core/ocr_engine.py:413
+# single source of truth for the in-band error sentinel (C2 parity): the
+# generator oracle and the extractor MUST emit byte-identical strings
+from ocr_ray.stages.extract import ERROR_TEXT  # noqa: E402
 
 _WORDS = (
     "system pipeline extract transform stream batch shuffle partition arrow "

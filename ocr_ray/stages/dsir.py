@@ -63,8 +63,8 @@ def train_unigram_counts(
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         hasher = _TokenHasher()
-        per_doc = [hasher.h1(t.split()) % b_uni for t in b[text_col]
-                   if t.split()]
+        per_doc = [hasher.h1(toks) % b_uni
+                   for toks in (t.split() for t in b[text_col]) if toks]
         if not per_doc:
             return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
                                  "c": pd.Series([], dtype="int64")})
@@ -72,6 +72,10 @@ def train_unigram_counts(
         return pd.DataFrame({"bucket": ub, "c": uc.astype(np.int64)})
 
     def reduce_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "bucket" not in g.columns:
+            # all-empty exchange delivers the pre-map schema
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
         return g.groupby("bucket", as_index=False)["c"].sum()
 
     reduced = exchange_map_partitions(

@@ -66,6 +66,10 @@ class HashingEmbedder:
     def _feature(self, tok: str) -> Tuple[int, float]:
         f = self._cache.get(tok)
         if f is None:
+            if len(self._cache) > 2_000_000:
+                # bound actor heap on high-vocabulary corpora (same cap as
+                # the lm/bloom token caches)
+                self._cache.clear()
             h = hash_token(tok)
             f = (h % self.dim, 1.0 if (h // self.dim) % 2 == 0 else -1.0)
             self._cache[tok] = f

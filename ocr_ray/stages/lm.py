@@ -124,6 +124,11 @@ def train_bigram_counts(
         return pd.concat(frames, ignore_index=True)
 
     def reduce_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "kind" not in g.columns:
+            # all-empty exchange delivers the pre-map schema
+            return pd.DataFrame({"kind": pd.Series(dtype="int64"),
+                                 "bucket": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
         return g.groupby(["kind", "bucket"], as_index=False)["c"].sum()
 
     reduced = exchange_map_partitions(

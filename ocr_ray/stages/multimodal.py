@@ -36,6 +36,10 @@ class DecodeImageStub:
                 "image decode requires PIL/cv2 which are not available; "
                 "run with real_decode=False for the deterministic stub"
             )
+        if not 1 <= n_features <= 8:
+            # the sha256 digest supplies 8 uint32 words; more would emit
+            # short rows that crash the fixed_size_list build mid-pipeline
+            raise ValueError(f"n_features must be 1..8, got {n_features}")
         self.real_decode = real_decode
         self.n_features = n_features
 
@@ -49,7 +53,7 @@ class DecodeImageStub:
             widths.append(64 + digest[0] % 192)       # deterministic fake dims
             heights.append(64 + digest[1] % 192)
             modes.append("RGB" if digest[2] % 2 else "L")
-            rng = np.frombuffer(digest[:self.n_features * 4][: self.n_features * 4],
+            rng = np.frombuffer(digest[: self.n_features * 4],
                                 dtype=np.uint32).astype(np.float32)
             feats.append((rng / np.float32(2**32)).tolist())
         meta = pa.StructArray.from_arrays(
@@ -104,6 +108,9 @@ class AudioFeatureStub:
     kernel would swap in librosa/torchaudio with the same signature)."""
 
     def __init__(self, n_mfcc: int = 13, sample_rate: int = 16000):
+        if not 1 <= n_mfcc <= 16:
+            # sha512 supplies 16 uint32 words for the deterministic fake
+            raise ValueError(f"n_mfcc must be 1..16, got {n_mfcc}")
         self.n_mfcc = n_mfcc
         self.sample_rate = sample_rate
 

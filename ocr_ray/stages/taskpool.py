@@ -20,17 +20,26 @@ from __future__ import annotations
 from typing import Callable, Dict, Tuple
 
 _CACHE: Dict[Tuple, object] = {}
+# keys embed per-query ObjectRefs (each lm_score/dsir_score call ray.puts
+# fresh broadcast tables), so long-lived worker processes would otherwise
+# accumulate one instance — holding MB-scale arrays — per historical query
+_CACHE_MAX = 32
 
 
 def task_pool(cls, **ctor_kwargs) -> Callable:
     """Wrap callable-class ``cls(**ctor_kwargs)`` as a batch function with
     one cached instance per (class, kwargs) per worker process.  Kwargs
-    must be hashable (ObjectRefs are — broadcast refs work unchanged)."""
+    must be hashable (ObjectRefs are — broadcast refs work unchanged).
+    The per-process cache is bounded: past ``_CACHE_MAX`` distinct
+    (class, kwargs) keys it resets, trading one re-setup for a bounded
+    heap on workers that serve many distinct queries."""
     key = (cls.__module__, cls.__qualname__, tuple(sorted(ctor_kwargs.items())))
 
     def fn(batch):
         inst = _CACHE.get(key)
         if inst is None:
+            if len(_CACHE) >= _CACHE_MAX:
+                _CACHE.clear()
             inst = _CACHE.setdefault(key, cls(**ctor_kwargs))
         return inst(batch)
 

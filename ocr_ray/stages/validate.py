@@ -50,6 +50,20 @@ def sequence_validation(
         return b.groupby([key_col, idx_col], as_index=False, dropna=False)["n"].sum()
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or any(c not in g.columns
+                             for c in (key_col, idx_col, "n")):
+            # all-empty exchange delivers the pre-map schema — return the
+            # typed empty matching the real output schema below
+            return pd.DataFrame({
+                key_col: pd.Series(dtype="object"),
+                "n_rows": pd.Series(dtype="int64"),
+                "n_null_idx": pd.Series(dtype="int64"),
+                "n_distinct": pd.Series(dtype="int64"),
+                "min_idx": pd.Series(dtype="Int64"),
+                "max_idx": pd.Series(dtype="Int64"),
+                "has_dups": pd.Series(dtype="bool"),
+                "is_contiguous": pd.Series(dtype="bool"),
+            })
         # same (key, idx) pair arrives once per source batch — collapse to
         # one row per pair before the per-key stats so n_distinct is exact
         g = g.groupby([key_col, idx_col], as_index=False, dropna=False)["n"].sum()
@@ -109,9 +123,13 @@ def contract_check(
         out = {"n_rows": np.int64(len(b))}
         for c in string_cols:
             out[f"null_{c}"] = np.int64(b[c].isna().sum())
-        out["neg_idx"] = np.int64((b[idx_col].fillna(-1) < 0).sum())
+        # categories are DISJOINT: a null index counts as null_idx only
+        # (not also neg_idx), a null role as null_role only (not bad_enum)
+        # — a quarantine report must not double-diagnose one defect
+        out["neg_idx"] = np.int64((b[idx_col].fillna(0) < 0).sum())
         out["null_idx"] = np.int64(b[idx_col].isna().sum())
-        out["bad_enum"] = np.int64((~b[enum_col].isin(enum_set)).sum())
+        out["bad_enum"] = np.int64(
+            (~b[enum_col].isin(enum_set) & b[enum_col].notna()).sum())
         out["null_ts"] = np.int64(b[ts_col].isna().sum())
         out["oversize_text"] = np.int64(
             (b[text_col].str.len().fillna(0) > max_text_len).sum())
