@@ -14,7 +14,7 @@ prints ONE JSON line::
 scaling efficiency ``(T8/T32)/4``.
 
 Env knobs: GRAFT_SF_DIR, RAY_GRAFT_CPUS, GRAFT_BENCH_CONVS (transcript
-conversations; default 12000), GRAFT_HEADLINE_ONLY=1 (skip per-query timing).
+conversations; default 100000), GRAFT_HEADLINE_ONLY=1 (skip per-query timing).
 """
 
 from __future__ import annotations
@@ -71,8 +71,17 @@ def run_bench() -> dict:
 
     tdir = _bench_transcripts(N_CONVS)
 
-    # warm the OS page cache so we measure compute + shuffle, not cold disk
-    n_turns = rd.read_parquet(tdir).count()
+    # warm the OS page cache so we measure compute + shuffle, not cold
+    # disk.  count() alone is a parquet-METADATA fast path (reads no data),
+    # so force a real full-column scan and take the row count from it
+    import pyarrow as _pa
+
+    n_turns = int(
+        rd.read_parquet(tdir)
+        .map_batches(lambda t: _pa.table({"n": [t.num_rows]}),
+                     batch_format="pyarrow")
+        .sum("n")
+    )
 
     out_dir = f"/tmp/graft_bench_out/turns-{NCPU}"
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -287,7 +287,7 @@ def curate(
     from ocr_ray.stages.dedup import add_content_hash
 
     word = _re.compile(r"\w+")
-    SPLIT_MULT = 2654435761
+    from ocr_ray.pipelines.queries import _id_hash32
 
     def quality_gate(b: pd.DataFrame) -> pd.DataFrame:
         keep = []
@@ -308,7 +308,7 @@ def curate(
     )
 
     def assign_split(b: pd.DataFrame) -> pd.DataFrame:
-        h = (b[id_col].astype("int64") * SPLIT_MULT) % (1 << 32)
+        h = _id_hash32(b[id_col])  # mod-first: exact for any int64 id
         bucket = (h % 100).astype("int64")
         return pd.DataFrame(
             {id_col: b[id_col].astype("int64"),

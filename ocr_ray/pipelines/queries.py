@@ -6382,13 +6382,13 @@ pr0 AS (SELECT v, CAST(1000000 // nn.n AS BIGINT) AS pr FROM nodes, nn),
 c1 AS (SELECT e0.dst AS v, sum(pr0.pr * e0.w // outw.ow) AS s
        FROM e0 JOIN pr0 ON pr0.v = e0.src JOIN outw USING (src) GROUP BY 1),
 pr1 AS (SELECT nodes.v,
-        CAST((150000000 // nn.n + 85 * COALESCE(c1.s, 0)) // 100 AS BIGINT)
+        CAST((15000000 // nn.n + 85 * COALESCE(c1.s, 0)) // 100 AS BIGINT)
           AS pr
         FROM nodes LEFT JOIN c1 ON c1.v = nodes.v CROSS JOIN nn),
 c2 AS (SELECT e0.dst AS v, sum(pr1.pr * e0.w // outw.ow) AS s
        FROM e0 JOIN pr1 ON pr1.v = e0.src JOIN outw USING (src) GROUP BY 1),
 pr2 AS (SELECT nodes.v,
-        CAST((150000000 // nn.n + 85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
+        CAST((15000000 // nn.n + 85 * COALESCE(c2.s, 0)) // 100 AS BIGINT)
           AS pr
         FROM nodes LEFT JOIN c2 ON c2.v = nodes.v CROSS JOIN nn)
 SELECT pr2.v AS node, CAST(COALESCE(outw.ow, 0) AS BIGINT) AS out_w,

@@ -19,7 +19,7 @@ That asymmetry picks the architecture:
 Integer-exact iteration (the repo's oracle discipline): ranks are ppm of
 total mass, ``pr0 = 1_000_000 // N``; each edge contributes ``pr[src] *
 w // out_w[src]`` (int64 — pr <= 1e6 so the product is safe to ~9e12
-edge weight); the update is ``pr' = (150_000_000 // N + 85 * sum) //
+edge weight); the update is ``pr' = (15_000_000 // N + 85 * sum) //
 100`` — damping 0.85 and teleport 0.15/N in exact integer form, sums
 order-insensitive, so the result is bit-identical across partitionings
 and replicable in chained SQL CTEs for a fixed iteration count.
@@ -71,13 +71,22 @@ def pagerank(
         keys=["node"], aggs={"ow": "sum"}, n_partitions=n_partitions,
     ).to_pandas()
 
+    if not len(stats) or "node" not in stats.columns:
+        # empty edge table (and Ray's to_pandas drops columns on all-empty
+        # Datasets): empty rank table, not a KeyError/ZeroDivisionError
+        return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "out_w": pd.Series(dtype="int64"),
+                             "pr_ppm": pd.Series(dtype="int64")})
     nodes = np.sort(stats["node"].to_numpy(dtype="int64"))  # stable output order
     n = len(nodes)
     has_out = stats["ow"].astype("int64") > 0
     out_w: Dict[int, int] = dict(zip(stats.loc[has_out, "node"].astype("int64"),
                                      stats.loc[has_out, "ow"].astype("int64")))
     pr: Dict[int, int] = {int(v): _PPM // n for v in nodes}
-    tele = 150 * _PPM // n
+    # 0.15/N teleport in ppm: 0.15 * _PPM // n, folded with the final
+    # //100 as 15 * _PPM // n (a 150x constant here would inflate rank
+    # mass ~2.35x per iteration — caught in review round 3)
+    tele = 15 * _PPM // n
 
     for _ in range(iters):
         pr_ref = ray.put(pr)
@@ -86,13 +95,18 @@ def pagerank(
         def contribs(b: pd.DataFrame) -> pd.DataFrame:
             pr_, ow_ = ray.get(pr_ref), ray.get(ow_ref)
             src = b[src_col].to_numpy(dtype="int64")
+            # a src with zero total out-weight (all its edges w=0) is
+            # absent from ow_ — its edges carry no mass, skip them
+            # instead of KeyError'ing
             p = np.fromiter((pr_[int(s)] for s in src), dtype=np.int64,
                             count=len(src))
-            o = np.fromiter((ow_[int(s)] for s in src), dtype=np.int64,
-                            count=len(src))
+            o = np.fromiter((ow_.get(int(s), 0) for s in src),
+                            dtype=np.int64, count=len(src))
+            live = o > 0
             return pd.DataFrame(
-                {"node": b[dst_col].to_numpy(dtype="int64"),
-                 "s": p * b[w_col].to_numpy(dtype="int64") // o})
+                {"node": b[dst_col].to_numpy(dtype="int64")[live],
+                 "s": (p[live] * b[w_col].to_numpy(dtype="int64")[live]
+                       // o[live])})
 
         sums = hash_aggregate(
             edges.map_batches(contribs, batch_format="pandas"),
@@ -224,6 +238,10 @@ def triangle_counts(
     # 5. close wedges against oriented edges: hash-partitioned join on
     # the (x, y) pair; each match is one triangle (apex, x, y)
     def close(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "_side" not in g.columns:
+            # all-empty exchange input carries the pre-map schema
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "n_triangles": pd.Series([], dtype="int64")})
         w = g[g["_side"] == 0]
         e = g[g["_side"] == 1]
         hit = w.merge(e[["wx", "wy"]], on=["wx", "wy"], how="inner")

@@ -73,6 +73,12 @@ def build_postings(
         )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "term" not in g.columns:
+            # all-empty exchange input carries the pre-map schema
+            return pd.DataFrame({"term": pd.Series(dtype="object"),
+                                 "df": pd.Series(dtype="int64"),
+                                 "tf_total": pd.Series(dtype="int64"),
+                                 "postings": pd.Series(dtype="object")})
         g = g.sort_values(["term", id_col])
         ids_str = g[id_col].astype(str)
         out = (
@@ -108,7 +114,15 @@ def conjunctive_lookup(postings: "rd.Dataset", terms: List[str]) -> List[int]:
     lists driver-side; the result and every intermediate are bounded by
     the smallest postings list, never the corpus.
     """
-    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    if not terms:
+        return []  # empty AND over no terms: defined as no results
+    # indexed terms are [a-z0-9]+ by construction — anything else cannot
+    # exist in the index, and quoting it into the (Python-expression)
+    # filter would be fragile ('' doubling is SQL, not Python)
+    if any(not t.isascii() or not t.isalnum() or t != t.lower()
+           for t in terms):
+        return []
+    quoted = ", ".join("'" + t + "'" for t in terms)
     rows = postings.filter(expr=f"term in [{quoted}]").select_columns(
         ["term", "postings"]
     ).take_all()

@@ -395,3 +395,44 @@ def test_lsh_bucket_cap_fails_loudly(monkeypatch):
     out = dd._pairs_from_bucket_partition(small, ["band_id", "band_hash"],
                                           "doc_id")
     assert len(out) == 45
+
+
+def test_pagerank_stationary_and_edge_cases(ray_session):
+    """Sixth review wave: teleport must be 0.15/N (a single self-loop node
+    is stationary at 1e6 ppm; the old 150x constant inflated it 2.35x per
+    iteration), empty edges yield an empty table, and zero-out-weight
+    sources are skipped instead of KeyError'ing."""
+    import ray.data as rd
+
+    from ocr_ray.stages.graph import pagerank
+
+    loop = rd.from_pandas(pd.DataFrame(
+        {"src": [1], "dst": [1], "w": [1]}).astype("int64"))
+    out = pagerank(loop, iters=3)
+    assert list(out["pr_ppm"]) == [1_000_000]
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
+         "w": pd.Series(dtype="int64")}))
+    assert len(pagerank(empty, iters=1)) == 0
+
+    zero_w = rd.from_pandas(pd.DataFrame(
+        {"src": [1, 5], "dst": [2, 7], "w": [1, 0]}).astype("int64"))
+    out = pagerank(zero_w, iters=2)  # node 5 has no out mass: no crash
+    assert set(out["node"]) == {1, 2, 5, 7}
+
+
+def test_conjunctive_lookup_edge_cases(ray_session):
+    """Sixth review wave: empty term list and non-indexable terms return
+    [] instead of IndexError / silently-wrong quoted lookups."""
+    import ray.data as rd
+
+    from ocr_ray.stages.index import build_postings, conjunctive_lookup
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(4, dtype="int64"),
+         "text": ["dont stop", "dont go", "stop now", "go dont"]}))
+    postings = build_postings(docs).materialize()
+    assert conjunctive_lookup(postings, []) == []
+    assert conjunctive_lookup(postings, ["don't"]) == []  # not indexable
+    assert conjunctive_lookup(postings, ["dont"]) == [0, 1, 3]

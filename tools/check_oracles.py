@@ -114,7 +114,7 @@ def run_checks(sf_dir: str, names=None) -> list[str]:
     return failures
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, names=None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -122,11 +122,17 @@ def main(sf_dir: str) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    failures = run_checks(sf_dir)
+    failures = run_checks(sf_dir, names=names)
     ray.shutdown()
     return 1 if failures else 0
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(main(sf))
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    sys.exit(main(sf, names=only))
