@@ -20,7 +20,11 @@ import pandas as pd
 import ray
 
 
-def _as_matrix(col) -> np.ndarray:
+def _as_matrix(col, dim: "int | None" = None) -> np.ndarray:
+    if len(col) == 0:
+        # an empty list-of-arrays collapses to shape (0,), which breaks
+        # every downstream (N, dim) matmul — give empties their real width
+        return np.zeros((0, dim if dim is not None else 0), dtype=np.float64)
     return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
 
 
@@ -38,7 +42,7 @@ class CosineTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _as_matrix(batch[self.vec_col])
+        m = _as_matrix(batch[self.vec_col], self.qn.shape[1])
         norms = np.linalg.norm(m, axis=1)
         sims = (m @ self.qn.T) / np.maximum(norms, 1e-30)[:, None]
         return pd.DataFrame(
@@ -86,7 +90,7 @@ class IVFAssign:
         return (self.cent_sq[None, :] - 2.0 * (m @ self.cent.T)).argmin(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _as_matrix(batch[self.vec_col])
+        m = _as_matrix(batch[self.vec_col], self.cent.shape[1])
         return pd.DataFrame(
             {self.id_col: batch[self.id_col].to_numpy(), "cell": self.assign(m)}
         )
@@ -124,7 +128,7 @@ class RandomProjectionLSH:
         return set(all_b[ham <= max_hamming].tolist())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _as_matrix(batch[self.vec_col])
+        m = _as_matrix(batch[self.vec_col], self.r.shape[0])
         bits = (m @ self.r) > 0
         buckets = bits.astype(np.int64) @ self.weights
         return pd.DataFrame(
@@ -156,7 +160,7 @@ class SignHashLSH:
         self.weights = (1 << np.arange(n_bits)).astype(np.int64)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _as_matrix(batch[self.vec_col]).astype(np.float64)
+        m = _as_matrix(batch[self.vec_col], self.s.shape[0]).astype(np.float64)
         bits = (m @ self.s) > 0
         buckets = bits.astype(np.int64) @ self.weights
         return pd.DataFrame(
@@ -180,7 +184,7 @@ class MultiTableLSH:
         self.vec_col = vec_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _as_matrix(batch[self.vec_col])
+        m = _as_matrix(batch[self.vec_col], self.r.shape[1])
         ids = batch[self.id_col].to_numpy()
         out_id, out_t, out_b = [], [], []
         for t in range(self.n_tables):
@@ -341,7 +345,7 @@ class LSHProbeScore:
         self.vec_col = vec_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _as_matrix(batch[self.vec_col])
+        m = _as_matrix(batch[self.vec_col], self.lsh.r.shape[0])
         bits = (m @ self.lsh.r) > 0
         buckets = bits.astype(np.int64) @ self.lsh.weights
         mask = np.isin(buckets, list(self.probe))
@@ -393,7 +397,7 @@ class QuantizedDot:
         self.vec_col = vec_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _as_matrix(batch[self.vec_col])
+        m = _as_matrix(batch[self.vec_col], len(self.qc))
         codes, _ = quantize_int8(m)
         return pd.DataFrame(
             {self.id_col: batch[self.id_col].to_numpy().astype("int64"),
@@ -428,7 +432,7 @@ class RPReducer:
         self.vec_col = vec_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = _as_matrix(batch[self.vec_col]).astype(np.float64)
+        m = _as_matrix(batch[self.vec_col], self.s.shape[0]).astype(np.float64)
         q, _ = quantize_int8(m)
         y = q @ self.s                       # exact: |y| <= dim*127 << 2^63
         n = len(batch)

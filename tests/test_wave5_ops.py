@@ -436,3 +436,29 @@ def test_conjunctive_lookup_edge_cases(ray_session):
     assert conjunctive_lookup(postings, []) == []
     assert conjunctive_lookup(postings, ["don't"]) == []  # not indexable
     assert conjunctive_lookup(postings, ["dont"]) == [0, 1, 3]
+
+
+def test_vector_stages_accept_empty_batches():
+    """Seventh review wave: a zero-row pandas batch (e.g. a fully-filtered
+    block) must flow through every vector stage, not die on a (0,) matmul."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.stages import similarity as sim
+
+    empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                          "embedding": pd.Series(dtype="object")})
+    q = np.ones(8)
+    stages = [
+        sim.CosineTopK(q),
+        sim.IVFAssign(np.ones((4, 8))),
+        sim.RandomProjectionLSH(8),
+        sim.SignHashLSH(8),
+        sim.MultiTableLSH(8, n_tables=2),
+        sim.LSHProbeScore(8, 4, {0, 1}, q / np.linalg.norm(q)),
+        sim.QuantizedDot(np.ones(8, dtype=np.int64)),
+        sim.RPReducer(dim=8, r_dim=4),
+    ]
+    for st in stages:
+        out = st(empty)
+        assert len(out) == 0, type(st).__name__
