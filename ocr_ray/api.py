@@ -235,7 +235,10 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> pd.DataFrame:
     """Brute-force cosine top-k of ``query`` against an embedding Dataset
-    (broadcast query, per-batch matmul, global sort + limit)."""
+    (broadcast query, per-batch matmul, per-block top-k + driver merge —
+    ``sort().limit(k)`` would range-shuffle the ENTIRE score table before
+    the limit applies; global_topk moves k rows per block instead)."""
+    from ocr_ray.stages.aggregate import global_topk
     from ocr_ray.stages.similarity import CosineTopK
     from ocr_ray.stages.taskpool import task_pool
 
@@ -245,7 +248,8 @@ def cosine_topk(
                   vec_col=vec_col),
         batch_format="pandas",
     )
-    return scored.sort(["sim", id_col], descending=[True, False]).limit(k).to_pandas()
+    return global_topk(scored, by=["sim", id_col], k=k,
+                       descending=[True, False])
 
 
 def iter_training_batches(
@@ -807,12 +811,12 @@ def gram_matrix(
     O(batches x D^2) exchange traffic, independent of N.  Returns the
     upper triangle as (i, j, g) rows."""
     from ocr_ray.stages.aggregate import hash_aggregate
-    from ocr_ray.stages.similarity import quantize_int8
+    from ocr_ray.stages.similarity import _as_matrix, quantize_int8
 
     iu, ju = np.triu_indices(dim)
 
     def partial_gram(b: pd.DataFrame) -> pd.DataFrame:
-        m = np.asarray([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        m = _as_matrix(b[vec_col], dim)  # shape-correct on zero-row batches
         codes, _ = quantize_int8(m)
         g = codes.T @ codes
         return pd.DataFrame(
