@@ -570,10 +570,14 @@ def quantized_search(
     vec_col: str = "embedding",
 ) -> "object":
     """KNN over int8-quantized embeddings (stages/similarity.py:
-    QuantizedDot) — 4x-compressed corpus, exact int64 scoring."""
+    QuantizedDot) — 4x-compressed corpus, exact int64 scoring.  Top-k via
+    per-block reduction (aggregate.global_topk, same plan as the
+    oracle-checked embed_qknn query) instead of a full range-shuffle
+    ``sort().limit(k)``; returns the k-row DataFrame."""
     import numpy as np
 
     import ray
+    from ocr_ray.stages.aggregate import global_topk
     from ocr_ray.stages.similarity import QuantizedDot, quantize_int8
     from ocr_ray.stages.taskpool import task_pool
 
@@ -582,7 +586,8 @@ def quantized_search(
     scored = ds.map_batches(task_pool(QuantizedDot, query_codes_ref=qref,
                                       id_col=id_col, vec_col=vec_col),
                             batch_format="pandas")
-    return scored.sort(["dot", id_col], descending=[True, False]).limit(k)
+    return global_topk(scored, by=["dot", id_col], k=k,
+                       descending=[True, False])
 
 
 def dsir_select(

@@ -462,3 +462,33 @@ def test_vector_stages_accept_empty_batches():
     for st in stages:
         out = st(empty)
         assert len(out) == 0, type(st).__name__
+
+
+def test_quantized_search_facade_matches_global_topk(ray_session):
+    """Seventh review wave: the facade must use the per-block top-k plan
+    and return the same rows as the brute global answer."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray import api
+    from ocr_ray.stages.similarity import quantize_int8
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(50, 8))
+    ds = rd.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(50, dtype="int64"),
+         "embedding": list(vecs)})).repartition(4)
+    q = rng.normal(size=8)
+
+    got = api.quantized_search(ds, q, k=5)
+    assert isinstance(got, pd.DataFrame) and len(got) == 5
+
+    qc = quantize_int8(q[None, :])[0][0]
+    dots = quantize_int8(vecs)[0] @ qc
+    want = (pd.DataFrame({"vec_id": np.arange(50, dtype="int64"), "dot": dots})
+            .sort_values(["dot", "vec_id"], ascending=[False, True],
+                         kind="mergesort").head(5).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["dot", "vec_id"]].reset_index(drop=True),
+        want[["dot", "vec_id"]])
