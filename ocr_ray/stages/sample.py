@@ -12,8 +12,9 @@ target weight vector **without upsampling and without any RNG state**:
           / w_g)`` over groups with positive weight, then per-group keep
           rate ``rate_ppm_g = min(1e6, floor(C6 * w_g / n_g))`` — all
           int64, so the DuckDB oracle reproduces every rate exactly;
-  pass 2  streaming filter: keep row iff ``((id * 2654435761) % 2^32) %
-          1e6 < rate_ppm_g`` — the same multiplicative hash as the
+  pass 2  streaming filter: keep row iff ``(((id % 2^32) * 2654435761) %
+          2^32) % 1e6 < rate_ppm_g`` (mod-first, exact for any int64
+          id) — the same multiplicative hash as the
           train/val split, so resampling is reproducible across runs,
           engines and partitionings.  (The split uses ``% 100`` buckets
           and this uses ``% 1e6`` of the same hash, so stacking both on
@@ -71,9 +72,17 @@ def mixture_resample(
     cols = [id_col, group_col, *keep_cols]
 
     def keep_batch(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         rate = b[group_col].map(rates).fillna(0).astype("int64")
-        h = (b[id_col].astype("int64") * MIX_MULT) % (1 << 32)
-        mask = (h % PPM) < rate
+        # mod-first in uint64: (id % 2^32) * MULT stays < 2^64, exact for
+        # ANY int64 id — the naive int64 multiply silently wraps above
+        # id ~3.47e9, diverging from the HUGEINT oracle (same fix as
+        # queries._id_hash32 / api.curate)
+        u = b[id_col].to_numpy(dtype=np.uint64)
+        h = ((u % np.uint64(1 << 32)) * np.uint64(MIX_MULT)) % np.uint64(1 << 32)
+        mask = pd.Series((h % np.uint64(PPM)).astype("int64"),
+                         index=b.index) < rate
         out = b.loc[mask, cols].copy()
         out["rate_ppm"] = rate[mask]
         return out

@@ -492,3 +492,31 @@ def test_quantized_search_facade_matches_global_topk(ray_session):
     pd.testing.assert_frame_equal(
         got[["dot", "vec_id"]].reset_index(drop=True),
         want[["dot", "vec_id"]])
+
+
+def test_mixture_resample_large_id_matches_hugeint_hash(ray_session):
+    """Seventh review wave: mixture_resample's keep hash must be mod-first
+    (exact vs the HUGEINT oracle) — a naive int64 multiply wraps for ids
+    above ~3.47e9 and silently flips keep decisions."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.sample import MIX_MULT, PPM, mixture_resample
+
+    big = np.array([2**62, 2**62 + 1, 3_500_000_000, 7, 8, 9], dtype="int64")
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": big, "lang": ["en"] * 6}))
+    got = mixture_resample(ds, {"en": 1}, group_col="lang").to_pandas()
+
+    # exact Python-int replica of the HUGEINT oracle expression
+    want = [i for i in big.tolist()
+            if (((i % 2**32) * MIX_MULT) % 2**32) % PPM < PPM]
+    assert sorted(got["doc_id"]) == sorted(want)  # rate 100%: all keep
+    # and with a fractional rate, decisions equal the oracle expression
+    ds2 = rd.from_pandas(pd.DataFrame(
+        {"doc_id": big, "lang": ["en", "en", "en", "de", "de", "de"]}))
+    got2 = mixture_resample(ds2, {"en": 99, "de": 1}, group_col="lang").to_pandas()
+    rates = {"en": 1000000, "de": min(PPM, (3 * PPM // 99) * 1 // 3)}
+    want2 = [i for i, lg in zip(big.tolist(), ["en", "en", "en", "de", "de", "de"])
+             if (((i % 2**32) * MIX_MULT) % 2**32) % PPM < rates[lg]]
+    assert sorted(got2["doc_id"]) == sorted(want2)
