@@ -44,6 +44,18 @@ def shuffle_hash(ids: np.ndarray) -> np.ndarray:
     return (ids.astype(np.uint64) * _MULT & _MASK).astype(np.int64)
 
 
+
+def _empty_premap(g: pd.DataFrame, add: "dict[str, str]") -> pd.DataFrame:
+    """Typed-empty result for a zero-row exchange group that carries the
+    PRE-MAP schema (Ray Data passes zero-row blocks through map_batches
+    without running the UDF, so ``_bucket``/``shuffle_hash`` are absent).
+    Drops ``_bucket`` if present and appends the kernel's computed columns."""
+    g = g.drop(columns=["_bucket"], errors="ignore").copy()
+    for c, dt in add.items():
+        if c not in g.columns:
+            g[c] = pd.Series(dtype=dt)
+    return g
+
 def deterministic_shuffle(
     ds: "object",
     id_col: str = "doc_id",
@@ -77,16 +89,20 @@ def deterministic_shuffle(
         return pd.DataFrame({"_bucket": g.index.to_numpy(dtype="int64"),
                              "n": g.to_numpy(dtype="int64")})
 
-    counts = (
-        keyed.map_batches(count_buckets, batch_format="pandas")
-        .to_pandas().groupby("_bucket")["n"].sum()
-    )
+    counts_df = keyed.map_batches(count_buckets,
+                                  batch_format="pandas").to_pandas()
+    if "_bucket" not in counts_df.columns:   # all-empty input (pre-map schema)
+        counts_df = pd.DataFrame({"_bucket": pd.Series(dtype="int64"),
+                                  "n": pd.Series(dtype="int64")})
+    counts = counts_df.groupby("_bucket")["n"].sum()
     offsets = np.zeros(n_buckets + 1, dtype=np.int64)
     offsets[counts.index.to_numpy(dtype="int64") + 1] = counts.to_numpy()
     offsets = np.cumsum(offsets)
 
     # pass 2: exchange by bucket, rank locally, add the bucket offset
     def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _empty_premap(g, {"shuffle_hash": "int64", "pos": "int64"})
         g = g.sort_values(["_bucket", "shuffle_hash", id_col],
                           kind="mergesort").reset_index(drop=True)
         b = g["_bucket"].to_numpy(dtype="int64")
@@ -149,21 +165,25 @@ def deterministic_pack(
         return pd.DataFrame({"_bucket": g.index.to_numpy(dtype="int64"),
                              "s": g.to_numpy(dtype="int64")})
 
-    sums = (
-        keyed.map_batches(sum_buckets, batch_format="pandas")
-        .to_pandas().groupby("_bucket")["s"].sum()
-    )
+    sums_df = keyed.map_batches(sum_buckets,
+                                batch_format="pandas").to_pandas()
+    if "_bucket" not in sums_df.columns:     # all-empty input (pre-map schema)
+        sums_df = pd.DataFrame({"_bucket": pd.Series(dtype="int64"),
+                                "s": pd.Series(dtype="int64")})
+    sums = sums_df.groupby("_bucket")["s"].sum()
     tok_offsets = np.zeros(n_buckets + 1, dtype=np.int64)
     tok_offsets[sums.index.to_numpy(dtype="int64") + 1] = sums.to_numpy()
     tok_offsets = np.cumsum(tok_offsets)
 
     def pack_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            # pre-map empty blocks may carry the raw input schema or no
+            # columns at all — build the documented output schema outright
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 (id_col, "n_tokens", "shuffle_hash",
+                                  "start_offset", "bin")})
         g = g.sort_values(["_bucket", "shuffle_hash", id_col],
                           kind="mergesort").reset_index(drop=True)
-        if not len(g):
-            g["start_offset"] = pd.Series([], dtype="int64")
-            g["bin"] = pd.Series([], dtype="int64")
-            return g.drop(columns=["_bucket"])
         b = g["_bucket"].to_numpy(dtype="int64")
         n = g["n_tokens"].to_numpy(dtype="int64")
         cum = np.cumsum(n)
@@ -226,11 +246,13 @@ def grouped_rank(
         out.columns = [group_col, "_bucket", "n"]
         return out
 
-    counts = (
-        keyed.map_batches(count_gb, batch_format="pandas")
-        .to_pandas().groupby([group_col, "_bucket"], as_index=False)["n"].sum()
-        .sort_values([group_col, "_bucket"])
-    )
+    counts_df = keyed.map_batches(count_gb, batch_format="pandas").to_pandas()
+    if "_bucket" not in counts_df.columns:   # all-empty input (pre-map schema)
+        counts_df = pd.DataFrame({group_col: pd.Series(dtype="object"),
+                                  "_bucket": pd.Series(dtype="int64"),
+                                  "n": pd.Series(dtype="int64")})
+    counts = (counts_df.groupby([group_col, "_bucket"], as_index=False)["n"]
+              .sum().sort_values([group_col, "_bucket"]))
     # offset of (group, bucket) = rows of the group in earlier buckets
     counts["off"] = (counts.groupby(group_col)["n"].cumsum()
                      - counts["n"])
@@ -238,13 +260,13 @@ def grouped_rank(
                zip(counts[group_col], counts["_bucket"], counts["off"])}
 
     def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            add = {"shuffle_hash": "int64", "src_rank": "int64"}
+            if quota is not None:
+                add["kept"] = "int64"
+            return _empty_premap(g, add)
         g = g.sort_values(["_bucket", group_col, "shuffle_hash", id_col],
                           kind="mergesort").reset_index(drop=True)
-        if not len(g):
-            g["src_rank"] = pd.Series([], dtype="int64")
-            if quota is not None:
-                g["kept"] = pd.Series([], dtype="int64")
-            return g.drop(columns=["_bucket"])
         run_id = (g["_bucket"].astype(str) + "\x00" + g[group_col].astype(str))
         codes = pd.factorize(run_id)[0]
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
@@ -301,7 +323,12 @@ def value_rank(
     # nondeterministic one would desynchronize the range from the rows
     ds = ds.materialize()
     mm = ds.map_batches(minmax, batch_format="pandas").to_pandas()
-    vmin, vmax = int(mm["lo"].min()), int(mm["hi"].max())
+    if not len(mm) or "lo" not in mm.columns or mm["lo"].isna().all():
+        # all-empty input: any range works — zero rows flow through the
+        # exchange and come back as a typed-empty result (int(nan) raises)
+        vmin, vmax = 0, 0
+    else:
+        vmin, vmax = int(mm["lo"].min()), int(mm["hi"].max())
     span = vmax - vmin + 1
 
     def with_bucket(b: pd.DataFrame) -> pd.DataFrame:
@@ -324,10 +351,13 @@ def value_rank(
         return pd.DataFrame({"_bucket": g.index.to_numpy(dtype="int64"),
                              "n": g.to_numpy(dtype="int64")})
 
-    counts = (
-        keyed.map_batches(count_buckets, batch_format="pandas")
-        .to_pandas().groupby("_bucket")["n"].sum()
-    )
+    counts_df = keyed.map_batches(count_buckets,
+                                  batch_format="pandas").to_pandas()
+    if "_bucket" not in counts_df.columns:
+        # zero-row blocks skip the UDF and keep the pre-map schema
+        counts_df = pd.DataFrame({"_bucket": pd.Series(dtype="int64"),
+                                  "n": pd.Series(dtype="int64")})
+    counts = counts_df.groupby("_bucket")["n"].sum()
     offsets = np.zeros(n_buckets + 1, dtype=np.int64)
     offsets[counts.index.to_numpy(dtype="int64") + 1] = counts.to_numpy()
     total = int(offsets.sum())
@@ -335,12 +365,10 @@ def value_rank(
     denom = max(total - 1, 1)
 
     def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _empty_premap(g, {"rank": "int64", "pctile": "float64"})
         g = g.sort_values(["_bucket", value_col, id_col],
                           kind="mergesort").reset_index(drop=True)
-        if not len(g):
-            g["rank"] = pd.Series([], dtype="int64")
-            g["pctile"] = pd.Series([], dtype="float64")
-            return g.drop(columns=["_bucket"])
         b = g["_bucket"].to_numpy(dtype="int64")
         starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
         run_start = np.repeat(starts, np.diff(np.r_[starts, len(b)]))

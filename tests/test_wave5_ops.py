@@ -520,3 +520,40 @@ def test_mixture_resample_large_id_matches_hugeint_hash(ray_session):
     want2 = [i for i, lg in zip(big.tolist(), ["en", "en", "en", "de", "de", "de"])
              if (((i % 2**32) * MIX_MULT) % 2**32) % PPM < rates[lg]]
     assert sorted(got2["doc_id"]) == sorted(want2)
+
+
+def test_value_rank_empty_input(ray_session):
+    """Seventh review wave: an all-empty input must yield an empty result,
+    not int(nan) in the min/max pass."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.shuffle import value_rank
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}))
+    assert value_rank(empty, "v").count() == 0
+
+
+def test_shuffle_ops_empty_input(ray_session):
+    """Seventh review wave: all four shuffle/rank operators must be total
+    on all-empty inputs (zero-row blocks carry the pre-map schema)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.shuffle import (
+        deterministic_pack,
+        deterministic_shuffle,
+        grouped_rank,
+        value_rank,
+    )
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"),
+         "text": pd.Series(dtype="object"),
+         "source": pd.Series(dtype="object"),
+         "v": pd.Series(dtype="int64")}))
+    assert deterministic_shuffle(empty).count() == 0
+    assert deterministic_pack(empty).count() == 0
+    assert grouped_rank(empty, "source", quota=2).count() == 0
+    assert value_rank(empty, "v").count() == 0
