@@ -333,6 +333,12 @@ def generate_transcripts(
     roughly that share of all turns (skew testing).  Idempotent: if the
     marker file exists with matching params, generation is skipped.
     """
+    if not 0.0 <= mega_share < 1.0:
+        raise ValueError(f"mega_share must be in [0, 1), got {mega_share}")
+    if mega_share > 0 and n_convs < 2:
+        raise ValueError(
+            "mega_share needs n_convs >= 2: the mega conversation is sized "
+            "from the average length of the OTHER conversations")
     os.makedirs(out_dir, exist_ok=True)
     marker = os.path.join(out_dir, "_GENERATED.json")
     params = {

@@ -128,6 +128,10 @@ def kmv_distinct_shingles(
         return pd.DataFrame({"h": m, "g": np.int64(0)})
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if "h" not in g.columns:
+            # all-empty corpus: Ray skips the partial UDF on zero-row
+            # blocks, so the exchange delivers the pre-map (text) schema
+            g = pd.DataFrame({"h": pd.Series([], dtype="int64")})
         u = np.unique(g["h"].to_numpy())
         n = min(len(u), k)
         if n == 0:
@@ -330,6 +334,11 @@ def hll_distinct_terms(
         ds.map_batches(partial, batch_format="pandas"),
         keys=["bucket"], aggs={"rho": "max"}, n_partitions=n_partitions,
     ).to_pandas()
+    if "rho" not in regs.columns:
+        # token-less corpus: to_pandas() on an all-empty Dataset drops
+        # columns — rebuild so the n_zero=256 linear-counting row emits
+        regs = pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                             "rho": pd.Series(dtype="int64")})
 
     n_present = len(regs)
     n_zero = HLL_M - n_present
@@ -416,6 +425,12 @@ def heavy_hitters(
         ds.map_batches(mg_partial, batch_format="pandas"),
         keys=["term"], aggs={"lb": "sum"}, n_partitions=n_partitions,
     ).to_pandas()
+    if not len(summed) or "term" not in summed.columns:
+        # all-empty input: no block ever ran mg_partial (Ray skips the
+        # UDF on zero-row blocks) so even the sentinel row is absent and
+        # to_pandas() dropped the columns — nothing can be frequent
+        return pd.DataFrame({"term": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
     total = int(summed.loc[summed["term"] == "\x00n", "lb"].sum())
     cand = summed[(summed["term"] != "\x00n")
                   & (summed["lb"].astype("int64") * k * (k + 1) > total)]
@@ -533,6 +548,11 @@ def hll_distinct_terms_by(
         keys=[group_col, "bucket"], aggs={"rho": "max"},
         n_partitions=n_partitions,
     ).to_pandas()
+    if group_col not in regs.columns:
+        # token-less corpus: to_pandas() on all-empty drops columns
+        regs = pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             "bucket": pd.Series(dtype="int64"),
+                             "rho": pd.Series(dtype="int64")})
 
     out_rows = []
     for g, sub in regs.groupby(group_col, sort=True):

@@ -26,9 +26,14 @@ import ray.data as rd
 
 
 def calculate_similarity(a: str, b: str) -> float:
-    """``src/ocr_benchmark.py:21-25`` verbatim semantics (0 on empty)."""
+    """``src/ocr_benchmark.py:21-25`` verbatim semantics (0 on empty).
+
+    Returns float 0.0 (not int 0): a block whose rows ALL hit the empty
+    branch would otherwise carry an int64 ``accuracy`` column, and the
+    downstream exchange's ``pa.concat_tables`` raises ArrowTypeError on
+    int64-vs-double block mixes."""
     if not a or not b:
-        return 0
+        return 0.0
     return SequenceMatcher(None, a, b).ratio()
 
 
@@ -168,6 +173,16 @@ def benchmark_summary(results: "rd.Dataset") -> pd.DataFrame:
         aggs={"n": "sum", "acc_sum": "sum", "time_sum": "sum"},
         n_partitions=8,
     ).to_pandas()
+    if not len(agg) or "acc_sum" not in agg.columns:
+        # empty results (e.g. disjoint payload/oracle keys): to_pandas()
+        # on an all-empty Dataset drops columns — rebuild the typed empty
+        return pd.DataFrame({
+            "engine": pd.Series(dtype="object"),
+            "layout_preserved": pd.Series(dtype="bool"),
+            "n": pd.Series(dtype="int64"),
+            "mean_accuracy": pd.Series(dtype="float64"),
+            "mean_time": pd.Series(dtype="float64"),
+        })
     agg["mean_accuracy"] = (agg["acc_sum"] / agg["n"]).round(6)
     agg["mean_time"] = (agg["time_sum"] / agg["n"]).round(6)
     return agg.drop(columns=["acc_sum", "time_sum"]).sort_values(

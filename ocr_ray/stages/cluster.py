@@ -21,9 +21,10 @@ This stage runs Lloyd in EXACT INTEGER arithmetic instead:
 
 Every iteration is bit-identical across partitionings, actor counts and
 engines, so the full T-iteration trajectory (not just one step) is
-value-checked by the DuckDB oracle.  Seeds are the vectors with the k
-smallest ids (deterministic; swap for k-means|| at scale).  Empty
-clusters keep their previous centroid.
+value-checked by the DuckDB oracle.  Seeds are the vectors with ids
+0..k-1 — a dense-0-based id contract enforced with a loud error
+(deterministic; swap for k-means|| at scale).  Empty clusters keep
+their previous centroid.
 
 Scale: assignment is a pure ``map_batches`` against ``ray.put``
 centroids (k*d ints broadcast once per iteration); the update exchange
@@ -80,8 +81,20 @@ def kmeans_centroids(
 
     q = _Quantizer(embed_col)
 
-    seeds = (ds.filter(expr=f"{id_col} < {k}").to_pandas()
-             .sort_values(id_col))
+    # Seed contract: the k vectors with ids 0..k-1 (mirrored verbatim by
+    # the DuckDB oracle's `WHERE vid < k`, whose cluster labels ARE the
+    # seed ids).  Non-dense / non-0-based id spaces would silently seed
+    # fewer than k clusters (or crash on an empty stack) — fail loudly.
+    seeds = ds.filter(expr=f"{id_col} < {k}").to_pandas()
+    # to_pandas() on an all-empty Dataset drops columns — check length
+    # BEFORE sorting so the no-seed case hits the contract error below
+    if len(seeds) >= k:
+        seeds = seeds.sort_values(id_col)
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans seeding found {len(seeds)} rows with {id_col} < {k}; "
+            f"the seed contract requires dense 0-based ids covering "
+            f"0..{k - 1} — remap ids (e.g. value_rank) before clustering")
     cents = quantize_embeddings(np.stack(seeds[embed_col].to_numpy()))
     dim = cents.shape[1]
 
@@ -201,8 +214,12 @@ def semantic_dedup(
         for cid, grp in g.groupby("cluster"):
             grp = grp.sort_values(id_col)
             x = np.stack(grp["x"].to_numpy())
-            d = x[:, None, :] - x[None, :, :]
-            dist = np.einsum("mnd,mnd->mn", d, d)
+            # gram identity |xi-xj|^2 = |xi|^2 + |xj|^2 - 2 xi.xj in O(m^2)
+            # memory — the broadcast (m, m, d) difference tensor is a
+            # d-times blowup (2 GB at m=2000, d=64).  Exact in int64:
+            # x <= 2^23 per dim, so x@x.T <= d*2^46 ~ 2^52 at d=64.
+            n2 = np.einsum("md,md->m", x, x)
+            dist = n2[:, None] + n2[None, :] - 2 * (x @ x.T)
             close = dist <= dist_threshold
             is_dup = np.tril(close, k=-1).any(axis=1)
             out.append(pd.DataFrame({

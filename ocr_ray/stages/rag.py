@@ -85,19 +85,24 @@ class SentenceOverlapQA:
         import re
 
         self._sent = re.compile(r"[^.!?]+[.!?]?")
+        self._word = re.compile(r"[a-z0-9]+")
 
     def __call__(self, question: str, context: str) -> dict:
-        qwords = {w for w in question.lower().split() if len(w) > 2}
+        qwords = {w for w in self._word.findall(question.lower()) if len(w) > 2}
         best, best_n = "", -1
         for m in self._sent.finditer(context):
             sent = m.group().strip()
-            n = sum(1 for w in sent.lower().split() if w in qwords)
+            # DISTINCT matched query words over word tokens (punctuation
+            # stripped): sentence-final words match despite the trailing
+            # '.', and repeating one query word cannot push score past 1
+            n = len(qwords.intersection(self._word.findall(sent.lower())))
             if n > best_n:
                 best, best_n = sent, n
-        score = best_n / max(len(qwords), 1)
+        score = max(best_n, 0) / max(len(qwords), 1)  # [0, 1] by construction
         start = context.find(best) if best else -1
+        end = start + len(best) if best else -1
         return {"answer": best, "score": round(float(score), 6),
-                "start": start, "end": start + len(best)}
+                "start": start, "end": end}
 
 
 class EmbedRAG:
