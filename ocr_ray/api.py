@@ -105,6 +105,10 @@ def dedup_pairs(
         hashed = docs.map_batches(hash_only, batch_format="pandas")
         out = exchange_map_partitions(hashed, "content_hash", pairs,
                                       n_partitions=None).to_pandas()
+        if "left_id" not in out.columns:
+            # duplicate-free or empty corpus: to_pandas drops columns
+            return pd.DataFrame({"left_id": pd.Series(dtype="object"),
+                                 "right_id": pd.Series(dtype="object")})
         return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
 
     # both LSH paths are end-to-end distributed (stages/dedup.py); the facade
@@ -832,6 +836,12 @@ def gram_matrix(
         embeddings.map_batches(partial_gram, batch_format="pandas"),
         keys=["i", "j"], aggs={"g": "sum"}, n_partitions=None,
     ).to_pandas()
+    if "g" not in out.columns:
+        # empty embeddings: the gram of a zero-row matrix is all zeros
+        # (to_pandas drops columns on an all-empty aggregate)
+        return pd.DataFrame({"i": iu.astype("int64"),
+                             "j": ju.astype("int64"),
+                             "g": np.zeros(len(iu), dtype="int64")})
     out["g"] = out["g"].astype("int64")
     return out
 

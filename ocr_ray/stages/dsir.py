@@ -84,8 +84,11 @@ def train_unigram_counts(
     ).to_pandas()  # <= b_uni rows by construction
 
     table = np.zeros(b_uni, dtype=np.int64)
-    table[reduced["bucket"].to_numpy(dtype="int64")] = \
-        reduced["c"].to_numpy(dtype="int64")
+    if "bucket" in reduced.columns:
+        # (an all-empty corpus drops the columns in to_pandas — the
+        # all-zero table is then already correct)
+        table[reduced["bucket"].to_numpy(dtype="int64")] = \
+            reduced["c"].to_numpy(dtype="int64")
     return table
 
 

@@ -112,7 +112,13 @@ def pagerank(
             edges.map_batches(contribs, batch_format="pandas"),
             keys=["node"], aggs={"s": "sum"}, n_partitions=n_partitions,
         ).to_pandas()
-        s = dict(zip(sums["node"].astype("int64"), sums["s"].astype("int64")))
+        if "node" not in sums.columns:
+            # every edge carries zero weight: contribs emits no rows and
+            # to_pandas drops columns — ranks are teleport-only
+            s = {}
+        else:
+            s = dict(zip(sums["node"].astype("int64"),
+                         sums["s"].astype("int64")))
         pr = {int(v): (tele + 85 * s.get(int(v), 0)) // 100 for v in nodes}
 
     return pd.DataFrame({
@@ -197,7 +203,10 @@ def triangle_counts(
         dv = np.where(a_first, pb[:, 0], pa[:, 0])
         return pd.DataFrame({"u": u, "v": v, "deg_v": dv})
 
-    oriented = dab.map_batches(orient, batch_format="pandas")
+    # two consumers (the wedge exchange below and tagged_e) — materialize
+    # once, per launch_splits' single-consumer contract: a lazy `oriented`
+    # would re-run the join/orient stages over the full edge table twice
+    oriented = dab.map_batches(orient, batch_format="pandas").materialize()
 
     # 4. wedges among each node's out-neighbours, pair ordered by the
     # same (degree, id) total order so it aligns with edge orientation

@@ -117,9 +117,13 @@ def resolve_partitions(
     inputs, estimate unavailable).  The clamp keeps tiny inputs cheap and
     bounds per-split fan-out; at production scale pass ``n_partitions``
     explicitly (total_bytes / worker-heap budget) — 256 partitions of a
-    100 TB exchange would be ~400 GB each."""
+    100 TB exchange would be ~400 GB each.  Floored at 2 partitions:
+    ``num_returns=1`` split tasks return a bare ObjectRef instead of a
+    list, which the per-partition indexing cannot subscript (same rule
+    as reassemble's sizing; the key hash still lands all rows of one key
+    together)."""
     if explicit is not None:
-        return explicit
+        return max(2, explicit)
     if budget_mb is None:
         budget_mb = int(os.environ.get(_BUDGET_ENV, "64"))
     est = _estimate_bytes(src)
@@ -162,6 +166,11 @@ def launch_splits(
     sizes (>=tens of MB) a single block crosses the threshold and bundling
     degenerates to one task per block, so the streaming/backpressure shape
     at scale is unchanged."""
+    if n_partitions < 2:
+        # num_returns=1 yields a bare ObjectRef (not a 1-list) and the
+        # callers' s[j] indexing would TypeError — resolve_partitions
+        # floors at 2; a raw caller passing 1 is a bug, fail loudly
+        raise ValueError("launch_splits requires n_partitions >= 2")
     if isinstance(src, list):
         # pre-made refs come from prior exchange rounds: already few and
         # partition-sized, no bundling needed
@@ -226,14 +235,46 @@ def exchange_map_partitions(
 
 
 def _canon_key(col: pd.Series) -> pd.Series:
-    """Canonicalize numeric key dtype before hashing: int32 vs int64 (or
-    int vs float) sides would hash equal logical keys to different
-    partitions and silently drop matches."""
+    """Canonicalize numeric key dtype before hashing: int32 vs int64
+    sides would hash equal logical keys to different partitions and
+    silently drop matches.  Int-vs-float unification happens per VALUE in
+    :func:`_key_hash` (dtype casting alone can't do it: float64 can't
+    represent every int64)."""
     if pd.api.types.is_integer_dtype(col):
         return col.astype("int64")
     if pd.api.types.is_float_dtype(col):
         return col.astype("float64")
     return col
+
+
+_I64_MIN_F = float(-(1 << 63))
+_I64_MAX_F = float(1 << 63)
+
+
+def _int_valued_mask(v: np.ndarray) -> np.ndarray:
+    """Elementwise: float64 values that equal an int64 exactly."""
+    with np.errstate(invalid="ignore"):
+        return (np.isfinite(v) & (v == np.floor(v))
+                & (v >= _I64_MIN_F) & (v < _I64_MAX_F))
+
+
+def _key_hash(col: pd.Series) -> np.ndarray:
+    """Per-value partition hash for exchange keys.  ``pd.merge`` matches
+    int64 1 to float64 1.0 by VALUE, but ``hash_pandas_object`` hashes
+    them differently — a mixed int/float key pair would land matching
+    rows in different partitions and silently drop them.  Integral
+    floats in int64 range therefore hash through the int64 path
+    elementwise; non-integral floats only ever match other floats and
+    keep the float hash."""
+    col = _canon_key(col)
+    h = pd.util.hash_pandas_object(col, index=False).to_numpy()
+    if pd.api.types.is_float_dtype(col):
+        v = col.to_numpy()
+        m = _int_valued_mask(v)
+        if m.any():
+            h[m] = pd.util.hash_pandas_object(
+                pd.Series(v[m].astype(np.int64)), index=False).to_numpy()
+    return h
 
 
 def _as_clean_table(t):
@@ -268,10 +309,7 @@ def _split_blocks(by, n_partitions: int, *parts):
         # pre-map schema here (key columns absent).  Any empty split works —
         # downstream merges union schemas from the schema-bearing pieces.
         return tuple([t] * n_partitions) if n_partitions > 1 else t
-    h = sum(
-        pd.util.hash_pandas_object(_canon_key(t[c].to_pandas()), index=False).to_numpy()
-        for c in cols
-    )
+    h = sum(_key_hash(t[c].to_pandas()) for c in cols)
     return _split_table(t, (h % n_partitions).astype(np.int32), n_partitions)
 
 
@@ -280,8 +318,10 @@ def _merge_asof_partition(n_left: int, by: str, on: str, direction: str,
                           suffix: str, *pieces):
     import pyarrow as pa
 
-    lt = pa.concat_tables(pieces[:n_left])
-    rt = pa.concat_tables(pieces[n_left:])
+    # _ensure_key: an all-empty side can carry the pre-map schema (key
+    # columns absent) — synthesize them so the kernel stays total
+    lt = _ensure_key(_ensure_key(pa.concat_tables(pieces[:n_left]), by), on)
+    rt = _ensure_key(_ensure_key(pa.concat_tables(pieces[n_left:]), by), on)
     left = lt.to_pandas().sort_values(on)
     right = rt.to_pandas().sort_values(on)
     if not len(left):
@@ -290,6 +330,18 @@ def _merge_asof_partition(n_left: int, by: str, on: str, direction: str,
         out = left.copy()
         for c in extra:
             out[c + (suffix if c in left.columns else "")] = right[c].iloc[:0]
+        return pa.Table.from_pandas(out, preserve_index=False)
+    if not len(right):
+        # empty right: every left row is unmatched — reindex of an empty
+        # series null-fills with the same dtype promotion merge_asof
+        # applies to unmatched rows (int64 -> float64 NaN, object -> None),
+        # and avoids merge_asof's incompatible-key error on a null-typed
+        # synthesized key column
+        extra = [c for c in right.columns if c not in (by, on)]
+        out = left.copy()
+        for c in extra:
+            out[c + (suffix if c in left.columns else "")] = (
+                right[c].reindex(out.index))
         return pa.Table.from_pandas(out, preserve_index=False)
     out = pd.merge_asof(left, right, on=on, by=by, direction=direction,
                         suffixes=("", suffix))
@@ -337,8 +389,13 @@ def _range_assign_partition(n_left: int, by: str, point_col: str, start_col: str
                             end_col: str, idx_col: str, *pieces):
     import pyarrow as pa
 
-    points = pa.concat_tables(pieces[:n_left]).to_pandas()
-    ivals = pa.concat_tables(pieces[n_left:]).to_pandas()
+    points_t = _ensure_key(
+        _ensure_key(pa.concat_tables(pieces[:n_left]), by), point_col)
+    ivals_t = pa.concat_tables(pieces[n_left:])
+    for c in (by, start_col, end_col, idx_col):
+        ivals_t = _ensure_key(ivals_t, c)
+    points = points_t.to_pandas()
+    ivals = ivals_t.to_pandas()
     if not len(points):
         out = points.copy()
         out[idx_col] = pd.Series([], dtype="int64")
@@ -708,8 +765,7 @@ def _split_blocks_skew(by, n_partitions: int, hot, side: str, *parts):
     if t.num_rows == 0:
         return tuple([t] * n_partitions) if n_partitions > 1 else t
     key = _canon_key(t[by].to_pandas())
-    h = (pd.util.hash_pandas_object(key, index=False).to_numpy()
-         % n_partitions).astype(np.int64)
+    h = (_key_hash(key) % n_partitions).astype(np.int64)
     ishot = key.isin(hot).to_numpy()
     if side == "left":
         spread = np.arange(len(h), dtype=np.int64) % n_partitions
@@ -867,9 +923,19 @@ def _jbloom_key64(col: "pd.Series") -> np.ndarray:
     """Join key column -> int64 probe input: integers pass through,
     everything else (strings, dates) goes through the same deterministic
     pandas hash the exchange splitter uses — both sides of the join MUST
-    agree, which they do because both call this helper."""
+    agree, which they do because both call this helper.  Float keys that
+    are exactly int-valued take the raw-int path elementwise so an int64
+    side and a float64 side of the same logical key probe the same bits
+    (mirrors :func:`_key_hash`)."""
     if pd.api.types.is_integer_dtype(col):
         return col.to_numpy().astype(np.int64)
+    if pd.api.types.is_float_dtype(col):
+        v = col.to_numpy(dtype=np.float64)
+        out = pd.util.hash_pandas_object(
+            pd.Series(v), index=False).to_numpy().astype(np.int64)
+        m = _int_valued_mask(v)
+        out[m] = v[m].astype(np.int64)
+        return out
     return pd.util.hash_pandas_object(
         _canon_key(col), index=False).to_numpy().astype(np.int64)
 

@@ -138,6 +138,10 @@ def train_bigram_counts(
 
     c1 = np.zeros(b_uni, dtype=np.int64)
     c2 = np.zeros(b_big, dtype=np.int64)
+    if "kind" not in reduced.columns:
+        # corpus with no 2-token document: every partial is empty and
+        # to_pandas drops the columns — all-zero count tables
+        return c1, c2
     u = reduced[reduced["kind"] == 0]
     b_ = reduced[reduced["kind"] == 1]
     c1[u["bucket"].to_numpy(dtype="int64")] = u["c"].to_numpy(dtype="int64")

@@ -239,7 +239,14 @@ def lsh_embed_dedup_pairs(
     embeddings = embeddings.materialize()
 
     if dim is None:
-        dim = len(embeddings.take(1)[0][vec_col])
+        first = embeddings.take(1)
+        if not first:
+            # empty corpus: no pairs (and no row to probe the dim from)
+            return rd.from_pandas(pd.DataFrame(
+                {"left_id": pd.Series(dtype="int64"),
+                 "right_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}))
+        dim = len(first[0][vec_col])
 
     @ray.remote(num_cpus=0)
     def pairs_task(*pieces):
