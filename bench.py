@@ -266,14 +266,16 @@ def run_scaling() -> dict:
     # generation + one warm pass happen inside each child; same input both runs
     r_lo, r_hi = one(lo), one(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # key names carry the actual CPU counts: with GRAFT_SCALING_CPUS=2,8
+    # a hardcoded sec_8/sec_32 would attribute the 2-CPU leg to 8 CPUs
     return {
         "metric": "scaling efficiency (N vs 4N cpus, same input)",
         "cpus": [lo, hi],
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
         "turns": r_hi["turns"],
-        "turns_per_sec_8": r_lo["turns_per_sec"],
-        "turns_per_sec_32": r_hi["turns_per_sec"],
+        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
     }
 

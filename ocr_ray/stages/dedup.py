@@ -168,6 +168,14 @@ class MinHasher:
 
     def __init__(self, n_perm: int = 64, n_bands: int = 16, seed: int = 7,
                  shingle_k: int = 0, text_col: str = "text", id_col: str = "doc_id"):
+        if n_perm % n_bands:
+            # fail at the driver with guidance, not as a cryptic reshape
+            # ValueError inside every worker task (simhash validates the
+            # analogous 64 % n_bands constraint the same way)
+            raise ValueError(
+                f"n_bands must divide n_perm (got n_perm={n_perm}, "
+                f"n_bands={n_bands}): each band is a contiguous block of "
+                f"n_perm//n_bands signature rows")
         rng = np.random.RandomState(seed)
         self.p = np.uint64((1 << 61) - 1)
         self.a = rng.randint(1, 1 << 32, size=n_perm).astype(np.uint64)
@@ -305,25 +313,22 @@ def _pairs_from_bucket_partition(g: pd.DataFrame, bucket_cols: List[str],
 # Hashers as plain map_batches FUNCTIONS with a per-worker-process instance
 # cache: same amortized setup as an actor pool (the coefficient matrix is
 # built once per process) without pinning a fixed-size pool — the task pool
-# scales to all free CPUs and costs no actor spin-up per query.
-_HASHER_CACHE: Dict[tuple, object] = {}
+# scales to all free CPUs and costs no actor spin-up per query.  The cache
+# is taskpool's shared BOUNDED one (one mechanism to maintain, no unbounded
+# per-query accumulation on long-lived workers).
 
 
 def minhash_bands_batch(batch: pd.DataFrame, **kw) -> pd.DataFrame:
-    key = ("minhash", tuple(sorted(kw.items())))
-    h = _HASHER_CACHE.get(key)
-    if h is None:
-        h = _HASHER_CACHE.setdefault(key, MinHasher(**kw))
-    return h(batch)
+    from ocr_ray.stages.taskpool import task_pool
+
+    return task_pool(MinHasher, **kw)(batch)
 
 
 def simhash_bands_batch(batch: pd.DataFrame, scheme: str = "poly", **kw) -> pd.DataFrame:
-    key = ("simhash", scheme, tuple(sorted(kw.items())))
-    h = _HASHER_CACHE.get(key)
-    if h is None:
-        cls = PolySimHasher if scheme == "poly" else SimHasher
-        h = _HASHER_CACHE.setdefault(key, cls(**kw))
-    return h(batch)
+    from ocr_ray.stages.taskpool import task_pool
+
+    cls = PolySimHasher if scheme == "poly" else SimHasher
+    return task_pool(cls, **kw)(batch)
 
 
 from ocr_ray.stages.join import (  # shared exchange helpers
@@ -529,7 +534,16 @@ def simhash_dedup_pairs(
     @ray.remote(num_cpus=0)
     def dedupe_attach_left(n_pairs: int, *pieces):
         cands = _concat_pd(pieces[:n_pairs])
-        sigs = _concat_pd(pieces[n_pairs:]).drop_duplicates("left_id")
+        sigs = _concat_pd(pieces[n_pairs:])
+        if not len(cands) or not len(sigs):
+            # all-empty exchange side may carry the pre-map schema
+            # (join._split_blocks): the join result is empty either way
+            return pa.Table.from_pandas(pd.DataFrame(
+                {"left_id": pd.Series(dtype="int64"),
+                 "right_id": pd.Series(dtype="int64"),
+                 "_lsig": pd.Series(dtype="uint64")}),
+                preserve_index=False)
+        sigs = sigs.drop_duplicates("left_id")
         cands = cands.drop_duplicates(["left_id", "right_id"])
         out = cands.merge(sigs, on="left_id", how="inner")
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -537,7 +551,14 @@ def simhash_dedup_pairs(
     @ray.remote(num_cpus=0)
     def attach_right_verify(n_left: int, *pieces):
         left = _concat_pd(pieces[:n_left])
-        sigs = _concat_pd(pieces[n_left:]).drop_duplicates("right_id")
+        sigs = _concat_pd(pieces[n_left:])
+        if not len(left) or not len(sigs):
+            return pa.Table.from_pandas(pd.DataFrame(
+                {"left_id": pd.Series(dtype="int64"),
+                 "right_id": pd.Series(dtype="int64"),
+                 "hamming": pd.Series(dtype="int64")}),
+                preserve_index=False)
+        sigs = sigs.drop_duplicates("right_id")
         b = left.merge(sigs, on="right_id", how="inner")
         if not len(b):
             out = pd.DataFrame(
@@ -788,6 +809,9 @@ def keep_representatives(
     )
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in g.columns or "removed" not in g.columns:
+            # all-empty union legs skip their UDFs -> pre-map schema
+            return pd.DataFrame({id_col: pd.Series(dtype="int64")})
         m = g.groupby(id_col, as_index=False)["removed"].max()
         return m.loc[m["removed"] == 0, [id_col]]
 
@@ -1251,7 +1275,12 @@ def incremental_containment(
                                 "n_shingles": pd.Series([], dtype="int64"),
                                 "n_seen": pd.Series([], dtype="int64")})
             return pa.Table.from_pandas(out, preserve_index=False)
-        corpus_h = pd.unique(_concat_pd(pieces[n_shard:])["h"])
+        ctab = _concat_pd(pieces[n_shard:])
+        # empty corpus (crawl-refresh bootstrap: first shard vs a not-yet-
+        # populated corpus) delivers the pre-map corpus schema — no
+        # shingle has been seen
+        corpus_h = (pd.unique(ctab["h"]) if "h" in ctab.columns
+                    else np.array([], dtype="int64"))
         seen = g["h"].isin(corpus_h).astype("int64")
         out = pd.DataFrame({"doc_id": g["id"], "seen": seen}).groupby(
             "doc_id", as_index=False

@@ -219,6 +219,10 @@ class Extractor:
         engines: List[str] = []
         errors: List[str] = []
         has_table: List[bool] = []
+        # segments are computed INSIDE the row loop so the single-entry
+        # boxed-parse cache (set by _extract_boxed just above each use)
+        # serves every boxed row, not only the batch's last one
+        segs: "List[list] | None" = [] if self.emit_segments else None
         for payload, kind in zip(texts, kinds):
             if kind == "empty":
                 out, eng, err = "", "empty", ""
@@ -236,17 +240,15 @@ class Extractor:
             engines.append(eng)
             errors.append(err)
             has_table.append(tab)
+            if segs is not None:
+                segs.append(self._segments_for(kind, payload, out))
 
         out_tbl = batch.drop_columns(["norm_text"])
         out_tbl = out_tbl.append_column("extracted_text", pa.array(extracted, pa.string()))
         out_tbl = out_tbl.append_column("engine", pa.array(engines, pa.string()))
         out_tbl = out_tbl.append_column("error", pa.array(errors, pa.string()))
         out_tbl = out_tbl.append_column("has_table", pa.array(has_table, pa.bool_()))
-        if self.emit_segments:
-            segs = [
-                self._segments_for(k, p, e)
-                for k, p, e in zip(kinds, texts, extracted)
-            ]
+        if segs is not None:
             out_tbl = out_tbl.append_column(
                 "segments", pa.array(segs, self.SEGMENT_TYPE)
             )

@@ -13,11 +13,12 @@ probed per query.  Shape (all 100-TB-safe):
 3. one combine task per partition materializes each term's postings list
    (doc ids ascending), document frequency and total term frequency.
 
-Stop-word-like terms are dropped with an exact integer ``max-df`` gate
-(2*df <= n_docs by default): their postings lists are the skewed giants
-that blow up a partition at scale, and conjunctive retrieval never needs
-them.  The gate uses the corpus doc count computed from parquet metadata
-(no data read).
+Stop-word-like terms can be dropped with an exact integer ``max-df``
+gate (pass ``max_df`` — the gate is ``2*df <= max_df``, OFF by default):
+their postings lists are the skewed giants that blow up a partition at
+scale, and conjunctive retrieval never needs them.  Callers typically
+pass ``max_df = n_docs`` from the corpus doc count in parquet metadata
+(``Dataset.count()`` on a plain read is metadata-only — no data read).
 
 Lookup: a conjunctive query probes only its terms' postings rows (an
 expression filter the scan can push down when the index is written

@@ -140,4 +140,11 @@ def contract_check(
 
     parts = ds.map_batches(partial, batch_format="pandas")
     out = parts.to_pandas()
+    if "n_rows" not in out.columns:
+        # all-empty shard: zero-row blocks skip the partial UDF and
+        # to_pandas drops columns — the summary is all-zero counts, not
+        # a column-less frame a quarantine caller would KeyError on
+        cols = ["n_rows", *(f"null_{c}" for c in string_cols), "neg_idx",
+                "null_idx", "bad_enum", "null_ts", "oversize_text"]
+        return pd.DataFrame([{c: np.int64(0) for c in cols}])
     return combine(out)
