@@ -44,6 +44,12 @@ def hash_aggregate(
     estimate (join.resolve_partitions) — an over-estimate here, since the
     per-batch partial shrinks data before the exchange, which only buys
     extra (cheap) partitions.
+
+    NULL keys group together (``dropna=False``), matching SQL's GROUP BY
+    semantics — pandas' default silently DROPS NaN/None-keyed rows, which
+    would understate aggregates over any nullable key.  The exchange hash
+    is deterministic for NaN/None (pd.util.hash_pandas_object), so all
+    null-keyed partials still meet in one partition.
     """
     from ocr_ray.stages.join import exchange_map_partitions
 
@@ -57,7 +63,7 @@ def hash_aggregate(
             if op == "count":
                 b[col] = 1
         spec = {col: ("sum" if op == "count" else op) for col, op in aggs.items()}
-        return b.groupby(keys, as_index=False).agg(spec)
+        return b.groupby(keys, as_index=False, dropna=False).agg(spec)
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         need = [*keys, *aggs]
@@ -69,7 +75,7 @@ def hash_aggregate(
             return pd.DataFrame({c: pd.Series(dtype=(
                 g[c].dtype if c in g.columns else "object")) for c in need})
         spec = {col: _COMBINE[op] for col, op in aggs.items()}
-        return g.groupby(keys, as_index=False).agg(spec)
+        return g.groupby(keys, as_index=False, dropna=False).agg(spec)
 
     return exchange_map_partitions(
         ds.map_batches(partial, batch_format="pandas"),

@@ -632,6 +632,17 @@ def fuzzy_join_ed1(
                    "out_id": "_rid", "out_name": "_rname"})
 
     def pair_up(g: pd.DataFrame) -> pd.DataFrame:
+        if "_side" not in g.columns:
+            # all-empty input: every upstream block skipped the tagging UDF
+            # (Ray passes zero-row blocks through map_batches unrun), so the
+            # partition carries a pre-map schema — no candidates exist
+            return pd.DataFrame(
+                {"_lid": pd.Series([], dtype="int64"),
+                 "_rid": pd.Series([], dtype="int64"),
+                 "_lname": pd.Series([], dtype="string"),
+                 "_rname": pd.Series([], dtype="string"),
+                 "n": pd.Series([], dtype="int64")}
+            )
         lt = g[g["_side"] == 0]
         rt = g[g["_side"] == 1]
         if not len(lt) or not len(rt):
