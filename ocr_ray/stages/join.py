@@ -185,6 +185,31 @@ def launch_splits(
     ]
 
 
+def _concat_tables(tables):
+    """``pa.concat_tables(promote_options="default")`` with a CLEAR error
+    for schema drift.  "default" unifies field order and null types but
+    does NOT promote numerics, so one logical column arriving as int64 in
+    some blocks and double in others (drifted shards unioned upstream)
+    raises a cryptic ArrowTypeError deep in a worker task — and even if
+    concat promoted, per-partition outputs would disagree on the column's
+    dtype and the result Dataset's schema unification would fail anyway.
+    Mixed physical dtypes for one column are an INGEST problem: normalize
+    before the exchange.  (Cross-SIDE int/float join keys are fine — each
+    side concats separately and the key hash + pd.merge unify by value.)"""
+    import pyarrow as pa
+
+    try:
+        return pa.concat_tables(tables, promote_options="default")
+    except pa.lib.ArrowTypeError as e:
+        raise TypeError(
+            "exchange input mixes physical dtypes for the same column "
+            f"across blocks ({e}) — schema drift in the input (e.g. a "
+            "union of shards where a key is int64 in some and double in "
+            "others).  Normalize dtypes before the exchange: "
+            "ds.map_batches(lambda b: b.astype({col: dtype}))"
+        ) from e
+
+
 def _concat_pd(pieces) -> pd.DataFrame:
     """Concat per-partition Arrow pieces to pandas, skipping zero-row
     pieces: empty partitions carry null-typed columns that would fail
@@ -193,8 +218,6 @@ def _concat_pd(pieces) -> pd.DataFrame:
     column carry Ray's TensorDtype repr in the ``pandas`` metadata, which
     ``to_pandas`` cannot reconstruct outside Ray Data's block codec
     (observed at num_cpus=4 block layouts on the embedding exchanges)."""
-    import pyarrow as pa
-
     tables = [t.replace_schema_metadata(None) for t in pieces if t.num_rows]
     if not tables:
         return pieces[0].replace_schema_metadata(None).to_pandas()
@@ -202,7 +225,7 @@ def _concat_pd(pieces) -> pd.DataFrame:
     # emitted the same columns in different orders concat cleanly (observed
     # on the fuzzy-join exchange at sf0.1, where block bundling no longer
     # merges both legs into one split task)
-    return pa.concat_tables(tables, promote_options="default").to_pandas()
+    return _concat_tables(tables).to_pandas()
 
 
 @ray.remote(num_cpus=0)
@@ -299,9 +322,7 @@ def _split_blocks(by, n_partitions: int, *parts):
     from ocr_ray.stages.reassemble import _split_table
 
     tables = [_as_clean_table(p) for p in parts]
-    t = tables[0] if len(tables) == 1 else pa.concat_tables(
-        tables, promote_options="default"
-    )
+    t = tables[0] if len(tables) == 1 else _concat_tables(tables)
     cols = [by] if isinstance(by, str) else list(by)
     if t.num_rows == 0:
         # Ray Data can pass a zero-row input block through a map_batches
@@ -770,9 +791,7 @@ def _split_blocks_skew(by, n_partitions: int, hot, side: str, *parts):
     from ocr_ray.stages.reassemble import _split_table
 
     tables = [_as_clean_table(p) for p in parts]
-    t = tables[0] if len(tables) == 1 else pa.concat_tables(
-        tables, promote_options="default"
-    )
+    t = tables[0] if len(tables) == 1 else _concat_tables(tables)
     if t.num_rows == 0:
         return tuple([t] * n_partitions) if n_partitions > 1 else t
     key = _canon_key(t[by].to_pandas())

@@ -228,3 +228,59 @@ def test_exchange_join_matches_pandas(ray_session, lkeys, rkeys, how):
         want = want.sort_values(["v"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
         assert (got["r"].fillna(-1) == want["r"].fillna(-1)).all()
+
+
+# -------------------------------------------- hash aggregate property
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.one_of(_KEYS, st.none()), min_size=1, max_size=40))
+def test_hash_aggregate_null_keys_match_pandas(ray_session, fkeys):
+    """hash_aggregate over a float64 key with NaNs must equal pandas
+    groupby(dropna=False): all NULL keys form ONE group (SQL GROUP BY
+    semantics) and meet through the exchange regardless of partitioning."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    fdf = pd.DataFrame({"k": pd.Series([np.nan if k is None else float(k)
+                                        for k in fkeys], dtype="float64"),
+                        "v": np.arange(len(fkeys), dtype="int64")})
+    got = (hash_aggregate(rd.from_pandas(fdf).repartition(4),
+                          keys=["k"], aggs={"v": "sum"})
+           .to_pandas())
+    exp = fdf.groupby("k", as_index=False, dropna=False)["v"].sum()
+
+    assert len(got) == len(exp)
+    gn, en = got[got["k"].isna()], exp[exp["k"].isna()]
+    assert len(gn) == len(en)
+    if len(en):
+        assert int(gn["v"].iloc[0]) == int(en["v"].iloc[0])
+    g2 = got.dropna(subset=["k"]).sort_values("k").reset_index(drop=True)
+    e2 = exp.dropna(subset=["k"]).sort_values("k").reset_index(drop=True)
+    assert (g2["k"].to_numpy() == e2["k"].to_numpy()).all()
+    assert (g2["v"].to_numpy(dtype="int64")
+            == e2["v"].to_numpy(dtype="int64")).all()
+
+
+def test_exchange_schema_drift_fails_loudly(ray_session):
+    """A union whose blocks disagree on a column's physical dtype (int64
+    shards + double shards — ingest-level schema drift) cannot produce a
+    consistent exchange result schema; the exchange must fail with a
+    CLEAR remediation error, not a cryptic worker-side ArrowTypeError.
+    (Cross-SIDE int-vs-float join keys remain supported — each side
+    concats separately and the value-unified key hash aligns them.)"""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    idf = pd.DataFrame({"k": pd.Series([1, 2, 3] * 10, dtype="int64"),
+                        "v": np.ones(30, dtype="int64")})
+    fdf = pd.DataFrame({"k": pd.Series([1.0, 2.0] * 10, dtype="float64"),
+                        "v": np.ones(20, dtype="int64")})
+    ds = rd.from_pandas(idf).union(rd.from_pandas(fdf))
+    with pytest.raises(Exception, match="schema drift|int64|double"):
+        hash_aggregate(ds, keys=["k"], aggs={"v": "sum"}).to_pandas()
