@@ -29,8 +29,6 @@ redistributed — the standard simplification; totals decay accordingly.
 
 from __future__ import annotations
 
-from typing import Dict
-
 import numpy as np
 import pandas as pd
 
@@ -79,29 +77,30 @@ def pagerank(
                              "pr_ppm": pd.Series(dtype="int64")})
     nodes = np.sort(stats["node"].to_numpy(dtype="int64"))  # stable output order
     n = len(nodes)
-    has_out = stats["ow"].astype("int64") > 0
-    out_w: Dict[int, int] = dict(zip(stats.loc[has_out, "node"].astype("int64"),
-                                     stats.loc[has_out, "ow"].astype("int64")))
-    pr: Dict[int, int] = {int(v): _PPM // n for v in nodes}
+    # rank/out-weight state as arrays ALIGNED to the sorted node vector:
+    # the per-edge lookup in contribs is then one vectorized searchsorted
+    # over the broadcast arrays — the edge table is the huge side at
+    # scale, so a per-edge Python dict lookup there is a hot-path loop
+    ow_arr = np.zeros(n, dtype=np.int64)
+    sidx = np.searchsorted(nodes, stats["node"].to_numpy(dtype="int64"))
+    ow_arr[sidx] = stats["ow"].to_numpy(dtype="int64")
+    pr_arr = np.full(n, _PPM // n, dtype=np.int64)
     # 0.15/N teleport in ppm: 0.15 * _PPM // n, folded with the final
     # //100 as 15 * _PPM // n (a 150x constant here would inflate rank
     # mass ~2.35x per iteration — caught in review round 3)
     tele = 15 * _PPM // n
 
     for _ in range(iters):
-        pr_ref = ray.put(pr)
-        ow_ref = ray.put(out_w)
+        state_ref = ray.put((nodes, pr_arr, ow_arr))
 
-        def contribs(b: pd.DataFrame) -> pd.DataFrame:
-            pr_, ow_ = ray.get(pr_ref), ray.get(ow_ref)
+        def contribs(b: pd.DataFrame, _ref=state_ref) -> pd.DataFrame:
+            nodes_, pr_, ow_ = ray.get(_ref)
             src = b[src_col].to_numpy(dtype="int64")
-            # a src with zero total out-weight (all its edges w=0) is
-            # absent from ow_ — its edges carry no mass, skip them
-            # instead of KeyError'ing
-            p = np.fromiter((pr_[int(s)] for s in src), dtype=np.int64,
-                            count=len(src))
-            o = np.fromiter((ow_.get(int(s), 0) for s in src),
-                            dtype=np.int64, count=len(src))
+            idx = np.searchsorted(nodes_, src)  # every src is in nodes
+            p = pr_[idx]
+            # a src with zero total out-weight (all its edges w=0) carries
+            # no mass — skip its edges instead of dividing by zero
+            o = ow_[idx]
             live = o > 0
             return pd.DataFrame(
                 {"node": b[dst_col].to_numpy(dtype="int64")[live],
@@ -112,20 +111,18 @@ def pagerank(
             edges.map_batches(contribs, batch_format="pandas"),
             keys=["node"], aggs={"s": "sum"}, n_partitions=n_partitions,
         ).to_pandas()
-        if "node" not in sums.columns:
-            # every edge carries zero weight: contribs emits no rows and
-            # to_pandas drops columns — ranks are teleport-only
-            s = {}
-        else:
-            s = dict(zip(sums["node"].astype("int64"),
-                         sums["s"].astype("int64")))
-        pr = {int(v): (tele + 85 * s.get(int(v), 0)) // 100 for v in nodes}
+        s_arr = np.zeros(n, dtype=np.int64)
+        if "node" in sums.columns and len(sums):
+            # (all-zero-weight edge tables emit no contrib rows and
+            # to_pandas drops columns — ranks are then teleport-only)
+            s_arr[np.searchsorted(nodes, sums["node"].to_numpy(dtype="int64"))] = \
+                sums["s"].to_numpy(dtype="int64")
+        pr_arr = (tele + 85 * s_arr) // 100
 
     return pd.DataFrame({
         "node": nodes.astype("int64"),
-        "out_w": np.asarray([out_w.get(int(v), 0) for v in nodes],
-                            dtype="int64"),
-        "pr_ppm": np.asarray([pr[int(v)] for v in nodes], dtype="int64"),
+        "out_w": ow_arr,
+        "pr_ppm": pr_arr,
     })
 
 
