@@ -4779,6 +4779,23 @@ def q_rag_model_answer(sf_dir: str):
     )
 
 
+def q_corpus_source_similarity(sf_dir: str):
+    """Source-level MinHash signature similarity matrix
+    (stages/dedup.py:source_minhash_similarity): one streaming corpus
+    pass builds per-source 16-permutation signatures (per-perm MIN over
+    3-gram shingle hashes — order/partition-insensitive), one bounded
+    (source, perm) exchange merges them, and the pairwise Jaccard
+    estimate runs over the tiny |sources| x 16 table.  The "which feeds
+    duplicate each other" curation report at 100 TB without any
+    doc-level pairing."""
+    from ocr_ray.stages.dedup import source_minhash_similarity
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    return source_minhash_similarity(docs)
+
+
 # ================================================================ registry
 def queries() -> Dict[str, Callable]:
     return {
@@ -4843,6 +4860,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "corpus_source_similarity": q_corpus_source_similarity,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
@@ -7455,3 +7473,41 @@ FROM f
 
 
 ORACLE_SQL["model_score_docs"] = _model_score_sql()
+
+# per-source MinHash signature similarity: identical 31-bit family-1
+# shingles as split_contamination's oracle, permutation coefficients
+# interpolated from the engine's frozen constants (stages/dedup.py:
+# SRC_SIM_A/B — a*h + b < 2^51, exact BIGINT)
+def _source_similarity_sql() -> str:
+    from ocr_ray.stages.dedup import SRC_SIM_A, SRC_SIM_B
+
+    perms = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(SRC_SIM_A, SRC_SIM_B))
+    )
+    n_perm = len(SRC_SIM_A)
+    return rf"""
+WITH d0 AS (SELECT source, string_split_regex(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> ''),
+th AS (SELECT source, len(w) AS n,
+   list_transform(w, t -> list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003)) AS t1
+ FROM d0 WHERE len(w) >= 3),
+feats AS (SELECT source, list_distinct(list_transform(generate_series(1, n - 2), i ->
+   ((t1[i] * 1000003 + t1[i+1]) % 2147483647 * 1000003 + t1[i+2]) % 2147483647)) AS hs
+ FROM th),
+sh AS (SELECT DISTINCT source, x.h FROM feats, unnest(feats.hs) AS x(h)),
+perms(p, pa, pb) AS (VALUES {perms}),
+sig AS (SELECT source, p, min((pa * h + pb) % 2147483647) AS m
+        FROM sh CROSS JOIN perms GROUP BY source, p),
+pair AS (SELECT sa.source AS src_a, sb.source AS src_b,
+         CAST(count(*) FILTER (WHERE sa.m = sb.m) AS BIGINT) AS n_agree
+         FROM sig sa JOIN sig sb ON sa.p = sb.p AND sa.source < sb.source
+         GROUP BY sa.source, sb.source)
+SELECT src_a, src_b, CAST({n_perm} AS BIGINT) AS n_perm, n_agree,
+       CAST(n_agree * 1000000 // {n_perm} AS BIGINT) AS jaccard_est_ppm
+FROM pair ORDER BY src_a, src_b
+"""
+
+
+ORACLE_SQL["corpus_source_similarity"] = _source_similarity_sql()

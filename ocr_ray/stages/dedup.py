@@ -1682,3 +1682,106 @@ def block_dedup(
         for j in range(P)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+# ------------------------------------------- per-source signature similarity
+# 16 frozen permutation coefficients for the per-SOURCE MinHash sketch.
+# Coefficients < 2^20 and shingle hashes < 2^31, so every a*h + b product
+# stays < 2^51 — exact in int64 AND in DuckDB BIGINT (no HUGEINT needed;
+# the same bound trick as aggregate.py's CountMin rows).  The constants
+# are part of the oracle contract (queries.py interpolates them into the
+# SQL verbatim); changing any silently breaks value checks.
+SRC_SIM_A = (999983, 911383, 824393, 711427, 645131, 524287, 442151, 370261,
+             291167, 217645, 175447, 131071, 98947, 65521, 32749, 16381)
+SRC_SIM_B = (17, 89, 251, 499, 1021, 2039, 4093, 8191,
+             16381, 32749, 65521, 98947, 131071, 175447, 217645, 291167)
+
+
+def source_minhash_similarity(
+    docs: "object",
+    text_col: str = "text",
+    group_col: str = "source",
+    n_partitions: "int | None" = None,
+) -> pd.DataFrame:
+    """Pairwise content-overlap estimate BETWEEN SOURCES via per-source
+    MinHash signatures — the corpus-curation question "which of my feeds
+    are near-copies of each other?" answered without any doc-level
+    pairing: a source's signature is the per-permutation MINIMUM over
+    all its docs' 3-gram shingle hashes.  Min is order- and
+    partition-insensitive, so signatures build in one streaming corpus
+    pass (per-batch elementwise mins per source) plus one bounded
+    (source, perm) exchange of <= |sources| x 16 integer rows; the
+    pairwise step then runs over the tiny signature table on the driver
+    (|sources|^2 x 16 compares).  Sources are the SMALL cardinality by
+    design — for millions of groups, route the signature table through
+    the band-bucket LSH path (minhash_dedup_pairs) instead of all-pairs.
+
+    Estimate: Pr[per-perm minima agree] = Jaccard of the shingle sets,
+    so ``jaccard_est_ppm = n_agree * 1e6 // 16`` is the standard
+    16-sample MinHash estimate in exact integer form.  Shingles are the
+    SQL-replicable 31-bit family-1 rolling polynomial (the
+    split_contamination oracle idiom); docs under 3 tokens carry no
+    shingles and sources with no shingled doc are absent.  Output
+    ``(src_a, src_b, n_perm, n_agree, jaccard_est_ppm)``, src_a < src_b,
+    sorted — deterministic, value-checked by the DuckDB oracle.
+    """
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.lm import _TokenHasher
+
+    a = np.asarray(SRC_SIM_A, dtype=np.int64)[:, None]
+    bb = np.asarray(SRC_SIM_B, dtype=np.int64)[:, None]
+    n_perm = len(SRC_SIM_A)
+    m31 = (1 << 31) - 1
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hasher = _TokenHasher()
+        best: dict = {}
+        for src, txt in zip(b[group_col], b[text_col]):
+            toks = txt.split()
+            if len(toks) < 3:
+                continue
+            t1 = hasher.h1(toks)
+            # t1 < 1000003: t1*1000003 + t1 < 2^40, then (...%m31)*1000003
+            # < 2^51 — exact int64 (and BIGINT on the oracle side)
+            sh = ((t1[:-2] * 1000003 + t1[1:-1]) % m31
+                  * 1000003 + t1[2:]) % m31
+            u = np.unique(sh)
+            mins = ((u[None, :] * a + bb) % m31).min(axis=1)
+            cur = best.get(src)
+            best[src] = mins if cur is None else np.minimum(cur, mins)
+        if not best:
+            return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                                 "perm": pd.Series(dtype="int64"),
+                                 "m": pd.Series(dtype="int64")})
+        srcs = sorted(best)
+        return pd.DataFrame({
+            group_col: np.repeat(np.asarray(srcs, dtype=object), n_perm),
+            "perm": np.tile(np.arange(n_perm, dtype=np.int64), len(srcs)),
+            "m": np.concatenate([best[s] for s in srcs]).astype("int64"),
+        })
+
+    sig = hash_aggregate(
+        docs.map_batches(partial, batch_format="pandas"),
+        keys=[group_col, "perm"], aggs={"m": "min"}, n_partitions=n_partitions,
+    ).to_pandas()
+    empty = pd.DataFrame({
+        "src_a": pd.Series(dtype="object"), "src_b": pd.Series(dtype="object"),
+        "n_perm": pd.Series(dtype="int64"), "n_agree": pd.Series(dtype="int64"),
+        "jaccard_est_ppm": pd.Series(dtype="int64")})
+    if group_col not in sig.columns or not len(sig):
+        return empty  # shingle-less corpus (to_pandas drops cols on empty)
+    piv = sig.pivot(index=group_col, columns="perm", values="m").sort_index()
+    if len(piv) < 2:
+        return empty  # one source: no pairs
+    mat = piv.to_numpy(dtype="int64")            # (S, 16): every present
+    srcs = list(piv.index)                       # source has all 16 perms
+    agree = (mat[:, None, :] == mat[None, :, :]).sum(axis=2)
+    iu, ju = np.triu_indices(len(srcs), k=1)     # sorted index: i<j == a<b
+    n_agree = agree[iu, ju].astype("int64")
+    return pd.DataFrame({
+        "src_a": [srcs[i] for i in iu],
+        "src_b": [srcs[j] for j in ju],
+        "n_perm": np.full(len(iu), n_perm, dtype="int64"),
+        "n_agree": n_agree,
+        "jaccard_est_ppm": n_agree * 1_000_000 // n_perm,
+    })

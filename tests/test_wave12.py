@@ -1,0 +1,62 @@
+"""Wave-12: vectorized pagerank lookups (covered by the existing
+graph_pagerank oracle/unit tests) and the per-source MinHash signature
+similarity matrix."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_source_similarity_identical_and_disjoint(ray_session):
+    """An exact copy of a source under a new name must estimate Jaccard
+    1.0 (all 16 per-perm minima agree); near-disjoint shingle sets must
+    estimate ~0.  Also pins partition-insensitivity: min-merge across
+    blocks is order-free, so a 1-block and an 8-block layout agree."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import source_minhash_similarity
+
+    rng = np.random.RandomState(3)
+    words = [f"w{i}" for i in range(400)]
+
+    def doc(seed):
+        r = np.random.RandomState(seed)
+        return " ".join(r.choice(words, size=30))
+
+    a_docs = [doc(s) for s in range(10)]
+    b_docs = [doc(s + 1000) for s in range(10)]
+    df = pd.DataFrame({
+        "source": ["a"] * 10 + ["a_copy"] * 10 + ["b"] * 10,
+        "text": a_docs + a_docs + b_docs,
+    })
+    out1 = source_minhash_similarity(rd.from_pandas(df))
+    out8 = source_minhash_similarity(rd.from_pandas(df).repartition(8))
+    pd.testing.assert_frame_equal(out1, out8)
+
+    pairs = {(r.src_a, r.src_b): r for r in out1.itertuples()}
+    assert pairs[("a", "a_copy")].n_agree == 16
+    assert pairs[("a", "a_copy")].jaccard_est_ppm == 1_000_000
+    # unrelated 3-gram shingle sets over a 400-word vocab: true Jaccard
+    # ~0, so a 16-sample estimate should agree on at most a few perms
+    assert pairs[("a", "b")].n_agree <= 3
+    assert pairs[("a_copy", "b")].n_agree == pairs[("a", "b")].n_agree
+
+
+def test_source_similarity_short_doc_and_empty(ray_session):
+    """Docs under 3 tokens carry no shingles; a source with only such
+    docs is absent; an all-short corpus returns the typed empty frame."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import source_minhash_similarity
+
+    df = pd.DataFrame({
+        "source": ["x", "x", "y", "z"],
+        "text": ["one two", "", "alpha beta gamma delta", "p q r s t"],
+    })
+    out = source_minhash_similarity(rd.from_pandas(df))
+    assert set(zip(out["src_a"], out["src_b"])) == {("y", "z")}
+
+    empty = source_minhash_similarity(
+        rd.from_pandas(pd.DataFrame({"source": ["x"], "text": ["hi"]})))
+    assert len(empty) == 0
+    assert list(empty.columns) == [
+        "src_a", "src_b", "n_perm", "n_agree", "jaccard_est_ppm"]
