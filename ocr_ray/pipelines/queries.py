@@ -4779,6 +4779,22 @@ def q_rag_model_answer(sf_dir: str):
     )
 
 
+def q_embed_cluster_cap(sf_dir: str):
+    """Cluster-balanced resample (stages/cluster.py:cluster_cap_sample):
+    exact-integer k-means assignment, then keep the 32 centroid-nearest
+    vectors per cluster (dist asc, id asc) through one cluster-id
+    exchange — the quota/prune step of cluster-based data balancing.
+    Value-checked end to end because the k-means trajectory is
+    bit-exact and the quota is a deterministic window."""
+    from ocr_ray.stages.cluster import cluster_cap_sample
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return cluster_cap_sample(ds, k=8, iters=2, cap=32, n_partitions=4)
+
+
 def q_corpus_source_similarity(sf_dir: str):
     """Source-level MinHash signature similarity matrix
     (stages/dedup.py:source_minhash_similarity): one streaming corpus
@@ -4861,6 +4877,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "corpus_source_similarity": q_corpus_source_similarity,
+        "embed_cluster_cap": q_embed_cluster_cap,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
@@ -7511,3 +7528,14 @@ FROM pair ORDER BY src_a, src_b
 
 
 ORACLE_SQL["corpus_source_similarity"] = _source_similarity_sql()
+
+# cluster-balanced resample: the exact-integer kmeans CTE feeding a
+# per-cluster quota window (centroid-nearest first, id tiebreak)
+ORACLE_SQL["embed_cluster_cap"] = f"""
+WITH assign AS ({ORACLE_SQL['embed_kmeans']})
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster,
+       CAST(dist AS BIGINT) AS dist, rk
+FROM (SELECT *, row_number() OVER
+        (PARTITION BY cluster ORDER BY dist, vec_id) AS rk FROM assign)
+WHERE rk <= 32
+"""

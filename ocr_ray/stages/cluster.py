@@ -236,3 +236,43 @@ def semantic_dedup(
     assigned = ds.map_batches(assign_with_vec, batch_format="pandas")
     return exchange_map_partitions(assigned, "cluster", mark_dups,
                                    n_partitions=n_partitions)
+
+
+def cluster_cap_sample(
+    ds: "object",
+    k: int = 8,
+    iters: int = 2,
+    cap: int = 32,
+    embed_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_partitions: "int | None" = None,
+) -> "object":
+    """Cluster-balanced curation resample — the pruning step of
+    cluster-based data balancing (keep a bounded, centroid-nearest
+    quota per semantic cluster so no region of embedding space dominates
+    the training mix; cf. the cluster-prune stage of SemDeDup-style
+    curation).  Assign every vector with the exact-integer k-means path
+    (:func:`kmeans_embeddings` — bit-identical across partitionings),
+    then ONE exchange on the cluster id ranks each cluster locally by
+    (dist asc, id asc) and keeps the first ``cap`` rows.  Per-partition
+    state is one cluster's rows; nothing corpus-sized ever lands on the
+    driver.  Output ``(id, cluster, dist, rk)`` with ``rk`` the
+    1-based within-cluster rank — deterministic, SQL-replicable via a
+    row_number window over the kmeans oracle CTE."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    assigned = kmeans_embeddings(ds, k=k, iters=iters, embed_col=embed_col,
+                                 id_col=id_col, n_partitions=n_partitions)
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "cluster" not in g.columns:
+            # all-empty exchange input carries the pre-map schema
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64"),
+                                 "rk": pd.Series([], dtype="int64")})
+        g = g.sort_values(["cluster", "dist", id_col], kind="mergesort")
+        g = g.assign(rk=(g.groupby("cluster").cumcount() + 1).astype("int64"))
+        return g[g["rk"] <= cap].reset_index(drop=True)
+
+    return exchange_map_partitions(assigned, "cluster", keep, n_partitions)

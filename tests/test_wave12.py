@@ -60,3 +60,29 @@ def test_source_similarity_short_doc_and_empty(ray_session):
     assert len(empty) == 0
     assert list(empty.columns) == [
         "src_a", "src_b", "n_perm", "n_agree", "jaccard_est_ppm"]
+
+
+def test_cluster_cap_sample_quota_and_determinism(ray_session):
+    """Per-cluster quota holds, ranks are 1..n_kept with centroid-nearest
+    first, and the result is partition-insensitive (exact-integer kmeans
+    + deterministic window)."""
+    import ray.data as rd
+
+    from ocr_ray.stages.cluster import cluster_cap_sample
+
+    rng = np.random.RandomState(11)
+    n, d, k, cap = 120, 8, 4, 10
+    embs = rng.rand(n, d).astype("float32")
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"),
+                       "embedding": list(embs)})
+    out1 = (cluster_cap_sample(rd.from_pandas(df), k=k, iters=2, cap=cap)
+            .to_pandas().sort_values(["cluster", "rk"]).reset_index(drop=True))
+    out4 = (cluster_cap_sample(rd.from_pandas(df).repartition(4), k=k,
+                               iters=2, cap=cap)
+            .to_pandas().sort_values(["cluster", "rk"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out1, out4)
+    per = out1.groupby("cluster")
+    assert (per.size() <= cap).all()
+    for _, g in per:
+        assert list(g["rk"]) == list(range(1, len(g) + 1))
+        assert (g["dist"].diff().dropna() >= 0).all()  # nearest first
