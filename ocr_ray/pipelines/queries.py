@@ -4779,6 +4779,22 @@ def q_rag_model_answer(sf_dir: str):
     )
 
 
+def q_doc_lang_gate(sf_dir: str):
+    """Per-language adaptive quality gate
+    (stages/analysis.py:grouped_quantile_gate): each language keeps only
+    docs at/above its OWN median token count — exact PERCENTILE_DISC
+    thresholds from a bounded (lang, token_len) count-histogram exchange,
+    broadcast back for a streaming filter pass.  No row shuffle, no
+    sort; the per-group generalization of doc_length_quantiles."""
+    from ocr_ray.stages.analysis import grouped_quantile_gate
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    return grouped_quantile_gate(docs, group_col="lang", q=0.5)
+
+
 def q_embed_cluster_cap(sf_dir: str):
     """Cluster-balanced resample (stages/cluster.py:cluster_cap_sample):
     exact-integer k-means assignment, then keep the 32 centroid-nearest
@@ -4878,6 +4894,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_minhash": q_dedup_minhash,
         "corpus_source_similarity": q_corpus_source_similarity,
         "embed_cluster_cap": q_embed_cluster_cap,
+        "doc_lang_gate": q_doc_lang_gate,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
@@ -7538,4 +7555,20 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS BIGINT) AS cluster,
 FROM (SELECT *, row_number() OVER
         (PARTITION BY cluster ORDER BY dist, vec_id) AS rk FROM assign)
 WHERE rk <= 32
+"""
+
+# per-language PERCENTILE_DISC gate: the grouped generalization of the
+# doc_length_quantiles order-statistic idiom
+ORACLE_SQL["doc_lang_gate"] = r"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_len
+       FROM documents WHERE trim(text) <> ''),
+o AS (SELECT lang, token_len,
+             row_number() OVER (PARTITION BY lang ORDER BY token_len) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n FROM t),
+thr AS (SELECT lang, CAST(min(token_len) AS BIGINT) AS thr_len
+        FROM o WHERE rn >= CAST(ceil(0.5 * n) AS BIGINT) GROUP BY lang)
+SELECT t.doc_id, t.lang, t.token_len, thr.thr_len
+FROM t JOIN thr USING (lang)
+WHERE t.token_len >= thr.thr_len
 """

@@ -458,3 +458,80 @@ def gopher_rules_batch(batch: pd.DataFrame, min_stop_hits: int = 2) -> pd.DataFr
               "n_ellipsis_lines", "n_alpha_words", "n_stop_hits"):
         df[c] = df[c].astype("int64")
     return df
+
+
+def grouped_quantile_gate(
+    docs: "object",
+    group_col: str = "lang",
+    q: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: "int | None" = None,
+) -> "object":
+    """Per-GROUP adaptive quality gate: keep each group's docs whose
+    token count reaches that group's q-quantile (PERCENTILE_DISC) — the
+    "filter every language to its own upper half" curation pattern,
+    where one global threshold would gut low-resource languages.
+
+    Exact and sort-free at scale: pass 1 reduces the corpus to a
+    per-(group, score) COUNT HISTOGRAM through the bounded hash
+    exchange (cardinality = groups x distinct scores, never rows); the
+    per-group threshold is read off the cumulative histogram on the
+    driver (PERCENTILE_DISC: smallest value at rank >= ceil(q*n)); pass
+    2 re-streams the corpus filtering score >= broadcast
+    threshold[group] — no shuffle of document rows at any point.
+    Whitespace-only docs carry no score and are excluded (mirroring the
+    oracle's ``trim(text) <> ''`` filter).  Output ``(id, group,
+    token_len, thr_len)``, deterministic."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def scores(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b[text_col].str.strip() != ""
+        n = b.loc[keep, text_col].str.split().str.len().astype("int64")
+        return pd.DataFrame({group_col: b.loc[keep, group_col],
+                             "token_len": n})
+
+    hist = hash_aggregate(
+        docs.map_batches(scores, batch_format="pandas"),
+        keys=[group_col, "token_len"], aggs={"cnt": "count"},
+        n_partitions=n_partitions,
+    ).to_pandas()
+    if group_col not in hist.columns or not len(hist):
+        # all-whitespace corpus (to_pandas drops columns on all-empty)
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            id_col: pd.Series(dtype="int64"),
+            group_col: pd.Series(dtype="object"),
+            "token_len": pd.Series(dtype="int64"),
+            "thr_len": pd.Series(dtype="int64")}))
+
+    thr = {}
+    for g, sub in hist.groupby(group_col, sort=False):
+        sub = sub.sort_values("token_len")
+        cum = sub["cnt"].to_numpy(dtype="int64").cumsum()
+        rank = math.ceil(q * int(cum[-1]))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        thr[g] = int(sub["token_len"].iloc[idx])
+    thr_ref = ray.put(thr)
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        keep = b[text_col].str.strip() != ""
+        sub = b[keep]
+        n = sub[text_col].str.split().str.len().astype("int64")
+        lim = sub[group_col].map(t).astype("int64")
+        sel = n >= lim
+        return pd.DataFrame({
+            id_col: sub.loc[sel, id_col].astype("int64"),
+            group_col: sub.loc[sel, group_col],
+            "token_len": n[sel],
+            "thr_len": lim[sel],
+        })
+
+    return docs.map_batches(gate, batch_format="pandas")

@@ -86,3 +86,40 @@ def test_cluster_cap_sample_quota_and_determinism(ray_session):
     for _, g in per:
         assert list(g["rk"]) == list(range(1, len(g) + 1))
         assert (g["dist"].diff().dropna() >= 0).all()  # nearest first
+
+
+def test_grouped_quantile_gate_properties(ray_session):
+    """Each group's survivors are exactly its docs at/above the group's
+    PERCENTILE_DISC median; whitespace-only docs are excluded; the
+    result is partition-insensitive."""
+    import math
+
+    import ray.data as rd
+
+    from ocr_ray.stages.analysis import grouped_quantile_gate
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(200):
+        g = ["en", "de", "fr"][i % 3]
+        n = int(rng.randint(1, 40))
+        rows.append((i, g, " ".join(["tok"] * n)))
+    rows.append((900, "en", "   "))  # whitespace-only: no score
+    df = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+
+    out1 = (grouped_quantile_gate(rd.from_pandas(df), q=0.5)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    out6 = (grouped_quantile_gate(rd.from_pandas(df).repartition(6), q=0.5)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out1, out6)
+    assert 900 not in set(out1["doc_id"])
+
+    scored = df[df["text"].str.strip() != ""].copy()
+    scored["n"] = scored["text"].str.split().str.len()
+    for g, sub in scored.groupby("lang"):
+        vals = np.sort(sub["n"].to_numpy())
+        thr = int(vals[math.ceil(0.5 * len(vals)) - 1])  # PERCENTILE_DISC
+        exp = set(sub.loc[sub["n"] >= thr, "doc_id"])
+        got = set(out1.loc[out1["lang"] == g, "doc_id"])
+        assert got == exp
+        assert (out1.loc[out1["lang"] == g, "thr_len"] == thr).all()
