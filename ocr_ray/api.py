@@ -1078,3 +1078,47 @@ def sample_per_group(sf_dir: str) -> "pd.DataFrame":
     from ocr_ray.pipelines.queries import q_doc_sample_per_source
 
     return q_doc_sample_per_source(sf_dir)
+
+
+def source_similarity(
+    docs: "rd.Dataset",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> "pd.DataFrame":
+    """Pairwise source-overlap estimates via per-source MinHash
+    signatures (stages/dedup.py:source_minhash_similarity): one
+    streaming corpus pass + one bounded (source, perm) exchange; the
+    pairwise step runs over the tiny signature table."""
+    from ocr_ray.stages.dedup import source_minhash_similarity
+
+    return source_minhash_similarity(docs, text_col=text_col,
+                                     group_col=group_col)
+
+
+def cluster_balanced_sample(
+    embeddings: "rd.Dataset",
+    k: int = 8,
+    iters: int = 2,
+    cap: int = 32,
+) -> "rd.Dataset":
+    """Cluster-balanced curation resample (stages/cluster.py:
+    cluster_cap_sample): exact-integer k-means assignment, then keep the
+    ``cap`` centroid-nearest vectors per cluster through one cluster-id
+    exchange."""
+    from ocr_ray.stages.cluster import cluster_cap_sample
+
+    return cluster_cap_sample(embeddings, k=k, iters=iters, cap=cap)
+
+
+def quality_gate_per_group(
+    docs: "rd.Dataset",
+    group_col: str = "lang",
+    q: float = 0.5,
+) -> "rd.Dataset":
+    """Per-group adaptive quality gate (stages/analysis.py:
+    grouped_quantile_gate): exact PERCENTILE_DISC thresholds from a
+    bounded count-histogram exchange, broadcast back for a streaming
+    filter — each group keeps its own upper (1-q) tail."""
+    from ocr_ray.stages.analysis import grouped_quantile_gate
+
+    return grouped_quantile_gate(docs, group_col=group_col, q=q)
