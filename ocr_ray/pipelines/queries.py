@@ -2368,11 +2368,12 @@ def q_embed_text_knn(sf_dir: str):
             {"doc_id": b["doc_id"].astype("int64"), "sim": sims}
         )
 
-    top = (
-        embedded.map_batches(score, batch_format="pandas")
-        .sort(["sim", "doc_id"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+    # per-block top-k + driver finish (aggregate.global_topk) instead of
+    # sort().limit(): the latter range-shuffles EVERY scored row before
+    # the limit applies — k rows per block move instead
+    top = global_topk(
+        embedded.map_batches(score, batch_format="pandas"),
+        ["sim", "doc_id"], 10, descending=[True, False],
     )
     top["sim"] = np.round(top["sim"], 6)
     top["doc_id"] = top["doc_id"].astype("int64")
@@ -3208,13 +3209,12 @@ def q_top_customers(sf_dir: str):
             }
         )
 
-    out = (
-        totals.map_batches(attach, batch_format="pandas")
-        .sort(["total_cents", "c_custkey"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
+    # per-block top-k instead of a full range shuffle of the per-customer
+    # totals (bounded k x n_blocks candidates to the driver)
+    return global_topk(
+        totals.map_batches(attach, batch_format="pandas"),
+        ["total_cents", "c_custkey"], 10, descending=[True, False],
     )
-    return out
 
 
 def q_events_hourly(sf_dir: str):
