@@ -1122,3 +1122,50 @@ def quality_gate_per_group(
     from ocr_ray.stages.analysis import grouped_quantile_gate
 
     return grouped_quantile_gate(docs, group_col=group_col, q=q)
+
+
+def dedup_keep_best(
+    meta: "rd.Dataset",
+    clusters: "rd.Dataset",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> "rd.Dataset":
+    """Quality-aware near-dup collapse (stages/dedup.py:
+    keep_best_representatives): per cluster keep the highest-score
+    member (tie: lowest id); three bounded metadata exchanges, the
+    removed set never lands on the driver."""
+    from ocr_ray.stages.dedup import keep_best_representatives
+
+    return keep_best_representatives(meta, clusters, id_col=id_col,
+                                     score_col=score_col)
+
+
+def select_by_token_budget(
+    docs: "rd.Dataset",
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "rd.Dataset":
+    """Per-group token-budget mixture selection (stages/analysis.py:
+    budget_select_per_group): keep docs in id order while the group's
+    cumulative token count stays within ``budget``; the exchange moves
+    (id, group, n_tok) metadata only."""
+    from ocr_ray.stages.analysis import budget_select_per_group
+
+    return budget_select_per_group(docs, budget, group_col=group_col,
+                                   text_col=text_col, id_col=id_col)
+
+
+def winsorized_stats(
+    docs: "rd.Dataset",
+    group_col: str = "source",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> "pd.DataFrame":
+    """Per-group winsorized token statistics (stages/analysis.py:
+    winsorized_group_stats): integer-exact PERCENTILE_DISC clamp band
+    from a bounded count-histogram exchange; all-integer output."""
+    from ocr_ray.stages.analysis import winsorized_group_stats
+
+    return winsorized_group_stats(docs, group_col=group_col, lo=lo, hi=hi)

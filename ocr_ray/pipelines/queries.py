@@ -4828,6 +4828,69 @@ def q_corpus_source_similarity(sf_dir: str):
     return source_minhash_similarity(docs)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup collapse
+    (stages/dedup.py:keep_best_representatives): same MinHash pairs →
+    connected components as dedup_keep, but each cluster keeps its
+    HIGHEST-n_chars member (tie: lowest id) — the "keep the longest
+    copy" curation rule.  Three bounded metadata exchanges; document
+    text never re-shuffles after the pair stage."""
+    from ocr_ray.stages.dedup import (
+        connected_components,
+        keep_best_representatives,
+        minhash_dedup_pairs,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    meta = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+    pairs = minhash_dedup_pairs(
+        docs, n_perm=64, n_bands=16, shingle_k=MINHASH_SHINGLE_K,
+        threshold=JACCARD_THRESHOLD, n_partitions=None,
+    )
+    clusters = connected_components(pairs, n_partitions=8)
+    return keep_best_representatives(meta, clusters)
+
+
+DOC_MIX_BUDGET = 600  # frozen into the oracle SQL
+
+
+def q_doc_budget_mix(sf_dir: str):
+    """Per-source token-budget mixture selection
+    (stages/analysis.py:budget_select_per_group): keep each source's
+    docs in id order while its cumulative whitespace-token count stays
+    within the budget — the "N tokens per feed" quota of a training
+    mixture.  One metadata-only source exchange; exact window-sum
+    parity with the SQL oracle."""
+    from ocr_ray.stages.analysis import budget_select_per_group
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    return budget_select_per_group(docs, budget=DOC_MIX_BUDGET)
+
+
+def q_doc_winsorize(sf_dir: str):
+    """Per-source winsorized token stats
+    (stages/analysis.py:winsorized_group_stats): clamp each doc's token
+    count into its source's own [p05, p95] band (integer-exact
+    PERCENTILE_DISC ranks) and report raw vs clamped sums — the
+    outlier-robust corpus size report.  Two histogram-bounded passes,
+    zero row shuffles, all-integer output."""
+    from ocr_ray.stages.analysis import winsorized_group_stats
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    return winsorized_group_stats(docs, group_col="source", lo=0.05, hi=0.95)
+
+
 # ================================================================ registry
 def queries() -> Dict[str, Callable]:
     return {
@@ -4895,6 +4958,9 @@ def queries() -> Dict[str, Callable]:
         "corpus_source_similarity": q_corpus_source_similarity,
         "embed_cluster_cap": q_embed_cluster_cap,
         "doc_lang_gate": q_doc_lang_gate,
+        "dedup_keep_best": q_dedup_keep_best,
+        "doc_budget_mix": q_doc_budget_mix,
+        "doc_winsorize": q_doc_winsorize,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
@@ -7559,6 +7625,61 @@ WHERE rk <= 32
 
 # per-language PERCENTILE_DISC gate: the grouped generalization of the
 # doc_length_quantiles order-statistic idiom
+# quality-aware cluster collapse: winner per cluster = max n_chars then
+# min id; survivors = everything except non-winning members
+ORACLE_SQL["dedup_keep_best"] = _CLUSTER_CTES + """
+, lab AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+w AS (SELECT l.id,
+        row_number() OVER (PARTITION BY l.c
+                           ORDER BY d.n_chars DESC, l.id ASC) AS rn
+      FROM lab l JOIN documents d ON d.doc_id = l.id)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM w WHERE rn > 1)
+"""
+
+# per-source running token sum <= budget; token count idiom matches
+# pandas str.split() (trim first, empty text -> 0 tokens)
+ORACLE_SQL["doc_budget_mix"] = rf"""
+WITH n AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      AS n_tok
+  FROM documents),
+c AS (SELECT doc_id, source, n_tok,
+        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok
+      FROM n)
+SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+FROM c WHERE cum_tok <= {DOC_MIX_BUDGET}
+"""
+
+# integer-exact PERCENTILE_DISC ranks ((n*q_pm + 999) // 1000, min 1) —
+# the engine computes the identical integer arithmetic (see
+# analysis.py:winsorized_group_stats for why float ceil(q*n) is unsafe)
+ORACLE_SQL["doc_winsorize"] = r"""
+WITH n AS (SELECT source,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      AS n_tok
+  FROM documents),
+o AS (SELECT source, n_tok,
+        row_number() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+        count(*) OVER (PARTITION BY source) AS cnt FROM n),
+lo AS (SELECT source, CAST(min(n_tok) AS BIGINT) AS lo_thr FROM o
+       WHERE rn >= GREATEST(1, (cnt * 50 + 999) // 1000) GROUP BY source),
+hi AS (SELECT source, CAST(min(n_tok) AS BIGINT) AS hi_thr FROM o
+       WHERE rn >= GREATEST(1, (cnt * 950 + 999) // 1000) GROUP BY source)
+SELECT n.source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(lo.lo_thr) AS BIGINT) AS lo_thr,
+  CAST(min(hi.hi_thr) AS BIGINT) AS hi_thr,
+  CAST(sum(n.n_tok) AS BIGINT) AS sum_tok,
+  CAST(sum(LEAST(GREATEST(n.n_tok, lo.lo_thr), hi.hi_thr)) AS BIGINT)
+    AS sum_tok_winsor
+FROM n JOIN lo USING (source) JOIN hi USING (source)
+GROUP BY n.source
+"""
+
 ORACLE_SQL["doc_lang_gate"] = r"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_len

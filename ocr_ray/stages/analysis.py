@@ -535,3 +535,149 @@ def grouped_quantile_gate(
         })
 
     return docs.map_batches(gate, batch_format="pandas")
+
+
+def budget_select_per_group(
+    docs: "object",
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: "int | None" = None,
+) -> "object":
+    """Token-budget data mixing: per group (source/domain), keep docs in
+    deterministic id order while the group's cumulative whitespace-token
+    count stays within ``budget`` — the "take N tokens from each feed"
+    quota step of building a training mixture.
+
+    One streaming tokenize pass reduces each row to ``(id, group,
+    n_tok)`` — three fixed-width columns, so the group-keyed exchange
+    moves metadata, never document text.  Inside each partition the
+    per-group prefix sum is a vectorized sort + groupby-cumsum.  Skew
+    note: one group's rows meet in one partition (the prefix sum is
+    order-sequential by definition); for a single mega-group beyond one
+    worker's memory, route through the bucket-offset two-pass used by
+    transcripts_packed (exact distributed prefix sum) instead.
+
+    Output ``(id, group, n_tok, cum_tok)`` for kept docs.  A zero-token
+    doc inside budget is kept; once the cumulative crosses ``budget``
+    the group emits nothing further (cumsum is monotone)."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def ntok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
+            group_col: b[group_col],
+            "n_tok": b[text_col].str.split().str.len().astype("int64"),
+        })
+
+    slim = docs.map_batches(ntok, batch_format="pandas")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in g.columns or not len(g):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 group_col: pd.Series(dtype="object"),
+                                 "n_tok": pd.Series(dtype="int64"),
+                                 "cum_tok": pd.Series(dtype="int64")})
+        g = g.sort_values([group_col, id_col], kind="mergesort").copy()
+        g["cum_tok"] = g.groupby(group_col)["n_tok"].cumsum().astype("int64")
+        return g.loc[g["cum_tok"] <= budget,
+                     [id_col, group_col, "n_tok", "cum_tok"]]
+
+    return exchange_map_partitions(slim, group_col, pick, n_partitions)
+
+
+def winsorized_group_stats(
+    docs: "object",
+    group_col: str = "source",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    text_col: str = "text",
+    n_partitions: "int | None" = None,
+) -> pd.DataFrame:
+    """Per-group winsorized token statistics — the robust-stats corpus
+    report (outlier-insensitive size accounting per feed): clamp each
+    doc's whitespace-token count into the group's own
+    [``lo``-quantile, ``hi``-quantile] band (PERCENTILE_DISC, exact
+    integers) and report raw vs clamped sums.
+
+    Same two-pass, shuffle-free plan as :func:`grouped_quantile_gate`:
+    pass 1 reduces the corpus to a (group, n_tok) COUNT HISTOGRAM via
+    the bounded hash exchange; both thresholds are read off the
+    cumulative histogram (rank ``ceil(q*n)``, PERCENTILE_DISC
+    semantics, computed as INTEGER ceil over permille — ``(n*q_pm +
+    999) // 1000`` — because IEEE ``ceil(q*n)`` and DuckDB's
+    decimal-literal arithmetic disagree when ``q*n`` lands on an
+    integer, e.g. float ``0.07*100 = 7.000000000000001`` so a float
+    ceil reads rank 8 where the exact rank is 7; ``lo``/``hi`` must be
+    permille-representable); pass 2 re-streams partial integer
+    sums of the clamped values per group into a tiny final aggregate.
+    All-integer output — the value check is bit-exact.  Output
+    ``(group, n_docs, lo_thr, hi_thr, sum_tok, sum_tok_winsor)``."""
+    import numpy as np
+    import ray
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    lo_pm, hi_pm = round(lo * 1000), round(hi * 1000)
+    if not (0 <= lo_pm <= hi_pm <= 1000):
+        raise ValueError(f"need 0 <= lo <= hi <= 1: {lo}, {hi}")
+
+    def scores(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            group_col: b[group_col],
+            "n_tok": b[text_col].str.split().str.len().astype("int64"),
+        })
+
+    hist = hash_aggregate(
+        docs.map_batches(scores, batch_format="pandas"),
+        keys=[group_col, "n_tok"], aggs={"cnt": "count"},
+        n_partitions=n_partitions,
+    ).to_pandas()
+    if group_col not in hist.columns or not len(hist):
+        return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "lo_thr": pd.Series(dtype="int64"),
+                             "hi_thr": pd.Series(dtype="int64"),
+                             "sum_tok": pd.Series(dtype="int64"),
+                             "sum_tok_winsor": pd.Series(dtype="int64")})
+
+    thr = {}
+    for g, sub in hist.groupby(group_col, sort=False):
+        sub = sub.sort_values("n_tok")
+        cum = sub["cnt"].to_numpy(dtype="int64").cumsum()
+        vals = sub["n_tok"].to_numpy(dtype="int64")
+        n = int(cum[-1])
+
+        def pick(q_pm: int) -> int:
+            rank = max(1, (n * q_pm + 999) // 1000)
+            return int(vals[int(np.searchsorted(cum, rank, side="left"))])
+
+        thr[g] = (pick(lo_pm), pick(hi_pm))
+    thr_ref = ray.put(thr)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        n = b[text_col].str.split().str.len().astype("int64")
+        lo_t = b[group_col].map(lambda s: t[s][0]).astype("int64")
+        hi_t = b[group_col].map(lambda s: t[s][1]).astype("int64")
+        return pd.DataFrame({
+            group_col: b[group_col],
+            "n_docs": np.int64(1),
+            "sum_tok": n,
+            "sum_tok_winsor": n.clip(lower=lo_t, upper=hi_t),
+        }).groupby(group_col, as_index=False).sum()
+
+    out = hash_aggregate(
+        docs.map_batches(partial, batch_format="pandas"),
+        keys=[group_col],
+        aggs={"n_docs": "sum", "sum_tok": "sum", "sum_tok_winsor": "sum"},
+        n_partitions=n_partitions,
+    ).to_pandas()
+    for c in ("n_docs", "sum_tok", "sum_tok_winsor"):
+        out[c] = out[c].astype("int64")
+    t = thr
+    out["lo_thr"] = out[group_col].map(lambda s: t[s][0]).astype("int64")
+    out["hi_thr"] = out[group_col].map(lambda s: t[s][1]).astype("int64")
+    return out[[group_col, "n_docs", "lo_thr", "hi_thr",
+                "sum_tok", "sum_tok_winsor"]]

@@ -818,6 +818,69 @@ def keep_representatives(
     return exchange_map_partitions(both, id_col, anti, n_partitions)
 
 
+def keep_best_representatives(
+    meta: "object",
+    clusters: "object",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    n_partitions: "int | None" = None,
+) -> "object":
+    """Quality-aware cluster collapse: per near-dup cluster keep the member
+    with the HIGHEST ``score_col`` (tie: lowest id) — what production
+    curation actually does (keep the longest / best-quality copy), vs the
+    min-id convention of :func:`keep_representatives`.  Reference analog:
+    the keep-first result-cache semantics upgraded to a ranked choice
+    (ocr_app/utils/result_cache.py); cf. Lee et al. 2022 §4.
+
+    Fully distributed, three bounded metadata exchanges (ids + one int
+    score; document text never moves):
+
+    1. id-hash join of cluster members against ``meta`` (id, score);
+    2. cluster_id exchange — per-cluster vectorized sort picks the winner,
+       every other member is emitted as a removal flag;
+    3. id-hash anti-join of removal flags against the full ``meta`` id
+       column (the removed set never lands on the driver).
+
+    ``meta`` must carry ``id_col`` + ``score_col`` only (prune at the
+    read); output is the survivor table ``(id_col, score_col)``."""
+    from ocr_ray.stages.join import exchange_join, exchange_map_partitions
+
+    joined = exchange_join(clusters, meta, on=id_col,
+                           n_partitions=n_partitions)
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        if "cluster_id" not in g.columns or not len(g):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "removed": pd.Series(dtype="int64"),
+                                 score_col: pd.Series(dtype="int64")})
+        g = g.sort_values([("cluster_id"), score_col, id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.loc[g["cluster_id"].duplicated(), [id_col]].copy()
+        out["removed"] = np.int64(1)
+        out[score_col] = np.int64(0)  # placeholder; true score rides the
+        return out                    # meta leg (anti keeps max per id)
+
+    flagged = exchange_map_partitions(joined, "cluster_id", losers,
+                                      n_partitions)
+
+    def base(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: b[id_col].astype("int64"),
+                             "removed": np.int64(0),
+                             score_col: b[score_col].astype("int64")})
+
+    both = meta.map_batches(base, batch_format="pandas").union(flagged)
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        if id_col not in g.columns or not len(g):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 score_col: pd.Series(dtype="int64")})
+        m = g.groupby(id_col, as_index=False).agg(
+            removed=("removed", "max"), **{score_col: (score_col, "max")})
+        return m.loc[m["removed"] == 0, [id_col, score_col]]
+
+    return exchange_map_partitions(both, id_col, anti, n_partitions)
+
+
 def shingle_novelty(
     docs: "object",
     shingle_k: int = 3,

@@ -1,0 +1,167 @@
+"""Wave-13: quality-aware dedup representative selection, per-group
+token-budget mixture selection, winsorized group statistics."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_keep_best_prefers_high_score_then_low_id(ray_session):
+    """In a cluster the max-score member survives; score ties resolve to
+    the lowest id; singletons (no cluster membership) always survive."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import keep_best_representatives
+
+    meta = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 20],
+        "n_chars": [5, 9, 9, 7, 7, 3],
+    })
+    # cluster A = {1,2,3} (winner 2: score 9, tie vs 3 -> lower id);
+    # cluster B = {10,11} (tie -> 10); 20 is a singleton.
+    clusters = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11],
+        "cluster_id": [1, 1, 1, 10, 10],
+    })
+    out = (keep_best_representatives(rd.from_pandas(meta),
+                                     rd.from_pandas(clusters))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [2, 10, 20]
+    assert list(out["n_chars"]) == [9, 7, 3]
+
+
+def test_keep_best_partition_insensitive_and_no_pairs(ray_session):
+    """Result is independent of input block layout; with an empty
+    cluster table every doc survives with its true score."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import keep_best_representatives
+
+    rng = np.random.RandomState(7)
+    meta = pd.DataFrame({
+        "doc_id": np.arange(50, dtype="int64"),
+        "n_chars": rng.randint(0, 30, size=50).astype("int64"),
+    })
+    clusters = pd.DataFrame({
+        "doc_id": [0, 1, 2, 40, 41],
+        "cluster_id": [0, 0, 0, 40, 40],
+    })
+    a = (keep_best_representatives(rd.from_pandas(meta),
+                                   rd.from_pandas(clusters))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (keep_best_representatives(rd.from_pandas(meta).repartition(8),
+                                   rd.from_pandas(clusters).repartition(3))
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "cluster_id": pd.Series(dtype="int64")})
+    allkept = (keep_best_representatives(rd.from_pandas(meta),
+                                         rd.from_pandas(empty))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        allkept, meta.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_budget_select_prefix_and_zero_token_docs(ray_session):
+    """Selection is the id-ordered prefix per group; a zero-token doc
+    inside budget is kept, and once the running sum crosses the budget
+    nothing later in the group is emitted (monotone cumsum)."""
+    import ray.data as rd
+
+    from ocr_ray.stages.analysis import budget_select_per_group
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+        "source": ["a"] * 4 + ["b"] * 2 + ["c"] * 2,
+        # a: 3 + 0 + 4 (crosses at id 3 with budget 6) + 0
+        "text": ["x y z", "   ", "p q r s", "w", "one two", "",
+                 "", "x"],
+    })
+    out = (budget_select_per_group(rd.from_pandas(df), budget=6)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2, 5, 6, 7, 8]
+    assert list(out["cum_tok"]) == [3, 3, 2, 2, 0, 1]
+
+    # budget 0: only zero-token docs in a group's LEADING prefix survive
+    # (doc 6 is zero-token but rides behind doc 5's two tokens)
+    z = (budget_select_per_group(rd.from_pandas(df), budget=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(z["doc_id"]) == [7]
+
+
+def test_budget_select_partition_insensitive(ray_session):
+    """Cumulative sums agree across block layouts (the per-group order
+    is global id order, not arrival order)."""
+    import ray.data as rd
+
+    from ocr_ray.stages.analysis import budget_select_per_group
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(200).astype("int64"),
+        "source": [f"s{i % 5}" for i in range(200)],
+        "text": [" ".join(["t"] * rng.randint(0, 9)) for _ in range(200)],
+    })
+    a = (budget_select_per_group(rd.from_pandas(df), budget=40)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (budget_select_per_group(rd.from_pandas(df).repartition(16),
+                                 budget=40)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_winsorize_matches_naive_and_integer_ranks(ray_session):
+    """Engine thresholds equal the naive PERCENTILE_DISC definition
+    (value at 1-based rank max(1, ceil(q*n)) of the sorted scores) —
+    including n=40-style cases where float ceil(0.05*n) would misround
+    — and the clamped sums equal a per-row numpy clip."""
+    import math
+
+    import ray.data as rd
+
+    from ocr_ray.stages.analysis import winsorized_group_stats
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for g, n in [("a", 40), ("b", 20), ("c", 7), ("d", 1)]:
+        for i in range(n):
+            rows.append({"source": g,
+                         "text": " ".join(["w"] * int(rng.randint(0, 50)))})
+    df = pd.DataFrame(rows)
+    out = winsorized_group_stats(rd.from_pandas(df), lo=0.05, hi=0.95)
+    out = out.sort_values("source").reset_index(drop=True)
+
+    ntok = df["text"].str.split().str.len().astype("int64")
+    for _, r in out.iterrows():
+        vals = np.sort(ntok[df["source"] == r["source"]].to_numpy())
+        n = len(vals)
+        lo_rank = max(1, (n * 50 + 999) // 1000)
+        hi_rank = max(1, (n * 950 + 999) // 1000)
+        assert r["lo_thr"] == vals[lo_rank - 1]
+        assert r["hi_thr"] == vals[hi_rank - 1]
+        assert r["n_docs"] == n
+        assert r["sum_tok"] == vals.sum()
+        assert r["sum_tok_winsor"] == np.clip(
+            vals, r["lo_thr"], r["hi_thr"]).sum()
+    # the documented float hazard is real: IEEE 0.07*100 rounds up to
+    # 7.000000000000001, so a float-ceil rank would read 8 where the
+    # exact PERCENTILE_DISC rank is 7
+    assert math.ceil(0.07 * 100) == 8 and (100 * 70 + 999) // 1000 == 7
+
+
+def test_winsorize_empty_and_bad_bounds(ray_session):
+    """All-empty corpus returns the typed empty frame; lo > hi raises."""
+    import pytest
+    import ray.data as rd
+
+    from ocr_ray.stages.analysis import winsorized_group_stats
+
+    df = pd.DataFrame({"source": pd.Series(dtype="object"),
+                       "text": pd.Series(dtype="object")})
+    out = winsorized_group_stats(rd.from_pandas(df))
+    assert len(out) == 0
+    assert list(out.columns) == ["source", "n_docs", "lo_thr", "hi_thr",
+                                 "sum_tok", "sum_tok_winsor"]
+
+    with pytest.raises(ValueError):
+        winsorized_group_stats(rd.from_pandas(df), lo=0.9, hi=0.1)
