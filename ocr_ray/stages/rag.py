@@ -152,14 +152,22 @@ class EmbedRAG:
         np = self.np
         out = {"doc_id": [], "answer": [], "confidence": [], "n_chunks": []}
         scores = [] if self.answer_model is not None else None
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            chunks = split_text_into_chunks(text)
+        # one vectorized embed over every chunk in the batch (value-
+        # identical to per-chunk embed_one; distinct-token hashing
+        # amortizes across documents), then per-doc similarity slices
+        chunk_lists = [split_text_into_chunks(t) for t in batch["text"]]
+        flat = [c for cl in chunk_lists for c in cl]
+        if flat:
+            m, _ = self.embedder.embed_many(flat)
+            sims_flat = m @ self.qv
+        bounds = np.cumsum([0] + [len(cl) for cl in chunk_lists])
+        for i, (doc_id, chunks) in enumerate(zip(batch["doc_id"],
+                                                 chunk_lists)):
             ans_score = 0.0
             if not chunks:
                 answer, conf = "No text available to answer the question.", 0.0
             else:
-                m = np.stack([self.embedder.embed_one(c)[0] for c in chunks])
-                sims = m @ self.qv
+                sims = sims_flat[bounds[i]:bounds[i + 1]]
                 top = np.argsort(sims)[-self.k:][::-1]
                 context = " ".join(chunks[i] for i in top)
                 if self.answer_model is not None:
