@@ -7623,8 +7623,6 @@ FROM (SELECT *, row_number() OVER
 WHERE rk <= 32
 """
 
-# per-language PERCENTILE_DISC gate: the grouped generalization of the
-# doc_length_quantiles order-statistic idiom
 # quality-aware cluster collapse: winner per cluster = max n_chars then
 # min id; survivors = everything except non-winning members
 ORACLE_SQL["dedup_keep_best"] = _CLUSTER_CTES + """
@@ -7680,6 +7678,8 @@ FROM n JOIN lo USING (source) JOIN hi USING (source)
 GROUP BY n.source
 """
 
+# per-language PERCENTILE_DISC gate: the grouped generalization of the
+# doc_length_quantiles order-statistic idiom
 ORACLE_SQL["doc_lang_gate"] = r"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS token_len

@@ -460,6 +460,33 @@ def gopher_rules_batch(batch: pd.DataFrame, min_stop_hits: int = 2) -> pd.DataFr
     return df
 
 
+def _norm_group_key(v):
+    """Dict key for a group value, SQL-NULL-safe: NaN/None/NaT all map to
+    ``None`` (NaN is unusable as a broadcast dict key — it hashes but
+    never compares equal, and a deserialized NaN is a different object),
+    matching hash_aggregate's dropna=False convention that all null keys
+    form ONE group."""
+    return None if pd.isna(v) else v
+
+
+def _q_permille(q: float) -> int:
+    """Quantile as exact permille for integer PERCENTILE_DISC ranks.
+    IEEE ``ceil(q*n)`` misrounds when the exact product is an integer
+    (float ``0.07*100 = 7.000000000000001`` reads rank 8 where the exact
+    rank is 7), so ranks are computed as ``(n*q_pm + 999) // 1000``;
+    ``q`` must be permille-representable."""
+    q_pm = round(q * 1000)
+    if not 0 <= q_pm <= 1000:
+        raise ValueError(f"quantile out of [0, 1]: {q}")
+    return q_pm
+
+
+def _disc_rank(n: int, q_pm: int) -> int:
+    """1-based PERCENTILE_DISC rank: max(1, ceil(n * q_pm / 1000)) in
+    exact integer arithmetic."""
+    return max(1, (n * q_pm + 999) // 1000)
+
+
 def grouped_quantile_gate(
     docs: "object",
     group_col: str = "lang",
@@ -477,14 +504,15 @@ def grouped_quantile_gate(
     per-(group, score) COUNT HISTOGRAM through the bounded hash
     exchange (cardinality = groups x distinct scores, never rows); the
     per-group threshold is read off the cumulative histogram on the
-    driver (PERCENTILE_DISC: smallest value at rank >= ceil(q*n)); pass
+    driver (PERCENTILE_DISC: smallest value at rank >= ceil(q*n), the
+    rank in exact integer permille arithmetic — see :func:`_q_permille`
+    — so q must be permille-representable; null groups form one SQL-NULL
+    group); pass
     2 re-streams the corpus filtering score >= broadcast
     threshold[group] — no shuffle of document rows at any point.
     Whitespace-only docs carry no score and are excluded (mirroring the
     oracle's ``trim(text) <> ''`` filter).  Output ``(id, group,
     token_len, thr_len)``, deterministic."""
-    import math
-
     import numpy as np
     import ray
 
@@ -511,13 +539,14 @@ def grouped_quantile_gate(
             "token_len": pd.Series(dtype="int64"),
             "thr_len": pd.Series(dtype="int64")}))
 
+    q_pm = _q_permille(q)
     thr = {}
-    for g, sub in hist.groupby(group_col, sort=False):
+    for g, sub in hist.groupby(group_col, sort=False, dropna=False):
         sub = sub.sort_values("token_len")
         cum = sub["cnt"].to_numpy(dtype="int64").cumsum()
-        rank = math.ceil(q * int(cum[-1]))
+        rank = _disc_rank(int(cum[-1]), q_pm)
         idx = int(np.searchsorted(cum, rank, side="left"))
-        thr[g] = int(sub["token_len"].iloc[idx])
+        thr[_norm_group_key(g)] = int(sub["token_len"].iloc[idx])
     thr_ref = ray.put(thr)
 
     def gate(b: pd.DataFrame) -> pd.DataFrame:
@@ -525,7 +554,8 @@ def grouped_quantile_gate(
         keep = b[text_col].str.strip() != ""
         sub = b[keep]
         n = sub[text_col].str.split().str.len().astype("int64")
-        lim = sub[group_col].map(t).astype("int64")
+        lim = sub[group_col].map(
+            lambda v: t[_norm_group_key(v)]).astype("int64")
         sel = n >= lim
         return pd.DataFrame({
             id_col: sub.loc[sel, id_col].astype("int64"),
@@ -580,7 +610,11 @@ def budget_select_per_group(
                                  "n_tok": pd.Series(dtype="int64"),
                                  "cum_tok": pd.Series(dtype="int64")})
         g = g.sort_values([group_col, id_col], kind="mergesort").copy()
-        g["cum_tok"] = g.groupby(group_col)["n_tok"].cumsum().astype("int64")
+        # dropna=False: a NULL group is one group (SQL PARTITION BY
+        # semantics) — pandas' default drops its rows, leaving NaN
+        # cumsums that crash the int cast
+        g["cum_tok"] = (g.groupby(group_col, dropna=False)["n_tok"]
+                        .cumsum().astype("int64"))
         return g.loc[g["cum_tok"] <= budget,
                      [id_col, group_col, "n_tok", "cum_tok"]]
 
@@ -619,9 +653,9 @@ def winsorized_group_stats(
 
     from ocr_ray.stages.aggregate import hash_aggregate
 
-    lo_pm, hi_pm = round(lo * 1000), round(hi * 1000)
-    if not (0 <= lo_pm <= hi_pm <= 1000):
-        raise ValueError(f"need 0 <= lo <= hi <= 1: {lo}, {hi}")
+    lo_pm, hi_pm = _q_permille(lo), _q_permille(hi)
+    if lo_pm > hi_pm:
+        raise ValueError(f"need lo <= hi: {lo}, {hi}")
 
     def scores(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -643,30 +677,32 @@ def winsorized_group_stats(
                              "sum_tok_winsor": pd.Series(dtype="int64")})
 
     thr = {}
-    for g, sub in hist.groupby(group_col, sort=False):
+    for g, sub in hist.groupby(group_col, sort=False, dropna=False):
         sub = sub.sort_values("n_tok")
         cum = sub["cnt"].to_numpy(dtype="int64").cumsum()
         vals = sub["n_tok"].to_numpy(dtype="int64")
         n = int(cum[-1])
 
         def pick(q_pm: int) -> int:
-            rank = max(1, (n * q_pm + 999) // 1000)
-            return int(vals[int(np.searchsorted(cum, rank, side="left"))])
+            return int(vals[int(np.searchsorted(
+                cum, _disc_rank(n, q_pm), side="left"))])
 
-        thr[g] = (pick(lo_pm), pick(hi_pm))
+        thr[_norm_group_key(g)] = (pick(lo_pm), pick(hi_pm))
     thr_ref = ray.put(thr)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         t = ray.get(thr_ref)
         n = b[text_col].str.split().str.len().astype("int64")
-        lo_t = b[group_col].map(lambda s: t[s][0]).astype("int64")
-        hi_t = b[group_col].map(lambda s: t[s][1]).astype("int64")
+        lo_t = b[group_col].map(
+            lambda s: t[_norm_group_key(s)][0]).astype("int64")
+        hi_t = b[group_col].map(
+            lambda s: t[_norm_group_key(s)][1]).astype("int64")
         return pd.DataFrame({
             group_col: b[group_col],
             "n_docs": np.int64(1),
             "sum_tok": n,
             "sum_tok_winsor": n.clip(lower=lo_t, upper=hi_t),
-        }).groupby(group_col, as_index=False).sum()
+        }).groupby(group_col, as_index=False, dropna=False).sum()
 
     out = hash_aggregate(
         docs.map_batches(partial, batch_format="pandas"),
@@ -677,7 +713,9 @@ def winsorized_group_stats(
     for c in ("n_docs", "sum_tok", "sum_tok_winsor"):
         out[c] = out[c].astype("int64")
     t = thr
-    out["lo_thr"] = out[group_col].map(lambda s: t[s][0]).astype("int64")
-    out["hi_thr"] = out[group_col].map(lambda s: t[s][1]).astype("int64")
+    out["lo_thr"] = out[group_col].map(
+        lambda s: t[_norm_group_key(s)][0]).astype("int64")
+    out["hi_thr"] = out[group_col].map(
+        lambda s: t[_norm_group_key(s)][1]).astype("int64")
     return out[[group_col, "n_docs", "lo_thr", "hi_thr",
                 "sum_tok", "sum_tok_winsor"]]

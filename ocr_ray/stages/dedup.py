@@ -849,16 +849,22 @@ def keep_best_representatives(
                            n_partitions=n_partitions)
 
     def losers(g: pd.DataFrame) -> pd.DataFrame:
+        # score dtype is PRESERVED end to end (an int64 cast would
+        # silently truncate float scores like quality_score in [0,1]);
+        # the placeholder zeros below match it so the union's blocks
+        # agree on the physical schema
+        sdt = g[score_col].dtype if score_col in g.columns else np.dtype(
+            "int64")
         if "cluster_id" not in g.columns or not len(g):
             return pd.DataFrame({id_col: pd.Series(dtype="int64"),
                                  "removed": pd.Series(dtype="int64"),
-                                 score_col: pd.Series(dtype="int64")})
-        g = g.sort_values([("cluster_id"), score_col, id_col],
+                                 score_col: pd.Series(dtype=sdt)})
+        g = g.sort_values(["cluster_id", score_col, id_col],
                           ascending=[True, False, True], kind="mergesort")
         out = g.loc[g["cluster_id"].duplicated(), [id_col]].copy()
         out["removed"] = np.int64(1)
-        out[score_col] = np.int64(0)  # placeholder; true score rides the
-        return out                    # meta leg (anti keeps max per id)
+        out[score_col] = np.zeros(len(out), dtype=sdt)  # placeholder; true
+        return out                 # score rides the meta leg (anti: max)
 
     flagged = exchange_map_partitions(joined, "cluster_id", losers,
                                       n_partitions)
@@ -866,14 +872,16 @@ def keep_best_representatives(
     def base(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({id_col: b[id_col].astype("int64"),
                              "removed": np.int64(0),
-                             score_col: b[score_col].astype("int64")})
+                             score_col: b[score_col]})
 
     both = meta.map_batches(base, batch_format="pandas").union(flagged)
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
         if id_col not in g.columns or not len(g):
+            sdt = (g[score_col].dtype if score_col in g.columns
+                   else np.dtype("int64"))
             return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 score_col: pd.Series(dtype="int64")})
+                                 score_col: pd.Series(dtype=sdt)})
         m = g.groupby(id_col, as_index=False).agg(
             removed=("removed", "max"), **{score_col: (score_col, "max")})
         return m.loc[m["removed"] == 0, [id_col, score_col]]

@@ -165,3 +165,54 @@ def test_winsorize_empty_and_bad_bounds(ray_session):
 
     with pytest.raises(ValueError):
         winsorized_group_stats(rd.from_pandas(df), lo=0.9, hi=0.1)
+
+
+def test_null_group_keys_and_float_scores(ray_session):
+    """Code-review regressions: (a) budget selection and winsorize must
+    treat NULL group values as ONE SQL-null group instead of crashing;
+    (b) keep_best must preserve float score dtypes (an int64 cast would
+    truncate quality scores to 0); (c) the grouped quantile gate's rank
+    must use exact integer permille for non-default q."""
+    import ray.data as rd
+
+    from ocr_ray.stages.analysis import (
+        budget_select_per_group,
+        grouped_quantile_gate,
+        winsorized_group_stats,
+    )
+    from ocr_ray.stages.dedup import keep_best_representatives
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["a", None, None, "a"],
+        "text": ["x y", "p q r", "s", "t u v w"],
+    })
+    sel = (budget_select_per_group(rd.from_pandas(df), budget=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # null group: ids 2,3 -> cum 3,4 both kept; group a: 2,(2+4=6 drop)
+    assert list(sel["doc_id"]) == [1, 2, 3]
+    assert list(sel["cum_tok"]) == [2, 3, 4]
+
+    w = winsorized_group_stats(rd.from_pandas(df), lo=0.0, hi=1.0)
+    assert len(w) == 2  # 'a' + the null group
+    null_row = w[w["source"].isna()].iloc[0]
+    assert null_row["n_docs"] == 2 and null_row["sum_tok"] == 4
+
+    g = grouped_quantile_gate(
+        rd.from_pandas(pd.DataFrame({
+            "doc_id": range(100), "lang": ["l"] * 100,
+            "text": [" ".join(["w"] * (i + 1)) for i in range(100)],
+        })), group_col="lang", q=0.07).to_pandas()
+    # exact rank 7 of 1..100 -> threshold 7 -> 94 docs; float ceil
+    # would read rank 8 and keep 93
+    assert len(g) == 94 and g["thr_len"].iloc[0] == 7
+
+    meta = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "quality": [0.9, 0.4, 0.7]})
+    clusters = pd.DataFrame({"doc_id": [1, 2], "cluster_id": [1, 1]})
+    out = (keep_best_representatives(rd.from_pandas(meta),
+                                     rd.from_pandas(clusters),
+                                     score_col="quality")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 3]
+    assert out["quality"].tolist() == [0.9, 0.7]  # floats, untruncated
