@@ -1169,3 +1169,20 @@ def winsorized_stats(
     from ocr_ray.stages.analysis import winsorized_group_stats
 
     return winsorized_group_stats(docs, group_col=group_col, lo=lo, hi=hi)
+
+
+def temperature_mix(
+    docs: "rd.Dataset",
+    scale: int = 1000,
+    alpha_pm: int = 500,
+    group_col: str = "source",
+) -> "rd.Dataset":
+    """Temperature-weighted mixture selection (stages/analysis.py:
+    temperature_mix_select): per-group quota floor(scale * tot^alpha)
+    with alpha in permille (500 = sqrt), then the deterministic
+    id-order prefix selection — the alpha<1 data-mixing rule that
+    upweights small sources."""
+    from ocr_ray.stages.analysis import temperature_mix_select
+
+    return temperature_mix_select(docs, scale=scale, alpha_pm=alpha_pm,
+                                  group_col=group_col)

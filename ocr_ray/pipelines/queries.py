@@ -4875,6 +4875,25 @@ def q_doc_budget_mix(sf_dir: str):
     return budget_select_per_group(docs, budget=DOC_MIX_BUDGET)
 
 
+MIX_TEMP_SCALE = 10  # frozen into the oracle SQL (budget = 10 * sqrt(tot))
+
+
+def q_doc_mix_temperature(sf_dir: str):
+    """Temperature-weighted mixture selection
+    (stages/analysis.py:temperature_mix_select): per-source quota
+    ``floor(10 * tokens_src^0.5)`` — the alpha<1 sampling rule that
+    upweights small feeds — then the deterministic id-order prefix
+    selection.  One histogram-bounded totals pass + one metadata-only
+    selection exchange."""
+    from ocr_ray.stages.analysis import temperature_mix_select
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    return temperature_mix_select(docs, scale=MIX_TEMP_SCALE, alpha_pm=500)
+
+
 def q_doc_winsorize(sf_dir: str):
     """Per-source winsorized token stats
     (stages/analysis.py:winsorized_group_stats): clamp each doc's token
@@ -4961,6 +4980,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_keep_best": q_dedup_keep_best,
         "doc_budget_mix": q_doc_budget_mix,
         "doc_winsorize": q_doc_winsorize,
+        "doc_mix_temperature": q_doc_mix_temperature,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
@@ -7649,6 +7669,27 @@ c AS (SELECT doc_id, source, n_tok,
       FROM n)
 SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
 FROM c WHERE cum_tok <= {DOC_MIX_BUDGET}
+"""
+
+# temperature mixing: per-source quota floor(scale * tot^0.5), then the
+# same window-sum prefix selection as doc_budget_mix; power(x, 0.5) is
+# the identical IEEE double op on both sides and the budget floors to
+# BIGINT before any comparison
+ORACLE_SQL["doc_mix_temperature"] = rf"""
+WITH n AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      AS n_tok
+  FROM documents),
+b AS (SELECT source,
+        CAST(FLOOR({MIX_TEMP_SCALE} * power(CAST(sum(n_tok) AS DOUBLE),
+                                            0.5)) AS BIGINT) AS quota
+      FROM n GROUP BY source),
+c AS (SELECT doc_id, source, n_tok,
+        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok
+      FROM n)
+SELECT c.doc_id, c.source, c.n_tok, CAST(c.cum_tok AS BIGINT) AS cum_tok
+FROM c JOIN b USING (source) WHERE c.cum_tok <= b.quota
 """
 
 # integer-exact PERCENTILE_DISC ranks ((n*q_pm + 999) // 1000, min 1) —

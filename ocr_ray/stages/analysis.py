@@ -591,8 +591,16 @@ def budget_select_per_group(
 
     Output ``(id, group, n_tok, cum_tok)`` for kept docs.  A zero-token
     doc inside budget is kept; once the cumulative crosses ``budget``
-    the group emits nothing further (cumsum is monotone)."""
+    the group emits nothing further (cumsum is monotone).
+
+    ``budget`` is one global int, or a dict of per-group budgets (keys
+    null-normalized via :func:`_norm_group_key`; a group absent from the
+    dict keeps nothing) — the hook :func:`temperature_mix_select` uses
+    to turn source weights into quotas."""
     from ocr_ray.stages.join import exchange_map_partitions
+
+    budget_map = ({_norm_group_key(k): int(v) for k, v in budget.items()}
+                  if isinstance(budget, dict) else None)
 
     def ntok(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -615,10 +623,60 @@ def budget_select_per_group(
         # cumsums that crash the int cast
         g["cum_tok"] = (g.groupby(group_col, dropna=False)["n_tok"]
                         .cumsum().astype("int64"))
-        return g.loc[g["cum_tok"] <= budget,
+        if budget_map is None:
+            lim = budget
+        else:
+            lim = g[group_col].map(
+                lambda s: budget_map.get(_norm_group_key(s), -1))
+        return g.loc[g["cum_tok"] <= lim,
                      [id_col, group_col, "n_tok", "cum_tok"]]
 
     return exchange_map_partitions(slim, group_col, pick, n_partitions)
+
+
+def temperature_mix_select(
+    docs: "object",
+    scale: int = 1000,
+    alpha_pm: int = 500,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: "int | None" = None,
+) -> "object":
+    """Temperature-weighted mixture selection — the GPT-3/PaLM-style
+    data-mixing rule ``quota_g ∝ tokens_g^alpha`` (alpha < 1 upweights
+    small sources relative to proportional sampling): per-group budget
+    ``floor(scale * tot_g^(alpha_pm/1000))``, then the deterministic
+    id-order prefix selection of :func:`budget_select_per_group`.
+
+    Two bounded passes: a per-group token-total hash aggregate
+    (histogram-sized exchange), budgets computed on the driver, then
+    the metadata-only selection pass.  Exponentiation is IEEE double
+    ``pow`` on both sides (DuckDB ``power(tot, alpha)`` and numpy
+    ``tot ** alpha`` are the same correctly-rounded operation on the
+    same inputs), and the budget is floored to an exact BIGINT before
+    any comparison, so the value check is bit-exact.  ``alpha_pm`` is
+    the exponent in permille (500 = sqrt)."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def ntok(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            group_col: b[group_col],
+            "tot": b[text_col].str.split().str.len().astype("int64"),
+        })
+
+    totals = hash_aggregate(
+        docs.map_batches(ntok, batch_format="pandas"),
+        keys=[group_col], aggs={"tot": "sum"}, n_partitions=n_partitions,
+    ).to_pandas()
+    budgets = {}
+    if group_col in totals.columns:
+        for g, tot in zip(totals[group_col], totals["tot"]):
+            budgets[_norm_group_key(g)] = int(
+                np.floor(scale * float(int(tot)) ** (alpha_pm / 1000.0)))
+    return budget_select_per_group(
+        docs, budgets, group_col=group_col, text_col=text_col,
+        id_col=id_col, n_partitions=n_partitions)
 
 
 def winsorized_group_stats(

@@ -216,3 +216,29 @@ def test_null_group_keys_and_float_scores(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert list(out["doc_id"]) == [1, 3]
     assert out["quality"].tolist() == [0.9, 0.7]  # floats, untruncated
+
+
+def test_temperature_mix_quota_shape(ray_session):
+    """alpha=0.5 upweights small sources: the kept-token share of a
+    small source exceeds the big source's; quotas are floor(scale *
+    sqrt(tot)) and per-group selections are the id-order prefix."""
+    import ray.data as rd
+
+    from ocr_ray.stages.analysis import temperature_mix_select
+
+    # big: 100 docs x 10 tokens = 1000; small: 4 docs x 10 = 40
+    rows = [{"doc_id": i, "source": "big",
+             "text": " ".join(["w"] * 10)} for i in range(100)]
+    rows += [{"doc_id": 1000 + i, "source": "small",
+              "text": " ".join(["w"] * 10)} for i in range(4)]
+    df = pd.DataFrame(rows)
+    out = (temperature_mix_select(rd.from_pandas(df), scale=10,
+                                  alpha_pm=500)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    big = out[out["source"] == "big"]
+    small = out[out["source"] == "small"]
+    # quotas: floor(10*sqrt(1000)) = 316 -> 31 docs; floor(10*sqrt(40))
+    # = 63 -> 4 docs (everything)
+    assert len(big) == 31 and len(small) == 4
+    assert list(big["doc_id"]) == list(range(31))  # id-order prefix
+    assert big["n_tok"].sum() / 1000 < small["n_tok"].sum() / 40
