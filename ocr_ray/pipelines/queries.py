@@ -7689,7 +7689,8 @@ c AS (SELECT doc_id, source, n_tok,
         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok
       FROM n)
 SELECT c.doc_id, c.source, c.n_tok, CAST(c.cum_tok AS BIGINT) AS cum_tok
-FROM c JOIN b USING (source) WHERE c.cum_tok <= b.quota
+FROM c JOIN b ON c.source IS NOT DISTINCT FROM b.source
+WHERE c.cum_tok <= b.quota
 """
 
 # integer-exact PERCENTILE_DISC ranks ((n*q_pm + 999) // 1000, min 1) —

@@ -474,10 +474,16 @@ def _q_permille(q: float) -> int:
     IEEE ``ceil(q*n)`` misrounds when the exact product is an integer
     (float ``0.07*100 = 7.000000000000001`` reads rank 8 where the exact
     rank is 7), so ranks are computed as ``(n*q_pm + 999) // 1000``;
-    ``q`` must be permille-representable."""
+    ``q`` must be permille-representable — a q that isn't (1/3, 0.0625)
+    raises rather than silently computing a nearby quantile."""
     q_pm = round(q * 1000)
     if not 0 <= q_pm <= 1000:
         raise ValueError(f"quantile out of [0, 1]: {q}")
+    if abs(q * 1000 - q_pm) > 1e-9:
+        raise ValueError(
+            f"quantile {q} is not permille-representable; use a multiple "
+            f"of 0.001 (exact integer ranks are what keeps engine/oracle "
+            f"parity bit-exact)")
     return q_pm
 
 
@@ -518,6 +524,8 @@ def grouped_quantile_gate(
 
     from ocr_ray.stages.aggregate import hash_aggregate
 
+    q_pm = _q_permille(q)  # validate BEFORE the corpus-wide pass
+
     def scores(b: pd.DataFrame) -> pd.DataFrame:
         keep = b[text_col].str.strip() != ""
         n = b.loc[keep, text_col].str.split().str.len().astype("int64")
@@ -539,7 +547,6 @@ def grouped_quantile_gate(
             "token_len": pd.Series(dtype="int64"),
             "thr_len": pd.Series(dtype="int64")}))
 
-    q_pm = _q_permille(q)
     thr = {}
     for g, sub in hist.groupby(group_col, sort=False, dropna=False):
         sub = sub.sort_values("token_len")
@@ -569,11 +576,12 @@ def grouped_quantile_gate(
 
 def budget_select_per_group(
     docs: "object",
-    budget: int,
+    budget: "int | Dict",
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
     n_partitions: "int | None" = None,
+    token_col: "str | None" = None,
 ) -> "object":
     """Token-budget data mixing: per group (source/domain), keep docs in
     deterministic id order while the group's cumulative whitespace-token
@@ -596,17 +604,23 @@ def budget_select_per_group(
     ``budget`` is one global int, or a dict of per-group budgets (keys
     null-normalized via :func:`_norm_group_key`; a group absent from the
     dict keeps nothing) — the hook :func:`temperature_mix_select` uses
-    to turn source weights into quotas."""
+    to turn source weights into quotas.  ``token_col``: pass the name of
+    an existing per-row token-count column to skip the tokenize pass
+    (``text_col`` is then ignored) — callers that already paid the
+    str.split (temperature mixing's totals pass) reuse it instead of
+    re-reading the text."""
     from ocr_ray.stages.join import exchange_map_partitions
 
     budget_map = ({_norm_group_key(k): int(v) for k, v in budget.items()}
                   if isinstance(budget, dict) else None)
 
     def ntok(b: pd.DataFrame) -> pd.DataFrame:
+        n = (b[token_col] if token_col is not None
+             else b[text_col].str.split().str.len())
         return pd.DataFrame({
             id_col: b[id_col].astype("int64"),
             group_col: b[group_col],
-            "n_tok": b[text_col].str.split().str.len().astype("int64"),
+            "n_tok": n.astype("int64"),
         })
 
     slim = docs.map_batches(ntok, batch_format="pandas")
@@ -649,9 +663,13 @@ def temperature_mix_select(
     ``floor(scale * tot_g^(alpha_pm/1000))``, then the deterministic
     id-order prefix selection of :func:`budget_select_per_group`.
 
-    Two bounded passes: a per-group token-total hash aggregate
-    (histogram-sized exchange), budgets computed on the driver, then
-    the metadata-only selection pass.  Exponentiation is IEEE double
+    The corpus text is tokenized ONCE: the str.split pass reduces each
+    row to a (id, group, n_tok) metadata table which is materialized
+    (it has two consumers — ~24 bytes/row in the object store,
+    spillable, vs re-reading and re-splitting the full text) and feeds
+    both the per-group totals aggregate (histogram-sized exchange,
+    budgets computed on the driver) and the metadata-only selection
+    pass.  Exponentiation is IEEE double
     ``pow`` on both sides (DuckDB ``power(tot, alpha)`` and numpy
     ``tot ** alpha`` are the same correctly-rounded operation on the
     same inputs), and the budget is floored to an exact BIGINT before
@@ -661,22 +679,24 @@ def temperature_mix_select(
 
     def ntok(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
+            id_col: b[id_col].astype("int64"),
             group_col: b[group_col],
-            "tot": b[text_col].str.split().str.len().astype("int64"),
+            "n_tok": b[text_col].str.split().str.len().astype("int64"),
         })
 
+    slim = docs.map_batches(ntok, batch_format="pandas").materialize()
     totals = hash_aggregate(
-        docs.map_batches(ntok, batch_format="pandas"),
-        keys=[group_col], aggs={"tot": "sum"}, n_partitions=n_partitions,
+        slim, keys=[group_col], aggs={"n_tok": "sum"},
+        n_partitions=n_partitions,
     ).to_pandas()
     budgets = {}
     if group_col in totals.columns:
-        for g, tot in zip(totals[group_col], totals["tot"]):
+        for g, tot in zip(totals[group_col], totals["n_tok"]):
             budgets[_norm_group_key(g)] = int(
                 np.floor(scale * float(int(tot)) ** (alpha_pm / 1000.0)))
     return budget_select_per_group(
-        docs, budgets, group_col=group_col, text_col=text_col,
-        id_col=id_col, n_partitions=n_partitions)
+        slim, budgets, group_col=group_col, id_col=id_col,
+        n_partitions=n_partitions, token_col="n_tok")
 
 
 def winsorized_group_stats(

@@ -242,3 +242,36 @@ def test_temperature_mix_quota_shape(ray_session):
     assert len(big) == 31 and len(small) == 4
     assert list(big["doc_id"]) == list(range(31))  # id-order prefix
     assert big["n_tok"].sum() / 1000 < small["n_tok"].sum() / 40
+
+
+def test_temperature_mix_null_source_parity(ray_session):
+    """Null-source docs form one group with their OWN quota, and the
+    oracle SQL (IS NOT DISTINCT FROM join) agrees with the engine on a
+    null-bearing corpus — the review-found divergence where a plain
+    USING(source) join silently dropped the NULL group."""
+    import duckdb
+    import ray.data as rd
+
+    from ocr_ray.pipelines.queries import MIX_TEMP_SCALE, ORACLE_SQL
+    from ocr_ray.stages.analysis import temperature_mix_select
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": [None, None, "a", "a"],
+        "text": ["x y z", "p q", " ".join(["w"] * 200), "t"],
+    })
+    got = (temperature_mix_select(rd.from_pandas(df),
+                                  scale=MIX_TEMP_SCALE, alpha_pm=500)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = (con.execute(ORACLE_SQL["doc_mix_temperature"]).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+    # the null group kept both docs (tot 5 -> quota 22); 'a' kept only
+    # the 1-token doc 4? no: prefix order is doc_id, so doc 3 (200 tok)
+    # exceeds quota floor(10*sqrt(201)) = 141 and blocks doc 4 too
+    assert set(got.loc[got["source"].isna(), "doc_id"]) == {1, 2}
+    assert (got["source"] == "a").sum() == 0
