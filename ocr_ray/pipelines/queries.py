@@ -4894,6 +4894,51 @@ def q_doc_mix_temperature(sf_dir: str):
     return temperature_mix_select(docs, scale=MIX_TEMP_SCALE, alpha_pm=500)
 
 
+def q_pipeline_mixture(sf_dir: str):
+    """Mixture-curation composite — length gate (>= 25 tokens) → exact dedup
+    (keep-first by content) → temperature-quota selection, as ONE job
+    that scans the corpus TEXT exactly once: the gate pass reduces every
+    surviving row to (doc_id, source, content_hash, n_tok) metadata, the
+    keep-first dedup is a content-hash exchange of those rows, and the
+    mixing quota (floor(10 * tokens_src^0.5)) runs entirely on the
+    deduped metadata via temperature_mix_select's token_col fast path.
+    After the first scan no document text moves anywhere."""
+    from ocr_ray.stages.analysis import temperature_mix_select
+    from ocr_ray.stages.dedup import add_content_hash
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].str.split().str.len().astype("int64")
+        keep = n >= 25
+        out = add_content_hash(b[keep])
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].astype("int64"),
+            "source": out["source"],
+            "content_hash": out["content_hash"],
+            "n_tok": n[keep],
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        if "content_hash" not in g.columns or not len(g):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "source": pd.Series(dtype="object"),
+                                 "n_tok": pd.Series(dtype="int64")})
+        g = g.sort_values(["content_hash", "doc_id"], kind="mergesort")
+        return g.drop_duplicates("content_hash", keep="first")[
+            ["doc_id", "source", "n_tok"]]
+
+    deduped = exchange_map_partitions(
+        docs.map_batches(gate, batch_format="pandas"),
+        "content_hash", keep_first, None)
+    return temperature_mix_select(
+        deduped, scale=MIX_TEMP_SCALE, alpha_pm=500, token_col="n_tok")
+
+
 def q_doc_winsorize(sf_dir: str):
     """Per-source winsorized token stats
     (stages/analysis.py:winsorized_group_stats): clamp each doc's token
@@ -4981,6 +5026,7 @@ def queries() -> Dict[str, Callable]:
         "doc_budget_mix": q_doc_budget_mix,
         "doc_winsorize": q_doc_winsorize,
         "doc_mix_temperature": q_doc_mix_temperature,
+        "pipeline_mixture": q_pipeline_mixture,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
@@ -7688,6 +7734,30 @@ b AS (SELECT source,
 c AS (SELECT doc_id, source, n_tok,
         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok
       FROM n)
+SELECT c.doc_id, c.source, c.n_tok, CAST(c.cum_tok AS BIGINT) AS cum_tok
+FROM c JOIN b ON c.source IS NOT DISTINCT FROM b.source
+WHERE c.cum_tok <= b.quota
+"""
+
+# mixture composite: gate (>=25 tokens) -> keep-first exact dedup (SQL
+# groups by text where the engine groups by md5 — the established
+# dedup_exact collision convention) -> the doc_mix_temperature quota
+ORACLE_SQL["pipeline_mixture"] = rf"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source, text,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      AS n_tok
+  FROM documents),
+g AS (SELECT * FROM t WHERE n_tok >= 25),
+dd AS (SELECT doc_id, source, n_tok FROM g
+       QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+b AS (SELECT source,
+        CAST(FLOOR({MIX_TEMP_SCALE} * power(CAST(sum(n_tok) AS DOUBLE),
+                                            0.5)) AS BIGINT) AS quota
+      FROM dd GROUP BY source),
+c AS (SELECT doc_id, source, n_tok,
+        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok
+      FROM dd)
 SELECT c.doc_id, c.source, c.n_tok, CAST(c.cum_tok AS BIGINT) AS cum_tok
 FROM c JOIN b ON c.source IS NOT DISTINCT FROM b.source
 WHERE c.cum_tok <= b.quota

@@ -656,6 +656,7 @@ def temperature_mix_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_partitions: "int | None" = None,
+    token_col: "str | None" = None,
 ) -> "object":
     """Temperature-weighted mixture selection — the GPT-3/PaLM-style
     data-mixing rule ``quota_g ∝ tokens_g^alpha`` (alpha < 1 upweights
@@ -678,10 +679,12 @@ def temperature_mix_select(
     from ocr_ray.stages.aggregate import hash_aggregate
 
     def ntok(b: pd.DataFrame) -> pd.DataFrame:
+        n = (b[token_col] if token_col is not None
+             else b[text_col].str.split().str.len())
         return pd.DataFrame({
             id_col: b[id_col].astype("int64"),
             group_col: b[group_col],
-            "n_tok": b[text_col].str.split().str.len().astype("int64"),
+            "n_tok": n.astype("int64"),
         })
 
     slim = docs.map_batches(ntok, batch_format="pandas").materialize()

@@ -275,3 +275,43 @@ def test_temperature_mix_null_source_parity(ray_session):
     # exceeds quota floor(10*sqrt(201)) = 141 and blocks doc 4 too
     assert set(got.loc[got["source"].isna(), "doc_id"]) == {1, 2}
     assert (got["source"] == "a").sum() == 0
+
+
+def test_pipeline_mixture_all_stages_bite(ray_session):
+    """The composite's three stages each do work on a synthetic corpus
+    (short docs gated, exact dups collapsed keep-first, quotas cap the
+    big source) and the engine matches the composed DuckDB oracle."""
+    import duckdb
+    import ray.data as rd
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_pipeline_mixture
+
+    long = " ".join(f"w{i}" for i in range(30))
+    rows = []
+    for i in range(60):  # big source incl. 10 exact dups of one text
+        rows.append({"doc_id": i, "source": "big",
+                     "text": long if i < 10 else long + f" extra{i}"})
+    rows.append({"doc_id": 100, "source": "big", "text": "too short"})
+    rows.append({"doc_id": 101, "source": None,
+                 "text": " ".join(["n"] * 26)})
+    df = pd.DataFrame(rows)
+
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        got = (q_pipeline_mixture(d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(
+            f"create view documents as select * from "
+            f"'{os.path.join(d, 'documents.parquet')}'")
+        exp = (con.execute(ORACLE_SQL["pipeline_mixture"]).df()
+               .sort_values("doc_id").reset_index(drop=True))
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+    kept = set(got["doc_id"])
+    assert 100 not in kept                      # gated (9 tokens)
+    assert kept & set(range(10)) == {0}         # dup cluster -> keep-first
+    assert 101 in kept                          # null source, own quota
