@@ -49,9 +49,18 @@ def quantize_embeddings(embs: np.ndarray) -> np.ndarray:
 
 
 def _assign(x: np.ndarray, cents: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Exact int64 squared-L2 assignment; ties -> lowest cluster id."""
-    d = x[:, None, :] - cents[None, :, :]
-    dist = np.einsum("bkd,bkd->bk", d, d)
+    """Exact int64 squared-L2 assignment; ties -> lowest cluster id.
+
+    Gram form ``|x|^2 + |c|^2 - 2 x·c`` instead of materializing the
+    (batch, k, d) difference tensor (a d-fold memory blowup per map
+    task — 2 GB at batch 4096, k=d=256, vs ~16 MB here).  Every term is
+    exact in int64: quantized entries are < 2^23, so each dot product
+    is < d * 2^46 — the same bound argument as mark_dups below — and
+    the exact integer distances make argmin bit-identical to the
+    difference form, ties still resolving to the lowest cluster id."""
+    xx = np.einsum("bd,bd->b", x, x)
+    cc = np.einsum("kd,kd->k", cents, cents)
+    dist = xx[:, None] + cc[None, :] - 2 * (x @ cents.T)
     a = dist.argmin(axis=1)
     return a, dist[np.arange(len(x)), a]
 
@@ -90,11 +99,16 @@ def kmeans_centroids(
     # BEFORE sorting so the no-seed case hits the contract error below
     if len(seeds) >= k:
         seeds = seeds.sort_values(id_col)
-    if len(seeds) < k:
+    # exact contract: k rows, k DISTINCT ids (duplicate ids below k would
+    # silently seed two clusters identically, or overflow the (k, dim)
+    # accumulator with an IndexError deep in a worker)
+    if len(seeds) != k or seeds[id_col].nunique() != k:
         raise ValueError(
-            f"kmeans seeding found {len(seeds)} rows with {id_col} < {k}; "
-            f"the seed contract requires dense 0-based ids covering "
-            f"0..{k - 1} — remap ids (e.g. value_rank) before clustering")
+            f"kmeans seeding found {len(seeds)} rows "
+            f"({seeds[id_col].nunique() if len(seeds) else 0} distinct) "
+            f"with {id_col} < {k}; the seed contract requires exactly the "
+            f"dense 0-based ids 0..{k - 1} — remap ids (e.g. value_rank) "
+            f"before clustering")
     cents = quantize_embeddings(np.stack(seeds[embed_col].to_numpy()))
     dim = cents.shape[1]
 

@@ -58,7 +58,13 @@ def train_unigram_counts(
     n_partitions: "int | None" = None,
 ) -> np.ndarray:
     """One streaming scan -> dense hashed unigram count table (int64,
-    ``b_uni`` cells).  Driver-side data is bounded by the table size."""
+    ``b_uni`` cells).  Driver-side data is bounded by the table size.
+
+    KEEP IN SYNC with lm.py:train_bigram_counts — the partial/reduce/
+    exchange/densify scaffolding and its three empty-input guards
+    (typed-empty partial, pre-map-schema reduce guard, to_pandas
+    column-drop fallback) are the same design in both; a fix to one
+    guard must be applied to both."""
     from ocr_ray.stages.join import exchange_map_partitions
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:

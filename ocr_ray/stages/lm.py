@@ -97,7 +97,10 @@ def train_bigram_counts(
     """Pass 1: hashed unigram/bigram count tables over the corpus.
 
     Returns dense int64 arrays ``(C1[b_uni], C2[b_big])``.  Driver-side
-    data is bounded by the table sizes, never by the corpus."""
+    data is bounded by the table sizes, never by the corpus.
+
+    KEEP IN SYNC with dsir.py:train_unigram_counts (same scaffolding
+    and empty-input guards — see the note there)."""
     from ocr_ray.stages.join import exchange_map_partitions
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
@@ -176,8 +179,18 @@ class BigramLMScorer:
         for i, t1 in enumerate(arrs):
             if not t1.size:
                 continue
-            q = (self.c2[_bigram_buckets(t1, self.b_big)] * _PPM
-                 ) // self.c1[t1[:-1] % self.b_uni]
+            denom = self.c1[t1[:-1] % self.b_uni]
+            if denom.size and int(denom.min()) <= 0:
+                # numpy int64 // 0 is a SILENT 0 (RuntimeWarning only),
+                # which would deflate lm_ppm and spuriously drop docs —
+                # fail loudly instead: a zero unigram count means the
+                # score pass saw tokens the train pass never counted
+                raise RuntimeError(
+                    "BigramLMScorer: zero unigram training count for a "
+                    "scored token — train and score scans diverged. Both "
+                    "must read the SAME deterministic input; materialize "
+                    "any nondeterministic upstream before lm_score.")
+            q = (self.c2[_bigram_buckets(t1, self.b_big)] * _PPM) // denom
             rows.append(i)
             n_bigrams.append(len(q))
             lm_ppm.append(int(q.sum()) // len(q))

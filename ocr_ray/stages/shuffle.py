@@ -130,6 +130,10 @@ def deterministic_pack(
     the stream into fixed ``budget``-token bins; each doc's bin is
     ``start_offset // budget`` where ``start_offset`` is the global
     prefix sum of token counts under the deterministic shuffle order.
+    ``budget`` must be positive (``start_offset // budget`` on numpy
+    int64 arrays would SILENTLY map every doc to bin 0 for budget=0 —
+    no ZeroDivisionError, just a RuntimeWarning).
+
     The global scan uses the same two-pass bucket design as
     :func:`deterministic_shuffle` — pass 1 reduces per-bucket token sums
     (``n_buckets`` ints to the driver), pass 2 exchanges by bucket and
@@ -143,6 +147,8 @@ def deterministic_pack(
     """
     from ocr_ray.stages.join import exchange_map_partitions
 
+    if budget <= 0:
+        raise ValueError(f"pack budget must be positive, got {budget}")
     shift = np.uint64(SHUFFLE_BITS - int(n_buckets - 1).bit_length())
     n_buckets = 1 << int(int(n_buckets - 1).bit_length())
 
@@ -241,7 +247,10 @@ def grouped_rank(
     keyed = ds.map_batches(with_key, batch_format="pandas").materialize()
 
     def count_gb(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby([group_col, "_bucket"]).size()
+        # dropna=False: NULL-group rows still get ranks (pandas' default
+        # would drop their counts, then rank_partition's offsets lookup
+        # KeyErrors on the very rows the count pass ignored)
+        g = b.groupby([group_col, "_bucket"], dropna=False).size()
         out = g.reset_index()
         out.columns = [group_col, "_bucket", "n"]
         return out
@@ -251,12 +260,15 @@ def grouped_rank(
         counts_df = pd.DataFrame({group_col: pd.Series(dtype="object"),
                                   "_bucket": pd.Series(dtype="int64"),
                                   "n": pd.Series(dtype="int64")})
-    counts = (counts_df.groupby([group_col, "_bucket"], as_index=False)["n"]
+    counts = (counts_df.groupby([group_col, "_bucket"], as_index=False,
+                                dropna=False)["n"]
               .sum().sort_values([group_col, "_bucket"]))
     # offset of (group, bucket) = rows of the group in earlier buckets
-    counts["off"] = (counts.groupby(group_col)["n"].cumsum()
+    counts["off"] = (counts.groupby(group_col, dropna=False)["n"].cumsum()
                      - counts["n"])
-    offsets = {(g, int(b)): int(o) for g, b, o in
+    # dict keys null-normalized: NaN hashes but never compares equal, so
+    # a raw-NaN key would be unreachable from the lookup side
+    offsets = {(None if pd.isna(g) else g, int(b)): int(o) for g, b, o in
                zip(counts[group_col], counts["_bucket"], counts["off"])}
 
     def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -267,13 +279,17 @@ def grouped_rank(
             return _empty_premap(g, add)
         g = g.sort_values(["_bucket", group_col, "shuffle_hash", id_col],
                           kind="mergesort").reset_index(drop=True)
-        run_id = (g["_bucket"].astype(str) + "\x00" + g[group_col].astype(str))
-        codes = pd.factorize(run_id)[0]
-        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        # run detection on factorize codes, not astype(str): string-cast
+        # would merge a NaN group with one literally named "nan", and
+        # NaN itself needs a code (use_na_sentinel gives it -1)
+        gcodes = pd.factorize(g[group_col], use_na_sentinel=True)[0]
+        bk = g["_bucket"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[
+            True, (bk[1:] != bk[:-1]) | (gcodes[1:] != gcodes[:-1])])
         run_start = np.repeat(starts, np.diff(np.r_[starts, len(g)]))
         local = np.arange(len(g)) - run_start
         base = np.fromiter(
-            (offsets[(grp, int(bk))] for grp, bk in
+            (offsets[(None if pd.isna(grp) else grp, int(b))] for grp, b in
              zip(g[group_col][starts], g["_bucket"][starts])),
             dtype=np.int64, count=starts.size)
         g["src_rank"] = np.repeat(base, np.diff(np.r_[starts, len(g)])) + local
