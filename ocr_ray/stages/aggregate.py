@@ -58,10 +58,13 @@ def hash_aggregate(
             raise ValueError(f"unsupported agg op: {op}")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        for col, op in aggs.items():
-            if op == "count":
-                b[col] = 1
+        # assign (not copy) injects count columns: existing columns stay
+        # zero-copy references — this partial runs on EVERY batch of
+        # every exchange aggregate, so a full-batch deep copy here taxes
+        # each hot path (pagerank per-iteration scans, sketches, bloom)
+        count_cols = {c for c, op in aggs.items() if op == "count"}
+        if count_cols:
+            b = b.assign(**{c: 1 for c in count_cols})
         spec = {col: ("sum" if op == "count" else op) for col, op in aggs.items()}
         return b.groupby(keys, as_index=False, dropna=False).agg(spec)
 
@@ -206,6 +209,11 @@ def countmin_sketch(
         import re
 
         tokenizer = re.compile(r"[a-z0-9]+").findall
+    if not 1 <= d <= len(CM_A):
+        # CM_A[:d] would silently truncate while range(d) scatters past
+        # the row count — an IndexError deep in a worker task otherwise
+        raise ValueError(f"countmin depth d={d} out of range 1..{len(CM_A)} "
+                         f"(one frozen hash-coefficient pair per row)")
     a = np.asarray(CM_A[:d], dtype=np.int64)[:, None]
     b_ = np.asarray(CM_B[:d], dtype=np.int64)[:, None]
 
@@ -247,6 +255,9 @@ def countmin_estimate(sketch: pd.DataFrame, terms, d: int = CM_D,
 
     from ocr_ray.stages.lm import _TokenHasher
 
+    if not 1 <= d <= len(CM_A):
+        raise ValueError(f"countmin depth d={d} out of range 1..{len(CM_A)} "
+                         f"(one frozen hash-coefficient pair per row)")
     dense = np.zeros((d, w), dtype=np.int64)
     dense[sketch["r"].to_numpy(dtype="int64"),
           sketch["cell"].to_numpy(dtype="int64")] = \
@@ -298,6 +309,36 @@ def hll_mix(key: int) -> int:
     return z ^ (z >> 31)
 
 
+def _hll_estimate(rhos) -> "tuple[int, int, float, float]":
+    """Shared HLL finish for a set of present registers (`rhos` = the
+    max-rank value per non-zero register): returns ``(n_zero, sum_rho,
+    est_raw, est_distinct)``.  The scaled-integer S accumulation, the
+    alpha*m^2*2^63/S raw estimate, its 1e-6 floor-rounding and the
+    linear-counting small-range correction are ORACLE-FROZEN (the DuckDB
+    SQL replicates this exact IEEE operation order) — which is why both
+    the global and the per-group estimator must share this one body."""
+    import math
+
+    import numpy as np
+
+    n_present = len(rhos)
+    n_zero = HLL_M - n_present
+    sum_rho = int(rhos.sum()) if n_present else 0
+    s = n_zero * (1 << 63)
+    for m_j in rhos:
+        s += 1 << (63 - int(m_j))
+    est_raw = float(
+        np.floor(_HLL_ALPHA * 65536.0 * 9223372036854775808.0 / float(s)
+                 * 1e6 + 0.5) / 1e6
+    )
+    if est_raw <= 2.5 * HLL_M and n_zero > 0:
+        est = float(np.floor(256.0 * math.log(256.0 / n_zero) * 1e6 + 0.5)
+                    / 1e6)
+    else:
+        est = est_raw
+    return n_zero, sum_rho, est_raw, est
+
+
 def hll_distinct_terms(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -346,23 +387,7 @@ def hll_distinct_terms(
         regs = pd.DataFrame({"bucket": pd.Series(dtype="int64"),
                              "rho": pd.Series(dtype="int64")})
 
-    n_present = len(regs)
-    n_zero = HLL_M - n_present
-    sum_rho = int(regs["rho"].sum()) if n_present else 0
-    # S = sum over all m registers of 2^(63 - M_j), exact integer
-    s = n_zero * (1 << 63)
-    for m_j in regs["rho"]:
-        s += 1 << (63 - int(m_j))
-    est_raw = float(
-        np.floor(_HLL_ALPHA * 65536.0 * 9223372036854775808.0 / float(s)
-                 * 1e6 + 0.5) / 1e6
-    )
-    if est_raw <= 2.5 * HLL_M and n_zero > 0:
-        import math
-
-        est = float(np.floor(256.0 * math.log(256.0 / n_zero) * 1e6 + 0.5) / 1e6)
-    else:
-        est = est_raw
+    n_zero, sum_rho, est_raw, est = _hll_estimate(regs["rho"])
     import ray.data as _rd
 
     return _rd.from_pandas(pd.DataFrame(
@@ -440,6 +465,12 @@ def heavy_hitters(
     total = int(summed.loc[summed["term"] == "\x00n", "lb"].sum())
     cand = summed[(summed["term"] != "\x00n")
                   & (summed["lb"].astype("int64") * k * (k + 1) > total)]
+    if not len(cand):
+        # nothing is frequent enough (uniform distribution): the result
+        # is provably empty — skip the exact-verify pass, which would
+        # otherwise re-tokenize the whole corpus against an empty set
+        return pd.DataFrame({"term": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
     cand_ref = ray.put(frozenset(cand["term"]))
 
     def exact_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -513,8 +544,6 @@ def hll_distinct_terms_by(
     runs driver-side over the tiny register table.  Output one row per
     group: (group, m, n_zero_registers, sum_rho, est_raw, est_distinct),
     deterministic."""
-    import math
-
     import numpy as np
 
     from ocr_ray.stages.dedup import _poly_hash_token
@@ -561,21 +590,10 @@ def hll_distinct_terms_by(
                              "rho": pd.Series(dtype="int64")})
 
     out_rows = []
-    for g, sub in regs.groupby(group_col, sort=True):
-        n_present = len(sub)
-        n_zero = HLL_M - n_present
-        sum_rho = int(sub["rho"].sum())
-        s = n_zero * (1 << 63)
-        for m_j in sub["rho"]:
-            s += 1 << (63 - int(m_j))
-        est_raw = float(np.floor(
-            _HLL_ALPHA * 65536.0 * 9223372036854775808.0 / float(s)
-            * 1e6 + 0.5) / 1e6)
-        if est_raw <= 2.5 * HLL_M and n_zero > 0:
-            est = float(np.floor(
-                256.0 * math.log(256.0 / n_zero) * 1e6 + 0.5) / 1e6)
-        else:
-            est = est_raw
+    # dropna=False: the exchange preserved null-keyed registers (one SQL
+    # NULL group); pandas' default would silently drop that group's row
+    for g, sub in regs.groupby(group_col, sort=True, dropna=False):
+        n_zero, sum_rho, est_raw, est = _hll_estimate(sub["rho"])
         out_rows.append((g, HLL_M, n_zero, sum_rho, est_raw, est))
     out = pd.DataFrame(out_rows, columns=[
         group_col, "m", "n_zero_registers", "sum_rho", "est_raw",

@@ -105,7 +105,9 @@ def bloom_screen(
 ) -> "rd.Dataset":
     """Screen ``shard`` docs against the corpus Bloom filter.
 
-    Returns one row per shard doc: (doc_id, key62, in_corpus).  The
+    Returns one row per shard doc: (``id_col``, key62, in_corpus) — the
+    id column keeps the CALLER'S name (a hardcoded 'doc_id' would
+    silently rename e.g. conv_id and break downstream joins).  The
     bitmask ships once via ``ray.put``; the screen is a stateless map."""
     bits_ref = ray.put(build_bloom(corpus, text_col=text_col,
                                    n_partitions=n_partitions))
@@ -115,7 +117,7 @@ def bloom_screen(
         keys = [doc_key62(t) for t in b[text_col]]
         hit = [all(bits[p] for p in bloom_positions(k)) for k in keys]
         return pd.DataFrame({
-            "doc_id": b[id_col].astype("int64").to_numpy(),
+            id_col: b[id_col].astype("int64").to_numpy(),
             "key62": pd.Series(keys, dtype="int64"),
             "in_corpus": pd.Series(hit, dtype="bool"),
         })

@@ -117,9 +117,13 @@ def conjunctive_lookup(postings: "rd.Dataset", terms: List[str]) -> List[int]:
     """
     if not terms:
         return []  # empty AND over no terms: defined as no results
-    # indexed terms are [a-z0-9]+ by construction — anything else cannot
-    # exist in the index, and quoting it into the (Python-expression)
-    # filter would be fragile ('' doubling is SQL, not Python)
+    # lowercase first — build_postings indexed lowercased text, so
+    # 'Paris' must find 'paris' (case is normalization, not identity).
+    # Punctuated/multi-token query terms stay rejected: indexed terms
+    # are [a-z0-9]+ by construction — anything else cannot exist in the
+    # index, and quoting it into the (Python-expression) filter would be
+    # fragile ('' doubling is SQL, not Python)
+    terms = [t.lower() for t in terms]
     if any(not t.isascii() or not t.isalnum() or t != t.lower()
            for t in terms):
         return []

@@ -62,8 +62,15 @@ def kmeans_fit(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
     rng = np.random.RandomState(seed)
     n = len(sample)
     cent = sample[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    # gram-form distances (|x|^2 + |c|^2 - 2 x·c): the (n, k) matmul
+    # replaces the (n, k, d) difference tensor — a d-fold memory blowup
+    # per Lloyd iteration (~6.5 GB at 50k x 256 cents x 64 dims vs
+    # ~100 MB).  Distances are float either way; argmin is what matters
+    # and IVF recall is threshold-checked, not bit-pinned.
+    xx = np.einsum("nd,nd->n", sample, sample)
     for _ in range(n_iter):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cc = np.einsum("kd,kd->k", cent, cent)
+        d = xx[:, None] + cc[None, :] - 2.0 * (sample @ cent.T)
         assign = d.argmin(axis=1)
         for c in range(len(cent)):
             mask = assign == c
@@ -256,8 +263,18 @@ def lsh_embed_dedup_pairs(
 
     @ray.remote(num_cpus=0)
     def dedupe_attach_left(n_pairs: int, *pieces):
-        cands = _concat_pd(pieces[:n_pairs]).drop_duplicates(["left_id", "right_id"])
+        cands = _concat_pd(pieces[:n_pairs])
         lv = _concat_pd(pieces[n_pairs:])
+        if ("left_id" not in cands.columns or "left_id" not in lv.columns
+                or not len(cands) or not len(lv)):
+            # all-empty exchange side may carry the pre-map schema (same
+            # guard as the minhash twin, dedup.py dedupe_attach_left):
+            # merge on a missing key would KeyError in the worker
+            out = pd.DataFrame({"left_id": pd.Series(dtype="int64"),
+                                "right_id": pd.Series(dtype="int64"),
+                                "_lvec": pd.Series(dtype="object")})
+            return pa.Table.from_pandas(out, preserve_index=False)
+        cands = cands.drop_duplicates(["left_id", "right_id"])
         out = cands.merge(lv, on="left_id", how="inner")
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -265,6 +282,14 @@ def lsh_embed_dedup_pairs(
     def attach_right_verify(n_left: int, *pieces):
         left = _concat_pd(pieces[:n_left])
         rv = _concat_pd(pieces[n_left:])
+        if ("right_id" not in left.columns or "right_id" not in rv.columns
+                or not len(left) or not len(rv)):
+            # pre-map schema on an all-empty side (same guard as above)
+            out = pd.DataFrame(
+                {"left_id": pd.Series([], dtype="int64"),
+                 "right_id": pd.Series([], dtype="int64"),
+                 "sim": pd.Series([], dtype="float64")})
+            return pa.Table.from_pandas(out, preserve_index=False)
         b = left.merge(rv, on="right_id", how="inner")
         if not len(b):
             out = pd.DataFrame(
@@ -347,7 +372,11 @@ class LSHProbeScore:
                                        id_col=id_col, vec_col=vec_col)
         self.probe = ray.get(probe_ref) if isinstance(probe_ref, ray.ObjectRef) else probe_ref
         qn = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
-        self.qn = np.asarray(qn, dtype=np.float64)
+        qn = np.asarray(qn, dtype=np.float64)
+        # normalize HERE (idempotent for already-unit queries) so "exact
+        # cosine vs the query" holds for raw queries too — CosineTopK
+        # normalizes internally and this stage must not differ
+        self.qn = qn / max(float(np.linalg.norm(qn)), 1e-30)
         self.id_col = id_col
         self.vec_col = vec_col
 
