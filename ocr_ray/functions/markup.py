@@ -278,10 +278,15 @@ def repair_wrapping(text: str) -> str:
 
 
 # ---------------------------------------------------------------- kind sniff
-# no \s* after '<' — kept in lockstep with normalize.py's sniffer ("< p"
-# is literal text per the HTML spec; the permissive form misrouted prose)
-_HTMLISH = re.compile(r"<(?:html|body|div|p|script|span|h[1-6]|ul|table|a)\b", re.I)
-_BOXED = re.compile(r'^\s*\{\s*"page_height"')
+# no \s* after '<': per the HTML spec "< p" is literal text; the
+# permissive form misrouted prose/math like "x < a" into tag-stripping.
+# The raw pattern STRINGS are the single source of truth — normalize.py's
+# vectorized Arrow RE2 sniffer imports them (both engines accept this
+# syntax), so the two code paths cannot drift apart again.
+HTMLISH_PATTERN = r"<(?:html|body|div|p|script|span|h[1-6]|ul|table|a)\b"
+BOXED_PREFIX_PATTERN = r'^\s*\{\s*"page_height"'
+_HTMLISH = re.compile(HTMLISH_PATTERN, re.I)
+_BOXED = re.compile(BOXED_PREFIX_PATTERN)
 
 
 def sniff_kind(payload: str) -> str:

@@ -31,6 +31,7 @@ from ocr_ray.functions.markup import (
     extract_domtree,
     extract_tagstrip,
     repair_wrapping,
+    strip_noise,
 )
 from ocr_ray.functions.scoring import score_ocr_result
 
@@ -112,8 +113,6 @@ class Extractor:
 
     # ------------------------------------------------------------ per-kind
     def _extract_html(self, payload: str) -> Tuple[str, str, str]:
-        from ocr_ray.functions.markup import strip_noise
-
         pre = strip_noise(payload) if payload else payload  # shared first pass
         best_text, best_engine, best_score = "", "none", float("-inf")
         seen_scores: Dict[str, float] = {}  # engines often tie on identical
@@ -189,22 +188,26 @@ class Extractor:
         if kind == "empty" or not extracted or extracted == ERROR_TEXT:
             return []
         if kind == "boxed":
+            # the WHOLE build stays inside the try: a box with conf=null
+            # or a non-string text must take the in-band empty path (C2
+            # contract), not escape as a TypeError/ArrowInvalid that
+            # kills the map task
             try:
                 cached = getattr(self, "_boxed_cache", None)
                 doc = cached[1] if cached and cached[0] == payload \
                     else json.loads(payload)
                 boxes = doc["boxes"]
+                return [
+                    {
+                        "seg_idx": i,
+                        "kind": "box",
+                        "text": str(b.get("text", "") or ""),
+                        "conf": float(b.get("conf") or 0.0),
+                    }
+                    for i, b in enumerate(boxes)
+                ]
             except Exception:
                 return []
-            return [
-                {
-                    "seg_idx": i,
-                    "kind": "box",
-                    "text": b.get("text", ""),
-                    "conf": float(b.get("conf", 0.0)),
-                }
-                for i, b in enumerate(boxes)
-            ]
         seg_kind = "block" if kind == "html" else "text"
         return [
             {"seg_idx": i, "kind": seg_kind, "text": ln, "conf": self._conf(ln)}

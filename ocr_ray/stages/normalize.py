@@ -18,11 +18,12 @@ import pyarrow.compute as pc
 from ocr_ray.config import DEFAULT_CONFIG, PipelineConfig
 
 _ZERO_WIDTH = "[\u200b\u200c\u200d\u2060\ufeff]"
-_BOXED_PREFIX = r'^\s*\{\s*"page_height"'
-# no \s* after '<': per the HTML spec "< p" is literal text, and the
-# permissive form misrouted prose/math like "x < a and y > b" into the
-# tag-stripping engines (silent content loss on plain-text payloads)
-_HTMLISH = r"<(?:html|body|div|p|script|span|h[1-6]|ul|table|a)\b"
+# shared with markup.sniff_kind \u2014 ONE source of truth for the kind
+# discriminators (the two copies drifted once before; see markup.py)
+from ocr_ray.functions.markup import (  # noqa: E402
+    BOXED_PREFIX_PATTERN as _BOXED_PREFIX,
+    HTMLISH_PATTERN as _HTMLISH,
+)
 
 
 # heavy-denoise extras (M7 NL-means analog, config-gated OFF by default —

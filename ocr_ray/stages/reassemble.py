@@ -70,6 +70,19 @@ def _split_turns(n_partitions: int, span: int, *parts) -> Tuple[pa.Table, ...]:
             t = pa.Table.from_pandas(t, preserve_index=False)
         tables.append(t.select(_COLS))
     t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+    for c in _COLS:
+        nc = t[c].null_count
+        if nc:
+            # fail LOUDLY at the exchange entry: a null conv_id breaks
+            # the zero-copy dictionary-code grouping (ArrowInvalid), a
+            # null turn_idx would NaN-cast into salt INT_MIN and
+            # silently misorder the conversation, and a null role/
+            # clean_text would null the ENTIRE conversation's text via
+            # binary_join's null propagation
+            raise ValueError(
+                f"assemble_conversations: column '{c}' carries {nc} "
+                f"null(s); the turn exchange requires non-null keys and "
+                f"text — filter or fill nulls upstream")
     salt = (t["turn_idx"].to_numpy() // span).astype(np.int32)
     h = pd.util.hash_pandas_object(t["conv_id"].to_pandas(), index=False).to_numpy()
     pk = ((h + salt.astype(np.uint64)) % n_partitions).astype(np.int32)
@@ -199,11 +212,9 @@ def assemble_conversations(
     splits: List = []
     pending: List = []
     pending_rows = 0
-    seen_rows = 0
     for bundle in turns.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             if meta.num_rows:
-                seen_rows += meta.num_rows
                 pending.append(ref)
                 pending_rows += meta.num_rows
                 if pending_rows >= min_rows:
@@ -219,11 +230,23 @@ def assemble_conversations(
                 n_partitions, span, *pending
             )
         )
-    if not splits or seen_rows == 0:
+    if not splits:  # no counted block was appended => zero rows total
+        # preserve the INPUT's conv_id type in the typed-empty result: a
+        # hardcoded string here would schema-mismatch the non-empty
+        # outputs of sibling calls under int64 conv_ids
+        cid_type = pa.string()
+        try:
+            f = turns.schema().base_schema.field("conv_id")
+            cid_type = f.type
+        except Exception:
+            try:
+                cid_type = turns.schema().field("conv_id").type
+            except Exception:
+                pass  # schema unavailable (fully consumed lazy input)
         return ray.data.from_arrow(
             pa.table(
                 {
-                    "conv_id": pa.array([], pa.string()),
+                    "conv_id": pa.array([], cid_type),
                     "n_turns": pa.array([], pa.int64()),
                     "conv_text": pa.array([], pa.string()),
                 }

@@ -31,15 +31,18 @@ def task_pool(cls, **ctor_kwargs) -> Callable:
     one cached instance per (class, kwargs) per worker process.  Kwargs
     must be hashable (ObjectRefs are — broadcast refs work unchanged).
     The per-process cache is bounded: past ``_CACHE_MAX`` distinct
-    (class, kwargs) keys it resets, trading one re-setup for a bounded
-    heap on workers that serve many distinct queries."""
+    (class, kwargs) keys the OLDEST entry is evicted (FIFO — dicts keep
+    insertion order), so a worker interleaving >_CACHE_MAX live queries
+    re-sets-up one instance per overflow instead of the former clear(),
+    which wiped all 32 live instances and re-ran every setup on each
+    of their next batches."""
     key = (cls.__module__, cls.__qualname__, tuple(sorted(ctor_kwargs.items())))
 
     def fn(batch):
         inst = _CACHE.get(key)
         if inst is None:
-            if len(_CACHE) >= _CACHE_MAX:
-                _CACHE.clear()
+            while len(_CACHE) >= _CACHE_MAX:
+                _CACHE.pop(next(iter(_CACHE)))
             inst = _CACHE.setdefault(key, cls(**ctor_kwargs))
         return inst(batch)
 

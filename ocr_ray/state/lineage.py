@@ -94,10 +94,28 @@ def validate_group(out_dir: str, record: LineageRecord, extractor_version: str,
     if not files:
         return False
     try:
-        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        rows = 0
+        hsum = 0
+        has_hash = True
+        for f in files:
+            pf = pq.ParquetFile(f)
+            rows += pf.metadata.num_rows
+            if "row_hash" not in pf.schema_arrow.names:
+                has_hash = False  # legacy layout: rows-only validation
+                continue
+            # recompute the persisted value checksum from the 8-byte
+            # row_hash column only (~1% of a full re-read) — the same
+            # mod-2^64 sum the write pass recorded; without this compare
+            # the record's checksum field was write-only and resume
+            # accepted any corruption that preserved the row count
+            col = pq.read_table(f, columns=["row_hash"])["row_hash"]
+            hsum = (hsum + int(col.to_pandas().sum() or 0)) \
+                & 0xFFFFFFFFFFFFFFFF
     except Exception:
         return False
-    return rows == record.row_count
+    if rows != record.row_count:
+        return False
+    return (not has_hash) or f"{hsum:016x}" == record.checksum
 
 
 def completed_groups(out_dir: str, groups, extractor_version: str) -> List[int]:
