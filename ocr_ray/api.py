@@ -163,7 +163,9 @@ def redact_pii(docs: "rd.Dataset", text_col: str = "text") -> "rd.Dataset":
 
     def batch_fn(b: pd.DataFrame) -> pd.DataFrame:
         out = b.copy()
-        recs = [_redact(t) for t in b[text_col]]
+        # NULL text redacts as empty (in-band) rather than AttributeError
+        recs = [_redact(t if isinstance(t, str) else "")
+                for t in b[text_col]]
         for k in ("redacted", "n_urls", "n_emails", "n_phones", "n_dates"):
             out[k] = [r[k] for r in recs]
         return out
@@ -300,10 +302,13 @@ def curate(
     def quality_gate(b: pd.DataFrame) -> pd.DataFrame:
         keep = []
         for t in b[text_col]:
+            if not isinstance(t, str):  # NULL text can't pass a token gate
+                keep.append(False)
+                continue
             toks = word.findall(t.lower())
             keep.append(len(toks) >= min_tokens and 2 * len(set(toks)) >= len(toks))
         out = b[pd.Series(keep, index=b.index)]
-        return pd.DataFrame({id_col: out[id_col].astype("int64"),
+        return pd.DataFrame({id_col: out[id_col],  # dtype preserved
                              text_col: out[text_col]})
 
     def hash_text(b: pd.DataFrame) -> pd.DataFrame:
@@ -316,10 +321,15 @@ def curate(
     )
 
     def assign_split(b: pd.DataFrame) -> pd.DataFrame:
-        h = _id_hash32(b[id_col])  # mod-first: exact for any int64 id
+        if pd.api.types.is_integer_dtype(b[id_col]):
+            h = _id_hash32(b[id_col])  # mod-first: exact for any int64 id
+        else:
+            # string/UUID ids (supported by the sibling dedup facades):
+            # deterministic cross-process hash, same 80/10/10 semantics
+            h = pd.util.hash_pandas_object(b[id_col], index=False).to_numpy()
         bucket = (h % 100).astype("int64")
         return pd.DataFrame(
-            {id_col: b[id_col].astype("int64"),
+            {id_col: b[id_col],
              "split": np.where(bucket < 80, "train",
                                np.where(bucket < 90, "val", "test"))}
         )
@@ -578,9 +588,6 @@ def quantized_search(
     per-block reduction (aggregate.global_topk, same plan as the
     oracle-checked embed_qknn query) instead of a full range-shuffle
     ``sort().limit(k)``; returns the k-row DataFrame."""
-    import numpy as np
-
-    import ray
     from ocr_ray.stages.aggregate import global_topk
     from ocr_ray.stages.similarity import QuantizedDot, quantize_int8
     from ocr_ray.stages.taskpool import task_pool
@@ -975,8 +982,6 @@ def apply_upserts(
     deterministically (standard CDC merge expectation): each side is
     tagged with a precedence flag (base=0, change=1) appended as the
     final order col, then dropped from the output."""
-    import pandas as pd
-
     def _tag(prec: int):
         def tag(b: pd.DataFrame) -> pd.DataFrame:
             b = b.copy()

@@ -52,7 +52,13 @@ ORACLE_SCHEMA = pa.schema(
     ]
 )
 
-PAYLOAD_CAP = 32768  # max chars per turn before truncation (M6 analog)
+# max chars per turn before truncation (M6 analog) — imported from the
+# config so the golden oracle truncates at the SAME cap the engine uses
+# (an independent constant here would silently diverge if the config
+# knob were tuned); same single-source rationale as ERROR_TEXT below
+from ocr_ray.config import DEFAULT_CONFIG as _CFG  # noqa: E402
+
+PAYLOAD_CAP = _CFG.payload_cap
 # single source of truth for the in-band error sentinel (C2 parity): the
 # generator oracle and the extractor MUST emit byte-identical strings
 from ocr_ray.stages.extract import ERROR_TEXT  # noqa: E402
@@ -361,11 +367,28 @@ def generate_transcripts(
     os.makedirs(tdir, exist_ok=True)
     if with_oracle:
         os.makedirs(odir, exist_ok=True)
+    # regenerating: clear stale shard files FIRST — a shrink of n_shards
+    # would otherwise leave old shard-0000N.parquet files that readers
+    # union with the new layout (duplicated conversations), and the
+    # refreshed marker would make the corruption permanent
+    import glob as _glob
+
+    for d in (tdir, odir):
+        if os.path.isdir(d):
+            for f in _glob.glob(os.path.join(d, "*.parquet")):
+                os.remove(f)
 
     mega_turns = 0
     if mega_share > 0:
-        # estimate average turns to size the mega conversation
-        probe = sum(len(make_conv(i, seed)[0]) for i in range(1, min(50, n_convs)))
+        # estimate average turns to size the mega conversation — length
+        # only (same rng seeding as make_conv, whose first draw is
+        # _conv_len; equivalence pinned by test), not a full payload
+        # build of 49 conversations that _write_shard then regenerates
+        def _len_of(i: int) -> int:
+            key = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+            return _conv_len(random.Random(int.from_bytes(key[:8], "big")))
+
+        probe = sum(_len_of(i) for i in range(1, min(50, n_convs)))
         avg = probe / max(1, min(50, n_convs) - 1)
         normal_total = avg * (n_convs - 1)
         mega_turns = int(mega_share * normal_total / (1 - mega_share))

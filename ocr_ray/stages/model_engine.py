@@ -171,7 +171,10 @@ class ModelScorer:
         counts = featurize(texts)
         out["model_score"] = score_counts_int(counts, self.artifact)
         out["model_version"] = self.artifact["version"]
-        out["model_error"] = ["" if t is not None else "null text"
+        # isinstance, not `is not None`: a float-NaN text (pandas null)
+        # is also null — featurize scores it as "" and the in-band flag
+        # must say so
+        out["model_error"] = ["" if isinstance(t, str) else "null text"
                               for t in texts]
         return out
 

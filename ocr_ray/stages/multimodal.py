@@ -150,7 +150,10 @@ class FrameSampleStub:
                 frames.append(raw[f * 1024 : (f + 1) * 1024])
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                # id TYPE preserved from the input (the sibling stubs
+                # never touch doc_id; a forced int64 here crashed on
+                # string-keyed payload tables)
+                "doc_id": pa.array(ids, batch["doc_id"].type),
                 "frame_idx": pa.array(idxs, pa.int32()),
                 "frame_payload": pa.array(frames, pa.binary()),
             }

@@ -89,18 +89,24 @@ class SentenceOverlapQA:
 
     def __call__(self, question: str, context: str) -> dict:
         qwords = {w for w in self._word.findall(question.lower()) if len(w) > 2}
-        best, best_n = "", -1
+        best, best_n, best_span = "", -1, (-1, -1)
         for m in self._sent.finditer(context):
-            sent = m.group().strip()
+            g = m.group()
+            sent = g.strip()
             # DISTINCT matched query words over word tokens (punctuation
             # stripped): sentence-final words match despite the trailing
             # '.', and repeating one query word cannot push score past 1
             n = len(qwords.intersection(self._word.findall(sent.lower())))
             if n > best_n:
+                # span from the MATCH position (+ leading-strip offset),
+                # not context.find(sent): overlapping top-k chunks repeat
+                # sentences, and find() would point at the first copy
+                # even when a later occurrence won
+                lead = len(g) - len(g.lstrip())
                 best, best_n = sent, n
+                best_span = (m.start() + lead, m.start() + lead + len(sent))
         score = max(best_n, 0) / max(len(qwords), 1)  # [0, 1] by construction
-        start = context.find(best) if best else -1
-        end = start + len(best) if best else -1
+        start, end = best_span if best else (-1, -1)
         return {"answer": best, "score": round(float(score), 6),
                 "start": start, "end": end}
 
