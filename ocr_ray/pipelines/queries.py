@@ -4955,6 +4955,120 @@ def q_doc_winsorize(sf_dir: str):
     return winsorized_group_stats(docs, group_col="source", lo=0.05, hi=0.95)
 
 
+def q_pipeline_cascade(sf_dir: str):
+    """Dedup-cascade composite — exact dedup, then MinHash near-dup over
+    the exact SURVIVORS, reported as a per-document disposition table
+    (doc_id, status in {'exact_dup', 'near_dup', 'kept'}): the staged
+    shape of production curation (the cheap exact pass runs first so the
+    expensive LSH never sees byte-identical copies; cf. Lee et al. 2022
+    §4 / RefinedWeb's staged dedup).  Reference analog: the keep-first
+    result-cache semantics (ocr_app/utils/result_cache.py) — the cascade
+    beyond it is the scale graft.
+
+    Distributed shape: the exact stage is ONE metadata-only content-hash
+    exchange (16-byte hashes move, not text); survivor text is attached
+    by ONE doc_id anti-join exchange (text moves once — the near-dup
+    verify needs it anyway) and feeds the fully distributed MinHash path
+    (stages/dedup.py:minhash_dedup_pairs, input materialized once inside)
+    whose pairs collapse via min-label connected components; the final
+    status table is ONE doc_id exchange over three metadata legs (all
+    ids / exact losers / near losers).  Input contract matches
+    q_dedup_exact: non-null text."""
+    from ocr_ray.stages.dedup import (add_content_hash,
+                                      connected_components,
+                                      minhash_dedup_pairs)
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    # materialized ONCE: consumed by the hash leg and the text-attach leg
+    # (launch_splits contract: multi-consumer inputs materialize up front;
+    # the object store spills rather than re-scanning the source twice)
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]).materialize()
+
+    def hash_batch(b: pd.DataFrame) -> pd.DataFrame:
+        return add_content_hash(b)[["doc_id", "content_hash"]]
+
+    def exact_losers_part(g: pd.DataFrame) -> pd.DataFrame:
+        if "content_hash" not in g.columns or not len(g):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        g = g.sort_values(["content_hash", "doc_id"], kind="mergesort")
+        return g.loc[g["content_hash"].duplicated(keep="first"),
+                     ["doc_id"]].astype({"doc_id": "int64"})
+
+    exact_losers = exchange_map_partitions(
+        docs.map_batches(hash_batch, batch_format="pandas"),
+        "content_hash", exact_losers_part, None).materialize()
+
+    # survivor text: hash-exchange anti-join on doc_id (removed set never
+    # lands on the driver; mirrors dedup.py:keep_representatives)
+    def doc_leg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "text": b["text"],
+                             "removed": np.int64(0)})
+
+    def loser_leg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "text": pd.Series([None] * len(b),
+                                               dtype="object"),
+                             "removed": np.int64(1)})
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        if "removed" not in g.columns or not len(g):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "text": pd.Series(dtype="object")})
+        bad = set(g.loc[g["removed"] == 1, "doc_id"])
+        keep = g[(g["removed"] == 0) & ~g["doc_id"].isin(bad)]
+        return keep[["doc_id", "text"]]
+
+    survivors = exchange_map_partitions(
+        docs.map_batches(doc_leg, batch_format="pandas").union(
+            exact_losers.map_batches(loser_leg, batch_format="pandas")),
+        "doc_id", anti, None)
+
+    pairs = minhash_dedup_pairs(
+        survivors, n_perm=64, n_bands=16, shingle_k=MINHASH_SHINGLE_K,
+        threshold=JACCARD_THRESHOLD, n_partitions=None)
+    cc = connected_components(pairs, n_partitions=8)
+
+    # status assembly: one doc_id exchange over three metadata legs
+    def kept_leg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "pri": np.int64(0)})
+
+    def near_leg(b: pd.DataFrame) -> pd.DataFrame:
+        if "cluster_id" not in b.columns or not len(b):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "pri": pd.Series(dtype="int64")})
+        d = b[b["doc_id"] != b["cluster_id"]]
+        return pd.DataFrame({"doc_id": d["doc_id"].astype("int64"),
+                             "pri": np.int64(1)})
+
+    def exact_leg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "pri": np.int64(2)})
+
+    legs = (
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])
+        .map_batches(kept_leg, batch_format="pandas")
+        .union(cc.map_batches(near_leg, batch_format="pandas"))
+        .union(exact_losers.map_batches(exact_leg, batch_format="pandas"))
+    )
+
+    _STATUS = np.array(["kept", "near_dup", "exact_dup"], dtype=object)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if "pri" not in g.columns or not len(g):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "status": pd.Series(dtype="object")})
+        m = g.groupby("doc_id", as_index=False)["pri"].max()
+        m["status"] = _STATUS[m["pri"].to_numpy()]
+        return m[["doc_id", "status"]]
+
+    return exchange_map_partitions(legs, "doc_id", finish, None)
+
+
 # ================================================================ registry
 def queries() -> Dict[str, Callable]:
     return {
@@ -5027,6 +5141,7 @@ def queries() -> Dict[str, Callable]:
         "doc_winsorize": q_doc_winsorize,
         "doc_mix_temperature": q_doc_mix_temperature,
         "pipeline_mixture": q_pipeline_mixture,
+        "pipeline_cascade": q_pipeline_cascade,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
@@ -7804,4 +7919,42 @@ thr AS (SELECT lang, CAST(min(token_len) AS BIGINT) AS thr_len
 SELECT t.doc_id, t.lang, t.token_len, thr.thr_len
 FROM t JOIN thr USING (lang)
 WHERE t.token_len >= thr.thr_len
+"""
+
+ORACLE_SQL["pipeline_cascade"] = rf"""
+WITH RECURSIVE
+d AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+       row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+     FROM documents),
+surv AS MATERIALIZED (SELECT doc_id, text FROM d WHERE rn = 1),
+t AS MATERIALIZED (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+     FROM surv),
+s AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN len(w) < {MINHASH_SHINGLE_K} THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(
+                    generate_series(1, len(w)-{MINHASH_SHINGLE_K - 1}),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+      FROM t),
+sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+fx AS MATERIALIZED (SELECT doc_id, x.sh AS g FROM s, unnest(s.sh) AS x(sh)),
+p AS MATERIALIZED (
+  SELECT CAST(l AS BIGINT) AS left_id, CAST(r AS BIGINT) AS right_id
+  FROM (SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+        FROM fx a JOIN fx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id) inter
+  JOIN sz sa ON sa.doc_id = l JOIN sz sb ON sb.doc_id = r
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}),
+edges AS MATERIALIZED (SELECT left_id AS a, right_id AS b FROM p
+          UNION SELECT right_id, left_id FROM p),
+reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+nonrep AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+SELECT d.doc_id,
+       CASE WHEN d.rn > 1 THEN 'exact_dup'
+            WHEN nr.id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
 """
