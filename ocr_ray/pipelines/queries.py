@@ -4955,6 +4955,166 @@ def q_doc_winsorize(sf_dir: str):
     return winsorized_group_stats(docs, group_col="source", lo=0.05, hi=0.95)
 
 
+def q_q6_forecast(sf_dir: str):
+    """TPC-H Q6-style forecast-revenue: one predicate-pushed scan (date
+    window + discount band + quantity cap all prune row groups), per-batch
+    integer partials, driver sums a handful of ints.  Revenue is exact:
+    cents x discount-permille integers (sum(l_extendedprice * l_discount)
+    as rev_cpm), no IEEE summation-order hazard."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dpm = np.floor(b["l_discount"].to_numpy() * 1000 + 0.5).astype("int64")
+        keep = (
+            (b["l_shipdate"] >= lo).to_numpy()
+            & (b["l_shipdate"] < hi).to_numpy()
+            & (dpm >= 50) & (dpm <= 70)
+            & (b["l_quantity"].to_numpy() < 24)
+        )
+        cents = np.floor(
+            b.loc[keep, "l_extendedprice"].to_numpy() * 100 + 0.5
+        ).astype("int64")
+        return pd.DataFrame({
+            "rev_cpm": [int((cents * dpm[keep]).sum())],
+            "n_rows": [int(keep.sum())],
+        })
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(
+            (pads.field("l_shipdate") >= pa.scalar(lo))
+            & (pads.field("l_shipdate") < pa.scalar(hi))
+            & (pads.field("l_quantity") < 24)
+        ),
+    )
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"rev_cpm": [np.int64(out["rev_cpm"].sum())],
+                         "n_rows": [np.int64(out["n_rows"].sum())]})
+
+
+def _probe_sorted(keys: np.ndarray, probe: np.ndarray):
+    """Vectorized probe of a sorted build-side key array: returns
+    (positions clipped in-range, matched mask).  Unmatched probes must be
+    DROPPED by the caller (INNER-join semantics) — a raw searchsorted
+    position silently points at a neighboring key."""
+    pos = np.searchsorted(keys, probe)
+    pos = np.minimum(pos, len(keys) - 1) if len(keys) else np.zeros(
+        len(probe), dtype=np.int64)
+    matched = (keys[pos] == probe) if len(keys) else np.zeros(
+        len(probe), dtype=bool)
+    return pos, matched
+
+
+def _broadcast_part_lookup(sf_dir: str, cols):
+    """Build-side of a broadcast hash join on the ``part`` dimension:
+    ``ray.put`` ONCE (sorted p_partkey + requested attribute arrays); probe
+    tasks ``ray.get`` the shared ref and ``searchsorted`` per batch — the
+    dimension ships to each worker once, never per batch.  Cutover note:
+    when the dimension outgrows worker heap (TPC-H part scales with SF),
+    switch the caller to stages/join.py:exchange_join on l_partkey — same
+    results, one extra all-to-all."""
+    import ray as _ray
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"] + cols
+    ).to_pandas().sort_values("p_partkey")
+    return _ray.put(tuple([part["p_partkey"].to_numpy()]
+                          + [part[c].to_numpy() for c in cols]))
+
+
+def q_q14_promo(sf_dir: str):
+    """TPC-H Q14-style promo-revenue share for one ship month: broadcast
+    hash join (part build side via ray.put, searchsorted probe — the
+    dimension moves once per worker, the fact table never shuffles) and
+    integer cents x (1000 - discount-permille) revenue, reported as the
+    exact (promo_cpm, total_cpm, n_rows) triple rather than a float
+    ratio."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray as _ray
+
+    lo, hi = pd.Timestamp("1996-03-01"), pd.Timestamp("1996-04-01")
+    ref = _broadcast_part_lookup(sf_dir, ["p_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys, ptype = _ray.get(ref)
+        keep = (b["l_shipdate"] >= lo).to_numpy() & (b["l_shipdate"] < hi).to_numpy()
+        b = b[keep]
+        pos, matched = _probe_sorted(keys, b["l_partkey"].to_numpy())
+        b = b[matched]  # INNER-join semantics: orphan partkeys drop
+        pos = pos[matched]
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+        dpm = np.floor(b["l_discount"].to_numpy() * 1000 + 0.5).astype("int64")
+        cpm = cents * (1000 - dpm)
+        promo = ptype[pos] == "PROMO"
+        return pd.DataFrame({
+            "promo_cpm": [int(cpm[promo].sum())],
+            "total_cpm": [int(cpm.sum())],
+            "n_rows": [int(len(b))],
+        })
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_discount", "l_extendedprice"],
+        filter=(
+            (pads.field("l_shipdate") >= pa.scalar(lo))
+            & (pads.field("l_shipdate") < pa.scalar(hi))
+        ),
+    )
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "promo_cpm": [np.int64(out["promo_cpm"].sum())],
+        "total_cpm": [np.int64(out["total_cpm"].sum())],
+        "n_rows": [np.int64(out["n_rows"].sum())],
+    })
+
+
+def q_q19_brand_qty(sf_dir: str):
+    """TPC-H Q19-style disjunctive multi-predicate join revenue — three
+    (brand, size band, quantity band) OR-arms evaluated in one vectorized
+    pass over the broadcast part attributes; same integer-exact cpm
+    revenue as q14.  No shuffle at all: dimension broadcast + per-batch
+    partials."""
+    import ray as _ray
+
+    ref = _broadcast_part_lookup(sf_dir, ["p_brand", "p_size"])
+    ARMS = (("Brand#12", 1, 5, 1, 11),
+            ("Brand#23", 1, 10, 10, 20),
+            ("Brand#34", 1, 15, 20, 30))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys, brand, size = _ray.get(ref)
+        pos, matched = _probe_sorted(keys, b["l_partkey"].to_numpy())
+        qty = b["l_quantity"].to_numpy()
+        keep = np.zeros(len(b), dtype=bool)
+        for br, s_lo, s_hi, q_lo, q_hi in ARMS:
+            keep |= (matched & (brand[pos] == br)
+                     & (size[pos] >= s_lo) & (size[pos] <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        cents = np.floor(
+            b.loc[keep, "l_extendedprice"].to_numpy() * 100 + 0.5
+        ).astype("int64")
+        dpm = np.floor(
+            b.loc[keep, "l_discount"].to_numpy() * 1000 + 0.5
+        ).astype("int64")
+        return pd.DataFrame({
+            "rev_cpm": [int((cents * (1000 - dpm)).sum())],
+            "n_rows": [int(keep.sum())],
+        })
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+    out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"rev_cpm": [np.int64(out["rev_cpm"].sum())],
+                         "n_rows": [np.int64(out["n_rows"].sum())]})
+
+
 def q_pipeline_cascade(sf_dir: str):
     """Dedup-cascade composite — exact dedup, then MinHash near-dup over
     the exact SURVIVORS, reported as a per-document disposition table
@@ -5142,6 +5302,9 @@ def queries() -> Dict[str, Callable]:
         "doc_mix_temperature": q_doc_mix_temperature,
         "pipeline_mixture": q_pipeline_mixture,
         "pipeline_cascade": q_pipeline_cascade,
+        "q6_forecast": q_q6_forecast,
+        "q14_promo": q_q14_promo,
+        "q19_brand_qty": q_q19_brand_qty,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
@@ -7957,4 +8120,44 @@ SELECT d.doc_id,
             WHEN nr.id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
+"""
+
+ORACLE_SQL["q6_forecast"] = r"""
+SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)), 0)
+            AS BIGINT) AS rev_cpm,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) BETWEEN 50 AND 70
+  AND l_quantity < 24
+"""
+
+ORACLE_SQL["q14_promo"] = r"""
+SELECT CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN
+              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              * (1000 - CAST(floor(l_discount * 1000 + 0.5) AS BIGINT))
+            ELSE 0 END), 0) AS BIGINT) AS promo_cpm,
+       CAST(coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              * (1000 - CAST(floor(l_discount * 1000 + 0.5) AS BIGINT))), 0)
+            AS BIGINT) AS total_cpm,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+ORACLE_SQL["q19_brand_qty"] = r"""
+SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+              * (1000 - CAST(floor(l_discount * 1000 + 0.5) AS BIGINT))), 0)
+            AS BIGINT) AS rev_cpm,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
 """

@@ -68,3 +68,46 @@ def test_pipeline_cascade_no_pairs(ray_session):
         got = q_pipeline_cascade(d).to_pandas()
     assert sorted(got["doc_id"]) == list(range(6))
     assert (got["status"] == "kept").all()
+
+
+def test_q14_q19_orphan_partkey_inner_join(ray_session):
+    """A lineitem whose l_partkey has no part row must DROP (inner-join
+    semantics), not silently probe a neighboring part — pinned against
+    the composed DuckDB oracles on a synthetic pair of tables."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import (ORACLE_SQL, q_q14_promo,
+                                           q_q19_brand_qty)
+
+    part = pd.DataFrame({
+        "p_partkey": [1, 2, 3],
+        "p_name": ["a", "b", "c"],
+        "p_brand": ["Brand#12", "Brand#23", "Brand#34"],
+        "p_type": ["PROMO", "STANDARD", "PROMO"],
+        "p_size": [3, 5, 10],
+        "p_retailprice": [10.0, 20.0, 30.0],
+    })
+    li = pd.DataFrame({
+        "l_partkey": [1, 2, 3, 99],          # 99 is an orphan
+        "l_quantity": [5.0, 15.0, 25.0, 5.0],
+        "l_extendedprice": [100.0, 200.0, 300.0, 400.0],
+        "l_discount": [0.05, 0.0, 0.1, 0.05],
+        "l_shipdate": pd.to_datetime(["1996-03-10"] * 4),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        part.to_parquet(os.path.join(d, "part.parquet"))
+        li.to_parquet(os.path.join(d, "lineitem.parquet"))
+        con = duckdb.connect()
+        for t in ("part", "lineitem"):
+            con.execute(f"create view {t} as select * from "
+                        f"'{os.path.join(d, t + '.parquet')}'")
+        for fn, name in ((q_q14_promo, "q14_promo"),
+                         (q_q19_brand_qty, "q19_brand_qty")):
+            got = fn(d).reset_index(drop=True)
+            exp = con.execute(ORACLE_SQL[name]).df().reset_index(drop=True)
+            cols = sorted(got.columns)
+            pd.testing.assert_frame_equal(got[cols], exp[cols],
+                                          check_dtype=False)
+            if name == "q14_promo":
+                # the orphan really was at stake: total joins 3 of 4 rows
+                assert int(got.loc[0, "n_rows"]) == 3
