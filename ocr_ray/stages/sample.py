@@ -74,7 +74,10 @@ def mixture_resample(
     def keep_batch(b: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        rate = b[group_col].map(rates).fillna(0).astype("int64")
+        # str-normalize the lookup: the rate dict is keyed by str(group)
+        # (count pass), so a numeric group_col through the raw .map used
+        # to miss EVERY key and silently drop the whole corpus
+        rate = b[group_col].astype(str).map(rates).fillna(0).astype("int64")
         # mod-first in uint64: (id % 2^32) * MULT stays < 2^64, exact for
         # ANY int64 id — the naive int64 multiply silently wraps above
         # id ~3.47e9, diverging from the HUGEINT oracle (same fix as

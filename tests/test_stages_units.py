@@ -841,6 +841,29 @@ def test_mixture_resample_hits_target(ray_session):
     pd.testing.assert_frame_equal(got, got2)
 
 
+def test_mixture_resample_numeric_group_col(ray_session):
+    """Regression: the rate dict is keyed by str(group) (count pass), so a
+    NUMERIC group_col must be str-normalized in the keep pass too — the raw
+    .map missed every key and silently dropped the whole corpus."""
+    import ray.data as rd
+
+    from ocr_ray.stages.sample import mixture_resample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3000, dtype="int64"),
+        "bucket": np.repeat(np.array([1, 2, 3], dtype="int64"), 1000),
+    })
+    weights = {"1": 50, "2": 25, "3": 25}
+    got = (mixture_resample(rd.from_pandas(df).repartition(4), weights,
+                            group_col="bucket")
+           .to_pandas())
+    assert len(got) > 0, "numeric group_col dropped the whole corpus"
+    by = got.groupby("bucket").size()
+    # every positively-weighted group survives with a sane keep count
+    assert set(by.index) == {1, 2, 3}
+    assert all(by > 200)
+
+
 def test_int8_quantization_properties(ray_session):
     """quantize_int8: codes in [-127,127] with the max-abs component at
     +/-127, zero vector -> zeros; quantized top-1 matches float cosine
