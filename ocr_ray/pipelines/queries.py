@@ -5115,6 +5115,261 @@ def q_q19_brand_qty(sf_dir: str):
                          "n_rows": [np.int64(out["n_rows"].sum())]})
 
 
+def q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15-style top supplier(s): one-quarter revenue view, then the
+    supplier(s) achieving the max.  Per-batch combiner groups by
+    ``l_suppkey`` BEFORE the exchange, so the only all-to-all moves the
+    per-supplier partials (output cardinality = #suppliers, 10k x SF —
+    never the lineitems); the max + equality filter runs on that tiny
+    aggregate on the driver and the name attaches from the small supplier
+    dim.  Revenue is the exact integer cents x (1000 - discount-permille),
+    so the WHERE total = MAX(total) tie semantics are reproducible (float
+    revenue would make the equality filter flaky)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+        dpm = np.floor(b["l_discount"].to_numpy() * 1000 + 0.5).astype("int64")
+        return (b.assign(total_rev_cpm=cents * (1000 - dpm))
+                .groupby("l_suppkey", as_index=False)[["total_rev_cpm"]].sum())
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(lo))
+        & (pads.field("l_shipdate") < pa.scalar(hi)),
+    )
+    agg = hash_aggregate(
+        li.map_batches(partial, batch_format="pandas"),
+        keys=["l_suppkey"], aggs={"total_rev_cpm": "sum"}, n_partitions=None,
+    ).to_pandas()
+    empty = pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                          "s_name": pd.Series(dtype=object),
+                          "total_rev_cpm": pd.Series(dtype="int64")})
+    if not len(agg):
+        return empty
+    top = agg[agg["total_rev_cpm"] == agg["total_rev_cpm"].max()]
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    ).to_pandas()
+    out = top.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    if not len(out):
+        return empty  # orphan suppkeys only: INNER join leaves nothing
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_rev_cpm"] = out["total_rev_cpm"].astype("int64")
+    return (out[["s_suppkey", "s_name", "total_rev_cpm"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def _broadcast_sorted_lookup(df: pd.DataFrame, key: str, cols):
+    """Generic build side of a broadcast hash join: sort by ``key``,
+    ``ray.put`` (key array, *attribute arrays) once; probe tasks
+    searchsorted per batch via :func:`_probe_sorted`.  Same cutover note
+    as :func:`_broadcast_part_lookup`: when the dimension outgrows worker
+    heap, switch to stages/join.py:exchange_join."""
+    import ray as _ray
+
+    df = df.sort_values(key)
+    return _ray.put(tuple([df[key].to_numpy()]
+                          + [df[c].to_numpy() for c in cols]))
+
+
+def q_q8_market_share(sf_dir: str):
+    """TPC-H Q8-style national market share: of all ECONOMY-part order
+    volume delivered into the ASIA region over two order years, what share
+    was supplied by NATION_7, per year — reported as the exact
+    (o_year, target_cpm, total_cpm) integer triple instead of a float
+    share.  Shape: the two dimension probes (part-type membership,
+    supplier -> nation) ride the lineitem scan as ONE broadcast each
+    (ray.put once, searchsorted per batch — the fact table never shuffles
+    for them), volume pre-reduces per orderkey before the single
+    orderkey exchange join against the date-windowed orders x region
+    customers (customer side exchange-joined as in q7 — it scales with
+    SF, so it is not broadcast)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray as _ray
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    TARGET_NATION, PTYPE, REGION = "NATION_7", "ECONOMY", "ASIA"
+
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = rd.read_parquet(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rkey = region.loc[region["r_name"] == REGION, "r_regionkey"].astype(int)
+    region_nations = set(
+        nation.loc[nation["n_regionkey"].isin(rkey), "n_nationkey"].astype(int))
+    target_keys = set(
+        nation.loc[nation["n_name"] == TARGET_NATION, "n_nationkey"].astype(int))
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    ).to_pandas()
+    pref = _broadcast_sorted_lookup(
+        part[part["p_type"] == PTYPE], "p_partkey", [])
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    sref = _broadcast_sorted_lookup(supp, "s_suppkey", ["s_nationkey"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pkeys, = _ray.get(pref)
+        skeys, snat = _ray.get(sref)
+        _, m_p = _probe_sorted(pkeys, b["l_partkey"].to_numpy())
+        b = b[m_p]
+        pos_s, m_s = _probe_sorted(skeys, b["l_suppkey"].to_numpy())
+        b = b[m_s]  # INNER semantics: orphan supp/part keys drop
+        nat = snat[pos_s[m_s]]
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+        dpm = np.floor(b["l_discount"].to_numpy() * 1000 + 0.5).astype("int64")
+        vol = cents * (1000 - dpm)
+        is_target = np.isin(nat, list(target_keys))
+        return (pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(),
+                              "target_cpm": vol * is_target,
+                              "total_cpm": vol})
+                .groupby("l_orderkey", as_index=False).sum())
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    li_red = hash_aggregate(
+        li.map_batches(li_partial, batch_format="pandas"),
+        keys=["l_orderkey"],
+        aggs={"target_cpm": "sum", "total_cpm": "sum"}, n_partitions=None,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(lambda b: b[b["c_nationkey"].isin(region_nations)],
+                  batch_format="pandas")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= pa.scalar(lo))
+        & (pads.field("o_orderdate") < pa.scalar(hi)),
+    ).map_batches(
+        lambda b: b[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)],
+        batch_format="pandas",
+    )
+    osel = exchange_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                         n_partitions=None)
+    j = exchange_join(li_red, osel, on="l_orderkey", right_on="o_orderkey",
+                      n_partitions=None)
+
+    def year_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.assign(o_year=b["o_orderdate"].dt.year.astype("int64"))
+                .groupby("o_year", as_index=False)[["target_cpm", "total_cpm"]]
+                .sum())
+
+    out = hash_aggregate(
+        j.map_batches(year_partial, batch_format="pandas"),
+        keys=["o_year"], aggs={"target_cpm": "sum", "total_cpm": "sum"},
+        n_partitions=2,
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                             "target_cpm": pd.Series(dtype="int64"),
+                             "total_cpm": pd.Series(dtype="int64")})
+    out = out.astype({"o_year": "int64", "target_cpm": "int64",
+                      "total_cpm": "int64"})
+    return (out[["o_year", "target_cpm", "total_cpm"]]
+            .sort_values("o_year").reset_index(drop=True))
+
+
+def q_q9_profit(sf_dir: str):
+    """TPC-H Q9-style product-line profit by supplier nation and order
+    year (testdata has no partsupp table, so the supplycost term is
+    dropped: profit = extendedprice x (1 - discount), exact cpm integers —
+    the join/aggregation topology is the point).  Part-name filter and
+    supplier -> nation attach as broadcast probes on the lineitem scan;
+    per-(orderkey, nation) pre-reduce bounds the one exchange join against
+    orders (which only contributes the year); final rollup is a tiny
+    (nations x years) aggregate."""
+    import ray as _ray
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    NEEDLE = "gear"
+
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    names = dict(zip(nation["n_nationkey"].astype(int),
+                     nation["n_name"].astype(str)))
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    pref = _broadcast_sorted_lookup(
+        part[part["p_name"].astype(str).str.contains(NEEDLE, regex=False)],
+        "p_partkey", [])
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).to_pandas()
+    sref = _broadcast_sorted_lookup(supp, "s_suppkey", ["s_nationkey"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        pkeys, = _ray.get(pref)
+        skeys, snat = _ray.get(sref)
+        _, m_p = _probe_sorted(pkeys, b["l_partkey"].to_numpy())
+        b = b[m_p]
+        pos_s, m_s = _probe_sorted(skeys, b["l_suppkey"].to_numpy())
+        b = b[m_s]
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+        dpm = np.floor(b["l_discount"].to_numpy() * 1000 + 0.5).astype("int64")
+        return (pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(),
+                              "s_nationkey": snat[pos_s[m_s]],
+                              "profit_cpm": cents * (1000 - dpm)})
+                .groupby(["l_orderkey", "s_nationkey"], as_index=False).sum())
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    li_red = hash_aggregate(
+        li.map_batches(li_partial, batch_format="pandas"),
+        keys=["l_orderkey", "s_nationkey"], aggs={"profit_cpm": "sum"},
+        n_partitions=None,
+    )
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_orderdate"])
+    j = exchange_join(li_red, orders, on="l_orderkey", right_on="o_orderkey",
+                      n_partitions=None)
+
+    def year_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.assign(o_year=b["o_orderdate"].dt.year.astype("int64"))
+                .groupby(["s_nationkey", "o_year"], as_index=False)
+                [["profit_cpm"]].sum())
+
+    out = hash_aggregate(
+        j.map_batches(year_partial, batch_format="pandas"),
+        keys=["s_nationkey", "o_year"], aggs={"profit_cpm": "sum"},
+        n_partitions=2,
+    ).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"nation": pd.Series(dtype=object),
+                             "o_year": pd.Series(dtype="int64"),
+                             "profit_cpm": pd.Series(dtype="int64")})
+    out["nation"] = out["s_nationkey"].astype(int).map(names)
+    out = out.astype({"o_year": "int64", "profit_cpm": "int64"})
+    return (out[["nation", "o_year", "profit_cpm"]]
+            .sort_values(["nation", "o_year"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_pipeline_cascade(sf_dir: str):
     """Dedup-cascade composite — exact dedup, then MinHash near-dup over
     the exact SURVIVORS, reported as a per-document disposition table
@@ -5305,6 +5560,9 @@ def queries() -> Dict[str, Callable]:
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q8_market_share": q_q8_market_share,
+        "q9_profit": q_q9_profit,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
@@ -8146,6 +8404,64 @@ SELECT CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+ORACLE_SQL["q15_top_supplier"] = r"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (1000 - CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)))
+           AS total_rev_cpm
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(total_rev_cpm AS BIGINT) AS total_rev_cpm
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev_cpm = (SELECT max(total_rev_cpm) FROM rev)
+ORDER BY s_suppkey
+"""
+
+ORACLE_SQL["q8_market_share"] = r"""
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (1000 - CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)) AS v,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part      ON p_partkey = l_partkey
+  JOIN supplier  ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders    ON o_orderkey = l_orderkey
+  JOIN customer  ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region    ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01')
+SELECT o_year,
+       CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_7' THEN v
+                              ELSE 0 END), 0) AS BIGINT) AS target_cpm,
+       CAST(coalesce(sum(v), 0) AS BIGINT) AS total_cpm
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+ORACLE_SQL["q9_profit"] = r"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (1000 - CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)))
+            AS BIGINT) AS profit_cpm
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
 
 ORACLE_SQL["q19_brand_qty"] = r"""
