@@ -367,10 +367,16 @@ def generate_transcripts(
     os.makedirs(tdir, exist_ok=True)
     if with_oracle:
         os.makedirs(odir, exist_ok=True)
-    # regenerating: clear stale shard files FIRST — a shrink of n_shards
-    # would otherwise leave old shard-0000N.parquet files that readers
-    # union with the new layout (duplicated conversations), and the
-    # refreshed marker would make the corruption permanent
+    # regenerating: invalidate the marker BEFORE any destructive step — a
+    # crash between the shard clear and the rewrite must leave a dir that
+    # FAILS the marker check on the next call (a stale marker matching the
+    # previous params would validate the gutted directory as complete)
+    if os.path.exists(marker):
+        os.remove(marker)
+    # then clear stale shard files — a shrink of n_shards would otherwise
+    # leave old shard-0000N.parquet files that readers union with the new
+    # layout (duplicated conversations), and the refreshed marker would
+    # make the corruption permanent
     import glob as _glob
 
     for d in (tdir, odir):

@@ -119,3 +119,40 @@ def test_q8_q9_q15_synthetic_parity(ray_session):
         q9 = q_q9_profit(d)
         # order 13 is in-scope for q9 (no window there) -> 1999 appears
         assert set(q9["o_year"]) == {1996, 1997, 1999}
+
+
+def test_regen_crash_invalidates_marker(tmp_path, monkeypatch):
+    """A crash between the stale-shard clear and the rewrite must leave a
+    directory that FAILS the marker check: the marker is removed before
+    any destructive step, so the next call regenerates instead of
+    trusting a gutted layout."""
+    import glob
+    import os
+
+    import pytest
+
+    import ocr_ray.sources.transcripts as tr
+
+    d = str(tmp_path / "t")
+    tr.generate_transcripts(d, n_convs=6, n_shards=3, parallel=False)
+    marker = os.path.join(d, "_GENERATED.json")
+    assert os.path.exists(marker)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during shard rewrite")
+
+    monkeypatch.setattr(tr, "_write_shard", boom)
+    with pytest.raises(RuntimeError):
+        tr.generate_transcripts(d, n_convs=6, n_shards=2, parallel=False)
+    # the half-destroyed dir must not look complete
+    assert not os.path.exists(marker)
+    monkeypatch.undo()
+
+    # ANY params now regenerate — including the original ones whose stale
+    # marker would previously have validated the gutted directory
+    tr.generate_transcripts(d, n_convs=6, n_shards=3, parallel=False)
+    files = glob.glob(os.path.join(d, "transcripts", "*.parquet"))
+    assert len(files) == 3
+    t = pd.concat([pd.read_parquet(f) for f in files])
+    assert t["conv_id"].nunique() == 6
+    assert not t.duplicated(["conv_id", "turn_idx"]).any()
