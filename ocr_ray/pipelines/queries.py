@@ -5370,6 +5370,334 @@ def q_q9_profit(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_q12_ship_lag(sf_dir: str):
+    """TPC-H Q12-style shipping-lag priority check (no l_shipmode column
+    here, so the Q12 mode split becomes the high/low priority split): for
+    lineitems shipped in 1996, count late (> 60 days after order date) vs
+    on-time lines per priority class.  Shape: the ship-window predicate
+    pushes into the scan, a per-batch (orderkey, shipdate) count combiner
+    collapses duplicate ship dates per order BEFORE the one orderkey
+    exchange join against orders, the lag bucket is a single vectorized
+    comparison, and the final rollup is a 2-row bounded aggregate."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(lo))
+        & (pads.field("l_shipdate") < pa.scalar(hi)),
+    )
+
+    def combine(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n=np.int64(1))
+        return b.groupby(["l_orderkey", "l_shipdate"], as_index=False)[["n"]].sum()
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    j = exchange_join(li.map_batches(combine, batch_format="pandas"), orders,
+                      on="l_orderkey", right_on="o_orderkey", n_partitions=None)
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        late = (b["l_shipdate"] > b["o_orderdate"]
+                + pd.Timedelta(days=60)).to_numpy()
+        hi_p = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        n = b["n"].to_numpy()
+        d = pd.DataFrame({
+            "priority_class": np.where(hi_p, "high", "low"),
+            "late_count": n * late,
+            "ontime_count": n * ~late,
+        })
+        return d.groupby("priority_class", as_index=False)[
+            ["late_count", "ontime_count"]].sum()
+
+    out = hash_aggregate(
+        j.map_batches(bucket, batch_format="pandas"),
+        keys=["priority_class"],
+        aggs={"late_count": "sum", "ontime_count": "sum"}, n_partitions=2,
+    ).to_pandas()
+    out = out.astype({"late_count": "int64", "ontime_count": "int64"})
+    return out.sort_values("priority_class").reset_index(drop=True)
+
+
+def q_q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16-style supplier counts per (brand, type, size) — COUNT
+    DISTINCT suppliers over the part/supplier relationship, which here
+    lives in lineitem (no partsupp table).  Shape: the filtered part
+    dimension broadcasts once (``ray.put`` sorted keys + attributes), a
+    per-batch (brand, type, size, suppkey) dedup combiner shrinks the fact
+    stream before ONE exchange on that 4-tuple (global distinct), and the
+    distinct-count is a second tiny aggregate over the already-unique
+    rows — the two-level distinct-count plan that never ships raw
+    lineitems."""
+    import ray as _ray
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    SIZES = (1, 4, 7, 10, 15, 19, 23, 36)
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).to_pandas()
+    part = part[(part["p_brand"] != "Brand#45")
+                & ~part["p_type"].str.startswith("PROMO")
+                & part["p_size"].isin(SIZES)]
+    ref = _broadcast_sorted_lookup(part, "p_partkey",
+                                   ["p_brand", "p_type", "p_size"])
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        keys, brand, ptype, size = _ray.get(ref)
+        pos, m = _probe_sorted(keys, b["l_partkey"].to_numpy())
+        b = b[m]
+        pos = pos[m]
+        d = pd.DataFrame({
+            "p_brand": brand[pos], "p_type": ptype[pos],
+            "p_size": size[pos].astype("int64"),
+            "l_suppkey": b["l_suppkey"].to_numpy(), "n": np.int64(1),
+        })
+        return d.groupby(["p_brand", "p_type", "p_size", "l_suppkey"],
+                         as_index=False)[["n"]].sum()
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey"])
+    distinct = hash_aggregate(
+        li.map_batches(pair_partial, batch_format="pandas"),
+        keys=["p_brand", "p_type", "p_size", "l_suppkey"],
+        aggs={"n": "sum"}, n_partitions=None,
+    )
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(supplier_cnt=np.int64(1))
+        return b.groupby(["p_brand", "p_type", "p_size"],
+                         as_index=False)[["supplier_cnt"]].sum()
+
+    out = hash_aggregate(
+        distinct.map_batches(cnt_partial, batch_format="pandas"),
+        keys=["p_brand", "p_type", "p_size"],
+        aggs={"supplier_cnt": "sum"}, n_partitions=4,
+    ).to_pandas()
+    out = out.astype({"p_size": "int64", "supplier_cnt": "int64"})
+    return (out[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+            .sort_values(["p_brand", "p_type", "p_size"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_q20_qualified_shippers(sf_dir: str):
+    """TPC-H Q20-style qualified shippers: suppliers whose 1996 shipped
+    quantity of 'small'-named parts exceeds a threshold (the
+    who-holds-excess-inventory probe; no partsupp table, so availability
+    is measured from shipped lineitems).  Shape: the name-filtered part
+    key set broadcasts once, quantity pre-reduces per supplier inside each
+    batch, the ONE exchange moves per-supplier partials (cardinality =
+    #suppliers), and the HAVING filter + name attach run on that tiny
+    aggregate.  Quantity is exact integer centiunits
+    (``floor(q*100+0.5)``), so the threshold comparison is
+    reproducible."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray as _ray
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    MIN_QTY_C = 10000  # 100 shipped units, in centiunits
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    ).to_pandas()
+    pref = _broadcast_sorted_lookup(
+        part[part["p_name"].str.startswith("small")], "p_partkey", [])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pkeys, = _ray.get(pref)
+        _, m = _probe_sorted(pkeys, b["l_partkey"].to_numpy())
+        b = b[m]
+        qty_c = np.floor(b["l_quantity"].to_numpy() * 100 + 0.5).astype("int64")
+        return (pd.DataFrame({"l_suppkey": b["l_suppkey"].to_numpy(),
+                              "qty_c": qty_c})
+                .groupby("l_suppkey", as_index=False).sum())
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= pa.scalar(lo))
+        & (pads.field("l_shipdate") < pa.scalar(hi)),
+    )
+    agg = hash_aggregate(
+        li.map_batches(partial, batch_format="pandas"),
+        keys=["l_suppkey"], aggs={"qty_c": "sum"}, n_partitions=None,
+    ).to_pandas()
+    empty = pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                          "s_name": pd.Series(dtype=object),
+                          "qty_c": pd.Series(dtype="int64")})
+    if not len(agg):
+        return empty
+    agg = agg[agg["qty_c"] > MIN_QTY_C]
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    ).to_pandas()
+    out = agg.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    if not len(out):
+        return empty
+    out = out.astype({"s_suppkey": "int64", "qty_c": "int64"})
+    return (out[["s_suppkey", "s_name", "qty_c"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def q_q21_late_supplier(sf_dir: str):
+    """TPC-H Q21-style waiting-suppliers: on finished multi-supplier
+    orders, which supplier was the ONLY late one (late := last ship > 60
+    days after order date — no receipt/commit dates in this schema).  The
+    correlated EXISTS/NOT EXISTS pair collapses into integer per-order
+    sums: after a (orderkey, suppkey) max-shipdate reduction and ONE
+    orderkey exchange join against F-status orders, each order reduces to
+    (n_supp, n_late, sum(late x suppkey)) — when exactly one supplier is
+    late, that sum IS the culprit's key, so no second join or per-order
+    loop is needed.  All exchanges carry per-order/per-supplier partials,
+    never raw lineitems."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def red(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["l_orderkey", "l_suppkey"],
+                         as_index=False)["l_shipdate"].max()
+
+    lired = hash_aggregate(
+        li.map_batches(red, batch_format="pandas"),
+        keys=["l_orderkey", "l_suppkey"], aggs={"l_shipdate": "max"},
+        n_partitions=None,
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    ).filter(expr="o_orderstatus == 'F'")
+    j = exchange_join(lired, orders, on="l_orderkey", right_on="o_orderkey",
+                      n_partitions=None)
+
+    def order_partial(b: pd.DataFrame) -> pd.DataFrame:
+        late = (b["l_shipdate"] > b["o_orderdate"]
+                + pd.Timedelta(days=60)).to_numpy().astype("int64")
+        return (pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(),
+            "n_supp": np.int64(1), "n_late": late,
+            "late_sk": late * b["l_suppkey"].to_numpy(),
+        }).groupby("l_orderkey", as_index=False).sum())
+
+    per_order = hash_aggregate(
+        j.map_batches(order_partial, batch_format="pandas"),
+        keys=["l_orderkey"],
+        aggs={"n_supp": "sum", "n_late": "sum", "late_sk": "sum"},
+        n_partitions=None,
+    )
+
+    def blame(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["n_supp"] > 1) & (b["n_late"] == 1)]
+        return (pd.DataFrame({"s_suppkey": b["late_sk"].astype("int64"),
+                              "numwait": np.int64(1)})
+                .groupby("s_suppkey", as_index=False).sum())
+
+    agg = hash_aggregate(
+        per_order.map_batches(blame, batch_format="pandas"),
+        keys=["s_suppkey"], aggs={"numwait": "sum"}, n_partitions=2,
+    ).to_pandas()
+    empty = pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                          "s_name": pd.Series(dtype=object),
+                          "numwait": pd.Series(dtype="int64")})
+    if not len(agg):
+        return empty
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    ).to_pandas()
+    out = agg.merge(supp, on="s_suppkey")
+    if not len(out):
+        return empty
+    out = out.astype({"s_suppkey": "int64", "numwait": "int64"})
+    return (out[["s_suppkey", "s_name", "numwait"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def q_q22_lost_customers(sf_dir: str):
+    """TPC-H Q22-style lost-customer report: per nation, count + balance
+    of above-average-balance customers with NO order since 1999 (the
+    churn-with-money query).  Two passes over customer: a bounded
+    (sum_cents, n_pos) aggregate for the positive-balance average, then a
+    streaming gate using the exact cross-multiplied integer comparison
+    ``bal_c * n_pos > sum_c`` (the average itself never becomes a float;
+    bal <= 10^6 c and n_pos <= ~10^9 keep the product inside int64), an
+    ANTI exchange join against the date-windowed orders scan, and a
+    per-nation bounded rollup with the 25-row nation dim mapped
+    driver-side."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def stat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(b["c_acctbal"].to_numpy() * 100 + 0.5).astype("int64")
+        pos = c > 0
+        return pd.DataFrame({"sum_c": [int(c[pos].sum())],
+                             "n_pos": [int(pos.sum())]})
+
+    st = cust.map_batches(stat_partial, batch_format="pandas").to_pandas()
+    sum_c, n_pos = int(st["sum_c"].sum()), int(st["n_pos"].sum())
+
+    def gate(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.floor(b["c_acctbal"].to_numpy() * 100 + 0.5).astype("int64")
+        b = b.assign(bal_c=c)
+        return b.loc[c * n_pos > sum_c,
+                     ["c_custkey", "c_nationkey", "bal_c"]]
+
+    rich = cust.map_batches(gate, batch_format="pandas")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate")
+        >= pa.scalar(pd.Timestamp("1999-01-01")),
+    )
+    lost = exchange_join(rich, orders, on="c_custkey", right_on="o_custkey",
+                         n_partitions=None, how="anti")
+
+    def nat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n_cust=np.int64(1))
+        return b.groupby("c_nationkey", as_index=False)[
+            ["n_cust", "bal_c"]].sum()
+
+    out = hash_aggregate(
+        lost.map_batches(nat_partial, batch_format="pandas"),
+        keys=["c_nationkey"], aggs={"n_cust": "sum", "bal_c": "sum"},
+        n_partitions=2,
+    ).to_pandas()
+    empty = pd.DataFrame({"nation": pd.Series(dtype=object),
+                          "n_cust": pd.Series(dtype="int64"),
+                          "bal_c": pd.Series(dtype="int64")})
+    if not len(out):
+        return empty
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    names = dict(zip(nation["n_nationkey"].astype(int),
+                     nation["n_name"].astype(str)))
+    out["nation"] = out["c_nationkey"].astype(int).map(names)
+    out = out.astype({"n_cust": "int64", "bal_c": "int64"})
+    return (out[["nation", "n_cust", "bal_c"]]
+            .sort_values("nation").reset_index(drop=True))
+
+
 def q_pipeline_cascade(sf_dir: str):
     """Dedup-cascade composite — exact dedup, then MinHash near-dup over
     the exact SURVIVORS, reported as a per-document disposition table
@@ -5563,6 +5891,11 @@ def queries() -> Dict[str, Callable]:
         "q15_top_supplier": q_q15_top_supplier,
         "q8_market_share": q_q8_market_share,
         "q9_profit": q_q9_profit,
+        "q12_ship_lag": q_q12_ship_lag,
+        "q16_supplier_cnt": q_q16_supplier_cnt,
+        "q20_qualified_shippers": q_q20_qualified_shippers,
+        "q21_late_supplier": q_q21_late_supplier,
+        "q22_lost_customers": q_q22_lost_customers,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep": q_dedup_keep,
         "doc_source_stats": q_doc_source_stats,
@@ -8447,6 +8780,89 @@ SELECT o_year,
 FROM vol
 GROUP BY o_year
 ORDER BY o_year
+"""
+
+ORACLE_SQL["q12_ship_lag"] = r"""
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'high' ELSE 'low' END AS priority_class,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_count,
+       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                     THEN 0 ELSE 1 END) AS BIGINT) AS ontime_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["q16_supplier_cnt"] = r"""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 15, 19, 23, 36)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+ORACLE_SQL["q20_qualified_shippers"] = r"""
+WITH a AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(qty_c AS BIGINT) AS qty_c
+FROM a JOIN supplier ON s_suppkey = l_suppkey
+WHERE qty_c > 10000
+ORDER BY s_suppkey
+"""
+
+ORACLE_SQL["q21_late_supplier"] = r"""
+WITH red AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS ship
+  FROM lineitem GROUP BY 1, 2),
+j AS (
+  SELECT red.*, o_orderdate FROM red
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp,
+         sum(CASE WHEN ship > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS n_late,
+         sum(CASE WHEN ship > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey ELSE 0 END) AS late_sk
+  FROM j GROUP BY 1)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON s_suppkey = late_sk
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+ORACLE_SQL["q22_lost_customers"] = r"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer),
+s AS (
+  SELECT sum(CASE WHEN bal_c > 0 THEN bal_c ELSE 0 END) AS sum_c,
+         sum(CASE WHEN bal_c > 0 THEN 1 ELSE 0 END) AS n_pos
+  FROM c),
+rich AS (SELECT c.* FROM c, s WHERE bal_c * n_pos > sum_c),
+lost AS (
+  SELECT * FROM rich
+  WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'))
+SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_cust,
+       CAST(sum(bal_c) AS BIGINT) AS bal_c
+FROM lost JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
 """
 
 ORACLE_SQL["q9_profit"] = r"""

@@ -1,0 +1,151 @@
+"""Wave-20 operators: q12 ship lag, q16 supplier counts, q20 qualified
+shippers, q21 sole-late supplier, q22 lost customers — every predicate
+edge exercised on a hand-built star schema and value-compared to the
+DuckDB oracle."""
+
+import os
+import tempfile
+
+import pandas as pd
+
+
+def _write_tables(d):
+    pd.DataFrame({
+        "n_nationkey": [1, 2],
+        "n_name": ["NATION_1", "NATION_2"],
+        "n_regionkey": [0, 0],
+    }).to_parquet(os.path.join(d, "nation.parquet"))
+    pd.DataFrame({
+        "s_suppkey": [1, 2, 3, 4],
+        "s_name": ["s_one", "s_two", "s_three", "s_four"],
+        "s_nationkey": [1, 1, 2, 2],
+        "s_acctbal": [0.0] * 4,
+    }).to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({
+        # p1 passes every q16 filter and is 'small'-prefixed for q20;
+        # p2 prefix-matches q20 ('smallish') but is Brand#45 (q16 out);
+        # p3 is PROMO (q16 out); p4 size 5 not in the q16 size set;
+        # p5 passes q16, not small-prefixed
+        "p_partkey": [1, 2, 3, 4, 5],
+        "p_name": ["small ring", "smallish bolt", "red gear",
+                   "blue gizmo", "hot widget"],
+        "p_brand": ["Brand#11", "Brand#45", "Brand#12", "Brand#13",
+                    "Brand#14"],
+        "p_type": ["ECONOMY", "ECONOMY", "PROMO", "LARGE", "MEDIUM"],
+        "p_size": [1, 4, 7, 5, 10],
+        "p_retailprice": [1.0] * 5,
+    }).to_parquet(os.path.join(d, "part.parquet"))
+    pd.DataFrame({
+        # positive balances: 100+300+250+350 -> sum_c=100000, n_pos=4.
+        # B (300.00): 120000 > 100000, no post-1999 order -> the ONE hit.
+        # D (250.00): 100000 == 100000 -> strict > excludes (boundary).
+        # F (350.00): above avg but has a 1999 order -> anti-joined out.
+        # C negative and E zero never enter the average.
+        "c_custkey": [100, 200, 300, 400, 500, 600],
+        "c_name": ["A", "B", "D", "C", "F", "E"],
+        "c_nationkey": [1, 1, 2, 2, 2, 1],
+        "c_acctbal": [100.0, 300.0, 250.0, -50.0, 350.0, 0.0],
+        "c_mktsegment": ["X"] * 6,
+    }).to_parquet(os.path.join(d, "customer.parquet"))
+    pd.DataFrame({
+        # o1: F, single-supplier late (q21 needs n_supp>1 -> excluded);
+        #     1998 order keeps customer B "lost" for q22.
+        # o2: customer F's 1999 order (q22 anti-join arm).
+        # o3: F, 2-HIGH, suppliers s1 late / s2 on-time -> q21 blames s1.
+        # o4: F, 3-MEDIUM, two late suppliers -> q21 excluded.
+        # o5: P status -> q21 excluded even though s1 is late on it.
+        "o_orderkey": [1, 2, 3, 4, 5],
+        "o_custkey": [200, 500, 100, 100, 300],
+        "o_orderstatus": ["F", "O", "F", "F", "P"],
+        "o_totalprice": [0.0] * 5,
+        "o_orderdate": pd.to_datetime(
+            ["1998-06-01", "1999-06-01", "1996-01-01", "1996-01-10",
+             "1996-02-01"]),
+        "o_orderpriority": ["1-URGENT", "5-LOW", "2-HIGH", "3-MEDIUM",
+                            "1-URGENT"],
+    }).to_parquet(os.path.join(d, "orders.parquet"))
+    pd.DataFrame({
+        "l_orderkey": [3, 3, 3, 3, 4, 4, 5, 1, 3, 4],
+        "l_partkey": [1, 1, 3, 5, 1, 4, 1, 2, 99, 2],
+        "l_suppkey": [1, 2, 2, 2, 1, 3, 1, 4, 1, 3],
+        "l_linenumber": [1, 2, 3, 4, 1, 2, 1, 1, 5, 3],
+        # q20 centiunits: s1 small-qty 10000+5000+4000=19000 (> 10000 in);
+        # s2 6000 (< in-window small); s3 exactly 10000 via the last row
+        # (strict > excludes); s4's 1998 ship is outside the window.
+        "l_quantity": [100.0, 60.0, 10.0, 40.0, 50.0, 30.0, 40.0, 500.0,
+                       10.0, 100.0],
+        "l_extendedprice": [1.0] * 10,
+        "l_discount": [0.0] * 10,
+        "l_tax": [0.0] * 10,
+        "l_returnflag": ["N"] * 10,
+        "l_linestatus": ["O"] * 10,
+        # row 3 ships EXACTLY 60 days after o3's order date (1996-01-01 +
+        # 60d = 1996-03-01, leap year) -> on-time under the strict >.
+        # rows 2 and 4 share (o3, 1996-02-15) -> the q12 combiner merges
+        # them into one n=2 partial.  row 9 is an orphan partkey (99):
+        # q16/q20 drop it, q12/q21 (no part join) keep it.
+        "l_shipdate": pd.to_datetime(
+            ["1996-03-15", "1996-02-15", "1996-03-01", "1996-02-15",
+             "1996-06-01", "1996-07-01", "1996-08-01", "1998-09-01",
+             "1996-04-01", "1996-05-01"]),
+    }).to_parquet(os.path.join(d, "lineitem.parquet"))
+
+
+def test_q12_q16_q20_q21_q22_synthetic_parity(ray_session):
+    import duckdb
+
+    from ocr_ray.pipelines.queries import (
+        ORACLE_SQL, q_q12_ship_lag, q_q16_supplier_cnt,
+        q_q20_qualified_shippers, q_q21_late_supplier,
+        q_q22_lost_customers)
+
+    with tempfile.TemporaryDirectory() as d:
+        _write_tables(d)
+        con = duckdb.connect()
+        for t in ("nation", "supplier", "part", "customer", "orders",
+                  "lineitem"):
+            con.execute(f"create view {t} as select * from "
+                        f"'{os.path.join(d, t + '.parquet')}'")
+        for fn, name in ((q_q12_ship_lag, "q12_ship_lag"),
+                         (q_q16_supplier_cnt, "q16_supplier_cnt"),
+                         (q_q20_qualified_shippers, "q20_qualified_shippers"),
+                         (q_q21_late_supplier, "q21_late_supplier"),
+                         (q_q22_lost_customers, "q22_lost_customers")):
+            got = fn(d).reset_index(drop=True)
+            exp = con.execute(ORACLE_SQL[name]).df().reset_index(drop=True)
+            cols = sorted(got.columns)
+            assert cols == sorted(exp.columns), name
+            pd.testing.assert_frame_equal(got[cols], exp[cols],
+                                          check_dtype=False), name
+
+        # the edges really were at stake:
+        q12 = q_q12_ship_lag(d).set_index("priority_class")
+        # high = o3 (2-HIGH) + o5 (1-URGENT): late rows mar15/apr1/aug1,
+        # on-time rows feb15 x2 (combiner n=2) + the exact-60-day mar 1
+        assert (int(q12.loc["high", "late_count"]),
+                int(q12.loc["high", "ontime_count"])) == (3, 3)
+        # low = o4 (3-MEDIUM): all three ship months late, none on time
+        assert (int(q12.loc["low", "late_count"]),
+                int(q12.loc["low", "ontime_count"])) == (3, 0)
+
+        q16 = q_q16_supplier_cnt(d)
+        # only p1 (s1+s2 distinct despite s1's three shipments) and p5 (s2)
+        assert q16["p_brand"].tolist() == ["Brand#11", "Brand#14"]
+        assert q16["supplier_cnt"].tolist() == [2, 1]
+
+        q20 = q_q20_qualified_shippers(d)
+        # s1 at 19000 > 10000 in; s3 at EXACTLY 10000 out (strict >);
+        # s2 under; s4 out of window
+        assert q20["s_suppkey"].tolist() == [1]
+        assert q20["qty_c"].tolist() == [19000]
+
+        q21 = q_q21_late_supplier(d)
+        # only o3 is a multi-supplier F order with exactly one late
+        # supplier; the orphan-part row does not double-count s1
+        assert q21["s_suppkey"].tolist() == [1]
+        assert q21["numwait"].tolist() == [1]
+
+        q22 = q_q22_lost_customers(d)
+        assert q22["nation"].tolist() == ["NATION_1"]
+        assert q22["n_cust"].tolist() == [1]
+        assert q22["bal_c"].tolist() == [30000]
