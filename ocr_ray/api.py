@@ -1191,3 +1191,19 @@ def temperature_mix(
 
     return temperature_mix_select(docs, scale=scale, alpha_pm=alpha_pm,
                                   group_col=group_col)
+
+
+def bm25_search(
+    docs: "rd.Dataset",
+    query_terms: list,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "pd.DataFrame":
+    """BM25 document retrieval (stages/rag.py:bm25_topk): one text pass
+    emits per-doc integer metadata, corpus stats reduce to scalars, and
+    scoring + per-block top-k run over the metadata only — the text
+    column is never re-scanned or shuffled."""
+    from ocr_ray.stages.rag import bm25_topk
+
+    return bm25_topk(docs, query_terms, k=k, k1=k1, b=b)

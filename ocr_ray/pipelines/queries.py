@@ -4523,6 +4523,20 @@ def q_rag_keyword_topk(sf_dir: str):
     return out
 
 
+def q_rag_bm25_topk(sf_dir: str):
+    """Corpus-level BM25 retrieval (stages/rag.py:bm25_topk) for the RAG
+    query terms: one text pass emits per-doc integer metadata, corpus
+    stats reduce to scalars, scoring + per-block top-k run over metadata
+    only — the text never re-scans or shuffles.  Scores rounded to 6 dp
+    BEFORE the cut; ties break on doc_id."""
+    from ocr_ray.stages.rag import bm25_topk
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bm25_topk(docs, RAG_QUERY.split(), k=10)
+
+
 def q_rag_answer(sf_dir: str):
     from ocr_ray.stages.rag import AnswerExtractor
 
@@ -5892,6 +5906,7 @@ def queries() -> Dict[str, Callable]:
         "q8_market_share": q_q8_market_share,
         "q9_profit": q_q9_profit,
         "q12_ship_lag": q_q12_ship_lag,
+        "rag_bm25_topk": q_rag_bm25_topk,
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_qualified_shippers": q_q20_qualified_shippers,
         "q21_late_supplier": q_q21_late_supplier,
@@ -8780,6 +8795,36 @@ SELECT o_year,
 FROM vol
 GROUP BY o_year
 ORDER BY o_year
+"""
+
+ORACLE_SQL["rag_bm25_topk"] = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents),
+md AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, x -> x = 'data'))     AS tf0,
+         len(list_filter(w, x -> x = 'pipeline')) AS tf1,
+         len(list_filter(w, x -> x = 'value'))    AS tf2
+  FROM tok),
+st AS (
+  SELECT count(*) AS n, sum(dl) / count(*) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM md),
+sc AS (
+  SELECT doc_id, round(
+      ln(1 + (n - df0 + 0.5) / (df0 + 0.5))
+        * tf0 * (1.2 + 1.0) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+    + ln(1 + (n - df1 + 0.5) / (df1 + 0.5))
+        * tf1 * (1.2 + 1.0) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+    + ln(1 + (n - df2 + 0.5) / (df2 + 0.5))
+        * tf2 * (1.2 + 1.0) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)),
+      6) AS score
+  FROM md, st)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, score
+FROM sc ORDER BY score DESC, doc_id LIMIT 10
 """
 
 ORACLE_SQL["q12_ship_lag"] = r"""

@@ -192,3 +192,96 @@ class EmbedRAG:
         if scores is not None:
             res_df["answer_score"] = scores
         return res_df
+
+
+def bm25_topk(
+    docs,
+    query_terms: List[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Corpus-level BM25 retrieval (Robertson/Spärck Jones; the classic
+    probabilistic upgrade of the R3 keyword scorer and the TF-IDF stage):
+    rank documents against ``query_terms`` and return the global top-k.
+
+    Scale shape: ONE pass over the text emits per-doc integer metadata
+    only — ``(doc_id, dl, tf_<term>...)``, a handful of ints per document
+    — which is materialized once (tiny at any corpus size relative to the
+    text) and serves both the corpus-stats aggregate (N, total dl, per-term
+    document frequencies: one bounded reduction, scalars to the driver)
+    and the scoring pass; the text column is never re-scanned and never
+    shuffled.  Top-k runs per-block + driver finish (aggregate.global_topk
+    — k rows per block move, no range shuffle).
+
+    Determinism: tf/dl/df are exact integers; idf/score are computed in
+    float64 with the textbook formulas
+    ``idf = ln(1 + (N - df + .5)/(df + .5))`` and
+    ``score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``,
+    then rounded to 6 dp BEFORE the top-k cut so the selection boundary is
+    reproducible against a SQL oracle (ties at the rounded score break on
+    doc_id ascending).
+    """
+    import re as _re
+
+    import numpy as np
+    import ray.data as rd  # noqa: F401  (docs is a Dataset)
+
+    from ocr_ray.stages.aggregate import global_topk
+
+    term_re = _re.compile(r"[a-z0-9]+")
+    terms = list(dict.fromkeys(query_terms))  # stable-dedup
+    tf_cols = [f"tf_{i}" for i in range(len(terms))]
+
+    def meta(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": batch["doc_id"].to_numpy(), "dl": [],
+               **{c: [] for c in tf_cols}}
+        for text in batch["text"]:
+            toks = term_re.findall(str(text).lower())
+            out["dl"].append(len(toks))
+            if toks:
+                from collections import Counter
+                c = Counter(toks)
+            else:
+                c = {}
+            for col, t in zip(tf_cols, terms):
+                out[col].append(c.get(t, 0))
+        d = pd.DataFrame(out)
+        d["dl"] = d["dl"].astype("int64")
+        for c in tf_cols:
+            d[c] = d[c].astype("int64")
+        return d
+
+    md = docs.map_batches(meta, batch_format="pandas").materialize()
+
+    def stats(bdf: pd.DataFrame) -> pd.DataFrame:
+        row = {"n_docs": [len(bdf)], "sum_dl": [int(bdf["dl"].sum())]}
+        for c in tf_cols:
+            row[f"df_{c}"] = [int((bdf[c] > 0).sum())]
+        return pd.DataFrame(row)
+
+    st = md.map_batches(stats, batch_format="pandas").to_pandas()
+    # Ray drops columns on an all-empty Dataset -> treat as empty corpus
+    n_docs = int(st["n_docs"].sum()) if "n_docs" in st.columns else 0
+    if n_docs == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    avgdl = st["sum_dl"].sum() / n_docs
+    idf = {c: float(np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+           for c, df in ((c, int(st[f"df_{c}"].sum())) for c in tf_cols)}
+
+    def score(bdf: pd.DataFrame) -> pd.DataFrame:
+        dl = bdf["dl"].to_numpy(dtype="float64")
+        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(bdf), dtype="float64")
+        for c in tf_cols:
+            tf = bdf[c].to_numpy(dtype="float64")
+            s += idf[c] * tf * (k1 + 1.0) / (tf + denom_dl)
+        return pd.DataFrame({"doc_id": bdf["doc_id"].to_numpy(),
+                             "score": np.round(s, 6)})
+
+    top = global_topk(md.map_batches(score, batch_format="pandas"),
+                      ["score", "doc_id"], k, descending=[True, False])
+    top["doc_id"] = top["doc_id"].astype("int64")
+    top["score"] = top["score"].astype("float64")
+    return top.reset_index(drop=True)

@@ -149,3 +149,60 @@ def test_q12_q16_q20_q21_q22_synthetic_parity(ray_session):
         assert q22["nation"].tolist() == ["NATION_1"]
         assert q22["n_cust"].tolist() == [1]
         assert q22["bal_c"].tolist() == [30000]
+
+
+def test_bm25_topk_semantics(ray_session):
+    """BM25 vs a hand-rolled brute-force reference on a tiny corpus:
+    exact scores (to the 6-dp contract), rank order, zero-match docs
+    filling the tail with score 0, repeated query terms deduped, and the
+    empty-corpus typed-empty path."""
+    import math
+
+    import numpy as np
+    import ray.data as rd
+
+    from ocr_ray.stages.rag import bm25_topk
+
+    texts = {
+        1: "data data data pipeline",          # heavy tf, short doc
+        2: "data pipeline value stream stream stream stream stream",
+        3: "value",                            # rare-term doc, tiny dl
+        4: "stream batch shuffle arrow",       # zero-match
+        5: "data " * 50,                       # tf saturation vs doc 1
+    }
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    # repeated 'data' must not double-count the term
+    got = bm25_topk(docs, ["data", "pipeline", "value", "data"], k=5)
+
+    # brute force
+    toks = {i: t.split() for i, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    def idf(term):
+        df = sum(1 for v in toks.values() if term in v)
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def score(i):
+        dl = len(toks[i])
+        s = 0.0
+        for t in ["data", "pipeline", "value"]:
+            tf = toks[i].count(t)
+            s += idf(t) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        return round(s, 6)
+    exp = sorted(((score(i), i) for i in texts),
+                 key=lambda p: (-p[0], p[1]))
+    assert got["doc_id"].tolist() == [i for _, i in exp]
+    assert np.allclose(got["score"].to_numpy(),
+                       [s for s, _ in exp], atol=1e-9)
+    # the zero-match doc is present with exactly 0
+    assert got.loc[got["doc_id"] == 4, "score"].iloc[0] == 0.0
+    # saturation: doc 5's 50x tf must not scale linearly over doc 1's 3x
+    s1 = got.loc[got["doc_id"] == 1, "score"].iloc[0]
+    s5 = got.loc[got["doc_id"] == 5, "score"].iloc[0]
+    assert s5 < 3 * s1
+
+    empty = bm25_topk(
+        rd.from_pandas(pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "text": pd.Series(dtype=object)})),
+        ["data"], k=5)
+    assert list(empty.columns) == ["doc_id", "score"] and not len(empty)
