@@ -5436,6 +5436,10 @@ def q_q12_ship_lag(sf_dir: str):
         keys=["priority_class"],
         aggs={"late_count": "sum", "ontime_count": "sum"}, n_partitions=2,
     ).to_pandas()
+    if not len(out):  # empty window: Ray drops columns on empty output
+        return pd.DataFrame({"priority_class": pd.Series(dtype=object),
+                             "late_count": pd.Series(dtype="int64"),
+                             "ontime_count": pd.Series(dtype="int64")})
     out = out.astype({"late_count": "int64", "ontime_count": "int64"})
     return out.sort_values("priority_class").reset_index(drop=True)
 
@@ -5455,10 +5459,12 @@ def q_q16_supplier_cnt(sf_dir: str):
     from ocr_ray.stages.aggregate import hash_aggregate
 
     SIZES = (1, 4, 7, 10, 15, 19, 23, 36)
-    part = rd.read_parquet(
+    # driver-local dimension read: pd.read_parquet preserves the schema
+    # even for an all-empty table (rd...to_pandas() drops columns there)
+    part = pd.read_parquet(
         os.path.join(sf_dir, "part.parquet"),
         columns=["p_partkey", "p_brand", "p_type", "p_size"],
-    ).to_pandas()
+    )
     part = part[(part["p_brand"] != "Brand#45")
                 & ~part["p_type"].str.startswith("PROMO")
                 & part["p_size"].isin(SIZES)]
@@ -5487,6 +5493,11 @@ def q_q16_supplier_cnt(sf_dir: str):
     )
 
     def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):  # pre-map schema guard: empty exchange partitions
+            return pd.DataFrame({"p_brand": pd.Series(dtype=object),
+                                 "p_type": pd.Series(dtype=object),
+                                 "p_size": pd.Series(dtype="int64"),
+                                 "supplier_cnt": pd.Series(dtype="int64")})
         b = b.assign(supplier_cnt=np.int64(1))
         return b.groupby(["p_brand", "p_type", "p_size"],
                          as_index=False)[["supplier_cnt"]].sum()
@@ -5496,6 +5507,11 @@ def q_q16_supplier_cnt(sf_dir: str):
         keys=["p_brand", "p_type", "p_size"],
         aggs={"supplier_cnt": "sum"}, n_partitions=4,
     ).to_pandas()
+    if not len(out):  # no qualifying parts: Ray drops columns on empty
+        return pd.DataFrame({"p_brand": pd.Series(dtype=object),
+                             "p_type": pd.Series(dtype=object),
+                             "p_size": pd.Series(dtype="int64"),
+                             "supplier_cnt": pd.Series(dtype="int64")})
     out = out.astype({"p_size": "int64", "supplier_cnt": "int64"})
     return (out[["p_brand", "p_type", "p_size", "supplier_cnt"]]
             .sort_values(["p_brand", "p_type", "p_size"], kind="mergesort")
@@ -5522,9 +5538,9 @@ def q_q20_qualified_shippers(sf_dir: str):
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
     MIN_QTY_C = 10000  # 100 shipped units, in centiunits
 
-    part = rd.read_parquet(
+    part = pd.read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
-    ).to_pandas()
+    )  # driver-local dim read; schema survives an all-empty table
     pref = _broadcast_sorted_lookup(
         part[part["p_name"].str.startswith("small")], "p_partkey", [])
 
@@ -5553,10 +5569,10 @@ def q_q20_qualified_shippers(sf_dir: str):
     if not len(agg):
         return empty
     agg = agg[agg["qty_c"] > MIN_QTY_C]
-    supp = rd.read_parquet(
+    supp = pd.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_name"],
-    ).to_pandas()
+    )  # driver-local dim read; schema survives an all-empty table
     out = agg.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
     if not len(out):
         return empty
@@ -5629,10 +5645,10 @@ def q_q21_late_supplier(sf_dir: str):
                           "numwait": pd.Series(dtype="int64")})
     if not len(agg):
         return empty
-    supp = rd.read_parquet(
+    supp = pd.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_name"],
-    ).to_pandas()
+    )  # driver-local dim read; schema survives an all-empty table
     out = agg.merge(supp, on="s_suppkey")
     if not len(out):
         return empty
@@ -5670,7 +5686,9 @@ def q_q22_lost_customers(sf_dir: str):
                              "n_pos": [int(pos.sum())]})
 
     st = cust.map_batches(stat_partial, batch_format="pandas").to_pandas()
-    sum_c, n_pos = int(st["sum_c"].sum()), int(st["n_pos"].sum())
+    # empty customer table: Ray drops columns on all-empty output
+    sum_c = int(st["sum_c"].sum()) if "sum_c" in st.columns else 0
+    n_pos = int(st["n_pos"].sum()) if "n_pos" in st.columns else 0
 
     def gate(b: pd.DataFrame) -> pd.DataFrame:
         c = np.floor(b["c_acctbal"].to_numpy() * 100 + 0.5).astype("int64")
@@ -5703,7 +5721,7 @@ def q_q22_lost_customers(sf_dir: str):
                           "bal_c": pd.Series(dtype="int64")})
     if not len(out):
         return empty
-    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
     names = dict(zip(nation["n_nationkey"].astype(int),
                      nation["n_name"].astype(str)))
     out["nation"] = out["c_nationkey"].astype(int).map(names)

@@ -206,3 +206,72 @@ def test_bm25_topk_semantics(ray_session):
                                      "text": pd.Series(dtype=object)})),
         ["data"], k=5)
     assert list(empty.columns) == ["doc_id", "score"] and not len(empty)
+
+
+def test_wave20_queries_empty_inputs(ray_session, tmp_path):
+    """All-empty base tables must return TYPED empty frames (Ray drops
+    columns on all-empty outputs) instead of raising in the final
+    astype/driver arithmetic."""
+    d = str(tmp_path)
+    pd.DataFrame({
+        "l_orderkey": pd.Series(dtype="int64"),
+        "l_partkey": pd.Series(dtype="int64"),
+        "l_suppkey": pd.Series(dtype="int64"),
+        "l_linenumber": pd.Series(dtype="int32"),
+        "l_quantity": pd.Series(dtype="float64"),
+        "l_extendedprice": pd.Series(dtype="float64"),
+        "l_discount": pd.Series(dtype="float64"),
+        "l_tax": pd.Series(dtype="float64"),
+        "l_returnflag": pd.Series(dtype=object),
+        "l_linestatus": pd.Series(dtype=object),
+        "l_shipdate": pd.Series(dtype="datetime64[us]"),
+    }).to_parquet(os.path.join(d, "lineitem.parquet"))
+    pd.DataFrame({
+        "o_orderkey": pd.Series(dtype="int64"),
+        "o_custkey": pd.Series(dtype="int64"),
+        "o_orderstatus": pd.Series(dtype=object),
+        "o_totalprice": pd.Series(dtype="float64"),
+        "o_orderdate": pd.Series(dtype="datetime64[us]"),
+        "o_orderpriority": pd.Series(dtype=object),
+    }).to_parquet(os.path.join(d, "orders.parquet"))
+    pd.DataFrame({
+        "p_partkey": pd.Series(dtype="int64"),
+        "p_name": pd.Series(dtype=object),
+        "p_brand": pd.Series(dtype=object),
+        "p_type": pd.Series(dtype=object),
+        "p_size": pd.Series(dtype="int32"),
+        "p_retailprice": pd.Series(dtype="float64"),
+    }).to_parquet(os.path.join(d, "part.parquet"))
+    pd.DataFrame({
+        "s_suppkey": pd.Series(dtype="int64"),
+        "s_name": pd.Series(dtype=object),
+        "s_nationkey": pd.Series(dtype="int32"),
+        "s_acctbal": pd.Series(dtype="float64"),
+    }).to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({
+        "c_custkey": pd.Series(dtype="int64"),
+        "c_name": pd.Series(dtype=object),
+        "c_nationkey": pd.Series(dtype="int32"),
+        "c_acctbal": pd.Series(dtype="float64"),
+        "c_mktsegment": pd.Series(dtype=object),
+    }).to_parquet(os.path.join(d, "customer.parquet"))
+    pd.DataFrame({
+        "n_nationkey": pd.Series(dtype="int32"),
+        "n_name": pd.Series(dtype=object),
+        "n_regionkey": pd.Series(dtype="int32"),
+    }).to_parquet(os.path.join(d, "nation.parquet"))
+
+    from ocr_ray.pipelines.queries import (
+        q_q12_ship_lag, q_q16_supplier_cnt, q_q20_qualified_shippers,
+        q_q21_late_supplier, q_q22_lost_customers)
+
+    for fn, cols in (
+        (q_q12_ship_lag, ["priority_class", "late_count", "ontime_count"]),
+        (q_q16_supplier_cnt, ["p_brand", "p_type", "p_size", "supplier_cnt"]),
+        (q_q20_qualified_shippers, ["s_suppkey", "s_name", "qty_c"]),
+        (q_q21_late_supplier, ["s_suppkey", "s_name", "numwait"]),
+        (q_q22_lost_customers, ["nation", "n_cust", "bal_c"]),
+    ):
+        out = fn(d)
+        assert list(out.columns) == cols, fn.__name__
+        assert not len(out), fn.__name__
