@@ -4537,6 +4537,55 @@ def q_rag_bm25_topk(sf_dir: str):
     return bm25_topk(docs, RAG_QUERY.split(), k=10)
 
 
+def q_rag_bm25_rerank(sf_dir: str):
+    """Retrieve-then-rerank composite (the classic two-stage retrieval
+    stack): BM25 shortlists the top-50 documents (stages/rag.py:bm25_topk
+    — metadata-only scoring, per-block top-k), then the model-backed A4
+    scorer (stages/model_engine.py:ModelScorer, artifact loaded once per
+    actor) reranks ONLY the shortlist — the expensive model never sees
+    the corpus, which is the entire point of the cascade at 100 TB.  The
+    shortlist text refetch is a pruned scan filtered by the 50-id set
+    (shipped in-task; at scale push the id set into the reader
+    predicate); the rerank itself is 50 driver rows.  Output
+    (doc_id, score, model_score, rk) with rk the 1-based rerank by
+    (model_score DESC, doc_id) — integer-exact model scores make the
+    rerank order oracle-reproducible."""
+    from ocr_ray.stages.model_engine import ModelScorer
+    from ocr_ray.stages.rag import bm25_topk
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    short = bm25_topk(docs, RAG_QUERY.split(), k=50)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64"),
+                          "model_score": pd.Series(dtype="int64"),
+                          "rk": pd.Series(dtype="int64")})
+    if not len(short):
+        return empty
+    ids = np.sort(short["doc_id"].to_numpy(dtype="int64"))
+    path = _ensure_model_artifact()
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        return b[np.isin(b["doc_id"].to_numpy(), ids)]
+
+    scored = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(pick, batch_format="pandas").map_batches(
+        ModelScorer,
+        fn_constructor_kwargs={"artifact_path": path},
+        concurrency=2,
+        batch_format="pandas",
+    ).to_pandas()  # <= 50 rows
+    out = short.merge(scored[["doc_id", "model_score"]], on="doc_id")
+    out = out.sort_values(["model_score", "doc_id"],
+                          ascending=[False, True], kind="mergesort")
+    out["rk"] = np.arange(1, len(out) + 1, dtype="int64")
+    out = out.astype({"doc_id": "int64", "score": "float64",
+                      "model_score": "int64", "rk": "int64"})
+    return out[["doc_id", "score", "model_score", "rk"]].reset_index(drop=True)
+
+
 def q_rag_answer(sf_dir: str):
     from ocr_ray.stages.rag import AnswerExtractor
 
@@ -5925,6 +5974,7 @@ def queries() -> Dict[str, Callable]:
         "q9_profit": q_q9_profit,
         "q12_ship_lag": q_q12_ship_lag,
         "rag_bm25_topk": q_rag_bm25_topk,
+        "rag_bm25_rerank": q_rag_bm25_rerank,
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_qualified_shippers": q_q20_qualified_shippers,
         "q21_late_supplier": q_q21_late_supplier,
@@ -8844,6 +8894,40 @@ sc AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id, score
 FROM sc ORDER BY score DESC, doc_id LIMIT 10
 """
+
+def _bm25_rerank_sql() -> str:
+    """Retrieve-then-rerank oracle: the rag_bm25_topk CTE chain widened
+    to a 50-doc shortlist (same ordering contract), joined against the
+    A4 model score replicated from the engine's own fitted weights (see
+    _model_score_sql), reranked by (model_score DESC, doc_id)."""
+    from ocr_ray.stages.model_engine import fit_artifact
+
+    a = fit_artifact()
+    w, b = a["w_int"], a["b_int"]
+    shortlist = ORACLE_SQL["rag_bm25_topk"].replace("LIMIT 10", "LIMIT 50")
+    return f"""
+WITH top AS (SELECT * FROM ({shortlist}) _s),
+f AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+  CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space,
+  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents),
+ms AS (SELECT doc_id,
+  CAST(({w[0]})*n_chars + ({w[1]})*n_alpha + ({w[2]})*n_space + ({w[3]})*n_digit
+     + ({w[4]})*n_upper + ({w[5]})*n_punct + ({b})*n_chars AS BIGINT) AS model_score
+  FROM f)
+SELECT t.doc_id, t.score, ms.model_score,
+       CAST(row_number() OVER (ORDER BY ms.model_score DESC, t.doc_id)
+            AS BIGINT) AS rk
+FROM top t JOIN ms ON t.doc_id = ms.doc_id
+ORDER BY rk
+"""
+
+
+ORACLE_SQL["rag_bm25_rerank"] = _bm25_rerank_sql()
 
 ORACLE_SQL["q12_ship_lag"] = r"""
 SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')

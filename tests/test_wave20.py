@@ -275,3 +275,26 @@ def test_wave20_queries_empty_inputs(ray_session, tmp_path):
         out = fn(d)
         assert list(out.columns) == cols, fn.__name__
         assert not len(out), fn.__name__
+
+
+def test_bm25_rerank_cascade(ray_session):
+    """The rerank stage is a pure permutation of the BM25 shortlist: same
+    doc ids, rk is 1..n by (model_score DESC, doc_id), and the expensive
+    scorer runs only on shortlist members (pinned by the row count)."""
+    sf = "/root/testdata/sf0.001"
+    from ocr_ray.pipelines.queries import q_rag_bm25_rerank, q_rag_bm25_topk
+
+    top = q_rag_bm25_topk(sf)
+    rer = q_rag_bm25_rerank(sf)
+    assert len(rer) == 50
+    # top-10 ids are a subset of the 50-doc shortlist the rerank permutes
+    assert set(top["doc_id"]) <= set(rer["doc_id"])
+    assert rer["rk"].tolist() == list(range(1, 51))
+    ms = rer["model_score"].to_numpy()
+    # rerank order: model_score non-increasing, doc_id ascending on ties
+    assert (ms[:-1] >= ms[1:]).all()
+    ties = ms[:-1] == ms[1:]
+    ids = rer["doc_id"].to_numpy()
+    assert (ids[:-1][ties] < ids[1:][ties]).all()
+    # and it genuinely reorders: the BM25-score order differs from rk
+    assert not rer["score"].is_monotonic_decreasing
