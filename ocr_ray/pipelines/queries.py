@@ -4821,6 +4821,44 @@ def q_model_score_docs(sf_dir: str):
     return out.select_columns(["doc_id", "model_score"])
 
 
+TRANSCRIBER_ARTIFACT_PATH = "/tmp/graft_model/transcriber-seq2seq.pkl"
+
+
+def q_multimodal_transcribe(sf_dir: str):
+    """A5 worked example end-to-end (rows-only; replica-checked in pytest —
+    autoregressive generation is not SQL-expressible): binary payloads
+    through the generative ModelTranscriber actor pool
+    (stages/model_engine.py — encoder/decoder tables loaded once per
+    actor, greedy integer decode, the reference's ``min(1, len/100)``
+    confidence, ``ocr_core/dolphin_reader.py:12-40``).  Small batches as
+    the binary-column contract requires."""
+    import pyarrow as pa
+
+    from ocr_ray.stages.model_engine import (ModelTranscriber,
+                                             build_transcriber_artifact)
+
+    os.makedirs(os.path.dirname(TRANSCRIBER_ARTIFACT_PATH), exist_ok=True)
+    build_transcriber_artifact(TRANSCRIBER_ARTIFACT_PATH)
+
+    def to_binary(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"doc_id": b["doc_id"], "payload": pc.cast(b["text"], pa.binary())}
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(to_binary, batch_format="pyarrow")
+    return ds.map_batches(
+        ModelTranscriber,
+        fn_constructor_kwargs={"artifact_path": TRANSCRIBER_ARTIFACT_PATH},
+        concurrency=2,            # actor pool: tables deserialized once per actor
+        batch_size=64,            # binary columns: small batches
+        batch_format="pandas",
+    )
+
+
 def q_rag_model_answer(sf_dir: str):
     """A6 pluggable QA model through the full RAG orchestration: EmbedRAG
     with the deterministic HF-pipeline stand-in injected as ``answer_fn``
@@ -5975,6 +6013,7 @@ def queries() -> Dict[str, Callable]:
         "q12_ship_lag": q_q12_ship_lag,
         "rag_bm25_topk": q_rag_bm25_topk,
         "rag_bm25_rerank": q_rag_bm25_rerank,
+        "multimodal_transcribe": q_multimodal_transcribe,
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_qualified_shippers": q_q20_qualified_shippers,
         "q21_late_supplier": q_q21_late_supplier,

@@ -187,3 +187,107 @@ def model_score_fn(artifact: Dict):
         return int(score_counts_int(featurize([text]), artifact)[0])
 
     return score
+
+
+# ---------------------------------------------------------------- A5 analog
+
+TRANSCRIBER_VERSION = "char-seq2seq-1"
+DECODE_VOCAB = "abcdefghijklmnopqrstuvwxyz "  # 27 decoder symbols
+_GEN_CAP = 64  # decoder max_new_tokens analog
+
+
+def fit_transcriber_artifact() -> Dict:
+    """Deterministic closed-form 'training' of the generative A5 stand-in
+    (the Dolphin TrOCR analog, ``ocr_core/dolphin_reader.py:12-40``:
+    ``VisionEncoderDecoderModel.generate`` + ``confidence = min(1,
+    len/100)``).  The artifact holds real model-shaped state:
+
+    * ``trans`` — a (V, V) int64 decoder transition table, add-one
+      smoothed bigram counts over a fixed seed corpus (the 'pretrained
+      decoder weights');
+    * ``enc`` — a (256, V) int64 encoder-bias table mapping each input
+      byte to per-symbol logit offsets (the 'cross-attention' from the
+      encoded payload into each decode step).
+
+    Everything is integer, so greedy decoding is bit-deterministic across
+    batches, actors and partitionings — the property a replica pytest can
+    pin without an ML runtime."""
+    seed = ("the quick brown fox jumps over the lazy dog "
+            "pack my box with five dozen liquor jugs "
+            "how vexingly quick daft zebras jump "
+            "sphinx of black quartz judge my vow")
+    v = len(DECODE_VOCAB)
+    idx = {c: i for i, c in enumerate(DECODE_VOCAB)}
+    trans = np.ones((v, v), dtype=np.int64)  # add-one smoothing
+    prev = None
+    for ch in seed:
+        i = idx.get(ch)
+        if prev is not None and i is not None:
+            trans[prev, i] += 1
+        prev = i
+    enc = (np.arange(256, dtype=np.int64)[:, None] * 31
+           + np.arange(v, dtype=np.int64)[None, :] * 7) % 13
+    return {"version": TRANSCRIBER_VERSION, "vocab": DECODE_VOCAB,
+            "trans": trans, "enc": enc}
+
+
+def build_transcriber_artifact(path: str) -> str:
+    """Serialize the fitted transcriber (the 'model download')."""
+    with open(path, "wb") as f:
+        pickle.dump(fit_transcriber_artifact(), f)
+    return path
+
+
+def greedy_decode(payload: bytes, artifact: Dict, max_len: int = _GEN_CAP) -> str:
+    """Greedy autoregressive decode of one payload: start symbol from the
+    first byte's encoder bias, then ``next = argmax(trans[cur] * 100 +
+    enc[byte_t])`` with numpy-argmax first-hit tie semantics; length =
+    ``min(max_len, n_bytes // 16 + 4)``.  Pure integer — deterministic."""
+    if not payload:
+        return ""
+    b = np.frombuffer(payload, dtype=np.uint8)
+    trans, enc, vocab = artifact["trans"], artifact["enc"], artifact["vocab"]
+    n_steps = min(max_len, len(b) // 16 + 4)
+    cur = int(enc[b[0]].argmax())
+    out = [vocab[cur]]
+    for t in range(1, n_steps):
+        scores = trans[cur] * 100 + enc[b[t % len(b)]]
+        cur = int(scores.argmax())
+        out.append(vocab[cur])
+    return "".join(out)
+
+
+class ModelTranscriber:
+    """A5 worked example — the generative engine contract
+    (``ocr_core/dolphin_reader.py:12-40``) with real model-shaped compute:
+    the pickled encoder/decoder tables load ONCE PER ACTOR in ``__init__``
+    (swap ``pickle.load`` for ``VisionEncoderDecoderModel.from_pretrained``
+    and nothing else moves; a GPU deployment adds ``num_gpus=1`` at the
+    ``map_batches`` call site exactly as documented on :class:`ModelScorer`),
+    and ``__call__`` runs the autoregressive generate per payload with the
+    reference's ``confidence = min(1, len(text)/100)``.  Errors in-band:
+    a null payload transcribes to "" with ``model_error='null payload'``."""
+
+    def __init__(self, artifact_path: str, max_len: int = _GEN_CAP):
+        with open(artifact_path, "rb") as f:
+            self.artifact = pickle.load(f)
+        if self.artifact.get("version") != TRANSCRIBER_VERSION:
+            raise ValueError(
+                f"artifact version {self.artifact.get('version')!r} != "
+                f"engine {TRANSCRIBER_VERSION!r}")
+        self.max_len = max_len
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts, confs, errs = [], [], []
+        for raw in batch["payload"]:
+            ok = isinstance(raw, (bytes, bytearray)) and len(raw) > 0
+            t = greedy_decode(bytes(raw), self.artifact, self.max_len) if ok else ""
+            texts.append(t)
+            confs.append(round(min(1.0, len(t) / 100), 6))
+            errs.append("" if ok else "null payload")
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "transcribed_text": texts,
+            "confidence": confs,
+            "model_error": errs,
+        })

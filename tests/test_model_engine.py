@@ -164,3 +164,54 @@ def test_transcripts_model_rescore_runs(ray_session):
     assert len(out) > 0
     assert set(out.columns) == {"engine", "n"}
     assert out["n"].sum() > 0
+
+
+def test_transcriber_replica_and_contract(ray_session, tmp_path):
+    """A5 worked example: the actor-pool query output equals a driver-side
+    replica of the greedy integer decode (bit-deterministic generation),
+    confidence follows the reference's min(1, len/100), the version gate
+    fails loudly on a stale artifact, and null payloads stay in-band."""
+    import numpy as np
+    import pandas as pd
+    import pickle
+
+    from ocr_ray.pipelines.queries import q_multimodal_transcribe
+    from ocr_ray.stages.model_engine import (
+        ModelTranscriber, build_transcriber_artifact, fit_transcriber_artifact,
+        greedy_decode)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_multimodal_transcribe(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    assert len(out) == len(docs)
+
+    art = fit_transcriber_artifact()
+    merged = out.merge(docs, on="doc_id")
+    for _, r in merged.head(20).iterrows():
+        exp = greedy_decode(r["text"].encode(), art)
+        assert r["transcribed_text"] == exp
+        assert r["confidence"] == round(min(1.0, len(exp) / 100), 6)
+        assert r["model_error"] == ""
+
+    # generation is bounded and drawn from the decoder vocab
+    assert out["transcribed_text"].str.len().max() <= 64
+    vocab = set("abcdefghijklmnopqrstuvwxyz ")
+    assert all(set(t) <= vocab for t in out["transcribed_text"].head(50))
+
+    # in-band null payload
+    p = str(tmp_path / "a.pkl")
+    build_transcriber_artifact(p)
+    m = ModelTranscriber(artifact_path=p)
+    res = m(pd.DataFrame({"doc_id": [1, 2], "payload": [None, b""]}))
+    assert res["transcribed_text"].tolist() == ["", ""]
+    assert res["model_error"].tolist() == ["null payload"] * 2
+    assert res["confidence"].tolist() == [0.0, 0.0]
+
+    # version gate
+    stale = dict(art, version="char-seq2seq-0")
+    sp = str(tmp_path / "stale.pkl")
+    with open(sp, "wb") as f:
+        pickle.dump(stale, f)
+    import pytest
+    with pytest.raises(ValueError, match="artifact version"):
+        ModelTranscriber(artifact_path=sp)
