@@ -3717,6 +3717,54 @@ def q_events_sessions(sf_dir: str):
     return out
 
 
+def q_events_markov(sf_dir: str):
+    """Per-user event-type transition matrix (first-order Markov counts —
+    the sequence-mining aggregate behind 'what do users do NEXT').  One
+    hash exchange on user_id co-locates each user's events; each partition
+    sorts (user, ts, event_id) once and reads consecutive-pair transitions
+    with a vectorized shift (factorize-coded user boundaries, so a
+    SQL-null user group still chains like PARTITION BY does); the final
+    rollup is a bounded (|event_types|^2) aggregate.  Raw events shuffle
+    once — there is no per-user loop and no driver materialization."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src_type": pd.Series(dtype=object),
+                              "dst_type": pd.Series(dtype=object),
+                              "n_trans": pd.Series(dtype="int64")})
+        if not len(g) or "user_id" not in g.columns:
+            return empty  # all-empty exchange carries the pre-map schema
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # factorize (NaN gets a real code): null users form ONE chain,
+        # matching SQL's PARTITION BY null-grouping — a plain != on the
+        # raw values would break every null-null adjacency (NaN != NaN)
+        codes, _ = pd.factorize(g["user_id"], use_na_sentinel=False)
+        same = codes[1:] == codes[:-1]
+        if not same.any():
+            return empty
+        et = g["event_type"].to_numpy()
+        d = pd.DataFrame({"src_type": et[:-1][same], "dst_type": et[1:][same],
+                          "n_trans": np.int64(1)})
+        return d.groupby(["src_type", "dst_type"], as_index=False,
+                         dropna=False)[["n_trans"]].sum()
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    pairs = exchange_map_partitions(ds, "user_id", trans, n_partitions=None)
+    out = hash_aggregate(pairs, keys=["src_type", "dst_type"],
+                         aggs={"n_trans": "sum"}, n_partitions=2).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"src_type": pd.Series(dtype=object),
+                             "dst_type": pd.Series(dtype=object),
+                             "n_trans": pd.Series(dtype="int64")})
+    out["n_trans"] = out["n_trans"].astype("int64")
+    return (out[["src_type", "dst_type", "n_trans"]]
+            .sort_values(["src_type", "dst_type"]).reset_index(drop=True))
+
+
 # ================================================================ joins
 def q_segment_revenue(sf_dir: str):
     """Both-sides hash join (orders x customer via Dataset.join) then a tiny
@@ -6014,6 +6062,7 @@ def queries() -> Dict[str, Callable]:
         "rag_bm25_topk": q_rag_bm25_topk,
         "rag_bm25_rerank": q_rag_bm25_rerank,
         "multimodal_transcribe": q_multimodal_transcribe,
+        "events_markov": q_events_markov,
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_qualified_shippers": q_q20_qualified_shippers,
         "q21_late_supplier": q_q21_late_supplier,
@@ -8902,6 +8951,18 @@ SELECT o_year,
 FROM vol
 GROUP BY o_year
 ORDER BY o_year
+"""
+
+ORACLE_SQL["events_markov"] = r"""
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS src_type, nxt AS dst_type,
+       CAST(count(*) AS BIGINT) AS n_trans
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLE_SQL["rag_bm25_topk"] = r"""

@@ -298,3 +298,48 @@ def test_bm25_rerank_cascade(ray_session):
     assert (ids[:-1][ties] < ids[1:][ties]).all()
     # and it genuinely reorders: the BM25-score order differs from rk
     assert not rer["score"].is_monotonic_decreasing
+
+
+def test_events_markov_synthetic_parity(ray_session, tmp_path):
+    """Transition counts vs DuckDB on a hand-built event log: ts ties break
+    on event_id, single-event users emit nothing, and a SQL-null user
+    group chains like PARTITION BY (factorize-coded boundaries — a plain
+    != would break every null-null adjacency)."""
+    import duckdb
+    import numpy as np
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_events_markov
+
+    d = str(tmp_path)
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6, 7, 8, 9],
+        "ts": pd.to_datetime([
+            "2026-01-01 10:00", "2026-01-01 10:05", "2026-01-01 10:05",
+            "2026-01-01 11:00", "2026-01-02 09:00", "2026-01-02 09:01",
+            "2026-01-01 08:00", "2026-01-03 12:00", "2026-01-03 12:30",
+        ]),
+        # user 1: a->(b,c tie on ts: event_id 2 then 3)->d
+        # user 2: a->a ; user 3: single event, no transitions
+        # null user: two events -> one b->c transition
+        "user_id": pd.array([1, 1, 1, 1, 2, 2, 3, None, None],
+                            dtype="Int64"),
+        "event_type": ["a", "b", "c", "d", "a", "a", "a", "b", "c"],
+        "value": [0.0] * 9,
+        "props": ["{}"] * 9,
+    })
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = q_events_markov(d).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from "
+                f"'{os.path.join(d, 'events.parquet')}'")
+    exp = con.execute(ORACLE_SQL["events_markov"]).df().reset_index(drop=True)
+    cols = sorted(got.columns)
+    assert cols == sorted(exp.columns)
+    pd.testing.assert_frame_equal(got[cols], exp[cols], check_dtype=False)
+    # the edges were at stake: the tie resolved b-before-c via event_id,
+    # the null-user pair chained, the single-event user vanished
+    as_dict = {(r.src_type, r.dst_type): r.n_trans for r in got.itertuples()}
+    assert as_dict[("a", "b")] == 1 and as_dict[("b", "c")] == 2
+    assert as_dict[("c", "d")] == 1 and as_dict[("a", "a")] == 1
+    assert sum(as_dict.values()) == 5
