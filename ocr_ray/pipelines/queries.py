@@ -3717,6 +3717,46 @@ def q_events_sessions(sf_dir: str):
     return out
 
 
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity gate (the FK sibling of validate.py's
+    contract_check): count orphan foreign keys across the star schema's
+    four edges via ANTI exchange joins that ship KEY COLUMNS ONLY — each
+    check is one bounded exchange and a count, never a row
+    materialization.  A nonzero cell quarantines the ingest shard before
+    any downstream join silently drops (inner) or null-pads (left) the
+    orphans."""
+    from ocr_ray.stages.join import exchange_join
+
+    def orphans(child_file, child_key, parent_file, parent_key):
+        child = rd.read_parquet(os.path.join(sf_dir, child_file),
+                                columns=[child_key]).map_batches(
+            lambda b, k=child_key: b.astype({k: "int64"}),
+            batch_format="pandas")
+        parent = rd.read_parquet(os.path.join(sf_dir, parent_file),
+                                 columns=[parent_key])
+        return int(exchange_join(child, parent, on=child_key,
+                                 right_on=parent_key, how="anti",
+                                 n_partitions=None).count())
+
+    rows = [
+        ("lineitem.l_orderkey->orders",
+         orphans("lineitem.parquet", "l_orderkey",
+                 "orders.parquet", "o_orderkey")),
+        ("lineitem.l_partkey->part",
+         orphans("lineitem.parquet", "l_partkey",
+                 "part.parquet", "p_partkey")),
+        ("lineitem.l_suppkey->supplier",
+         orphans("lineitem.parquet", "l_suppkey",
+                 "supplier.parquet", "s_suppkey")),
+        ("orders.o_custkey->customer",
+         orphans("orders.parquet", "o_custkey",
+                 "customer.parquet", "c_custkey")),
+    ]
+    out = pd.DataFrame(rows, columns=["fk", "n_orphans"])
+    out["n_orphans"] = out["n_orphans"].astype("int64")
+    return out.sort_values("fk").reset_index(drop=True)
+
+
 def q_events_markov(sf_dir: str):
     """Per-user event-type transition matrix (first-order Markov counts —
     the sequence-mining aggregate behind 'what do users do NEXT').  One
@@ -6063,6 +6103,7 @@ def queries() -> Dict[str, Callable]:
         "rag_bm25_rerank": q_rag_bm25_rerank,
         "multimodal_transcribe": q_multimodal_transcribe,
         "events_markov": q_events_markov,
+        "fk_violations": q_fk_violations,
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_qualified_shippers": q_q20_qualified_shippers,
         "q21_late_supplier": q_q21_late_supplier,
@@ -8951,6 +8992,24 @@ SELECT o_year,
 FROM vol
 GROUP BY o_year
 ORDER BY o_year
+"""
+
+ORACLE_SQL["fk_violations"] = r"""
+SELECT fk, CAST(n_orphans AS BIGINT) AS n_orphans FROM (VALUES
+  ('lineitem.l_orderkey->orders',
+   (SELECT count(*) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))),
+  ('lineitem.l_partkey->part',
+   (SELECT count(*) FROM lineitem
+    WHERE l_partkey NOT IN (SELECT p_partkey FROM part))),
+  ('lineitem.l_suppkey->supplier',
+   (SELECT count(*) FROM lineitem
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))),
+  ('orders.o_custkey->customer',
+   (SELECT count(*) FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+) AS t(fk, n_orphans)
+ORDER BY fk
 """
 
 ORACLE_SQL["events_markov"] = r"""

@@ -343,3 +343,54 @@ def test_events_markov_synthetic_parity(ray_session, tmp_path):
     assert as_dict[("a", "b")] == 1 and as_dict[("b", "c")] == 2
     assert as_dict[("c", "d")] == 1 and as_dict[("a", "a")] == 1
     assert sum(as_dict.values()) == 5
+
+
+def test_fk_violations_counts_orphans(ray_session, tmp_path):
+    """The gate actually counts: plant orphans on every FK edge (including
+    duplicates of one orphan key — each ROW counts) and pin the per-edge
+    totals against DuckDB and by hand."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_fk_violations
+
+    d = str(tmp_path)
+    pd.DataFrame({"o_orderkey": [1, 2], "o_custkey": [10, 99],  # 99 orphan
+                  "o_orderstatus": ["F", "O"], "o_totalprice": [0.0, 0.0],
+                  "o_orderdate": pd.to_datetime(["1996-01-01"] * 2),
+                  "o_orderpriority": ["1-URGENT"] * 2,
+                  }).to_parquet(os.path.join(d, "orders.parquet"))
+    pd.DataFrame({"c_custkey": [10], "c_name": ["c"], "c_nationkey": [1],
+                  "c_acctbal": [0.0], "c_mktsegment": ["X"],
+                  }).to_parquet(os.path.join(d, "customer.parquet"))
+    pd.DataFrame({"p_partkey": [5], "p_name": ["small ring"],
+                  "p_brand": ["Brand#11"], "p_type": ["ECONOMY"],
+                  "p_size": [1], "p_retailprice": [1.0],
+                  }).to_parquet(os.path.join(d, "part.parquet"))
+    pd.DataFrame({"s_suppkey": [7], "s_name": ["s"], "s_nationkey": [1],
+                  "s_acctbal": [0.0],
+                  }).to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({
+        # rows: clean / orphan order (x2 dup key: both rows count) /
+        # orphan part / orphan supplier
+        "l_orderkey": [1, 33, 33, 1, 1],
+        "l_partkey": [5, 5, 5, 44, 5],
+        "l_suppkey": [7, 7, 7, 7, 55],
+        "l_linenumber": [1, 1, 2, 2, 3],
+        "l_quantity": [1.0] * 5, "l_extendedprice": [1.0] * 5,
+        "l_discount": [0.0] * 5, "l_tax": [0.0] * 5,
+        "l_returnflag": ["N"] * 5, "l_linestatus": ["O"] * 5,
+        "l_shipdate": pd.to_datetime(["1996-02-01"] * 5),
+    }).to_parquet(os.path.join(d, "lineitem.parquet"))
+
+    got = q_fk_violations(d)
+    con = duckdb.connect()
+    for t in ("orders", "customer", "part", "supplier", "lineitem"):
+        con.execute(f"create view {t} as select * from "
+                    f"'{os.path.join(d, t + '.parquet')}'")
+    exp = con.execute(ORACLE_SQL["fk_violations"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    as_dict = dict(zip(got["fk"], got["n_orphans"]))
+    assert as_dict["lineitem.l_orderkey->orders"] == 2  # dup orphan rows
+    assert as_dict["lineitem.l_partkey->part"] == 1
+    assert as_dict["lineitem.l_suppkey->supplier"] == 1
+    assert as_dict["orders.o_custkey->customer"] == 1
