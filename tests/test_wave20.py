@@ -394,3 +394,25 @@ def test_fk_violations_counts_orphans(ray_session, tmp_path):
     assert as_dict["lineitem.l_partkey->part"] == 1
     assert as_dict["lineitem.l_suppkey->supplier"] == 1
     assert as_dict["orders.o_custkey->customer"] == 1
+
+
+def test_query_surface_contract():
+    """Every queries() entry is either DuckDB-oracle-checked or on the
+    DOCUMENTED rows-only list (each rows-only entry has a dedicated
+    replica/recall pytest).  A new query landing without an oracle now
+    fails here instead of silently weakening the correctness gate."""
+    import __ray_entry__ as e
+
+    qs, sql = e.queries(), e.oracle_sql()
+    ROWS_ONLY = {
+        "ann_ivf", "ann_lsh_topk",            # recall pytests
+        "rag_embed_answer", "rag_model_answer",  # replica pytests
+        "multimodal_transcribe",              # A5 generative replica pytest
+        "transcripts_extract", "transcripts_segments",
+        "transcripts_benchmark",              # engine x layout timing matrix
+        "transcripts_model_rescore", "transcripts_dpo_pairs",
+    }
+    assert set(sql) <= set(qs), "oracle without a query"
+    assert set(qs) - set(sql) == ROWS_ONLY, (
+        "rows-only set drifted: " + repr(sorted(set(qs) - set(sql))))
+    assert len(qs) >= 189
