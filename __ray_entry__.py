@@ -5,10 +5,14 @@ deterministic synthetic transcript table; ``queries()`` exposes one callable
 per implemented operator (SURVEY §2 / COVERAGE.md) over the sf parquet
 tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
 SQL-expressible query.  Rows-only entries (each with a pytest covering its
-semantics instead): ann_ivf / ann_lsh_topk (genuinely approximate —
-recall-vs-brute-force pytests), rag_embed_answer (reference-verbatim
-np.argsort tie order on heavily tied chunk sims — replica pytest; measured
-150+ docs with exact top-rank ties, so no SQL ordering can match), and
+semantics instead; pinned by tests/test_wave20.py::test_query_surface_contract):
+ann_ivf / ann_lsh_topk (genuinely approximate — recall-vs-brute-force
+pytests), rag_embed_answer / rag_model_answer (reference-verbatim
+np.argsort tie order on heavily tied chunk sims — replica pytests; measured
+150+ docs with exact top-rank ties, so no SQL ordering can match),
+multimodal_transcribe (autoregressive generation — bit-exact replica
+pytest), transcripts_model_rescore / transcripts_dpo_pairs (model-scored
+transcript waves — replica pytests), and
 transcripts_extract / transcripts_segments / transcripts_benchmark
 (synthesized inputs; generator-oracle parity is pytest-checked AND the
 per-turn equality invariant is driver-value-checked via
