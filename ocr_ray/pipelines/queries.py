@@ -5559,6 +5559,84 @@ def q_q9_profit(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_q2_min_shipper(sf_dir: str):
+    """TPC-H Q2-style minimum-cost supplier, adapted (no partsupp table:
+    'cost' becomes total shipped quantity): for every size-15 part, the
+    EUROPE-region supplier that shipped the LEAST of it — the per-group
+    argmin-with-correlated-subquery shape, flattened distributed: a
+    per-batch (partkey, suppkey) quantity combiner, ONE exchange keyed on
+    (partkey, suppkey) partials, then a partkey exchange where each
+    partition takes its groups' argmin vectorized (sort + groupby-head,
+    ties to the lowest suppkey).  Part-size membership and the
+    region-supplier set ride the fact scan as broadcasts; exact integer
+    centiunits make the min equality reproducible."""
+    import ray as _ray
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    SIZE, REGION = 15, "EUROPE"
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    rkey = region.loc[region["r_name"] == REGION, "r_regionkey"].astype(int)
+    rnations = set(nation.loc[nation["n_regionkey"].isin(rkey),
+                              "n_nationkey"].astype(int))
+    supp = pd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                           columns=["s_suppkey", "s_name", "s_nationkey"])
+    supp = supp[supp["s_nationkey"].astype(int).isin(rnations)]
+    sref = _broadcast_sorted_lookup(supp, "s_suppkey", [])
+    part = pd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_size"])
+    pref = _broadcast_sorted_lookup(part[part["p_size"] == SIZE],
+                                    "p_partkey", [])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pkeys, = _ray.get(pref)
+        skeys, = _ray.get(sref)
+        _, m_p = _probe_sorted(pkeys, b["l_partkey"].to_numpy())
+        b = b[m_p]
+        _, m_s = _probe_sorted(skeys, b["l_suppkey"].to_numpy())
+        b = b[m_s]  # INNER semantics: non-region suppliers drop
+        qty_c = np.floor(b["l_quantity"].to_numpy() * 100 + 0.5).astype("int64")
+        return (pd.DataFrame({"p_partkey": b["l_partkey"].to_numpy(),
+                              "s_suppkey": b["l_suppkey"].to_numpy(),
+                              "qty_c": qty_c})
+                .groupby(["p_partkey", "s_suppkey"], as_index=False).sum())
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+    totals = hash_aggregate(
+        li.map_batches(partial, batch_format="pandas"),
+        keys=["p_partkey", "s_suppkey"], aggs={"qty_c": "sum"},
+        n_partitions=None,
+    )
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g) or "p_partkey" not in g.columns:
+            return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                                 "s_suppkey": pd.Series(dtype="int64"),
+                                 "qty_c": pd.Series(dtype="int64")})
+        g = g.sort_values(["p_partkey", "qty_c", "s_suppkey"],
+                          kind="mergesort")
+        return g.groupby("p_partkey", as_index=False).head(1)
+
+    out = exchange_map_partitions(totals, "p_partkey", argmin,
+                                  n_partitions=None).to_pandas()
+    empty = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                          "s_suppkey": pd.Series(dtype="int64"),
+                          "s_name": pd.Series(dtype=object),
+                          "qty_c": pd.Series(dtype="int64")})
+    if not len(out) or "p_partkey" not in out.columns:
+        return empty
+    out = out.merge(supp[["s_suppkey", "s_name"]], on="s_suppkey")
+    if not len(out):
+        return empty
+    out = out.astype({"p_partkey": "int64", "s_suppkey": "int64",
+                      "qty_c": "int64"})
+    return (out[["p_partkey", "s_suppkey", "s_name", "qty_c"]]
+            .sort_values("p_partkey").reset_index(drop=True))
+
+
 def q_q12_ship_lag(sf_dir: str):
     """TPC-H Q12-style shipping-lag priority check (no l_shipmode column
     here, so the Q12 mode split becomes the high/low priority split): for
@@ -6104,6 +6182,7 @@ def queries() -> Dict[str, Callable]:
         "multimodal_transcribe": q_multimodal_transcribe,
         "events_markov": q_events_markov,
         "fk_violations": q_fk_violations,
+        "q2_min_shipper": q_q2_min_shipper,
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_qualified_shippers": q_q20_qualified_shippers,
         "q21_late_supplier": q_q21_late_supplier,
@@ -8992,6 +9071,29 @@ SELECT o_year,
 FROM vol
 GROUP BY o_year
 ORDER BY o_year
+"""
+
+ORACLE_SQL["q2_min_shipper"] = r"""
+WITH t AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND r_name = 'EUROPE'
+  GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY qty_c, s_suppkey) AS rn
+  FROM t)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+       CAST(r.s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(qty_c AS BIGINT) AS qty_c
+FROM r JOIN supplier ON supplier.s_suppkey = r.s_suppkey
+WHERE rn = 1
+ORDER BY p_partkey
 """
 
 ORACLE_SQL["fk_violations"] = r"""

@@ -416,3 +416,54 @@ def test_query_surface_contract():
     assert set(qs) - set(sql) == ROWS_ONLY, (
         "rows-only set drifted: " + repr(sorted(set(qs) - set(sql))))
     assert len(qs) >= 189
+
+
+def test_q2_min_shipper_argmin_edges(ray_session, tmp_path):
+    """Per-group argmin edges on a hand-built schema: exact qty ties break
+    to the LOWEST suppkey, non-region suppliers never contend (even when
+    they shipped less), and a part whose only shippers are out-of-region
+    vanishes (inner semantics)."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_q2_min_shipper
+
+    d = str(tmp_path)
+    pd.DataFrame({"r_regionkey": [0, 1], "r_name": ["EUROPE", "ASIA"],
+                  }).to_parquet(os.path.join(d, "region.parquet"))
+    pd.DataFrame({"n_nationkey": [1, 2], "n_name": ["N1", "N2"],
+                  "n_regionkey": [0, 1],
+                  }).to_parquet(os.path.join(d, "nation.parquet"))
+    pd.DataFrame({"s_suppkey": [1, 2, 3], "s_name": ["a", "b", "c"],
+                  "s_nationkey": [1, 1, 2],  # s3 out of region
+                  "s_acctbal": [0.0] * 3,
+                  }).to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({"p_partkey": [10, 20, 30],
+                  "p_name": ["x", "y", "z"], "p_brand": ["B"] * 3,
+                  "p_type": ["T"] * 3, "p_size": [15, 15, 15],
+                  "p_retailprice": [1.0] * 3,
+                  }).to_parquet(os.path.join(d, "part.parquet"))
+    pd.DataFrame({
+        # part 10: s1 and s2 tie at 5.0 -> s1 wins (lowest suppkey);
+        #          s3 shipped only 1.0 but is out of region -> ignored
+        # part 20: s2 (3.0) beats s1 (4.0)
+        # part 30: only s3 shipped it -> part absent from the result
+        "l_orderkey": [1] * 6, "l_linenumber": list(range(1, 7)),
+        "l_partkey": [10, 10, 10, 20, 20, 30],
+        "l_suppkey": [1, 2, 3, 1, 2, 3],
+        "l_quantity": [5.0, 5.0, 1.0, 4.0, 3.0, 2.0],
+        "l_extendedprice": [1.0] * 6, "l_discount": [0.0] * 6,
+        "l_tax": [0.0] * 6, "l_returnflag": ["N"] * 6,
+        "l_linestatus": ["O"] * 6,
+        "l_shipdate": pd.to_datetime(["1996-01-01"] * 6),
+    }).to_parquet(os.path.join(d, "lineitem.parquet"))
+
+    got = q_q2_min_shipper(d)
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "part", "lineitem"):
+        con.execute(f"create view {t} as select * from "
+                    f"'{os.path.join(d, t + '.parquet')}'")
+    exp = con.execute(ORACLE_SQL["q2_min_shipper"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["p_partkey"].tolist() == [10, 20]
+    assert got["s_suppkey"].tolist() == [1, 2]   # tie -> lowest key; then min
+    assert got["qty_c"].tolist() == [500, 300]
