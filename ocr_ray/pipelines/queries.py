@@ -5637,6 +5637,41 @@ def q_q2_min_shipper(sf_dir: str):
             .sort_values("p_partkey").reset_index(drop=True))
 
 
+def q_q11_value_concentration(sf_dir: str):
+    """TPC-H Q11-style value concentration (no partsupp: 'stock value'
+    becomes shipped extendedprice): suppliers whose total shipped value
+    exceeds 1/1000 of the corpus total — the HAVING-over-a-global-scalar
+    shape.  One combiner + supplier-cardinality exchange builds the
+    per-supplier totals; the global total is the exact integer sum of
+    that tiny aggregate; the threshold compare is the cross-multiplied
+    integer ``val_c * 1000 > total_c`` so the fraction never floats
+    (val_c <= ~2^47 at any SF keeps the x1000 inside int64)."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100 + 0.5
+                         ).astype("int64")
+        return (pd.DataFrame({"s_suppkey": b["l_suppkey"].to_numpy(),
+                              "val_c": cents})
+                .groupby("s_suppkey", as_index=False).sum())
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_suppkey", "l_extendedprice"])
+    agg = hash_aggregate(
+        li.map_batches(partial, batch_format="pandas"),
+        keys=["s_suppkey"], aggs={"val_c": "sum"}, n_partitions=None,
+    ).to_pandas()
+    empty = pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                          "val_c": pd.Series(dtype="int64")})
+    if not len(agg) or "s_suppkey" not in agg.columns:
+        return empty
+    total_c = int(agg["val_c"].sum())
+    out = agg[agg["val_c"].to_numpy() * 1000 > total_c]
+    out = out.astype({"s_suppkey": "int64", "val_c": "int64"})
+    return (out[["s_suppkey", "val_c"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
 def q_q12_ship_lag(sf_dir: str):
     """TPC-H Q12-style shipping-lag priority check (no l_shipmode column
     here, so the Q12 mode split becomes the high/low priority split): for
@@ -6183,6 +6218,7 @@ def queries() -> Dict[str, Callable]:
         "events_markov": q_events_markov,
         "fk_violations": q_fk_violations,
         "q2_min_shipper": q_q2_min_shipper,
+        "q11_value_concentration": q_q11_value_concentration,
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_qualified_shippers": q_q20_qualified_shippers,
         "q21_late_supplier": q_q21_late_supplier,
@@ -9071,6 +9107,18 @@ SELECT o_year,
 FROM vol
 GROUP BY o_year
 ORDER BY o_year
+"""
+
+ORACLE_SQL["q11_value_concentration"] = r"""
+WITH t AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS val_c
+  FROM lineitem GROUP BY 1),
+g AS (SELECT sum(val_c) AS total_c FROM t)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, CAST(val_c AS BIGINT) AS val_c
+FROM t, g
+WHERE val_c * 1000 > total_c
+ORDER BY s_suppkey
 """
 
 ORACLE_SQL["q2_min_shipper"] = r"""
