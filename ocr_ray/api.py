@@ -1207,3 +1207,44 @@ def bm25_search(
     from ocr_ray.stages.rag import bm25_topk
 
     return bm25_topk(docs, query_terms, k=k, k1=k1, b=b)
+
+
+def transition_matrix(sf_dir: str) -> "pd.DataFrame":
+    """Per-user event-type transition counts (queries.q_events_markov):
+    one user_id exchange, vectorized consecutive-pair shift, bounded
+    |event_types|^2 rollup."""
+    from ocr_ray.pipelines.queries import q_events_markov
+
+    return q_events_markov(sf_dir)
+
+
+def fk_check(sf_dir: str) -> "pd.DataFrame":
+    """Referential-integrity gate (queries.q_fk_violations): orphan-key
+    counts per FK edge via key-column-only ANTI exchanges.  Nonzero cell
+    -> quarantine the ingest shard."""
+    from ocr_ray.pipelines.queries import q_fk_violations
+
+    return q_fk_violations(sf_dir)
+
+
+def transcribe_payloads(
+    docs: "rd.Dataset",
+    artifact_path: str,
+    max_len: int = 64,
+    concurrency: int = 2,
+    batch_size: int = 64,
+) -> "rd.Dataset":
+    """Generative model-backed transcription over a binary ``payload``
+    column (stages/model_engine.py:ModelTranscriber — the A5 contract:
+    load-once artifact, autoregressive generate, min(1, len/100)
+    confidence, in-band nulls)."""
+    from ocr_ray.stages.model_engine import ModelTranscriber
+
+    return docs.map_batches(
+        ModelTranscriber,
+        fn_constructor_kwargs={"artifact_path": artifact_path,
+                               "max_len": max_len},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pandas",
+    )
