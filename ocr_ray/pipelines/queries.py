@@ -3757,6 +3757,57 @@ def q_fk_violations(sf_dir: str):
     return out.sort_values("fk").reset_index(drop=True)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Keyed snapshot diff (stages/validate.py:snapshot_diff — the
+    did-the-new-pipeline-version-change-anything regression primitive):
+    diff the orders table against a deterministically mutated second
+    snapshot (urgent orders dropped = removed, odd keys repriced =
+    changed, every 97th key re-added under a shifted id = added) and
+    report per-status counts.  Each side ships (key, row-fingerprint)
+    only — payload columns never move; ONE key exchange merges the
+    fingerprints; the rollup is a 4-row aggregate."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.validate import snapshot_diff
+
+    def side_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["o_orderkey"].to_numpy(),
+                             "p": b["o_totalprice"].to_numpy()})
+
+    def side_b(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["o_orderkey"].to_numpy()
+        p = b["o_totalprice"].to_numpy()
+        keep = (b["o_orderpriority"] != "1-URGENT").to_numpy()
+        base = pd.DataFrame({"k": k[keep],
+                             "p": np.where(k[keep] % 2 == 1,
+                                           p[keep] + 1.0, p[keep])})
+        add = pd.DataFrame({"k": k[k % 97 == 0] + 1_000_000_000,
+                            "p": p[k % 97 == 0]})
+        return pd.concat([base, add], ignore_index=True)
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    left = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                           columns=cols[:2]).map_batches(
+        side_a, batch_format="pandas")
+    right = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=cols).map_batches(
+        side_b, batch_format="pandas")
+    d = snapshot_diff(left, right, key_col="k", compare_cols=["p"],
+                      n_partitions=None)
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n=np.int64(1))
+        return b.groupby("status", as_index=False)[["n"]].sum()
+
+    out = hash_aggregate(d.map_batches(cnt, batch_format="pandas"),
+                         keys=["status"], aggs={"n": "sum"},
+                         n_partitions=2).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"status": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("status").reset_index(drop=True)
+
+
 def q_events_markov(sf_dir: str):
     """Per-user event-type transition matrix (first-order Markov counts —
     the sequence-mining aggregate behind 'what do users do NEXT').  One
@@ -6219,6 +6270,7 @@ def queries() -> Dict[str, Callable]:
         "fk_violations": q_fk_violations,
         "q2_min_shipper": q_q2_min_shipper,
         "q11_value_concentration": q_q11_value_concentration,
+        "snapshot_diff": q_snapshot_diff,
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "q20_qualified_shippers": q_q20_qualified_shippers,
         "q21_late_supplier": q_q21_late_supplier,
@@ -9107,6 +9159,23 @@ SELECT o_year,
 FROM vol
 GROUP BY o_year
 ORDER BY o_year
+"""
+
+ORACLE_SQL["snapshot_diff"] = r"""
+WITH a AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderpriority AS pr
+           FROM orders),
+b0 AS (SELECT k, CASE WHEN k % 2 = 1 THEN p + 1 ELSE p END AS p
+       FROM a WHERE pr <> '1-URGENT'),
+badd AS (SELECT k + 1000000000 AS k, p FROM a WHERE k % 97 = 0),
+b AS (SELECT * FROM b0 UNION ALL SELECT * FROM badd),
+j AS (
+  SELECT CASE WHEN a2.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'removed'
+              WHEN a2.p = b.p THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM (SELECT k, p FROM a) a2 FULL OUTER JOIN b ON a2.k = b.k)
+SELECT status, CAST(count(*) AS BIGINT) AS n
+FROM j GROUP BY 1 ORDER BY 1
 """
 
 ORACLE_SQL["q11_value_concentration"] = r"""

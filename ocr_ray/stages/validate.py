@@ -148,3 +148,81 @@ def contract_check(
                 "null_idx", "bad_enum", "null_ts", "oversize_text"]
         return pd.DataFrame([{c: np.int64(0) for c in cols}])
     return combine(out)
+
+
+def snapshot_diff(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    key_col: str,
+    compare_cols: "list[str]",
+    n_partitions: "int | None" = None,
+) -> "rd.Dataset":
+    """Keyed diff between two table snapshots — the pipeline-regression
+    primitive (did the new extractor version change anything, and what):
+    one row per key with status ``added`` (right only), ``removed`` (left
+    only), ``changed`` (both sides, any compare column differs) or
+    ``unchanged``.
+
+    Scale shape: each side reduces per batch to ``(key, row_hash)`` —
+    ``pd.util.hash_pandas_object`` over the compare columns, so payloads
+    never ship — then ONE hash exchange on the key merges the two
+    fingerprint tables per partition.  Duplicate keys within a side are
+    rejected loudly (a diff over a non-key is meaningless; dedup first).
+
+    NULL semantics: hash_pandas_object folds nulls deterministically, so
+    null-vs-value compares as changed and null-vs-null as unchanged —
+    matching ``IS NOT DISTINCT FROM`` column-wise.
+    """
+    import numpy as np
+
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def fp(side: int):
+        def inner(b: pd.DataFrame) -> pd.DataFrame:
+            if b[key_col].isna().any():
+                # the per-partition pivot would silently drop null-keyed
+                # rows (pandas groups the pivot index with dropna=True and
+                # exposes no switch) — refuse instead of under-reporting
+                raise ValueError(
+                    f"snapshot_diff: null {key_col} in side {side}; "
+                    "diff keys must be non-null")
+            h = pd.util.hash_pandas_object(
+                b[compare_cols], index=False).to_numpy(dtype="uint64")
+            return pd.DataFrame({
+                key_col: b[key_col].to_numpy(),
+                "_h": h.astype("int64"),  # int64 for Arrow friendliness
+                "_side": np.int64(side),
+            })
+        return inner
+
+    tagged = left.map_batches(fp(0), batch_format="pandas").union(
+        right.map_batches(fp(1), batch_format="pandas"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key_col: pd.Series(dtype="object"),
+                              "status": pd.Series(dtype="object")})
+        if not len(g) or "_side" not in g.columns:
+            return empty  # all-empty exchange carries the pre-map schema
+        piv = g.pivot_table(index=key_col, columns="_side", values="_h",
+                            aggfunc="count", dropna=False)
+        l_cnt = piv[0] if 0 in piv.columns else pd.Series(0, index=piv.index)
+        r_cnt = piv[1] if 1 in piv.columns else pd.Series(0, index=piv.index)
+        dup = (l_cnt.fillna(0) > 1) | (r_cnt.fillna(0) > 1)
+        if dup.any():
+            raise ValueError(
+                f"snapshot_diff: duplicate {key_col} within a side for "
+                f"{int(dup.sum())} key(s) (e.g. {dup[dup].index[0]!r}) — "
+                "dedup before diffing")
+        hv = g.pivot_table(index=key_col, columns="_side", values="_h",
+                           aggfunc="first", dropna=False)
+        l_h = hv[0] if 0 in hv.columns else pd.Series(np.nan, index=hv.index)
+        r_h = hv[1] if 1 in hv.columns else pd.Series(np.nan, index=hv.index)
+        status = np.where(
+            l_h.isna(), "added",
+            np.where(r_h.isna(), "removed",
+                     np.where(l_h == r_h, "unchanged", "changed")))
+        return pd.DataFrame({key_col: hv.index.to_numpy(),
+                             "status": status})
+
+    return exchange_map_partitions(tagged, key_col, merge,
+                                   n_partitions=n_partitions)

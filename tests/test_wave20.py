@@ -467,3 +467,42 @@ def test_q2_min_shipper_argmin_edges(ray_session, tmp_path):
     assert got["p_partkey"].tolist() == [10, 20]
     assert got["s_suppkey"].tolist() == [1, 2]   # tie -> lowest key; then min
     assert got["qty_c"].tolist() == [500, 300]
+
+
+def test_snapshot_diff_semantics(ray_session):
+    """snapshot_diff per-row statuses on hand-built sides: added / removed
+    / changed / unchanged all present, null-vs-null compares unchanged and
+    null-vs-value changed (hash fold = IS NOT DISTINCT FROM), duplicate
+    keys within a side rejected loudly, null keys rejected loudly."""
+    import pytest
+    import ray.data as rd
+
+    from ocr_ray.stages.validate import snapshot_diff
+
+    left = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 4, 5],
+        "v": ["a", "b", None, "d", None],
+    }))
+    right = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3, 5, 9],
+        # 1 unchanged, 2 changed, 3 null->value changed, 5 null==null
+        # unchanged; 4 removed; 9 added
+        "v": ["a", "B", "c", None, "z"],
+    }))
+    out = snapshot_diff(left, right, key_col="k",
+                        compare_cols=["v"]).to_pandas()
+    got = dict(zip(out["k"].astype(int), out["status"]))
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "unchanged", 9: "added"}
+
+    dup = rd.from_pandas(pd.DataFrame({"k": [1, 1], "v": ["a", "b"]}))
+    with pytest.raises(Exception, match="duplicate k"):
+        snapshot_diff(dup, right, key_col="k",
+                      compare_cols=["v"]).to_pandas()
+
+    nullk = rd.from_pandas(pd.DataFrame({"k": pd.array([1, None],
+                                                       dtype="Int64"),
+                                         "v": ["a", "b"]}))
+    with pytest.raises(Exception, match="null k"):
+        snapshot_diff(nullk, right, key_col="k",
+                      compare_cols=["v"]).to_pandas()
