@@ -1248,3 +1248,20 @@ def transcribe_payloads(
         batch_size=batch_size,
         batch_format="pandas",
     )
+
+
+def table_diff(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    key_col: str,
+    compare_cols: list,
+    n_partitions: "int | None" = None,
+) -> "rd.Dataset":
+    """Keyed snapshot diff (stages/validate.py:snapshot_diff): one row per
+    key with status added/removed/changed/unchanged; sides ship
+    (key, fingerprint) only."""
+    from ocr_ray.stages.validate import snapshot_diff
+
+    return snapshot_diff(left, right, key_col=key_col,
+                         compare_cols=compare_cols,
+                         n_partitions=n_partitions)
