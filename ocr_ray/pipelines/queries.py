@@ -3724,19 +3724,34 @@ def q_fk_violations(sf_dir: str):
     check is one bounded exchange and a count, never a row
     materialization.  A nonzero cell quarantines the ingest shard before
     any downstream join silently drops (inner) or null-pads (left) the
-    orphans."""
+    orphans.
+
+    NULL child keys ARE violations (they reference nothing): they are
+    counted via a per-batch null-count partial on the same pruned scan —
+    the int64 cast would crash on them and the hash exchange would never
+    match them, and the naive SQL ``NOT IN`` silently drops them, which
+    is exactly the under-report an integrity gate must not make."""
     from ocr_ray.stages.join import exchange_join
 
     def orphans(child_file, child_key, parent_file, parent_key):
         child = rd.read_parquet(os.path.join(sf_dir, child_file),
-                                columns=[child_key]).map_batches(
-            lambda b, k=child_key: b.astype({k: "int64"}),
+                                columns=[child_key])
+
+        def null_partial(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"n": [int(b[child_key].isna().sum())]})
+
+        nulls_df = child.map_batches(
+            null_partial, batch_format="pandas").to_pandas()
+        n_null = int(nulls_df["n"].sum()) if "n" in nulls_df.columns else 0
+
+        nonnull = child.map_batches(
+            lambda b, k=child_key: b[b[k].notna()].astype({k: "int64"}),
             batch_format="pandas")
         parent = rd.read_parquet(os.path.join(sf_dir, parent_file),
                                  columns=[parent_key])
-        return int(exchange_join(child, parent, on=child_key,
-                                 right_on=parent_key, how="anti",
-                                 n_partitions=None).count())
+        return n_null + int(exchange_join(nonnull, parent, on=child_key,
+                                          right_on=parent_key, how="anti",
+                                          n_partitions=None).count())
 
     rows = [
         ("lineitem.l_orderkey->orders",
@@ -5232,8 +5247,10 @@ def q_q6_forecast(sf_dir: str):
         ),
     )
     out = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    return pd.DataFrame({"rev_cpm": [np.int64(out["rev_cpm"].sum())],
-                         "n_rows": [np.int64(out["n_rows"].sum())]})
+    # all-empty scan: Ray drops columns on an all-empty Dataset output
+    rev = out["rev_cpm"].sum() if "rev_cpm" in out.columns else 0
+    n = out["n_rows"].sum() if "n_rows" in out.columns else 0
+    return pd.DataFrame({"rev_cpm": [np.int64(rev)], "n_rows": [np.int64(n)]})
 
 
 def _probe_sorted(keys: np.ndarray, probe: np.ndarray):
@@ -5259,9 +5276,12 @@ def _broadcast_part_lookup(sf_dir: str, cols):
     results, one extra all-to-all."""
     import ray as _ray
 
-    part = rd.read_parquet(
+    # driver-local dimension read: pd.read_parquet preserves the schema
+    # even for an all-empty table (rd...to_pandas() drops columns there,
+    # turning the column access below into a KeyError)
+    part = pd.read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"] + cols
-    ).to_pandas().sort_values("p_partkey")
+    ).sort_values("p_partkey")
     return _ray.put(tuple([part["p_partkey"].to_numpy()]
                           + [part[c].to_numpy() for c in cols]))
 
@@ -5306,10 +5326,12 @@ def q_q14_promo(sf_dir: str):
         ),
     )
     out = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # all-empty scan: Ray drops columns on an all-empty Dataset output
+    get = lambda c: out[c].sum() if c in out.columns else 0  # noqa: E731
     return pd.DataFrame({
-        "promo_cpm": [np.int64(out["promo_cpm"].sum())],
-        "total_cpm": [np.int64(out["total_cpm"].sum())],
-        "n_rows": [np.int64(out["n_rows"].sum())],
+        "promo_cpm": [np.int64(get("promo_cpm"))],
+        "total_cpm": [np.int64(get("total_cpm"))],
+        "n_rows": [np.int64(get("n_rows"))],
     })
 
 
@@ -5351,8 +5373,10 @@ def q_q19_brand_qty(sf_dir: str):
         columns=["l_partkey", "l_quantity", "l_discount", "l_extendedprice"],
     )
     out = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    return pd.DataFrame({"rev_cpm": [np.int64(out["rev_cpm"].sum())],
-                         "n_rows": [np.int64(out["n_rows"].sum())]})
+    # all-empty scan: Ray drops columns on an all-empty Dataset output
+    rev = out["rev_cpm"].sum() if "rev_cpm" in out.columns else 0
+    n = out["n_rows"].sum() if "n_rows" in out.columns else 0
+    return pd.DataFrame({"rev_cpm": [np.int64(rev)], "n_rows": [np.int64(n)]})
 
 
 def q_q15_top_supplier(sf_dir: str):
@@ -5395,10 +5419,10 @@ def q_q15_top_supplier(sf_dir: str):
     if not len(agg):
         return empty
     top = agg[agg["total_rev_cpm"] == agg["total_rev_cpm"].max()]
-    supp = rd.read_parquet(
+    supp = pd.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_name"],
-    ).to_pandas()
+    )  # driver-local dim read; schema survives an all-empty table
     out = top.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
     if not len(out):
         return empty  # orphan suppkeys only: INNER join leaves nothing
@@ -5443,23 +5467,24 @@ def q_q8_market_share(sf_dir: str):
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
     TARGET_NATION, PTYPE, REGION = "NATION_7", "ECONOMY", "ASIA"
 
-    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
-    region = rd.read_parquet(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    # driver-local dim reads; schema survives an all-empty table
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    region = pd.read_parquet(os.path.join(sf_dir, "region.parquet"))
     rkey = region.loc[region["r_name"] == REGION, "r_regionkey"].astype(int)
     region_nations = set(
         nation.loc[nation["n_regionkey"].isin(rkey), "n_nationkey"].astype(int))
     target_keys = set(
         nation.loc[nation["n_name"] == TARGET_NATION, "n_nationkey"].astype(int))
 
-    part = rd.read_parquet(
+    part = pd.read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
-    ).to_pandas()
+    )
     pref = _broadcast_sorted_lookup(
         part[part["p_type"] == PTYPE], "p_partkey", [])
-    supp = rd.read_parquet(
+    supp = pd.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_nationkey"],
-    ).to_pandas()
+    )
     sref = _broadcast_sorted_lookup(supp, "s_suppkey", ["s_nationkey"])
 
     def li_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -5510,6 +5535,11 @@ def q_q8_market_share(sf_dir: str):
                       n_partitions=None)
 
     def year_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b) or "o_orderdate" not in b.columns:
+            # pre-map schema guard: empty exchange partitions are column-less
+            return pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                                 "target_cpm": pd.Series(dtype="int64"),
+                                 "total_cpm": pd.Series(dtype="int64")})
         return (b.assign(o_year=b["o_orderdate"].dt.year.astype("int64"))
                 .groupby("o_year", as_index=False)[["target_cpm", "total_cpm"]]
                 .sum())
@@ -5545,19 +5575,20 @@ def q_q9_profit(sf_dir: str):
 
     NEEDLE = "gear"
 
-    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    # driver-local dim reads; schema survives an all-empty table
+    nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
     names = dict(zip(nation["n_nationkey"].astype(int),
                      nation["n_name"].astype(str)))
-    part = rd.read_parquet(
+    part = pd.read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
-    ).to_pandas()
+    )
     pref = _broadcast_sorted_lookup(
         part[part["p_name"].astype(str).str.contains(NEEDLE, regex=False)],
         "p_partkey", [])
-    supp = rd.read_parquet(
+    supp = pd.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_nationkey"],
-    ).to_pandas()
+    )
     sref = _broadcast_sorted_lookup(supp, "s_suppkey", ["s_nationkey"])
 
     def li_partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -5590,6 +5621,11 @@ def q_q9_profit(sf_dir: str):
                       n_partitions=None)
 
     def year_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b) or "o_orderdate" not in b.columns:
+            # pre-map schema guard: empty exchange partitions are column-less
+            return pd.DataFrame({"s_nationkey": pd.Series(dtype="int64"),
+                                 "o_year": pd.Series(dtype="int64"),
+                                 "profit_cpm": pd.Series(dtype="int64")})
         return (b.assign(o_year=b["o_orderdate"].dt.year.astype("int64"))
                 .groupby(["s_nationkey", "o_year"], as_index=False)
                 [["profit_cpm"]].sum())
@@ -9217,16 +9253,20 @@ ORACLE_SQL["fk_violations"] = r"""
 SELECT fk, CAST(n_orphans AS BIGINT) AS n_orphans FROM (VALUES
   ('lineitem.l_orderkey->orders',
    (SELECT count(*) FROM lineitem
-    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))),
+    WHERE l_orderkey IS NULL OR l_orderkey NOT IN
+      (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL))),
   ('lineitem.l_partkey->part',
    (SELECT count(*) FROM lineitem
-    WHERE l_partkey NOT IN (SELECT p_partkey FROM part))),
+    WHERE l_partkey IS NULL OR l_partkey NOT IN
+      (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL))),
   ('lineitem.l_suppkey->supplier',
    (SELECT count(*) FROM lineitem
-    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))),
+    WHERE l_suppkey IS NULL OR l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL))),
   ('orders.o_custkey->customer',
    (SELECT count(*) FROM orders
-    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+    WHERE o_custkey IS NULL OR o_custkey NOT IN
+      (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)))
 ) AS t(fk, n_orphans)
 ORDER BY fk
 """

@@ -237,7 +237,13 @@ def bm25_topk(
         out = {"doc_id": batch["doc_id"].to_numpy(), "dl": [],
                **{c: [] for c in tf_cols}}
         for text in batch["text"]:
-            toks = term_re.findall(str(text).lower())
+            # NULL text is an EMPTY document (dl=0, no terms) — str(None)
+            # would tokenize to the literal word "none", silently polluting
+            # dl/df stats and even matching a query term "none"
+            if text is None or (isinstance(text, float) and np.isnan(text)):
+                toks = []
+            else:
+                toks = term_re.findall(str(text).lower())
             out["dl"].append(len(toks))
             if toks:
                 from collections import Counter

@@ -1,0 +1,193 @@
+"""Wave-21 hardening: null FK keys are violations (not a crash / silent
+under-count), the wave-18 relational queries survive all-empty base tables
+(driver dim reads + schema guards), and BM25 treats NULL text as an empty
+document instead of the literal token "none"."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _write_star(d: str, *, lineitem=None, orders=None):
+    """Write a minimal star schema; lineitem/orders overridable."""
+    (lineitem if lineitem is not None else pd.DataFrame({
+        "l_orderkey": pd.Series(dtype="int64"),
+        "l_partkey": pd.Series(dtype="int64"),
+        "l_suppkey": pd.Series(dtype="int64"),
+        "l_linenumber": pd.Series(dtype="int32"),
+        "l_quantity": pd.Series(dtype="float64"),
+        "l_extendedprice": pd.Series(dtype="float64"),
+        "l_discount": pd.Series(dtype="float64"),
+        "l_tax": pd.Series(dtype="float64"),
+        "l_returnflag": pd.Series(dtype=object),
+        "l_linestatus": pd.Series(dtype=object),
+        "l_shipdate": pd.Series(dtype="datetime64[us]"),
+    })).to_parquet(os.path.join(d, "lineitem.parquet"))
+    (orders if orders is not None else pd.DataFrame({
+        "o_orderkey": pd.Series(dtype="int64"),
+        "o_custkey": pd.Series(dtype="int64"),
+        "o_orderstatus": pd.Series(dtype=object),
+        "o_totalprice": pd.Series(dtype="float64"),
+        "o_orderdate": pd.Series(dtype="datetime64[us]"),
+        "o_orderpriority": pd.Series(dtype=object),
+    })).to_parquet(os.path.join(d, "orders.parquet"))
+    pd.DataFrame({
+        "p_partkey": pd.Series(dtype="int64"),
+        "p_name": pd.Series(dtype=object),
+        "p_brand": pd.Series(dtype=object),
+        "p_type": pd.Series(dtype=object),
+        "p_size": pd.Series(dtype="int32"),
+        "p_retailprice": pd.Series(dtype="float64"),
+    }).to_parquet(os.path.join(d, "part.parquet"))
+    pd.DataFrame({
+        "s_suppkey": pd.Series(dtype="int64"),
+        "s_name": pd.Series(dtype=object),
+        "s_nationkey": pd.Series(dtype="int32"),
+        "s_acctbal": pd.Series(dtype="float64"),
+    }).to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({
+        "c_custkey": pd.Series(dtype="int64"),
+        "c_name": pd.Series(dtype=object),
+        "c_nationkey": pd.Series(dtype="int32"),
+        "c_acctbal": pd.Series(dtype="float64"),
+        "c_mktsegment": pd.Series(dtype=object),
+    }).to_parquet(os.path.join(d, "customer.parquet"))
+    pd.DataFrame({
+        "n_nationkey": pd.Series(dtype="int32"),
+        "n_name": pd.Series(dtype=object),
+        "n_regionkey": pd.Series(dtype="int32"),
+    }).to_parquet(os.path.join(d, "nation.parquet"))
+    pd.DataFrame({
+        "r_regionkey": pd.Series(dtype="int32"),
+        "r_name": pd.Series(dtype=object),
+    }).to_parquet(os.path.join(d, "region.parquet"))
+    pd.DataFrame({
+        "event_id": pd.Series(dtype="int64"),
+        "ts": pd.Series(dtype="datetime64[us]"),
+        "user_id": pd.Series(dtype="int64"),
+        "event_type": pd.Series(dtype=object),
+        "value": pd.Series(dtype="float64"),
+        "props": pd.Series(dtype=object),
+    }).to_parquet(os.path.join(d, "events.parquet"))
+    pd.DataFrame({
+        "doc_id": pd.Series(dtype="int64"),
+        "text": pd.Series(dtype=object),
+        "lang": pd.Series(dtype=object),
+        "source": pd.Series(dtype=object),
+        "n_chars": pd.Series(dtype="int64"),
+    }).to_parquet(os.path.join(d, "documents.parquet"))
+
+
+def test_null_fk_keys_are_violations(ray_session, tmp_path):
+    """A NULL child FK references nothing -> it IS an orphan.  The engine
+    must not crash on the int64 cast, and the oracle must not silently
+    drop it via naive NOT IN three-valued logic.  Engine == oracle ==
+    hand count."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_fk_violations
+
+    d = str(tmp_path)
+    lineitem = pd.DataFrame({
+        # row 0 clean; row 1 null partkey (violation); row 2 null suppkey
+        # AND orphan orderkey (two different edges each count once)
+        "l_orderkey": pd.array([1, 1, 99], dtype="Int64"),
+        "l_partkey": pd.array([5, None, 5], dtype="Int64"),
+        "l_suppkey": pd.array([7, 7, None], dtype="Int64"),
+        "l_linenumber": [1, 2, 3],
+        "l_quantity": [1.0] * 3, "l_extendedprice": [1.0] * 3,
+        "l_discount": [0.0] * 3, "l_tax": [0.0] * 3,
+        "l_returnflag": ["N"] * 3, "l_linestatus": ["O"] * 3,
+        "l_shipdate": pd.to_datetime(["1996-02-01"] * 3),
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": pd.array([1, 2], dtype="Int64"),
+        "o_custkey": pd.array([10, None], dtype="Int64"),  # null custkey
+        "o_orderstatus": ["F", "O"], "o_totalprice": [0.0, 0.0],
+        "o_orderdate": pd.to_datetime(["1996-01-01"] * 2),
+        "o_orderpriority": ["1-URGENT"] * 2,
+    })
+    _write_star(d, lineitem=lineitem, orders=orders)
+    pd.DataFrame({"p_partkey": [5], "p_name": ["small ring"],
+                  "p_brand": ["Brand#11"], "p_type": ["ECONOMY"],
+                  "p_size": [1], "p_retailprice": [1.0],
+                  }).to_parquet(os.path.join(d, "part.parquet"))
+    pd.DataFrame({"s_suppkey": [7], "s_name": ["s"], "s_nationkey": [1],
+                  "s_acctbal": [0.0],
+                  }).to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({"c_custkey": [10], "c_name": ["c"], "c_nationkey": [1],
+                  "c_acctbal": [0.0], "c_mktsegment": ["X"],
+                  }).to_parquet(os.path.join(d, "customer.parquet"))
+
+    got = q_fk_violations(d)
+    con = duckdb.connect()
+    for t in ("orders", "customer", "part", "supplier", "lineitem"):
+        con.execute(f"create view {t} as select * from "
+                    f"'{os.path.join(d, t + '.parquet')}'")
+    exp = con.execute(ORACLE_SQL["fk_violations"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    as_dict = dict(zip(got["fk"], got["n_orphans"]))
+    assert as_dict["lineitem.l_orderkey->orders"] == 1   # key 99
+    assert as_dict["lineitem.l_partkey->part"] == 1      # the null
+    assert as_dict["lineitem.l_suppkey->supplier"] == 1  # the null
+    assert as_dict["orders.o_custkey->customer"] == 1    # the null
+
+
+def test_wave18_queries_empty_inputs(ray_session, tmp_path):
+    """All-empty base tables: the wave-18 relational queries (broadcast
+    dim builds included) return typed frames instead of KeyError-ing on
+    dropped columns."""
+    d = str(tmp_path)
+    _write_star(d)
+
+    from ocr_ray.pipelines.queries import (
+        q_events_markov, q_fk_violations, q_q2_min_shipper, q_q6_forecast,
+        q_q8_market_share, q_q9_profit, q_q14_promo, q_q15_top_supplier,
+        q_q19_brand_qty, q_rag_bm25_topk, q_snapshot_diff)
+
+    for fn, cols, n in (
+        (q_q6_forecast, ["rev_cpm", "n_rows"], 1),
+        (q_q14_promo, ["promo_cpm", "total_cpm", "n_rows"], 1),
+        (q_q19_brand_qty, ["rev_cpm", "n_rows"], 1),
+        (q_q15_top_supplier, ["s_suppkey", "s_name", "total_rev_cpm"], 0),
+        (q_q8_market_share, ["o_year", "target_cpm", "total_cpm"], 0),
+        (q_q9_profit, ["nation", "o_year", "profit_cpm"], 0),
+        (q_q2_min_shipper, ["p_partkey", "s_suppkey", "s_name", "qty_c"], 0),
+        (q_events_markov, ["src_type", "dst_type", "n_trans"], 0),
+        (q_snapshot_diff, ["status", "n"], 0),
+        (q_rag_bm25_topk, ["doc_id", "score"], 0),
+    ):
+        out = fn(d)
+        assert list(out.columns) == cols, fn.__name__
+        assert len(out) == n, fn.__name__
+        if fn is q_q6_forecast:
+            assert int(out["rev_cpm"].iloc[0]) == 0
+
+    fk = q_fk_violations(d)
+    assert list(fk["n_orphans"]) == [0, 0, 0, 0]
+
+
+def test_bm25_null_text_is_empty_doc(ray_session):
+    """NULL text must contribute dl=0 / no terms — str(None) would emit
+    the token 'none', inflating avgdl/df and matching a query term
+    'none'."""
+    import ray.data as rd
+
+    from ocr_ray.stages.rag import bm25_topk
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["none of the data here", None, "data data data"],
+    }))
+    top = bm25_topk(docs, ["none", "data"], k=3)
+    scores = dict(zip(top["doc_id"], top["score"]))
+    # the null doc scores exactly 0 (no terms, dl=0)
+    assert scores[2] == 0.0
+    # doc 1 is the ONLY 'none' match: if the null doc tokenized as
+    # "none", df('none') would be 2 and doc 2 would outscore 0
+    assert scores[1] > scores[3] or (scores[1] > 0 and scores[3] > 0)
+    # determinism: null handling keeps the stats integer-exact
+    top2 = bm25_topk(docs, ["none", "data"], k=3)
+    pd.testing.assert_frame_equal(top, top2)
