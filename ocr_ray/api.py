@@ -1265,3 +1265,17 @@ def table_diff(
     return snapshot_diff(left, right, key_col=key_col,
                          compare_cols=compare_cols,
                          n_partitions=n_partitions)
+
+
+def profile(
+    ds: "rd.Dataset",
+    columns: list,
+    n_partitions: "int | None" = None,
+) -> "pd.DataFrame":
+    """Per-column data profile (stages/validate.py:profile_table): one
+    row per column with (col, n, n_null, n_distinct, min_str, max_str) —
+    Arrow min/max partials + the exact two-level distinct plan; the
+    ingest gate to run before anything else touches a new drop."""
+    from ocr_ray.stages.validate import profile_table
+
+    return profile_table(ds, columns, n_partitions=n_partitions)

@@ -6105,6 +6105,23 @@ def q_q22_lost_customers(sf_dir: str):
             .sort_values("nation").reset_index(drop=True))
 
 
+def q_table_profile(sf_dir: str):
+    """Per-column profile of the orders table (stages/validate.py:
+    profile_table — the Deequ-style ingest-gate primitive): count / null
+    count / exact distinct / min / max per column, across int, float,
+    string and timestamp dtypes in one operator.  Stats leg is a single
+    Arrow scan with ``pc.min_max`` partials; distinct is the exact
+    two-level plan (per-batch ``pc.unique`` combiner, one (col, value)
+    exchange, bounded per-col rollup)."""
+    from ocr_ray.stages.validate import profile_table
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=cols)
+    return profile_table(ds, cols, n_partitions=None)
+
+
 def q_pipeline_cascade(sf_dir: str):
     """Dedup-cascade composite — exact dedup, then MinHash near-dup over
     the exact SURVIVORS, reported as a per-document disposition table
@@ -6292,6 +6309,7 @@ def queries() -> Dict[str, Callable]:
         "doc_mix_temperature": q_doc_mix_temperature,
         "pipeline_mixture": q_pipeline_mixture,
         "pipeline_cascade": q_pipeline_cascade,
+        "table_profile": q_table_profile,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9127,6 +9145,24 @@ SELECT d.doc_id,
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
 """
+
+def _profile_arm(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS col, count(*) AS n,
+         count(*) - count({col}) AS n_null,
+         count(DISTINCT {col}) AS n_distinct,
+         CAST(min({col}) AS VARCHAR) AS min_str,
+         CAST(max({col}) AS VARCHAR) AS max_str
+  FROM orders"""
+
+
+ORACLE_SQL["table_profile"] = (
+    "SELECT col, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,\n"
+    "       CAST(n_distinct AS BIGINT) AS n_distinct, min_str, max_str\n"
+    "FROM (" + "\n  UNION ALL".join(_profile_arm(c) for c in (
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")) + ")\nORDER BY col"
+)
 
 ORACLE_SQL["q6_forecast"] = r"""
 SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)

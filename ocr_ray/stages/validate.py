@@ -226,3 +226,145 @@ def snapshot_diff(
 
     return exchange_map_partitions(tagged, key_col, merge,
                                    n_partitions=n_partitions)
+
+
+def profile_table(
+    ds: "rd.Dataset",
+    columns: "list[str]",
+    n_partitions: "int | None" = None,
+) -> pd.DataFrame:
+    """Per-column data profile — the Deequ/profiler primitive that fronts
+    every ingest: one row per column with ``(col, n, n_null, n_distinct,
+    min_str, max_str)``.  At 100 TB this is the first job run on a new
+    drop, so its shape matters:
+
+    * **stats leg** — one column-pruned Arrow scan; per batch each column
+      reduces to ``(n, null_count, min, max)`` via ``pyarrow.compute``
+      kernels (``pc.min_max`` is null-skipping and keeps integer columns
+      integer — a pandas batch would widen nullable int64 to float64 and
+      corrupt the formatted bounds).  Typed minima ride dtype-family slot
+      columns (Int64 / float64 / timestamp / string) so the tiny partial
+      frame stays Arrow-friendly; the driver folds batches per column.
+    * **distinct leg** — the exact two-level distinct plan (the q16
+      COUNT DISTINCT shape): per-batch ``pc.unique`` per column shrinks
+      the stream to each batch's distinct values, ONE hash exchange on
+      ``(col, v)`` makes them globally unique, and a second bounded
+      aggregate counts per column.  Exchange payloads are canonical
+      value strings (injective per column), never raw rows.  For columns
+      where exact distinct is itself corpus-sized (primary keys), the
+      HLL register sketch (aggregate.hll_distinct_terms) is the
+      documented approximate cutover.
+
+    The input is consumed twice (two pruned scans when lazy); pass a
+    materialized Dataset to trade object-store memory for the second
+    scan.  NULL semantics are SQL's: nulls count in ``n``/``n_null``,
+    never in ``n_distinct``/min/max; an all-null column profiles with
+    null bounds.  min/max format via the shortest-roundtrip repr
+    (matching DuckDB's VARCHAR cast for int/string/double and
+    second-resolution timestamps; sub-second timestamps print
+    millisecond-trimmed in DuckDB — canonicalize upstream if you profile
+    those)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def _canon(x) -> str:
+        if isinstance(x, float):
+            return repr(x)
+        return str(x)
+
+    def stats_partial(t: pa.Table) -> pd.DataFrame:
+        rows = {"col": [], "n": [], "n_null": [],
+                "min_int": [], "max_int": [], "min_dbl": [], "max_dbl": [],
+                "min_ts": [], "max_ts": [], "min_str": [], "max_str": []}
+        for c in columns:
+            col = t[c]
+            rows["col"].append(c)
+            rows["n"].append(len(col))
+            rows["n_null"].append(col.null_count)
+            mn = mx = None
+            if len(col) > col.null_count:
+                mm = pc.min_max(col)
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            ty = col.type
+            slot = ("int" if pa.types.is_integer(ty) else
+                    "dbl" if pa.types.is_floating(ty) else
+                    "ts" if pa.types.is_timestamp(ty) else "str")
+            for s in ("int", "dbl", "ts", "str"):
+                rows[f"min_{s}"].append(mn if s == slot else None)
+                rows[f"max_{s}"].append(mx if s == slot else None)
+        return pd.DataFrame({
+            "col": rows["col"],
+            "n": pd.array(rows["n"], dtype="int64"),
+            "n_null": pd.array(rows["n_null"], dtype="int64"),
+            "min_int": pd.array(rows["min_int"], dtype="Int64"),
+            "max_int": pd.array(rows["max_int"], dtype="Int64"),
+            "min_dbl": pd.array(rows["min_dbl"], dtype="float64"),
+            "max_dbl": pd.array(rows["max_dbl"], dtype="float64"),
+            "min_ts": pd.Series(rows["min_ts"], dtype="datetime64[us]"),
+            "max_ts": pd.Series(rows["max_ts"], dtype="datetime64[us]"),
+            "min_str": pd.Series(rows["min_str"], dtype="object"),
+            "max_str": pd.Series(rows["max_str"], dtype="object"),
+        })
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    if "col" not in st.columns:  # all-empty scan drops columns
+        st = stats_partial(pa.table({c: pa.array([], type=pa.string())
+                                     for c in columns}))
+
+    def distinct_partial(t: pa.Table) -> pd.DataFrame:
+        cs, vs = [], []
+        for c in columns:
+            u = pc.unique(t[c]).drop_null().to_pylist()
+            vs.extend(_canon(x) for x in u)
+            cs.extend([c] * len(u))
+        return pd.DataFrame({"col": pd.Series(cs, dtype="object"),
+                             "v": pd.Series(vs, dtype="object"),
+                             "one": np.ones(len(cs), dtype="int64")})
+
+    uniq = hash_aggregate(
+        ds.map_batches(distinct_partial, batch_format="pyarrow"),
+        keys=["col", "v"], aggs={"one": "max"}, n_partitions=n_partitions)
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b) or "col" not in b.columns:
+            return pd.DataFrame({"col": pd.Series(dtype="object"),
+                                 "n_distinct": pd.Series(dtype="int64")})
+        b = b.assign(n_distinct=np.int64(1))
+        return b.groupby("col", as_index=False)[["n_distinct"]].sum()
+
+    dist_df = hash_aggregate(
+        uniq.map_batches(cnt_partial, batch_format="pandas"),
+        keys=["col"], aggs={"n_distinct": "sum"}, n_partitions=2).to_pandas()
+    dist = (dict(zip(dist_df["col"], dist_df["n_distinct"]))
+            if "col" in dist_df.columns else {})
+
+    def _fmt(v):
+        if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+            return None
+        if isinstance(v, float):
+            return repr(v)
+        if isinstance(v, pd.Timestamp):
+            return str(v)
+        return str(int(v)) if not isinstance(v, str) else v
+
+    out = []
+    for c in columns:
+        sub = st[st["col"] == c]
+        mn = mx = None
+        for lo, hi in (("min_int", "max_int"), ("min_dbl", "max_dbl"),
+                       ("min_ts", "max_ts"), ("min_str", "max_str")):
+            lv = sub[lo].dropna()
+            if len(lv):
+                mn, mx = lv.min(), sub[hi].dropna().max()
+                break
+        out.append({"col": c, "n": int(sub["n"].sum()),
+                    "n_null": int(sub["n_null"].sum()),
+                    "n_distinct": int(dist.get(c, 0)),
+                    "min_str": _fmt(mn), "max_str": _fmt(mx)})
+    res = pd.DataFrame(out, columns=["col", "n", "n_null", "n_distinct",
+                                     "min_str", "max_str"])
+    res = res.astype({"n": "int64", "n_null": "int64", "n_distinct": "int64"})
+    return res.sort_values("col").reset_index(drop=True)

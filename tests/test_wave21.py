@@ -191,3 +191,55 @@ def test_bm25_null_text_is_empty_doc(ray_session):
     # determinism: null handling keeps the stats integer-exact
     top2 = bm25_topk(docs, ["none", "data"], k=3)
     pd.testing.assert_frame_equal(top, top2)
+
+
+def test_profile_table_semantics(ray_session, tmp_path):
+    """profile_table vs DuckDB on a synthetic mixed-dtype table: nullable
+    int64 stays integer-formatted (the pyarrow min_max rationale — a
+    pandas batch would widen to float64 and emit '10.0'), an all-null
+    column profiles with null bounds and 0 distinct, string bounds are
+    lexicographic, and an empty table profiles as all-zero."""
+    import duckdb
+    import ray.data as rd
+
+    from ocr_ray.stages.validate import profile_table
+
+    df = pd.DataFrame({
+        "k": pd.array([10, 2, None, 2, 30], dtype="Int64"),
+        "f": [1.5, -2.25, 0.1, 1.5, None],
+        "s": ["b", None, "a", "ab", "b"],
+        "t": pd.to_datetime(["1996-01-02", None, "1995-12-31",
+                             "1996-01-02", "2000-06-01"]),
+        "all_null": pd.array([None] * 5, dtype="Int64"),
+    })
+    p = os.path.join(str(tmp_path), "t.parquet")
+    df.to_parquet(p)
+    cols = ["k", "f", "s", "t", "all_null"]
+    got = profile_table(rd.read_parquet(p), cols)
+
+    con = duckdb.connect()
+    con.execute(f"create view t as select * from '{p}'")
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, count(*) AS n, count(*)-count({c}) AS n_null,"
+        f" count(DISTINCT {c}) AS n_distinct,"
+        f" CAST(min({c}) AS VARCHAR) AS min_str,"
+        f" CAST(max({c}) AS VARCHAR) AS max_str FROM t" for c in cols)
+    exp = con.execute(
+        f"SELECT * FROM ({arms}) ORDER BY col").df()
+    exp[["n", "n_null", "n_distinct"]] = exp[
+        ["n", "n_null", "n_distinct"]].astype("int64")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    row = got.set_index("col")
+    assert row.loc["k", "min_str"] == "2"          # integer, not '2.0'
+    assert row.loc["k", "n_distinct"] == 3         # nulls excluded
+    assert row.loc["all_null", "min_str"] is None
+    assert row.loc["all_null", "n_distinct"] == 0
+    assert row.loc["s", "min_str"] == "a" and row.loc["s", "max_str"] == "b"
+    assert row.loc["f", "min_str"] == "-2.25"
+
+    # empty table: all-zero profile, bounds null
+    pe = os.path.join(str(tmp_path), "e.parquet")
+    df.iloc[:0].to_parquet(pe)
+    empty = profile_table(rd.read_parquet(pe), cols).set_index("col")
+    assert (empty["n"] == 0).all() and (empty["n_distinct"] == 0).all()
+    assert empty["min_str"].isna().all()
