@@ -1279,3 +1279,18 @@ def profile(
     from ocr_ray.stages.validate import profile_table
 
     return profile_table(ds, columns, n_partitions=n_partitions)
+
+
+def profile_distinct_approx(
+    ds: "rd.Dataset",
+    columns: list,
+    n_partitions: "int | None" = None,
+) -> "pd.DataFrame":
+    """Approximate per-column distinct counts via the HLL register sketch
+    (stages/aggregate.py:hll_distinct_values) — the profile() cutover for
+    key-like columns where exact distinct would exchange the full key
+    set; <= |columns| x 256 register rows move regardless of table
+    size."""
+    from ocr_ray.stages.aggregate import hll_distinct_values
+
+    return hll_distinct_values(ds, columns, n_partitions=n_partitions)

@@ -6122,6 +6122,23 @@ def q_table_profile(sf_dir: str):
     return profile_table(ds, cols, n_partitions=None)
 
 
+def q_table_profile_hll(sf_dir: str):
+    """Approximate per-column distinct counts for the orders table
+    (stages/aggregate.py:hll_distinct_values) — the profiler's documented
+    scale path for key-like columns, where exact distinct would exchange
+    the full key set: (col, bucket) registers are the whole aggregation
+    state, <= |columns| x 256 rows through one bounded exchange.  Same
+    oracle-frozen poly-hash/splitmix/estimator as corpus_hll, applied to
+    CAST(col AS VARCHAR) canonical values."""
+    from ocr_ray.stages.aggregate import hll_distinct_values
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=cols)
+    return hll_distinct_values(ds, cols, n_partitions=4)
+
+
 def q_pipeline_cascade(sf_dir: str):
     """Dedup-cascade composite — exact dedup, then MinHash near-dup over
     the exact SURVIVORS, reported as a per-document disposition table
@@ -6310,6 +6327,7 @@ def queries() -> Dict[str, Callable]:
         "pipeline_mixture": q_pipeline_mixture,
         "pipeline_cascade": q_pipeline_cascade,
         "table_profile": q_table_profile,
+        "table_profile_hll": q_table_profile_hll,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9145,6 +9163,54 @@ SELECT d.doc_id,
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
 """
+
+_PROFILE_HLL_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",
+                     "o_totalprice", "o_orderdate", "o_orderpriority")
+
+ORACLE_SQL["table_profile_hll"] = rf"""
+WITH tok AS ({" UNION ".join(
+    f"SELECT DISTINCT '{c}' AS col, CAST({c} AS VARCHAR) AS t "
+    f"FROM orders WHERE {c} IS NOT NULL" for c in _PROFILE_HLL_COLS)}),
+th AS (SELECT col,
+   list_reduce(list_prepend(CAST(7 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 31 + b) % 1000003) AS f1,
+   list_reduce(list_prepend(CAST(11 AS BIGINT),
+       list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+       (a, b) -> (a * 37 + b) % 1000033) AS f2
+ FROM tok),
+z0 AS (SELECT col, ((CAST(f1 + f2 * 2147483648 AS HUGEINT) + {_HLL_C0})
+               % 18446744073709551616) AS z FROM th),
+z1 AS (SELECT col, {_hll_mulmod64('xor(z, z >> 30)', _HLL_C1)} AS z FROM z0),
+z2 AS (SELECT col, {_hll_mulmod64('xor(z, z >> 27)', _HLL_C2)} AS z FROM z1),
+mix AS (SELECT col, xor(z, z >> 31) AS x FROM z2),
+reg AS (SELECT col, CAST(x // 72057594037927936 AS BIGINT) AS bucket,
+               CAST(x % 72057594037927936 AS BIGINT) AS wv FROM mix),
+rho AS (SELECT col, bucket,
+               max(CASE WHEN wv = 0 THEN 57 ELSE 57 - len(bin(wv)) END) AS mj
+        FROM reg GROUP BY col, bucket),
+cols AS ({" UNION ALL ".join(
+    f"SELECT '{c}' AS col" for c in _PROFILE_HLL_COLS)}),
+st AS (SELECT cols.col, count(rho.bucket) AS n_present,
+              coalesce(sum(CAST((1::BIGINT << (63 - mj)) AS HUGEINT)), 0) AS s_present,
+              CAST(coalesce(sum(mj), 0) AS BIGINT) AS sum_rho
+       FROM cols LEFT JOIN rho ON cols.col = rho.col GROUP BY cols.col),
+fin AS (SELECT col, 256 - n_present AS n_zero_registers, sum_rho,
+   s_present + CAST(256 - n_present AS HUGEINT) * (CAST(1::BIGINT << 62 AS HUGEINT) * 2) AS s
+ FROM st),
+fin2 AS (SELECT col, n_zero_registers, sum_rho,
+   floor(CAST({_HLL_ALPHA!r} AS DOUBLE) * 65536.0 * 9223372036854775808.0
+         / CAST(s AS DOUBLE) * 1e6 + 0.5) / 1e6 AS est_raw
+ FROM fin)
+SELECT col, CAST(256 AS BIGINT) AS m,
+  CAST(n_zero_registers AS BIGINT) AS n_zero_registers,
+  sum_rho, est_raw,
+  CASE WHEN est_raw <= 640.0 AND n_zero_registers > 0
+       THEN floor(256.0 * ln(256.0 / n_zero_registers) * 1e6 + 0.5) / 1e6
+       ELSE est_raw END AS est_distinct
+FROM fin2 ORDER BY col
+"""
+
 
 def _profile_arm(col: str) -> str:
     return f"""

@@ -601,3 +601,77 @@ def hll_distinct_terms_by(
     for c in ("m", "n_zero_registers", "sum_rho"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
+
+
+def hll_distinct_values(
+    ds: "ray.data.Dataset",
+    columns: "list[str]",
+    n_partitions: "int | None" = None,
+) -> pd.DataFrame:
+    """Per-COLUMN HyperLogLog distinct-value estimate — the approximate
+    cutover documented on stages/validate.py:profile_table for key-like
+    columns, where the exact two-level distinct plan would exchange the
+    full key set: register state is (col, bucket) — <= |columns| x 256
+    rows move through ONE bounded exchange regardless of table size.
+
+    Values canonicalize to their shortest-roundtrip string (repr for
+    floats, str otherwise — the same injective form the exact profiler
+    exchanges) and hash through the oracle-frozen poly-hash + splitmix64
+    mix shared with hll_distinct_terms, so the DuckDB oracle replicates
+    the estimate register-for-register from CAST(col AS VARCHAR).  NULLs
+    never enter the sketch (SQL COUNT DISTINCT semantics); an all-null
+    column estimates 0 via the n_zero=256 linear-counting branch.
+    Output one row per requested column (always, even register-less):
+    (col, m, n_zero_registers, sum_rho, est_raw, est_distinct)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_ray.stages.dedup import _poly_hash_token
+
+    def _canon(x) -> str:
+        if isinstance(x, float):
+            return repr(x)
+        return str(x)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        rows_g, rows_b, rows_r = [], [], []
+        for c in columns:
+            best: dict = {}
+            for x in pc.unique(t[c]).drop_null().to_pylist():
+                f = _poly_hash_token(_canon(x))
+                z = hll_mix(f[0] + (f[1] << 31))
+                bucket = z >> _HLL_WBITS
+                rho = _hll_rho(z & _HLL_WMASK)
+                if rho > best.get(bucket, 0):
+                    best[bucket] = rho
+            for k in sorted(best):
+                rows_g.append(c)
+                rows_b.append(k)
+                rows_r.append(best[k])
+        return pd.DataFrame(
+            {"col": pd.Series(rows_g, dtype="object"),
+             "bucket": pd.Series(rows_b, dtype="int64"),
+             "rho": pd.Series(rows_r, dtype="int64")})
+
+    regs = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["col", "bucket"], aggs={"rho": "max"},
+        n_partitions=n_partitions,
+    ).to_pandas()
+    if "col" not in regs.columns:  # value-less table: columns dropped
+        regs = pd.DataFrame({"col": pd.Series(dtype="object"),
+                             "bucket": pd.Series(dtype="int64"),
+                             "rho": pd.Series(dtype="int64")})
+
+    out_rows = []
+    for c in sorted(columns):
+        sub = regs[regs["col"] == c]
+        n_zero, sum_rho, est_raw, est = _hll_estimate(sub["rho"])
+        out_rows.append((c, HLL_M, n_zero, sum_rho, est_raw, est))
+    out = pd.DataFrame(out_rows, columns=[
+        "col", "m", "n_zero_registers", "sum_rho", "est_raw",
+        "est_distinct"])
+    for c in ("m", "n_zero_registers", "sum_rho"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)

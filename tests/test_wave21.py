@@ -243,3 +243,36 @@ def test_profile_table_semantics(ray_session, tmp_path):
     empty = profile_table(rd.read_parquet(pe), cols).set_index("col")
     assert (empty["n"] == 0).all() and (empty["n_distinct"] == 0).all()
     assert empty["min_str"].isna().all()
+
+
+def test_hll_distinct_values_accuracy(ray_session, tmp_path):
+    """The per-column HLL estimate lands within the 256-register error
+    envelope of the exact count, an all-null column estimates 0 via
+    linear counting, and the sketch is partitioning-invariant."""
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hll_distinct_values
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "key": np.arange(5000, dtype="int64"),          # all distinct
+        "cat": rng.integers(0, 12, 5000).astype("int64"),  # 12 distinct
+        "all_null": pd.array([None] * 5000, dtype="Int64"),
+    })
+    p = os.path.join(str(tmp_path), "t.parquet")
+    df.to_parquet(p)
+
+    est = hll_distinct_values(
+        rd.read_parquet(p), ["key", "cat", "all_null"]).set_index("col")
+    # 256 registers -> ~6.5% std error; allow 3 sigma
+    assert abs(est.loc["key", "est_distinct"] - 5000) < 0.2 * 5000
+    assert abs(est.loc["cat", "est_distinct"] - 12) < 3  # linear-count range
+    assert est.loc["all_null", "est_distinct"] == 0.0
+    assert est.loc["all_null", "n_zero_registers"] == 256
+
+    # partitioning-invariance: registers are max-merged, so a different
+    # partition count is bit-identical
+    est2 = hll_distinct_values(
+        rd.read_parquet(p).repartition(7), ["key", "cat", "all_null"],
+        n_partitions=3).set_index("col")
+    pd.testing.assert_frame_equal(est.reset_index(), est2.reset_index())
