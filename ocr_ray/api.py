@@ -1294,3 +1294,14 @@ def profile_distinct_approx(
     from ocr_ray.stages.aggregate import hll_distinct_values
 
     return hll_distinct_values(ds, columns, n_partitions=n_partitions)
+
+
+def reconcile(sf_dir: str) -> "pd.DataFrame":
+    """Cross-table aggregate reconciliation
+    (queries.q_orders_reconcile): do order-header totals equal the sum
+    over their lines, in exact undivided integer units?  One combiner +
+    orderkey exchange; single summary row (n_orders, n_no_lines,
+    n_match, n_mismatch, max_abs_diff)."""
+    from ocr_ray.pipelines.queries import q_orders_reconcile
+
+    return q_orders_reconcile(sf_dir)

@@ -6139,6 +6139,88 @@ def q_table_profile_hll(sf_dir: str):
     return hll_distinct_values(ds, cols, n_partitions=4)
 
 
+def q_orders_reconcile(sf_dir: str):
+    """Cross-table aggregate reconciliation (the warehouse consistency
+    gate next to fk_violations): does each order header's total equal the
+    sum over its lines?  Per-batch combiner reduces lineitems to
+    per-order integer line values BEFORE the one orderkey exchange (the
+    exchange moves order-cardinality partials, never raw lines); the
+    order header LEFT-joins so headers with no lines are reported, and
+    the rollup is a single summary row.
+
+    Exactness: the per-line value is the UNDIVIDED integer product
+    ``cents x (1000 - discount_pm) x (1000 + tax_pm)`` (cpm2 units) and
+    the header total scales to the same units (``cents x 1e6``), so
+    match/mismatch is pure int64 equality with no division-rounding
+    ambiguity — a float comparison would misclassify at the epsilon
+    boundary and a divided integer would need a rounding convention the
+    oracle could drift from."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import exchange_join
+
+    def line_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(b["l_extendedprice"].to_numpy() * 100 + 0.5
+                         ).astype("int64")
+        dpm = np.floor(b["l_discount"].to_numpy() * 1000 + 0.5
+                       ).astype("int64")
+        tpm = np.floor(b["l_tax"].to_numpy() * 1000 + 0.5).astype("int64")
+        return (pd.DataFrame({"l_orderkey": b["l_orderkey"].to_numpy(),
+                              "line_v": cents * (1000 - dpm) * (1000 + tpm)})
+                .groupby("l_orderkey", as_index=False).sum())
+
+    ls = hash_aggregate(
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+        ).map_batches(line_partial, batch_format="pandas"),
+        keys=["l_orderkey"], aggs={"line_v": "sum"}, n_partitions=None,
+    )
+
+    def tot_partial(b: pd.DataFrame) -> pd.DataFrame:
+        tot = np.floor(b["o_totalprice"].to_numpy() * 100 + 0.5
+                       ).astype("int64") * 1_000_000
+        return pd.DataFrame({"o_orderkey": b["o_orderkey"].to_numpy(),
+                             "tot_v": tot})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    ).map_batches(tot_partial, batch_format="pandas")
+    j = exchange_join(orders, ls, on="o_orderkey", right_on="l_orderkey",
+                      n_partitions=None, how="left")
+
+    def stat(b: pd.DataFrame) -> pd.DataFrame:
+        cols = ["n_orders", "n_no_lines", "n_match", "n_mismatch",
+                "max_abs_diff"]
+        if not len(b) or "tot_v" not in b.columns:
+            return pd.DataFrame([{c: np.int64(0) for c in cols}])
+        has = b["line_v"].notna().to_numpy()
+        # int64 values to ~1e14 survive the NaN-padded float64 exactly
+        # (< 2^53); cast back before comparing so equality stays integer
+        lv = b["line_v"].fillna(0).to_numpy(dtype="int64")
+        tv = b["tot_v"].to_numpy(dtype="int64")
+        diff = np.abs(lv - tv)
+        match = has & (diff == 0)
+        mism = has & (diff != 0)
+        return pd.DataFrame([{
+            "n_orders": np.int64(len(b)),
+            "n_no_lines": np.int64((~has).sum()),
+            "n_match": np.int64(match.sum()),
+            "n_mismatch": np.int64(mism.sum()),
+            "max_abs_diff": np.int64(diff[has].max()) if has.any()
+            else np.int64(0),
+        }])
+
+    out = j.map_batches(stat, batch_format="pandas").to_pandas()
+    cols = ["n_orders", "n_no_lines", "n_match", "n_mismatch"]
+    res = {c: (np.int64(out[c].sum()) if c in out.columns else np.int64(0))
+           for c in cols}
+    res["max_abs_diff"] = (np.int64(out["max_abs_diff"].max())
+                           if "max_abs_diff" in out.columns and len(out)
+                           else np.int64(0))
+    return pd.DataFrame([res])
+
+
 def q_pipeline_cascade(sf_dir: str):
     """Dedup-cascade composite — exact dedup, then MinHash near-dup over
     the exact SURVIVORS, reported as a per-document disposition table
@@ -6328,6 +6410,7 @@ def queries() -> Dict[str, Callable]:
         "pipeline_cascade": q_pipeline_cascade,
         "table_profile": q_table_profile,
         "table_profile_hll": q_table_profile_hll,
+        "orders_reconcile": q_orders_reconcile,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9162,6 +9245,30 @@ SELECT d.doc_id,
             WHEN nr.id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
+"""
+
+ORACLE_SQL["orders_reconcile"] = r"""
+WITH ls AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (1000 - CAST(floor(l_discount * 1000 + 0.5) AS BIGINT))
+             * (1000 + CAST(floor(l_tax * 1000 + 0.5) AS BIGINT))) AS line_v
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 1000000 AS tot_v,
+         line_v
+  FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(coalesce(sum(CASE WHEN line_v IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_no_lines,
+       CAST(coalesce(sum(CASE WHEN line_v = tot_v THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_match,
+       CAST(coalesce(sum(CASE WHEN line_v IS NOT NULL AND line_v <> tot_v
+                              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_mismatch,
+       CAST(coalesce(max(CASE WHEN line_v IS NOT NULL
+                              THEN abs(line_v - tot_v) END), 0)
+            AS BIGINT) AS max_abs_diff
+FROM j
 """
 
 _PROFILE_HLL_COLS = ("o_orderkey", "o_custkey", "o_orderstatus",

@@ -276,3 +276,49 @@ def test_hll_distinct_values_accuracy(ray_session, tmp_path):
         rd.read_parquet(p).repartition(7), ["key", "cat", "all_null"],
         n_partitions=3).set_index("col")
     pd.testing.assert_frame_equal(est.reset_index(), est2.reset_index())
+
+
+def test_orders_reconcile_all_arms(ray_session, tmp_path):
+    """Reconciliation classifies every arm: an order whose lines sum
+    EXACTLY to the header (integer cpm2 equality), a mismatching order
+    with the diff reported in exact units, and a headers-without-lines
+    order — engine == oracle == hand counts."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_orders_reconcile
+
+    d = str(tmp_path)
+    # order 1: one line, ext=100.00, disc=0.10, tax=0.20 ->
+    #   line_v = 10000 * 900 * 1200 = 10_800_000_000 cpm2 = 108.00 total
+    # order 2: header 50.00 but lines sum to 40.00 (no disc/tax) ->
+    #   diff = (4000 - 5000) * 1e6 = 1e9 cpm2
+    # order 3: no lines at all
+    _write_star(
+        d,
+        lineitem=pd.DataFrame({
+            "l_orderkey": [1, 2], "l_partkey": [5, 5], "l_suppkey": [7, 7],
+            "l_linenumber": [1, 1], "l_quantity": [1.0, 1.0],
+            "l_extendedprice": [100.0, 40.0],
+            "l_discount": [0.10, 0.0], "l_tax": [0.20, 0.0],
+            "l_returnflag": ["N"] * 2, "l_linestatus": ["O"] * 2,
+            "l_shipdate": pd.to_datetime(["1996-02-01"] * 2),
+        }),
+        orders=pd.DataFrame({
+            "o_orderkey": [1, 2, 3], "o_custkey": [10, 10, 10],
+            "o_orderstatus": ["F"] * 3,
+            "o_totalprice": [108.0, 50.0, 9.99],
+            "o_orderdate": pd.to_datetime(["1996-01-01"] * 3),
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }),
+    )
+    got = q_orders_reconcile(d)
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"create view {t} as select * from "
+                    f"'{os.path.join(d, t + '.parquet')}'")
+    exp = con.execute(ORACLE_SQL["orders_reconcile"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.iloc[0]
+    assert (r["n_orders"], r["n_no_lines"], r["n_match"],
+            r["n_mismatch"]) == (3, 1, 1, 1)
+    assert r["max_abs_diff"] == 1_000_000_000
