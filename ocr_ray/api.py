@@ -1305,3 +1305,13 @@ def reconcile(sf_dir: str) -> "pd.DataFrame":
     from ocr_ray.pipelines.queries import q_orders_reconcile
 
     return q_orders_reconcile(sf_dir)
+
+
+def attribute_last_touch(sf_dir: str) -> "pd.DataFrame":
+    """Last-touch attribution (queries.q_events_attribution): for every
+    purchase, the same user's latest strictly-preceding click within a
+    7-day lookback — one user_id exchange, vectorized forward-carry, no
+    self-join."""
+    from ocr_ray.pipelines.queries import q_events_attribution
+
+    return q_events_attribution(sf_dir)

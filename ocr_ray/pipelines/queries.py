@@ -6139,6 +6139,74 @@ def q_table_profile_hll(sf_dir: str):
     return hll_distinct_values(ds, cols, n_partitions=4)
 
 
+def q_events_attribution(sf_dir: str):
+    """Last-touch attribution (the most-recent-preceding-event pattern —
+    marketing attribution, causal-precursor tagging): for every
+    ``purchase``, the same user's latest strictly-preceding ``click``
+    within a 7-day lookback, with the lag in whole seconds.  One user_id
+    hash exchange co-locates each user's events; each partition sorts
+    once by (user, ts, event_id) and resolves every purchase with a
+    single vectorized ``np.maximum.accumulate`` forward-carry of click
+    positions, validated against the user-run start so a previous user's
+    click can never leak across the boundary (no per-user loop, no
+    self-join).  SQL-null users form ONE chain, like PARTITION BY."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        # nullable outputs ride float64/NaN — the same convention DuckDB's
+        # .df() uses for nullable BIGINT, so the driver compare aligns
+        empty = pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "attributed_event_id": pd.Series(dtype="float64"),
+            "lag_s": pd.Series(dtype="float64")})
+        if not len(g) or "event_type" not in g.columns:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                          na_position="last")
+        codes, _ = pd.factorize(g["user_id"], use_na_sentinel=False)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        starts = np.r_[0, np.flatnonzero(codes[1:] != codes[:-1]) + 1]
+        runs = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, runs)
+        is_click = (g["event_type"] == "click").to_numpy()
+        # latest click position at-or-before each row; purchases are never
+        # clicks, so for them this is strictly-preceding
+        last_click = np.maximum.accumulate(np.where(is_click, idx, -1))
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        if not is_p.any():
+            return empty
+        p_idx = idx[is_p]
+        lc = last_click[p_idx]
+        valid = lc >= seg_start[p_idx]  # same user's run only
+        ts_us = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        eid = g["event_id"].to_numpy(dtype="int64")
+        lag_us = np.where(valid, ts_us[p_idx] - ts_us[np.maximum(lc, 0)], -1)
+        good = valid & (lag_us <= WINDOW_US)
+        att = np.where(good, eid[np.maximum(lc, 0)].astype("float64"),
+                       np.nan)
+        lag = np.where(good, (lag_us // 1_000_000).astype("float64"),
+                       np.nan)
+        return pd.DataFrame({"event_id": eid[p_idx],
+                             "attributed_event_id": att,
+                             "lag_s": lag})
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+    out = exchange_map_partitions(ds, "user_id", attribute,
+                                  n_partitions=None).to_pandas()
+    if "event_id" not in out.columns:
+        return pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "attributed_event_id": pd.Series(dtype="float64"),
+            "lag_s": pd.Series(dtype="float64")})
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_orders_reconcile(sf_dir: str):
     """Cross-table aggregate reconciliation (the warehouse consistency
     gate next to fk_violations): does each order header's total equal the
@@ -6411,6 +6479,7 @@ def queries() -> Dict[str, Callable]:
         "table_profile": q_table_profile,
         "table_profile_hll": q_table_profile_hll,
         "orders_reconcile": q_orders_reconcile,
+        "events_attribution": q_events_attribution,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9245,6 +9314,34 @@ SELECT d.doc_id,
             WHEN nr.id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
+"""
+
+ORACLE_SQL["events_attribution"] = r"""
+WITH w AS (
+  SELECT event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_ts
+  FROM events)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(CASE WHEN click_ts IS NOT NULL
+                  AND date_diff('microsecond', click_ts, ts)
+                      <= CAST(7 AS BIGINT) * 24 * 3600 * 1000000
+                 THEN click_id END AS BIGINT) AS attributed_event_id,
+       CAST(CASE WHEN click_ts IS NOT NULL
+                  AND date_diff('microsecond', click_ts, ts)
+                      <= CAST(7 AS BIGINT) * 24 * 3600 * 1000000
+                 THEN date_diff('microsecond', click_ts, ts) // 1000000
+            END AS BIGINT) AS lag_s
+FROM w
+WHERE event_type = 'purchase'
+ORDER BY event_id
 """
 
 ORACLE_SQL["orders_reconcile"] = r"""

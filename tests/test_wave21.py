@@ -322,3 +322,58 @@ def test_orders_reconcile_all_arms(ray_session, tmp_path):
     assert (r["n_orders"], r["n_no_lines"], r["n_match"],
             r["n_mismatch"]) == (3, 1, 1, 1)
     assert r["max_abs_diff"] == 1_000_000_000
+
+
+def test_events_attribution_edges(ray_session, tmp_path):
+    """Attribution pins: inclusive 7-day boundary, exclusion past it,
+    no cross-user leak through the run-boundary check, null users
+    chaining as one partition, ts ties resolved by event_id, and clicks
+    AFTER the purchase never used."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_events_attribution
+
+    d = str(tmp_path)
+    t0 = pd.Timestamp("2020-01-10 00:00:00")
+    day = pd.Timedelta(days=1)
+    rows = [
+        # user 1: click exactly 7 days before purchase -> attributed
+        (1, t0 - 7 * day, 1, "click"),
+        (2, t0, 1, "purchase"),
+        # user 2: click 7 days + 1 us before -> NOT attributed
+        (3, t0 - 7 * day - pd.Timedelta(microseconds=1), 2, "click"),
+        (4, t0, 2, "purchase"),
+        # user 3: purchase BEFORE its user's only click; user 2's click
+        # must not leak across the boundary either
+        (5, t0, 3, "purchase"),
+        (6, t0 + day, 3, "click"),
+        # null users chain as ONE partition: click then purchase
+        (7, t0, None, "click"),
+        (8, t0 + day, None, "purchase"),
+        # ts tie: two clicks at the same ts -> higher event_id wins
+        (9, t0, 4, "click"),
+        (10, t0, 4, "click"),
+        (11, t0 + day, 4, "purchase"),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    ev["user_id"] = pd.array(ev["user_id"], dtype="Int64")
+    ev["value"] = 0.0
+    ev["props"] = "{}"
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = q_events_attribution(d)
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from "
+                f"'{os.path.join(d, 'events.parquet')}'")
+    exp = con.execute(ORACLE_SQL["events_attribution"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True),
+        check_dtype=False)
+    r = got.set_index("event_id")
+    assert r.loc[2, "attributed_event_id"] == 1      # inclusive boundary
+    assert r.loc[2, "lag_s"] == 7 * 86400
+    assert pd.isna(r.loc[4, "attributed_event_id"])  # 1 us past window
+    assert pd.isna(r.loc[5, "attributed_event_id"])  # later click unused
+    assert r.loc[8, "attributed_event_id"] == 7      # null-user chain
+    assert r.loc[11, "attributed_event_id"] == 10    # tie -> higher id
