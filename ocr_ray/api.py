@@ -1315,3 +1315,29 @@ def attribute_last_touch(sf_dir: str) -> "pd.DataFrame":
     from ocr_ray.pipelines.queries import q_events_attribution
 
     return q_events_attribution(sf_dir)
+
+
+def compact_parquet_dir(
+    in_dir: str,
+    out_dir: str,
+    target_rows: int = 1 << 20,
+) -> int:
+    """Small-file compaction — the maintenance op every resumable
+    partitioned layout eventually needs: a long-running pipeline's
+    per-partition writes leave hundreds of tiny parquet files whose
+    open/footer overhead dominates re-reads.  Streams the fragmented
+    directory and rewrites it as ``ceil(n / target_rows)`` right-sized
+    files (``repartition`` without shuffle — a coalesce/split of blocks,
+    no all-to-all).  Returns the output file count.
+
+    At 100 TB run this PER PARTITION DIRECTORY (one compaction job per
+    ``key=value`` subdir), preserving the partition layout and its
+    resume semantics — never against the root of a huge layout, which
+    would serialize the whole table through one repartition."""
+    import math
+
+    ds = rd.read_parquet(in_dir)
+    n = ds.count()  # parquet metadata fast path — no data scan
+    n_files = max(1, math.ceil(n / target_rows))
+    ds.repartition(n_files).write_parquet(out_dir)
+    return n_files

@@ -6139,6 +6139,59 @@ def q_table_profile_hll(sf_dir: str):
     return hll_distinct_values(ds, cols, n_partitions=4)
 
 
+def q_io_compact_roundtrip(sf_dir: str):
+    """Small-file compaction round-trip (api.compact_parquet_dir): write
+    the documents table deliberately fragmented (64 tiny files — the
+    shape a long-running per-partition writer leaves behind), compact to
+    right-sized files (coalescing repartition, no all-to-all), and
+    value-check the compacted copy against the source table.  The
+    file-count contract (fragmented >> compacted) is pinned by pytest;
+    the oracle checks the data survived byte-exactly."""
+    import hashlib
+    import shutil
+
+    from ocr_ray.api import compact_parquet_dir
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    frag_dir = f"/tmp/ocr_ray_frag_{tag}"
+    comp_dir = f"/tmp/ocr_ray_comp_{tag}"
+    for d in (frag_dir, comp_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "n_chars"])
+    src.repartition(64).write_parquet(frag_dir)
+    compact_parquet_dir(frag_dir, comp_dir, target_rows=200_000)
+
+    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(b))],
+            "sum_chars": [np.int64(b["n_chars"].astype("int64").sum())],
+        })
+
+    ds = rd.read_parquet(comp_dir)
+    out = ds.map_batches(agg, batch_format="pandas").to_pandas()
+    # distinct doc_id via the bounded two-level plan (compaction must not
+    # duplicate or drop rows — count alone can't catch an even swap)
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def ids(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"].unique(),
+                             "one": np.int64(1)})
+
+    uniq = hash_aggregate(
+        rd.read_parquet(comp_dir).map_batches(ids, batch_format="pandas"),
+        keys=["doc_id"], aggs={"one": "max"}, n_partitions=4)
+    n_ids = int(uniq.count())
+    return pd.DataFrame({
+        "n_docs": [np.int64(out["n_docs"].sum()) if "n_docs" in out.columns
+                   else np.int64(0)],
+        "sum_chars": [np.int64(out["sum_chars"].sum())
+                      if "sum_chars" in out.columns else np.int64(0)],
+        "n_ids": [np.int64(n_ids)],
+    })
+
+
 def q_events_attribution(sf_dir: str):
     """Last-touch attribution (the most-recent-preceding-event pattern —
     marketing attribution, causal-precursor tagging): for every
@@ -6480,6 +6533,7 @@ def queries() -> Dict[str, Callable]:
         "table_profile_hll": q_table_profile_hll,
         "orders_reconcile": q_orders_reconcile,
         "events_attribution": q_events_attribution,
+        "io_compact_roundtrip": q_io_compact_roundtrip,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9314,6 +9368,13 @@ SELECT d.doc_id,
             WHEN nr.id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
+"""
+
+ORACLE_SQL["io_compact_roundtrip"] = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+FROM documents
 """
 
 ORACLE_SQL["events_attribution"] = r"""

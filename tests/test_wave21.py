@@ -377,3 +377,32 @@ def test_events_attribution_edges(ray_session, tmp_path):
     assert pd.isna(r.loc[5, "attributed_event_id"])  # later click unused
     assert r.loc[8, "attributed_event_id"] == 7      # null-user chain
     assert r.loc[11, "attributed_event_id"] == 10    # tie -> higher id
+
+
+def test_compact_parquet_dir_reduces_files(ray_session, tmp_path):
+    """Compaction actually coalesces: 64 fragment files become
+    ceil(n/target) right-sized files with byte-identical content (row
+    count, id set, value sum)."""
+    import glob
+
+    import ray.data as rd
+
+    from ocr_ray.api import compact_parquet_dir
+
+    frag = os.path.join(str(tmp_path), "frag")
+    comp = os.path.join(str(tmp_path), "comp")
+    df = pd.DataFrame({"doc_id": np.arange(10_000, dtype="int64"),
+                       "n_chars": np.arange(10_000, dtype="int64") * 3})
+    rd.from_pandas(df).repartition(64).write_parquet(frag)
+    n_frag = len(glob.glob(os.path.join(frag, "*.parquet")))
+    assert n_frag >= 32  # genuinely fragmented
+
+    n_out = compact_parquet_dir(frag, comp, target_rows=4000)
+    assert n_out == 3  # ceil(10000/4000)
+    files = glob.glob(os.path.join(comp, "*.parquet"))
+    assert len(files) <= n_out + 1  # writer may split on block boundary
+    assert len(files) < n_frag / 4
+
+    back = rd.read_parquet(comp).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
