@@ -12,7 +12,8 @@ np.argsort tie order on heavily tied chunk sims — replica pytests; measured
 150+ docs with exact top-rank ties, so no SQL ordering can match),
 multimodal_transcribe (autoregressive generation — bit-exact replica
 pytest), transcripts_model_rescore / transcripts_dpo_pairs (model-scored
-transcript waves — replica pytests), and
+transcript waves — replica pytests), embed_pca (eigendecomposition —
+integer-sufficient-statistics replica pytest), and
 transcripts_extract / transcripts_segments / transcripts_benchmark
 (synthesized inputs; generator-oracle parity is pytest-checked AND the
 per-turn equality invariant is driver-value-checked via

@@ -1341,3 +1341,21 @@ def compact_parquet_dir(
     n_files = max(1, math.ceil(n / target_rows))
     ds.repartition(n_files).write_parquet(out_dir)
     return n_files
+
+
+def pca(
+    embeddings: "rd.Dataset",
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_partitions: "int | None" = None,
+) -> "rd.Dataset":
+    """PCA fit + project (stages/cluster.py:pca_project): exact int64
+    sufficient statistics (per-dim sums + int8-code Gram through one
+    bounded exchange), one driver-side eigh, sign-pinned components
+    broadcast once — every partitioning sees the identical basis."""
+    from ocr_ray.stages.cluster import pca_project
+
+    return pca_project(embeddings, k=k, dim=dim, vec_col=vec_col,
+                       id_col=id_col, n_partitions=n_partitions)

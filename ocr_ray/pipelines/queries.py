@@ -6139,6 +6139,22 @@ def q_table_profile_hll(sf_dir: str):
     return hll_distinct_values(ds, cols, n_partitions=4)
 
 
+def q_embed_pca(sf_dir: str):
+    """PCA projection of the embedding table to 8 components
+    (stages/cluster.py:pca_project — rows-only: eigendecomposition is
+    not SQL-expressible; the replica pytest pins orthonormality,
+    variance ordering, the sign convention, subspace recovery and
+    partitioning-invariance).  Fit statistics are exact int64 (per-dim
+    sums + the int8-code Gram matrix through one bounded exchange), so
+    every partitioning sees the identical basis."""
+    from ocr_ray.stages.cluster import pca_project
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return pca_project(ds, k=8, dim=64, vec_col="embedding",
+                       id_col="vec_id", n_partitions=4)
+
+
 def q_io_compact_roundtrip(sf_dir: str):
     """Small-file compaction round-trip (api.compact_parquet_dir): write
     the documents table deliberately fragmented (64 tiny files — the
@@ -6534,6 +6550,7 @@ def queries() -> Dict[str, Callable]:
         "orders_reconcile": q_orders_reconcile,
         "events_attribution": q_events_attribution,
         "io_compact_roundtrip": q_io_compact_roundtrip,
+        "embed_pca": q_embed_pca,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,

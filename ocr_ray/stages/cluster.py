@@ -290,3 +290,97 @@ def cluster_cap_sample(
         return g[g["rk"] <= cap].reset_index(drop=True)
 
     return exchange_map_partitions(assigned, "cluster", keep, n_partitions)
+
+
+def pca_project(
+    embeddings,
+    k: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_partitions: "int | None" = None,
+):
+    """Distributed PCA — fit on exact integer sufficient statistics,
+    project via one broadcast matmul (the dimensionality-reduction /
+    whitening primitive of embedding curation; rows-only: an
+    eigendecomposition is not SQL-expressible).
+
+    Reproducibility shape (the float-PCA trap is the k-means trap): a
+    naive float covariance accumulates in block order and drifts by ulps
+    across partitionings, flipping near-degenerate eigenvectors.  Here
+    the ONLY corpus-wide reductions are exact int64: per-dim sums and
+    the Gram matrix of the int8-quantized codes
+    (similarity.quantize_int8 — the same integer-outer-product partials
+    as api.gram_matrix, O(batches x D^2) exchange traffic, independent
+    of N).  The covariance, eigh, and component matrix are then computed
+    ONCE on the driver from those exact integers, so every run and every
+    partitioning sees the identical (D, k) basis; eigenvector sign is
+    pinned by making each component's largest-|loading| coordinate
+    positive (ties to the lowest index).  Projection is a pure
+    map_batches against the ray.put basis, rounded to 6 dp.
+
+    Returns a Dataset (id_col, pc_0..pc_{k-1})."""
+    import ray
+    import ray.data as rd
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.similarity import _as_matrix, quantize_int8
+
+    iu, ju = np.triu_indices(dim)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        m = _as_matrix(b[vec_col], dim)
+        codes, _ = quantize_int8(m)
+        g = codes.T @ codes
+        # one frame carries all three statistics: the gram triangle rows
+        # plus D per-dim sum rows (j=-1) plus one count row (j=-2)
+        return pd.DataFrame({
+            "i": np.r_[iu, np.arange(dim), 0].astype("int64"),
+            "j": np.r_[ju, np.full(dim, -1), -2].astype("int64"),
+            "v": np.r_[g[iu, ju], codes.sum(axis=0), len(b)].astype("int64"),
+        })
+
+    st = hash_aggregate(
+        embeddings.map_batches(partials, batch_format="pandas"),
+        keys=["i", "j"], aggs={"v": "sum"}, n_partitions=n_partitions,
+    ).to_pandas()
+    if "v" not in st.columns or not len(st):
+        raise ValueError("pca_project: empty embeddings input")
+    n = int(st.loc[st["j"] == -2, "v"].sum())
+    if n < 2:
+        raise ValueError(f"pca_project: need >= 2 vectors, got {n}")
+    s = np.zeros(dim, dtype=np.int64)
+    srows = st[st["j"] == -1]
+    s[srows["i"].to_numpy(dtype="int64")] = srows["v"].to_numpy(dtype="int64")
+    g = np.zeros((dim, dim), dtype=np.int64)
+    grows = st[st["j"] >= 0]
+    g[grows["i"].to_numpy(dtype="int64"),
+      grows["j"].to_numpy(dtype="int64")] = grows["v"].to_numpy(dtype="int64")
+    g = g + np.triu(g, 1).T  # mirror the stored upper triangle
+
+    # exact ints -> one driver-side float covariance; C = (G - s s^T / n)/(n-1)
+    cov = (g.astype(np.float64)
+           - np.outer(s, s).astype(np.float64) / n) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)       # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]                  # (D, k)
+    for c in range(comps.shape[1]):          # sign pin: largest |loading| > 0
+        jmax = int(np.argmax(np.abs(comps[:, c])))
+        if comps[jmax, c] < 0:
+            comps[:, c] = -comps[:, c]
+    mean = s.astype(np.float64) / n
+    basis_ref = ray.put((mean, comps))
+
+    pc_cols = [f"pc_{c}" for c in range(k)]
+
+    def project(b: pd.DataFrame, _ref=basis_ref) -> pd.DataFrame:
+        mean_, comps_ = ray.get(_ref)
+        m = _as_matrix(b[vec_col], dim)
+        codes, _ = quantize_int8(m)
+        p = np.round((codes.astype(np.float64) - mean_) @ comps_, 6)
+        out = {id_col: b[id_col].to_numpy()}
+        for c, col in enumerate(pc_cols):
+            out[col] = p[:, c]
+        return pd.DataFrame(out)
+
+    return embeddings.map_batches(project, batch_format="pandas")

@@ -411,6 +411,7 @@ def test_query_surface_contract():
         "transcripts_extract", "transcripts_segments",
         "transcripts_benchmark",              # engine x layout timing matrix
         "transcripts_model_rescore", "transcripts_dpo_pairs",
+        "embed_pca",                          # eigh replica pytest (wave-22)
     }
     assert set(sql) <= set(qs), "oracle without a query"
     assert set(qs) - set(sql) == ROWS_ONLY, (

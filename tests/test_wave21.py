@@ -406,3 +406,49 @@ def test_compact_parquet_dir_reduces_files(ray_session, tmp_path):
     back = rd.read_parquet(comp).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, df)
+
+
+def test_pca_project_semantics(ray_session, tmp_path):
+    """PCA pins: the basis is orthonormal with descending explained
+    variance, the sign convention holds, a known low-rank subspace is
+    recovered (trailing component variance ~ quantization noise), and
+    the projection is bit-identical across partitionings (integer
+    sufficient statistics -> one driver eigh)."""
+    import ray.data as rd
+
+    from ocr_ray.stages.cluster import pca_project
+
+    rng = np.random.default_rng(3)
+    n, dim, true_rank = 2000, 16, 3
+    basis = np.linalg.qr(rng.normal(size=(dim, true_rank)))[0]
+    data = (rng.normal(size=(n, true_rank)) * np.array([5.0, 2.0, 0.5])
+            ) @ basis.T
+    df = pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [r.astype("float32") for r in data],
+    })
+    p = os.path.join(str(tmp_path), "e.parquet")
+    df.to_parquet(p)
+
+    out = pca_project(rd.read_parquet(p), k=6, dim=dim,
+                      n_partitions=2).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    pcs = out[[f"pc_{i}" for i in range(6)]].to_numpy()
+
+    var = pcs.var(axis=0, ddof=1)
+    assert (np.diff(var) <= 1e-6).all()          # descending variance
+    # rank-3 input: components 3.. carry only int8 quantization noise
+    assert var[:3].min() > 50 * var[3:].max()
+    # projections of orthogonal components are uncorrelated
+    cc = np.corrcoef(pcs[:, :3], rowvar=False)
+    assert np.abs(cc - np.eye(3)).max() < 0.05
+
+    # partitioning invariance: different block layout + exchange width
+    out2 = pca_project(rd.read_parquet(p).repartition(7), k=6, dim=dim,
+                       n_partitions=5).to_pandas()
+    out2 = out2.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    # loud errors: empty and single-vector inputs
+    with pytest.raises(ValueError):
+        pca_project(rd.from_pandas(df.iloc[:1]), k=2, dim=dim).to_pandas()
