@@ -1359,3 +1359,13 @@ def pca(
 
     return pca_project(embeddings, k=k, dim=dim, vec_col=vec_col,
                        id_col=id_col, n_partitions=n_partitions)
+
+
+def trend_per_group(sf_dir: str) -> "pd.DataFrame":
+    """Grouped OLS trend (queries.q_events_trend): slope of daily count
+    on day index per event type, fit from five exact integers per group
+    and reported as the cross-multiplied rational (num, den) — no rows
+    move, no float drift, degenerate single-day groups surface den=0."""
+    from ocr_ray.pipelines.queries import q_events_trend
+
+    return q_events_trend(sf_dir)

@@ -6139,6 +6139,69 @@ def q_table_profile_hll(sf_dir: str):
     return hll_distinct_values(ds, cols, n_partitions=4)
 
 
+def q_events_trend(sf_dir: str):
+    """Per-type activity trend — OLS slope of daily event count on the
+    day index, via EXACT integer sufficient statistics (the grouped
+    regression-lite primitive: at 100 TB you never move rows to fit a
+    line, you move five integers per group).  Two bounded levels: a
+    (type, day) count aggregate (combiner first), then per-type partials
+    (n, Σx, Σy, Σxy, Σx²) through a tiny type exchange; the slope is
+    reported as the exact cross-multiplied rational
+    ``(n·Σxy − Σx·Σy, n·Σx² − (Σx)²)`` — a float division would make
+    the oracle compare flaky and hides the degenerate single-day case
+    (den=0) that the rational form surfaces honestly.  Observed days
+    only (zero-fill is events_daily_filled's contract); null ts rows are
+    excluded on both sides."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    DAY_US = 86_400_000_000
+
+    def day_counts(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["ts"].notna()]
+        day = (b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+               // DAY_US)
+        return (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                              "day": day, "y": np.int64(1)})
+                .groupby(["event_type", "day"], as_index=False,
+                         dropna=False)[["y"]].sum())
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+    daily = hash_aggregate(
+        ds.map_batches(day_counts, batch_format="pandas"),
+        keys=["event_type", "day"], aggs={"y": "sum"}, n_partitions=None)
+
+    def stat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b) or "day" not in b.columns:
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype="object"),
+                **{c: pd.Series(dtype="int64")
+                   for c in ("n", "sx", "sy", "sxy", "sxx")}})
+        x = b["day"].to_numpy(dtype="int64")
+        y = b["y"].to_numpy(dtype="int64")
+        return (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                              "n": np.int64(1), "sx": x, "sy": y,
+                              "sxy": x * y, "sxx": x * x})
+                .groupby("event_type", as_index=False, dropna=False)
+                .sum())
+
+    agg = hash_aggregate(
+        daily.map_batches(stat_partial, batch_format="pandas"),
+        keys=["event_type"],
+        aggs={c: "sum" for c in ("n", "sx", "sy", "sxy", "sxx")},
+        n_partitions=2).to_pandas()
+    if not len(agg) or "n" not in agg.columns:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "slope_num": pd.Series(dtype="int64"),
+                             "slope_den": pd.Series(dtype="int64")})
+    for c in ("n", "sx", "sy", "sxy", "sxx"):
+        agg[c] = agg[c].astype("int64")
+    agg["slope_num"] = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    agg["slope_den"] = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    return (agg[["event_type", "slope_num", "slope_den"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
 def q_embed_pca(sf_dir: str):
     """PCA projection of the embedding table to 8 components
     (stages/cluster.py:pca_project — rows-only: eigendecomposition is
@@ -6551,6 +6614,7 @@ def queries() -> Dict[str, Callable]:
         "events_attribution": q_events_attribution,
         "io_compact_roundtrip": q_io_compact_roundtrip,
         "embed_pca": q_embed_pca,
+        "events_trend": q_events_trend,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9385,6 +9449,25 @@ SELECT d.doc_id,
             WHEN nr.id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
+"""
+
+ORACLE_SQL["events_trend"] = r"""
+WITH d AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(day) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(day * y) AS BIGINT) AS sxy,
+         CAST(sum(day * day) AS BIGINT) AS sxx
+  FROM d GROUP BY 1)
+SELECT event_type,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM s ORDER BY event_type
 """
 
 ORACLE_SQL["io_compact_roundtrip"] = r"""

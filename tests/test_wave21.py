@@ -452,3 +452,43 @@ def test_pca_project_semantics(ray_session, tmp_path):
     # loud errors: empty and single-vector inputs
     with pytest.raises(ValueError):
         pca_project(rd.from_pandas(df.iloc[:1]), k=2, dim=dim).to_pandas()
+
+
+def test_events_trend_semantics(ray_session, tmp_path):
+    """Trend pins: a hand-checkable exact slope (daily counts 1,2,3 ->
+    slope 1), the degenerate single-day group surfacing den=0 instead of
+    a float NaN, and null-ts exclusion."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_events_trend
+
+    d = str(tmp_path)
+    t = pd.Timestamp("2020-01-01 12:00:00")
+    day = pd.Timedelta(days=1)
+    rows = []
+    eid = 0
+    # type 'up': 1, 2, 3 events on consecutive days -> slope exactly 1
+    for i, cnt in enumerate([1, 2, 3]):
+        for _ in range(cnt):
+            rows.append((eid, t + i * day, 1, "up")); eid += 1
+    # type 'flat': one day only -> den = 0 (degenerate, surfaced exactly)
+    rows.append((eid, t, 1, "flat")); eid += 1
+    rows.append((eid, t, 1, "flat")); eid += 1
+    # null ts: excluded on both sides
+    rows.append((eid, None, 1, "up")); eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    ev["value"] = 0.0
+    ev["props"] = "{}"
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = q_events_trend(d)
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from "
+                f"'{os.path.join(d, 'events.parquet')}'")
+    exp = con.execute(ORACLE_SQL["events_trend"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.set_index("event_type")
+    # slope 1: num/den = 1 with n=3 days
+    assert r.loc["up", "slope_num"] == r.loc["up", "slope_den"] != 0
+    assert r.loc["flat", "slope_den"] == 0  # degenerate, not NaN
