@@ -6139,6 +6139,40 @@ def q_table_profile_hll(sf_dir: str):
     return hll_distinct_values(ds, cols, n_partitions=4)
 
 
+def q_events_histogram(sf_dir: str):
+    """Equi-width value histogram per event type (bin width 10) — the
+    distribution-shape op the quantile family doesn't cover: one
+    per-batch (type, bin) count combiner, one bounded exchange, output
+    cardinality |types| x |occupied bins| regardless of row count.  The
+    bin is ``floor(value / 10)`` computed in float64 on both sides
+    (identical IEEE op -> identical bin at every boundary); null values
+    are excluded on both sides (SQL aggregate semantics)."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["value"].notna()]
+        bins = np.floor(b["value"].to_numpy(dtype="float64") / 10.0
+                        ).astype("int64")
+        return (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                              "bin": bins, "n": np.int64(1)})
+                .groupby(["event_type", "bin"], as_index=False,
+                         dropna=False)[["n"]].sum())
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["event_type", "bin"], aggs={"n": "sum"},
+        n_partitions=None).to_pandas()
+    if not len(out) or "bin" not in out.columns:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "bin": pd.Series(dtype="int64"),
+                             "n": pd.Series(dtype="int64")})
+    out = out.astype({"bin": "int64", "n": "int64"})
+    return (out[["event_type", "bin", "n"]]
+            .sort_values(["event_type", "bin"]).reset_index(drop=True))
+
+
 def q_events_trend(sf_dir: str):
     """Per-type activity trend — OLS slope of daily event count on the
     day index, via EXACT integer sufficient statistics (the grouped
@@ -6615,6 +6649,7 @@ def queries() -> Dict[str, Callable]:
         "io_compact_roundtrip": q_io_compact_roundtrip,
         "embed_pca": q_embed_pca,
         "events_trend": q_events_trend,
+        "events_histogram": q_events_histogram,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9449,6 +9484,13 @@ SELECT d.doc_id,
             WHEN nr.id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
+"""
+
+ORACLE_SQL["events_histogram"] = r"""
+SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 ORACLE_SQL["events_trend"] = r"""
