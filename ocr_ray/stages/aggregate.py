@@ -630,6 +630,10 @@ def hll_distinct_values(
     from ocr_ray.stages.dedup import _poly_hash_token
 
     def _canon(x) -> str:
+        if isinstance(x, bool):
+            # DuckDB CAST(BOOLEAN AS VARCHAR) prints 'true'/'false';
+            # Python str() would register-drift as 'True'/'False'
+            return "true" if x else "false"
         if isinstance(x, float):
             return repr(x)
         return str(x)
