@@ -143,9 +143,11 @@ def test_wave18_queries_empty_inputs(ray_session, tmp_path):
     _write_star(d)
 
     from ocr_ray.pipelines.queries import (
-        q_events_markov, q_fk_violations, q_q2_min_shipper, q_q6_forecast,
-        q_q8_market_share, q_q9_profit, q_q14_promo, q_q15_top_supplier,
-        q_q19_brand_qty, q_rag_bm25_topk, q_snapshot_diff)
+        q_events_histogram, q_events_markov, q_events_trend,
+        q_fk_violations, q_orders_reconcile, q_q2_min_shipper,
+        q_q6_forecast, q_q8_market_share, q_q9_profit, q_q14_promo,
+        q_q15_top_supplier, q_q19_brand_qty, q_rag_bm25_topk,
+        q_snapshot_diff, q_table_profile, q_table_profile_hll)
 
     for fn, cols, n in (
         (q_q6_forecast, ["rev_cpm", "n_rows"], 1),
@@ -158,6 +160,16 @@ def test_wave18_queries_empty_inputs(ray_session, tmp_path):
         (q_events_markov, ["src_type", "dst_type", "n_trans"], 0),
         (q_snapshot_diff, ["status", "n"], 0),
         (q_rag_bm25_topk, ["doc_id", "score"], 0),
+        (q_events_trend, ["event_type", "slope_num", "slope_den"], 0),
+        (q_events_histogram, ["event_type", "bin", "n"], 0),
+        (q_orders_reconcile,
+         ["n_orders", "n_no_lines", "n_match", "n_mismatch",
+          "max_abs_diff"], 1),
+        (q_table_profile,
+         ["col", "n", "n_null", "n_distinct", "min_str", "max_str"], 6),
+        (q_table_profile_hll,
+         ["col", "m", "n_zero_registers", "sum_rho", "est_raw",
+          "est_distinct"], 6),
     ):
         out = fn(d)
         assert list(out.columns) == cols, fn.__name__
