@@ -504,3 +504,46 @@ def test_events_trend_semantics(ray_session, tmp_path):
     # slope 1: num/den = 1 with n=3 days
     assert r.loc["up", "slope_num"] == r.loc["up", "slope_den"] != 0
     assert r.loc["flat", "slope_den"] == 0  # degenerate, not NaN
+
+
+def test_custom_engine_plugin(ray_session, monkeypatch):
+    """The SURVEY §2.9 extension recipe end-to-end: register a new engine
+    in the ENGINES name->class dict, select it via config, and best-of-N
+    attributes the win to it — the Ray-native analog of subclassing
+    BaseOCREngine.extract_text + _initialize_engines registration
+    (ocr_app/core/ocr_engine.py:453-471).  Unknown engine names fail
+    loud at pool construction, not mid-stream."""
+    import pyarrow as pa
+
+    from ocr_ray.config import PipelineConfig
+    from ocr_ray.stages import extract as ex
+
+    GOOD = ("This custom engine produces a long, clean, well formed "
+            "paragraph. It has sentences, punctuation, and plenty of "
+            "words, so the quality scorer prefers it over the sparse "
+            "strip of a junk payload.")
+
+    # the engine-callable contract: fn(text, prestripped=...) -> str —
+    # a wrong signature is SKIPPED by the fallback ladder (engines may
+    # fail per-payload), which the default-config assertion below pins
+    def shouty(payload: str, prestripped: bool = False) -> str:
+        return GOOD
+
+    monkeypatch.setitem(ex.ENGINES, "shouty", shouty)
+
+    cfg = PipelineConfig(engines=("tagstrip", "shouty"))
+    e = ex.Extractor(cfg)
+    batch = pa.table({
+        "norm_text": ["<div><a href='x'>z</a></div>"],  # junk for tagstrip
+        "kind": ["html"],
+    })
+    out = e(batch)
+    assert out["engine"].to_pylist() == ["shouty"]
+    assert out["extracted_text"].to_pylist() == [GOOD]
+
+    # the default config stays byte-identical to the golden-parity path
+    base = ex.Extractor(PipelineConfig())(batch)
+    assert base["engine"].to_pylist() != ["shouty"]
+
+    with pytest.raises(KeyError):
+        ex.Extractor(PipelineConfig(engines=("tagstrip", "nope")))
