@@ -3733,16 +3733,35 @@ def q_fk_violations(sf_dir: str):
     is exactly the under-report an integrity gate must not make."""
     from ocr_ray.stages.join import exchange_join
 
+    def footer_null_count(path, col) -> "int | None":
+        # parquet footers carry per-row-group null counts — the null leg
+        # of the gate costs a metadata read, not a data scan (at 100 TB
+        # that's one footer per file, embarrassingly parallel); any row
+        # group without statistics falls back to the counting scan
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        total = 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_null_count:
+                return None
+            total += st.null_count
+        return total
+
     def orphans(child_file, child_key, parent_file, parent_key):
-        child = rd.read_parquet(os.path.join(sf_dir, child_file),
-                                columns=[child_key])
+        child_path = os.path.join(sf_dir, child_file)
+        child = rd.read_parquet(child_path, columns=[child_key])
 
-        def null_partial(b: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame({"n": [int(b[child_key].isna().sum())]})
+        n_null = footer_null_count(child_path, child_key)
+        if n_null is None:  # stats absent: count with one pruned scan
+            def null_partial(b: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({"n": [int(b[child_key].isna().sum())]})
 
-        nulls_df = child.map_batches(
-            null_partial, batch_format="pandas").to_pandas()
-        n_null = int(nulls_df["n"].sum()) if "n" in nulls_df.columns else 0
+            nulls_df = child.map_batches(
+                null_partial, batch_format="pandas").to_pandas()
+            n_null = int(nulls_df["n"].sum()) if "n" in nulls_df.columns else 0
 
         nonnull = child.map_batches(
             lambda b, k=child_key: b[b[k].notna()].astype({k: "int64"}),
