@@ -547,3 +547,55 @@ def test_custom_engine_plugin(ray_session, monkeypatch):
 
     with pytest.raises(KeyError):
         ex.Extractor(PipelineConfig(engines=("tagstrip", "nope")))
+
+
+def test_fk_null_leg_fallback_without_stats(ray_session, tmp_path):
+    """Parquet written WITHOUT statistics exercises the counting-scan
+    fallback of the fk null leg — same counts as the footer path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_ray.pipelines.queries import q_fk_violations
+
+    d = str(tmp_path)
+    _write_star(d)
+    li = pa.table({
+        "l_orderkey": pa.array([1, None], type=pa.int64()),
+        "l_partkey": pa.array([5, 5], type=pa.int64()),
+        "l_suppkey": pa.array([7, 7], type=pa.int64()),
+        "l_linenumber": pa.array([1, 2], type=pa.int32()),
+        "l_quantity": pa.array([1.0, 1.0]),
+        "l_extendedprice": pa.array([1.0, 1.0]),
+        "l_discount": pa.array([0.0, 0.0]),
+        "l_tax": pa.array([0.0, 0.0]),
+        "l_returnflag": pa.array(["N", "N"]),
+        "l_linestatus": pa.array(["O", "O"]),
+        "l_shipdate": pa.array([pd.Timestamp("1996-02-01")] * 2,
+                               type=pa.timestamp("us")),
+    })
+    pq.write_table(li, os.path.join(d, "lineitem.parquet"),
+                   write_statistics=False)
+    pa_orders = pa.table({
+        "o_orderkey": pa.array([1], type=pa.int64()),
+        "o_custkey": pa.array([10], type=pa.int64()),
+        "o_orderstatus": pa.array(["F"]),
+        "o_totalprice": pa.array([0.0]),
+        "o_orderdate": pa.array([pd.Timestamp("1996-01-01")],
+                                type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"]),
+    })
+    pq.write_table(pa_orders, os.path.join(d, "orders.parquet"),
+                   write_statistics=False)
+    pd.DataFrame({"p_partkey": [5], "p_name": ["x"], "p_brand": ["b"],
+                  "p_type": ["t"], "p_size": [1], "p_retailprice": [1.0],
+                  }).to_parquet(os.path.join(d, "part.parquet"))
+    pd.DataFrame({"s_suppkey": [7], "s_name": ["s"], "s_nationkey": [1],
+                  "s_acctbal": [0.0],
+                  }).to_parquet(os.path.join(d, "supplier.parquet"))
+    pd.DataFrame({"c_custkey": [10], "c_name": ["c"], "c_nationkey": [1],
+                  "c_acctbal": [0.0], "c_mktsegment": ["X"],
+                  }).to_parquet(os.path.join(d, "customer.parquet"))
+
+    got = q_fk_violations(d).set_index("fk")["n_orphans"]
+    assert got["lineitem.l_orderkey->orders"] == 1  # the null, via fallback
+    assert got["lineitem.l_partkey->part"] == 0
