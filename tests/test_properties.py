@@ -284,3 +284,104 @@ def test_exchange_schema_drift_fails_loudly(ray_session):
     ds = rd.from_pandas(idf).union(rd.from_pandas(fdf))
     with pytest.raises(Exception, match="schema drift|int64|double"):
         hash_aggregate(ds, keys=["k"], aggs={"v": "sum"}).to_pandas()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),            # user slot (3 -> SQL NULL)
+            st.integers(0, 1_000_000),    # ts offset seconds (~11.6 days)
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        max_size=40,
+    )
+)
+def test_attribution_matches_bruteforce(ray_session, rows):
+    """events_attribution == an O(n^2) brute-force reference for ANY
+    event stream: per purchase, the latest (ts, event_id)-preceding
+    same-user click within 7 days (null users form one group)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.pipelines.queries import q_events_attribution
+
+    d = tempfile.mkdtemp(prefix="attr_prop_")
+    t0 = pd.Timestamp("2020-01-01")
+    ev = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype="int64"),
+        "ts": [t0 + pd.Timedelta(seconds=s) for _, s, _ in rows],
+        "user_id": pd.array([None if u == 3 else u for u, _, _ in rows],
+                            dtype="Int64"),
+        "event_type": [t for _, _, t in rows],
+        "value": 0.0,
+        "props": "{}",
+    })
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = q_events_attribution(d).set_index("event_id")
+
+    W = pd.Timedelta(days=7)
+    expected = {}
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        same = ev[(ev["user_id"].isna() & pd.isna(p["user_id"]))
+                  | (ev["user_id"] == p["user_id"])]
+        cand = same[(same["event_type"] == "click")
+                    & ((same["ts"] < p["ts"])
+                       | ((same["ts"] == p["ts"])
+                          & (same["event_id"] < p["event_id"])))]
+        cand = cand[p["ts"] - cand["ts"] <= W]
+        if len(cand):
+            w = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            expected[int(p["event_id"])] = (
+                int(w["event_id"]),
+                int((p["ts"] - w["ts"]).total_seconds()))
+        else:
+            expected[int(p["event_id"])] = None
+
+    assert set(got.index) == set(expected)
+    for eid, exp in expected.items():
+        a = got.loc[eid, "attributed_event_id"]
+        if exp is None:
+            assert pd.isna(a)
+        else:
+            assert (int(a), int(got.loc[eid, "lag_s"])) == exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 12), st.integers(0, 3)),
+             max_size=20, unique_by=lambda t: t[0]),
+    st.lists(st.tuples(st.integers(0, 12), st.integers(0, 3)),
+             max_size=20, unique_by=lambda t: t[0]),
+)
+def test_snapshot_diff_matches_reference(ray_session, left, right):
+    """snapshot_diff == the FULL OUTER JOIN case ladder for ANY pair of
+    keyed tables (unique keys per side)."""
+    import ray.data as rd
+
+    import pandas as pd
+
+    from ocr_ray.stages.validate import snapshot_diff
+
+    lf = pd.DataFrame(left or [(99, 0)], columns=["k", "v"]).astype("int64")
+    rf = pd.DataFrame(right or [(98, 1)], columns=["k", "v"]).astype("int64")
+    got = snapshot_diff(rd.from_pandas(lf), rd.from_pandas(rf),
+                        key_col="k", compare_cols=["v"]).to_pandas()
+    got = dict(zip(got["k"], got["status"])) if "k" in got.columns else {}
+
+    m = lf.merge(rf, on="k", how="outer", suffixes=("_l", "_r"),
+                 indicator=True)
+    exp = {}
+    for _, r in m.iterrows():
+        if r["_merge"] == "right_only":
+            exp[int(r["k"])] = "added"
+        elif r["_merge"] == "left_only":
+            exp[int(r["k"])] = "removed"
+        else:
+            exp[int(r["k"])] = ("unchanged" if r["v_l"] == r["v_r"]
+                                else "changed")
+    assert got == exp
