@@ -6158,6 +6158,66 @@ def q_table_profile_hll(sf_dir: str):
     return hll_distinct_values(ds, cols, n_partitions=4)
 
 
+def q_events_corr(sf_dir: str):
+    """Per-type Pearson correlation between event value and the day
+    index — "is this metric drifting with time" (the bivariate sibling
+    of events_trend): five exact-int64 sufficient statistics per group
+    move through one bounded exchange (Σx, Σy, Σxy, Σx², Σy², n over
+    day-index x value-cents), the correlation components report as
+    exact integers (cov_num = nΣxy−ΣxΣy, varx_num, vary_num), and r
+    itself is the identical float64 expression on both sides
+    (num / sqrt(double(vx)·double(vy)), 6 dp; the int product vx·vy
+    would overflow int64, so BOTH sides promote before multiplying).
+    Degenerate groups (zero variance) report r as SQL NULL / NaN.
+    Null ts or value rows are excluded on both sides.  int64 bound:
+    n·Σy² with cents ≤ ~5e4 stays exact to ~2e5 rows per group (1e18 <
+    2^63); past that re-scale the value units upstream — the oracle's
+    BIGINT arithmetic fails LOUD on overflow where numpy would wrap."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    DAY_US = 86_400_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["ts"].notna() & b["value"].notna()]
+        x = (b["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+             // DAY_US)
+        y = np.floor(b["value"].to_numpy(dtype="float64") * 100 + 0.5
+                     ).astype("int64")
+        return (pd.DataFrame({"event_type": b["event_type"].to_numpy(),
+                              "n": np.int64(1), "sx": x, "sy": y,
+                              "sxy": x * y, "sxx": x * x, "syy": y * y})
+                .groupby("event_type", as_index=False, dropna=False)
+                .sum())
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["event_type"],
+        aggs={c: "sum" for c in ("n", "sx", "sy", "sxy", "sxx", "syy")},
+        n_partitions=2).to_pandas()
+    cols = ["event_type", "n", "cov_num", "varx_num", "vary_num", "r"]
+    if not len(agg) or "n" not in agg.columns:
+        return pd.DataFrame({
+            "event_type": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "cov_num": pd.Series(dtype="int64"),
+            "varx_num": pd.Series(dtype="int64"),
+            "vary_num": pd.Series(dtype="int64"),
+            "r": pd.Series(dtype="float64")})
+    for c in ("n", "sx", "sy", "sxy", "sxx", "syy"):
+        agg[c] = agg[c].astype("int64")
+    agg["cov_num"] = agg["n"] * agg["sxy"] - agg["sx"] * agg["sy"]
+    agg["varx_num"] = agg["n"] * agg["sxx"] - agg["sx"] * agg["sx"]
+    agg["vary_num"] = agg["n"] * agg["syy"] - agg["sy"] * agg["sy"]
+    den = np.sqrt(agg["varx_num"].to_numpy(dtype="float64")
+                  * agg["vary_num"].to_numpy(dtype="float64"))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.round(agg["cov_num"].to_numpy(dtype="float64") / den, 6)
+    agg["r"] = np.where(den > 0, r, np.nan)
+    return agg[cols].sort_values("event_type").reset_index(drop=True)
+
+
 def q_events_histogram(sf_dir: str):
     """Equi-width value histogram per event type (bin width 10) — the
     distribution-shape op the quantile family doesn't cover: one
@@ -6669,6 +6729,7 @@ def queries() -> Dict[str, Callable]:
         "embed_pca": q_embed_pca,
         "events_trend": q_events_trend,
         "events_histogram": q_events_histogram,
+        "events_corr": q_events_corr,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9503,6 +9564,34 @@ SELECT d.doc_id,
             WHEN nr.id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
+"""
+
+ORACLE_SQL["events_corr"] = r"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM b GROUP BY 1),
+c AS (
+  SELECT event_type, n,
+         CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+         CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
+         CAST(n * syy - sy * sy AS BIGINT) AS vary_num
+  FROM s)
+SELECT event_type, n, cov_num, varx_num, vary_num,
+       CASE WHEN varx_num > 0 AND vary_num > 0
+            THEN round(CAST(cov_num AS DOUBLE)
+                       / sqrt(CAST(varx_num AS DOUBLE)
+                              * CAST(vary_num AS DOUBLE)), 6)
+       END AS r
+FROM c ORDER BY event_type
 """
 
 ORACLE_SQL["events_histogram"] = r"""

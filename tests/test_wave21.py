@@ -599,3 +599,37 @@ def test_fk_null_leg_fallback_without_stats(ray_session, tmp_path):
     got = q_fk_violations(d).set_index("fk")["n_orphans"]
     assert got["lineitem.l_orderkey->orders"] == 1  # the null, via fallback
     assert got["lineitem.l_partkey->part"] == 0
+
+
+def test_events_corr_semantics(ray_session, tmp_path):
+    """Correlation pins: r = +1 / -1 for exactly linear groups, NULL for
+    a zero-variance group, engine == oracle on the synthetic set."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_events_corr
+
+    d = str(tmp_path)
+    t = pd.Timestamp("2020-01-01")
+    day = pd.Timedelta(days=1)
+    rows = []
+    eid = 0
+    for i in range(4):   # 'up': value = 1.00 + i -> r = 1
+        rows.append((eid, t + i * day, 1, "up", 1.0 + i)); eid += 1
+    for i in range(4):   # 'down': value = 9.00 - 2i -> r = -1
+        rows.append((eid, t + i * day, 1, "down", 9.0 - 2 * i)); eid += 1
+    for i in range(3):   # 'flat': same day, varx = 0 -> r NULL
+        rows.append((eid, t, 1, "flat", float(i))); eid += 1
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    ev["props"] = "{}"
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = q_events_corr(d)
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from "
+                f"'{os.path.join(d, 'events.parquet')}'")
+    exp = con.execute(ORACLE_SQL["events_corr"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.set_index("event_type")["r"]
+    assert r["up"] == 1.0 and r["down"] == -1.0
+    assert pd.isna(r["flat"])
