@@ -326,6 +326,11 @@ def pca_project(
     from ocr_ray.stages.aggregate import hash_aggregate
     from ocr_ray.stages.similarity import _as_matrix, quantize_int8
 
+    if not 1 <= k <= dim:
+        # k > dim would IndexError inside the projection workers; fail
+        # loud at plan time instead
+        raise ValueError(f"pca_project: k={k} must be in [1, dim={dim}]")
+
     iu, ju = np.triu_indices(dim)
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:

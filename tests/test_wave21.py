@@ -633,3 +633,18 @@ def test_events_corr_semantics(ray_session, tmp_path):
     r = got.set_index("event_type")["r"]
     assert r["up"] == 1.0 and r["down"] == -1.0
     assert pd.isna(r["flat"])
+
+
+def test_pca_k_bounds(ray_session):
+    """k outside [1, dim] fails loud at plan time, not as a worker
+    IndexError mid-stream."""
+    import ray.data as rd
+
+    from ocr_ray.stages.cluster import pca_project
+
+    df = pd.DataFrame({"vec_id": [0, 1],
+                       "embedding": [np.ones(4, dtype="float32"),
+                                     np.zeros(4, dtype="float32")]})
+    for bad in (0, 5):
+        with pytest.raises(ValueError):
+            pca_project(rd.from_pandas(df), k=bad, dim=4)
