@@ -6158,6 +6158,56 @@ def q_table_profile_hll(sf_dir: str):
     return hll_distinct_values(ds, cols, n_partitions=4)
 
 
+def q_events_moving(sf_dir: str):
+    """Rows-based sliding window per user — SUM/COUNT of value over each
+    event's last-4-rows frame (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+    ordered by ts, event_id) — the rows-frame sibling of the time-based
+    events_window/events_rate: one user_id exchange, one mergesort per
+    partition, then the whole frame resolves from a single prefix-sum
+    (``win = prefix[i+1] - prefix[max(i-3, run_start)]``) — no per-row
+    window loop, no self-join.  The sum reports as exact integer cents
+    (a windowed float mean would drift with partition order); null users
+    chain as ONE partition like SQL PARTITION BY."""
+    from ocr_ray.stages.join import exchange_map_partitions
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                              "win_sum_c": pd.Series(dtype="int64"),
+                              "win_n": pd.Series(dtype="int64")})
+        if not len(g) or "event_id" not in g.columns:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                          na_position="last")
+        codes, _ = pd.factorize(g["user_id"], use_na_sentinel=False)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        starts = np.r_[0, np.flatnonzero(codes[1:] != codes[:-1]) + 1]
+        seg_start = np.repeat(starts, np.diff(np.r_[starts, n]))
+        cents = np.floor(g["value"].to_numpy(dtype="float64") * 100 + 0.5
+                         ).astype("int64")
+        prefix = np.r_[0, np.cumsum(cents)]
+        lo = np.maximum(idx - 3, seg_start)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(dtype="int64"),
+            "win_sum_c": prefix[idx + 1] - prefix[lo],
+            "win_n": idx + 1 - lo,
+        })
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"]
+    ).map_batches(lambda b: b[b["value"].notna()], batch_format="pandas")
+    out = exchange_map_partitions(ds, "user_id", window,
+                                  n_partitions=None).to_pandas()
+    if "event_id" not in out.columns:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "win_sum_c": pd.Series(dtype="int64"),
+                             "win_n": pd.Series(dtype="int64")})
+    out = out.astype({"event_id": "int64", "win_sum_c": "int64",
+                      "win_n": "int64"})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_events_corr(sf_dir: str):
     """Per-type Pearson correlation between event value and the day
     index — "is this metric drifting with time" (the bivariate sibling
@@ -6730,6 +6780,7 @@ def queries() -> Dict[str, Callable]:
         "events_trend": q_events_trend,
         "events_histogram": q_events_histogram,
         "events_corr": q_events_corr,
+        "events_moving": q_events_moving,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9564,6 +9615,19 @@ SELECT d.doc_id,
             WHEN nr.id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
+"""
+
+ORACLE_SQL["events_moving"] = r"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS win_sum_c,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS win_n
+FROM events WHERE value IS NOT NULL
+ORDER BY event_id
 """
 
 ORACLE_SQL["events_corr"] = r"""

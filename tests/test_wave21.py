@@ -648,3 +648,46 @@ def test_pca_k_bounds(ray_session):
     for bad in (0, 5):
         with pytest.raises(ValueError):
             pca_project(rd.from_pandas(df), k=bad, dim=4)
+
+
+def test_events_moving_window_edges(ray_session, tmp_path):
+    """Sliding-window pins: the frame truncates at each user's run start
+    (never borrows a previous user's rows), null users chain as one
+    partition, ties order by event_id, and the sum is exact cents."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_events_moving
+
+    d = str(tmp_path)
+    t = pd.Timestamp("2020-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: six events, values 1..6 -> window sums truncate then roll
+        *[(i, t + i * s, 1, "view", float(i + 1)) for i in range(6)],
+        # user 2: one event right after user 1's — must NOT see user 1
+        (6, t + 6 * s, 2, "view", 100.0),
+        # null users: two events chain together
+        (7, t, None, "view", 10.0),
+        (8, t + s, None, "view", 20.0),
+        # tie ts within user 3: event_id orders the frame
+        (9, t, 3, "view", 1.0),
+        (10, t, 3, "view", 2.0),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type", "value"])
+    ev["user_id"] = pd.array(ev["user_id"], dtype="Int64")
+    ev["props"] = "{}"
+    ev.to_parquet(os.path.join(d, "events.parquet"))
+
+    got = q_events_moving(d)
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from "
+                f"'{os.path.join(d, 'events.parquet')}'")
+    exp = con.execute(ORACLE_SQL["events_moving"]).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.set_index("event_id")
+    assert list(r.loc[[0, 1, 2, 3, 4, 5], "win_sum_c"]) == [
+        100, 300, 600, 1000, 1400, 1800]  # truncated then rolling 4-frame
+    assert r.loc[6, "win_n"] == 1 and r.loc[6, "win_sum_c"] == 10000
+    assert r.loc[8, "win_n"] == 2 and r.loc[8, "win_sum_c"] == 3000
+    assert r.loc[10, "win_n"] == 2  # tie resolved by event_id
