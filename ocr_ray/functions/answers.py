@@ -53,3 +53,22 @@ def extract_answer_from_context(query: str, context: str) -> str:
         return relevant[scores.index(max(scores))].strip()
 
     return context.split(".")[0] + "."
+
+
+_SUMM_WORD = re.compile(r"[a-z0-9]+")
+
+
+def summarize_extractive(text: str, k: int = 2) -> str:
+    """Luhn-style extractive summary: split sentences with the shared
+    ``_SENT_SPLIT`` regex (the R5 answer-extraction splitter — identical
+    semantics to the oracle's ``([.!?])\\s+`` -> chr(1) split), score each
+    sentence by its count of significant words (lowercased ``[a-z0-9]+``
+    tokens of length >= 5), keep the top ``k`` by (score DESC, position
+    ASC), and emit them IN POSITION ORDER joined by one space — summaries
+    read in document order, not score order."""
+    sents = _SENT_SPLIT.split(text.strip())
+    scored = sorted(
+        (-sum(1 for w in _SUMM_WORD.findall(s.lower()) if len(w) >= 5), i)
+        for i, s in enumerate(sents)
+    )[:k]
+    return " ".join(sents[i] for _, i in sorted(scored, key=lambda t: t[1]))

@@ -6158,6 +6158,27 @@ def q_table_profile_hll(sf_dir: str):
     return hll_distinct_values(ds, cols, n_partitions=4)
 
 
+def q_doc_summary(sf_dir: str):
+    """Extractive summarization over the document table
+    (functions/answers.py:summarize_extractive — the R5 answer-extraction
+    sibling: Luhn significant-word scoring, top-2 sentences in position
+    order).  Embarrassingly parallel map over pruned (doc_id, text);
+    null-text docs are absent on both sides (SQL unnest-of-NULL
+    semantics)."""
+    from ocr_ray.functions.answers import summarize_extractive
+
+    def batch(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["text"].notna()]
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "summary": [summarize_extractive(t) for t in b["text"]],
+        })
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(batch, batch_format="pandas")
+
+
 def q_events_moving(sf_dir: str):
     """Rows-based sliding window per user — SUM/COUNT of value over each
     event's last-4-rows frame (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
@@ -6781,6 +6802,7 @@ def queries() -> Dict[str, Callable]:
         "events_histogram": q_events_histogram,
         "events_corr": q_events_corr,
         "events_moving": q_events_moving,
+        "doc_summary": q_doc_summary,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9615,6 +9637,30 @@ SELECT d.doc_id,
             WHEN nr.id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
+"""
+
+ORACLE_SQL["doc_summary"] = r"""
+WITH s AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '([.!?])\s+',
+                                     '\1' || chr(1), 'g'), chr(1)) AS sents
+  FROM documents WHERE text IS NOT NULL),
+e AS (
+  SELECT doc_id, unnest(sents) AS sent,
+         generate_subscripts(sents, 1) AS pos
+  FROM s),
+sc AS (
+  SELECT doc_id, sent, pos,
+         len(list_filter(regexp_extract_all(lower(sent), '[a-z0-9]+'),
+                         w -> length(w) >= 5)) AS score
+  FROM e),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, pos) AS rn
+  FROM sc)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       string_agg(sent, ' ' ORDER BY pos) AS summary
+FROM rk WHERE rn <= 2 GROUP BY doc_id
 """
 
 ORACLE_SQL["events_moving"] = r"""

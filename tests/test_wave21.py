@@ -691,3 +691,25 @@ def test_events_moving_window_edges(ray_session, tmp_path):
     assert r.loc[6, "win_n"] == 1 and r.loc[6, "win_sum_c"] == 10000
     assert r.loc[8, "win_n"] == 2 and r.loc[8, "win_sum_c"] == 3000
     assert r.loc[10, "win_n"] == 2  # tie resolved by event_id
+
+
+def test_summarize_extractive_scalar():
+    """Summarizer pins: position order in the output, score ties to the
+    earlier sentence, multi-punctuation splits, single-sentence and
+    empty inputs."""
+    from ocr_ray.functions.answers import summarize_extractive as summ
+
+    # top-2 by significant words, emitted in position order
+    assert summ("Tiny. Several significant tokens appear within here. "
+                "No. Another informative sentence about pipelines.") == (
+        "Several significant tokens appear within here. "
+        "Another informative sentence about pipelines.")
+    # tie (all score 0): earlier positions win, order preserved
+    assert summ("Ab cd. Ef gh. Ij kl.") == "Ab cd. Ef gh."
+    # a single 5-letter word ("three") outranks zero-score sentences
+    assert summ("One. Two. Three.") == "One. Three."
+    assert summ("Solo sentence only.") == "Solo sentence only."
+    assert summ("") == ""
+    # multi-punctuation boundary splits once, keeps the punctuation
+    assert summ("Wow!! Meaningful wonderful sentence here. Eh.") == (
+        "Wow!! Meaningful wonderful sentence here.")
