@@ -6158,6 +6158,42 @@ def q_table_profile_hll(sf_dir: str):
     return hll_distinct_values(ds, cols, n_partitions=4)
 
 
+def q_doc_readability(sf_dir: str):
+    """Flesch reading-ease per document — the classic readability gate of
+    quality curation, next to the Gopher/bigram/LM signals: three EXACT
+    integer counts per doc (sentences = 1 + boundary matches, words =
+    ``[a-z0-9]+`` tokens, syllables = vowel groups ``[aeiouy]+``) from
+    three vectorized ``str.count`` kernels — no per-row Python — plus the
+    score as the identical float64 expression on both sides (206.835 −
+    1.015·w/s − 84.6·sy/w, 6 dp), NULL for word-less docs.  The integer
+    triple makes the comparison exact; the float is derived, never
+    accumulated."""
+    def batch(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["text"].notna()]
+        t = b["text"].str.strip()
+        low = b["text"].str.lower()
+        ns = (1 + t.str.count(r"[.!?]\s+")).astype("int64")
+        nw = low.str.count(r"[a-z0-9]+").astype("int64")
+        sy = low.str.count(r"[aeiouy]+").astype("int64")
+        score = np.round(
+            206.835
+            - 1.015 * (nw.to_numpy(dtype="float64")
+                       / ns.to_numpy(dtype="float64"))
+            - 84.6 * (sy.to_numpy(dtype="float64")
+                      / np.where(nw.to_numpy() > 0,
+                                 nw.to_numpy(dtype="float64"), 1.0)), 6)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64").to_numpy(),
+            "n_sent": ns.to_numpy(), "n_words": nw.to_numpy(),
+            "n_syll": sy.to_numpy(),
+            "flesch": np.where(nw.to_numpy() > 0, score, np.nan),
+        })
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(batch, batch_format="pandas")
+
+
 def q_doc_summary(sf_dir: str):
     """Extractive summarization over the document table
     (functions/answers.py:summarize_extractive — the R5 answer-extraction
@@ -6803,6 +6839,7 @@ def queries() -> Dict[str, Callable]:
         "events_corr": q_events_corr,
         "events_moving": q_events_moving,
         "doc_summary": q_doc_summary,
+        "doc_readability": q_doc_readability,
         "q6_forecast": q_q6_forecast,
         "q14_promo": q_q14_promo,
         "q19_brand_qty": q_q19_brand_qty,
@@ -9637,6 +9674,25 @@ SELECT d.doc_id,
             WHEN nr.id IS NOT NULL THEN 'near_dup'
             ELSE 'kept' END AS status
 FROM d LEFT JOIN nonrep nr ON d.doc_id = nr.id
+"""
+
+ORACLE_SQL["doc_readability"] = r"""
+WITH c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(1 + len(regexp_extract_all(trim(text), '[.!?]\s+'))
+              AS BIGINT) AS n_sent,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+              AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syll
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, n_sent, n_words, n_syll,
+       CASE WHEN n_words > 0 THEN round(
+         206.835
+         - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+         - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+       END AS flesch
+FROM c
 """
 
 ORACLE_SQL["doc_summary"] = r"""

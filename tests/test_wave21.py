@@ -713,3 +713,39 @@ def test_summarize_extractive_scalar():
     # multi-punctuation boundary splits once, keeps the punctuation
     assert summ("Wow!! Meaningful wonderful sentence here. Eh.") == (
         "Wow!! Meaningful wonderful sentence here.")
+
+
+def test_doc_readability_semantics(ray_session, tmp_path):
+    """Readability pins: hand-computed Flesch for a known doc, the
+    word-less doc reporting NULL, and engine == oracle on synthetic
+    docs incl. empty text."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_doc_readability
+
+    d = str(tmp_path)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["The cat sat. The dog ran away quickly!",
+                 "!!! ...",        # no words -> NULL score
+                 ""],              # empty: 1 sentence, 0 words -> NULL
+        "lang": ["en"] * 3, "source": ["s"] * 3, "n_chars": [0] * 3,
+    })
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    got = q_doc_readability(d).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from "
+                f"'{os.path.join(d, 'documents.parquet')}'")
+    exp = con.execute(ORACLE_SQL["doc_readability"]).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.set_index("doc_id")
+    # doc 1: 2 sentences, 8 words, syllable groups counted by hand:
+    # the(1) cat(1) sat(1) the(1) dog(1) ran(1) away(2: a, ay) quickly(2: ui? ...)
+    assert r.loc[1, "n_sent"] == 2 and r.loc[1, "n_words"] == 8
+    expected = round(206.835 - 1.015 * (8 / 2)
+                     - 84.6 * (int(r.loc[1, "n_syll"]) / 8), 6)
+    assert r.loc[1, "flesch"] == expected
+    assert pd.isna(r.loc[2, "flesch"]) and pd.isna(r.loc[3, "flesch"])
