@@ -275,6 +275,24 @@ def profile_table(
             return repr(x)
         return str(x)
 
+    # nested/binary columns have no min_max kernel and no hashable unique
+    # path — fail LOUD at plan time (naming the column) instead of a
+    # cryptic ArrowNotImplementedError inside a worker mid-stream
+    schema = ds.schema()
+    if schema is not None:
+        types = dict(zip(schema.names, schema.types))
+        for c in columns:
+            ty = types.get(c)
+            if ty is not None and not (
+                pa.types.is_integer(ty) or pa.types.is_floating(ty)
+                or pa.types.is_timestamp(ty) or pa.types.is_string(ty)
+                or pa.types.is_large_string(ty) or pa.types.is_boolean(ty)
+                or pa.types.is_null(ty)  # all-empty/all-null columns
+            ):
+                raise ValueError(
+                    f"profile_table: column {c!r} has unsupported dtype "
+                    f"{ty} (nested/binary) — profile scalar columns only")
+
     def stats_partial(t: pa.Table) -> pd.DataFrame:
         rows = {"col": [], "n": [], "n_null": [],
                 "min_int": [], "max_int": [], "min_dbl": [], "max_dbl": [],
@@ -344,6 +362,9 @@ def profile_table(
     def _fmt(v):
         if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
             return None
+        if isinstance(v, (bool, np.bool_)):
+            # DuckDB CAST(BOOLEAN AS VARCHAR) prints lowercase
+            return "true" if v else "false"
         if isinstance(v, float):
             return repr(v)
         if isinstance(v, pd.Timestamp):

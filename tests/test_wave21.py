@@ -749,3 +749,35 @@ def test_doc_readability_semantics(ray_session, tmp_path):
                      - 84.6 * (int(r.loc[1, "n_syll"]) / 8), 6)
     assert r.loc[1, "flesch"] == expected
     assert pd.isna(r.loc[2, "flesch"]) and pd.isna(r.loc[3, "flesch"])
+
+
+def test_profile_table_nested_and_bool(ray_session, tmp_path):
+    """A nested (list) column fails LOUD at plan time naming the column;
+    a boolean column profiles with DuckDB's lowercase VARCHAR bounds and
+    the right distinct count."""
+    import duckdb
+    import ray.data as rd
+
+    from ocr_ray.stages.validate import profile_table
+
+    df = pd.DataFrame({
+        "k": [1, 2, 3],
+        "flag": [True, False, True],
+        "vec": [np.ones(2, dtype="float32")] * 3,
+    })
+    p = os.path.join(str(tmp_path), "t.parquet")
+    df.to_parquet(p)
+
+    with pytest.raises(ValueError, match="vec"):
+        profile_table(rd.read_parquet(p), ["k", "vec"])
+
+    got = profile_table(rd.read_parquet(p), ["flag"]).set_index("col")
+    assert got.loc["flag", "n_distinct"] == 2
+    assert got.loc["flag", "min_str"] == "false"
+    assert got.loc["flag", "max_str"] == "true"
+    con = duckdb.connect()
+    exp = con.execute(
+        f"SELECT CAST(min(flag) AS VARCHAR) a, CAST(max(flag) AS VARCHAR) b"
+        f" FROM '{p}'").df()
+    assert (got.loc["flag", "min_str"], got.loc["flag", "max_str"]) == (
+        exp["a"][0], exp["b"][0])
