@@ -1369,3 +1369,48 @@ def trend_per_group(sf_dir: str) -> "pd.DataFrame":
     from ocr_ray.pipelines.queries import q_events_trend
 
     return q_events_trend(sf_dir)
+
+
+def correlation_per_group(sf_dir: str) -> "pd.DataFrame":
+    """Grouped Pearson correlation (queries.q_events_corr): value-vs-day
+    drift per type from five exact-int64 sufficient statistics; exact
+    integer components plus r as the both-sides-identical float."""
+    from ocr_ray.pipelines.queries import q_events_corr
+
+    return q_events_corr(sf_dir)
+
+
+def moving_window(sf_dir: str) -> "pd.DataFrame":
+    """Rows-based sliding window (queries.q_events_moving): per-user
+    SUM/COUNT over each event's last-4-rows frame via one exchange and a
+    prefix-sum — exact integer cents."""
+    from ocr_ray.pipelines.queries import q_events_moving
+
+    return q_events_moving(sf_dir)
+
+
+def summarize(sf_dir: str) -> "rd.Dataset":
+    """Extractive summaries (queries.q_doc_summary): Luhn significant-word
+    scoring over the shared sentence splitter, top-2 sentences in
+    position order, embarrassingly parallel."""
+    from ocr_ray.pipelines.queries import q_doc_summary
+
+    return q_doc_summary(sf_dir)
+
+
+def readability(sf_dir: str) -> "rd.Dataset":
+    """Flesch reading-ease per document (queries.q_doc_readability):
+    three exact integer counts from vectorized str.count kernels, the
+    score derived identically on both sides."""
+    from ocr_ray.pipelines.queries import q_doc_readability
+
+    return q_doc_readability(sf_dir)
+
+
+def value_histogram(sf_dir: str) -> "pd.DataFrame":
+    """Equi-width value histogram per event type
+    (queries.q_events_histogram): one (type, bin) combiner + bounded
+    exchange; output bounded by occupied bins, not rows."""
+    from ocr_ray.pipelines.queries import q_events_histogram
+
+    return q_events_histogram(sf_dir)
