@@ -65,8 +65,11 @@ def summarize_extractive(text: str, k: int = 2) -> str:
     sentence by its count of significant words (lowercased ``[a-z0-9]+``
     tokens of length >= 5), keep the top ``k`` by (score DESC, position
     ASC), and emit them IN POSITION ORDER joined by one space — summaries
-    read in document order, not score order."""
-    sents = _SENT_SPLIT.split(text.strip())
+    read in document order, not score order.  Leading/trailing SPACES
+    (only) are stripped, matching DuckDB ``trim()`` in the oracle — a
+    trailing newline after a terminator is a real sentence boundary on
+    both sides."""
+    sents = _SENT_SPLIT.split(text.strip(" "))
     scored = sorted(
         (-sum(1 for w in _SUMM_WORD.findall(s.lower()) if len(w) >= 5), i)
         for i, s in enumerate(sents)

@@ -6170,7 +6170,9 @@ def q_doc_readability(sf_dir: str):
     accumulated."""
     def batch(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["text"].notna()]
-        t = b["text"].str.strip()
+        # strip SPACES only: DuckDB trim() removes ' ' alone, so a doc
+        # ending ".\n" must keep its trailing boundary on both sides
+        t = b["text"].str.strip(" ")
         low = b["text"].str.lower()
         ns = (1 + t.str.count(r"[.!?]\s+")).astype("int64")
         nw = low.str.count(r"[a-z0-9]+").astype("int64")
@@ -6446,49 +6448,52 @@ def q_io_compact_roundtrip(sf_dir: str):
     value-check the compacted copy against the source table.  The
     file-count contract (fragmented >> compacted) is pinned by pytest;
     the oracle checks the data survived byte-exactly."""
-    import hashlib
     import shutil
+    import tempfile
 
     from ocr_ray.api import compact_parquet_dir
 
-    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
-    frag_dir = f"/tmp/ocr_ray_frag_{tag}"
-    comp_dir = f"/tmp/ocr_ray_comp_{tag}"
-    for d in (frag_dir, comp_dir):
-        shutil.rmtree(d, ignore_errors=True)
+    # mkdtemp (not a name derived from sf_dir alone): two concurrent runs
+    # against the same sf_dir must not rmtree each other's scratch
+    scratch = tempfile.mkdtemp(prefix="ocr_ray_compact_")
+    frag_dir = os.path.join(scratch, "frag")
+    comp_dir = os.path.join(scratch, "comp")
 
-    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "n_chars"])
-    src.repartition(64).write_parquet(frag_dir)
-    compact_parquet_dir(frag_dir, comp_dir, target_rows=200_000)
+    try:
+        src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "n_chars"])
+        src.repartition(64).write_parquet(frag_dir)
+        compact_parquet_dir(frag_dir, comp_dir, target_rows=200_000)
 
-    def agg(b: pd.DataFrame) -> pd.DataFrame:
+        def agg(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "n_docs": [np.int64(len(b))],
+                "sum_chars": [np.int64(b["n_chars"].astype("int64").sum())],
+            })
+
+        ds = rd.read_parquet(comp_dir)
+        out = ds.map_batches(agg, batch_format="pandas").to_pandas()
+        # distinct doc_id via the bounded two-level plan (compaction must
+        # not duplicate or drop rows — count alone can't catch an even swap)
+        from ocr_ray.stages.aggregate import hash_aggregate
+
+        def ids(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": b["doc_id"].unique(),
+                                 "one": np.int64(1)})
+
+        uniq = hash_aggregate(
+            rd.read_parquet(comp_dir).map_batches(ids, batch_format="pandas"),
+            keys=["doc_id"], aggs={"one": "max"}, n_partitions=4)
+        n_ids = int(uniq.count())
         return pd.DataFrame({
-            "n_docs": [np.int64(len(b))],
-            "sum_chars": [np.int64(b["n_chars"].astype("int64").sum())],
+            "n_docs": [np.int64(out["n_docs"].sum())
+                       if "n_docs" in out.columns else np.int64(0)],
+            "sum_chars": [np.int64(out["sum_chars"].sum())
+                          if "sum_chars" in out.columns else np.int64(0)],
+            "n_ids": [np.int64(n_ids)],
         })
-
-    ds = rd.read_parquet(comp_dir)
-    out = ds.map_batches(agg, batch_format="pandas").to_pandas()
-    # distinct doc_id via the bounded two-level plan (compaction must not
-    # duplicate or drop rows — count alone can't catch an even swap)
-    from ocr_ray.stages.aggregate import hash_aggregate
-
-    def ids(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": b["doc_id"].unique(),
-                             "one": np.int64(1)})
-
-    uniq = hash_aggregate(
-        rd.read_parquet(comp_dir).map_batches(ids, batch_format="pandas"),
-        keys=["doc_id"], aggs={"one": "max"}, n_partitions=4)
-    n_ids = int(uniq.count())
-    return pd.DataFrame({
-        "n_docs": [np.int64(out["n_docs"].sum()) if "n_docs" in out.columns
-                   else np.int64(0)],
-        "sum_chars": [np.int64(out["sum_chars"].sum())
-                      if "sum_chars" in out.columns else np.int64(0)],
-        "n_ids": [np.int64(n_ids)],
-    })
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def q_events_attribution(sf_dir: str):
@@ -6501,7 +6506,13 @@ def q_events_attribution(sf_dir: str):
     single vectorized ``np.maximum.accumulate`` forward-carry of click
     positions, validated against the user-run start so a previous user's
     click can never leak across the boundary (no per-user loop, no
-    self-join).  SQL-null users form ONE chain, like PARTITION BY."""
+    self-join).  SQL-null users form ONE chain, like PARTITION BY.
+
+    Null-ts events are EXCLUDED from the chain on both sides (replica
+    drops NaT rows; oracle scans ``WHERE ts IS NOT NULL``) — without the
+    shared rule, NaT converts to INT64_MIN in the replica's integer
+    arithmetic (a NaT purchase after a NaT click would get lag 0) while
+    DuckDB's IGNORE-NULLS window skips the click's ts but not its id."""
     from ocr_ray.stages.join import exchange_map_partitions
 
     WINDOW_US = 7 * 24 * 3600 * 1_000_000
@@ -6514,6 +6525,9 @@ def q_events_attribution(sf_dir: str):
             "attributed_event_id": pd.Series(dtype="float64"),
             "lag_s": pd.Series(dtype="float64")})
         if not len(g) or "event_type" not in g.columns:
+            return empty
+        g = g[g["ts"].notna()]  # shared null-ts rule with the oracle
+        if not len(g):
             return empty
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
                           na_position="last")
@@ -9805,7 +9819,7 @@ WITH w AS (
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS click_ts
-  FROM events)
+  FROM events WHERE ts IS NOT NULL)
 SELECT CAST(event_id AS BIGINT) AS event_id,
        CAST(CASE WHEN click_ts IS NOT NULL
                   AND date_diff('microsecond', click_ts, ts)

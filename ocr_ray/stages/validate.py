@@ -260,10 +260,12 @@ def profile_table(
     scan.  NULL semantics are SQL's: nulls count in ``n``/``n_null``,
     never in ``n_distinct``/min/max; an all-null column profiles with
     null bounds.  min/max format via the shortest-roundtrip repr
-    (matching DuckDB's VARCHAR cast for int/string/double and
+    (matching DuckDB's VARCHAR cast for int/string/double/date and
     second-resolution timestamps; sub-second timestamps print
     millisecond-trimmed in DuckDB — canonicalize upstream if you profile
-    those)."""
+    those).  DATE columns profile via their ISO string form (order- and
+    repr-identical to DuckDB); decimal/binary/nested columns are rejected
+    at plan time with the offending column and dtype family named."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -287,11 +289,19 @@ def profile_table(
                 pa.types.is_integer(ty) or pa.types.is_floating(ty)
                 or pa.types.is_timestamp(ty) or pa.types.is_string(ty)
                 or pa.types.is_large_string(ty) or pa.types.is_boolean(ty)
+                or pa.types.is_date(ty)  # ISO-formats into the str slot
                 or pa.types.is_null(ty)  # all-empty/all-null columns
             ):
+                family = ("nested" if pa.types.is_nested(ty) else
+                          "binary" if (pa.types.is_binary(ty)
+                                       or pa.types.is_large_binary(ty)
+                                       or pa.types.is_fixed_size_binary(ty))
+                          else "decimal" if pa.types.is_decimal(ty)
+                          else "unsupported-scalar")
                 raise ValueError(
                     f"profile_table: column {c!r} has unsupported dtype "
-                    f"{ty} (nested/binary) — profile scalar columns only")
+                    f"{ty} ({family}) — supported: int / float / timestamp "
+                    f"/ date / string / bool")
 
     def stats_partial(t: pa.Table) -> pd.DataFrame:
         rows = {"col": [], "n": [], "n_null": [],
@@ -307,6 +317,11 @@ def profile_table(
                 mm = pc.min_max(col)
                 mn, mx = mm["min"].as_py(), mm["max"].as_py()
             ty = col.type
+            if pa.types.is_date(ty) and mn is not None:
+                # ISO 'YYYY-MM-DD' sorts lexicographically == chronologically
+                # and matches DuckDB CAST(DATE AS VARCHAR), so dates fold
+                # exactly through the string min/max slot
+                mn, mx = mn.isoformat(), mx.isoformat()
             slot = ("int" if pa.types.is_integer(ty) else
                     "dbl" if pa.types.is_floating(ty) else
                     "ts" if pa.types.is_timestamp(ty) else "str")

@@ -1,0 +1,252 @@
+"""Round-4 fixes: every r3 ADVICE.md finding plus VERDICT r3 task #6.
+
+- events_attribution null-ts semantics (ADVICE medium): NaT events are
+  excluded on BOTH sides (replica filter + oracle WHERE ts IS NOT NULL)
+  instead of the replica relying on INT64_MIN arithmetic.
+- readability/summary strip-vs-trim (ADVICE low): replica strips SPACES
+  only, matching DuckDB trim(), so a trailing newline after a sentence
+  terminator counts as a boundary on both sides.
+- io_compact_roundtrip scratch race (ADVICE low): mkdtemp per call, so
+  concurrent runs against the same sf_dir cannot rmtree each other.
+- profile_table dtype guard (ADVICE low): DATE columns are now profiled
+  (ISO bounds, DuckDB-identical); decimal/binary/nested rejections name
+  the actual dtype family.
+- events_props_stats all-NaN batch slice (VERDICT r3 task #6): a batch
+  whose every extracted k is malformed must not poison the global min/max
+  through the sentinel merge.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _events_frame(rows):
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                     "event_type"])
+    ev["user_id"] = pd.array(ev["user_id"], dtype="Int64")
+    ev["value"] = 0.0
+    ev["props"] = "{}"
+    return ev
+
+
+def test_events_attribution_nat_ts(ray_session, tmp_path):
+    """NaT-ts events are excluded from the attribution chain on both
+    sides (ADVICE r3 medium).  Without the shared rule the replica's
+    int64 view of NaT (INT64_MIN) attributes a NaT purchase to a NaT
+    click with lag 0 while the oracle yields NULL."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_events_attribution
+
+    d = str(tmp_path)
+    t0 = pd.Timestamp("2020-01-10 00:00:00")
+    day = pd.Timedelta(days=1)
+    rows = [
+        # user 1: NaT click then NaT purchase — the INT64_MIN trap: both
+        # convert to the same int64, lag would be 0 without the fix
+        (1, pd.NaT, 1, "click"),
+        (2, pd.NaT, 1, "purchase"),
+        # user 2: real click then NaT purchase — excluded purchase
+        (3, t0, 2, "click"),
+        (4, pd.NaT, 2, "purchase"),
+        # user 3: NaT click then real purchase — the NaT click is not a
+        # candidate; no attribution
+        (5, pd.NaT, 3, "click"),
+        (6, t0 + day, 3, "purchase"),
+        # user 4: control — a normal attributed pair must still work
+        (7, t0, 4, "click"),
+        (8, t0 + day, 4, "purchase"),
+    ]
+    _events_frame(rows).to_parquet(os.path.join(d, "events.parquet"))
+
+    got = q_events_attribution(d)
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from "
+                f"'{os.path.join(d, 'events.parquet')}'")
+    exp = con.execute(ORACLE_SQL["events_attribution"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True),
+        check_dtype=False)
+    # NaT purchases are absent entirely (excluded, like the oracle scan)
+    assert set(got["event_id"]) == {6, 8}
+    r = got.set_index("event_id")
+    assert pd.isna(r.loc[6, "attributed_event_id"])
+    assert r.loc[8, "attributed_event_id"] == 7
+    assert r.loc[8, "lag_s"] == 86400
+
+
+def test_readability_summary_space_only_strip(ray_session, tmp_path):
+    """Replica strips SPACES only, like DuckDB trim() — a doc ending
+    '.\\n' keeps its trailing sentence boundary on both sides, so the
+    sentence count and the summary split agree (ADVICE r3 low)."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import (ORACLE_SQL, q_doc_readability,
+                                           q_doc_summary)
+
+    d = str(tmp_path)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype="int64"),
+        "text": [
+            "First sentence here. Second sentence follows.\n",   # trailing \n
+            "Tabbed terminator stays. Visible sentence count.\t",
+            "  leading spaces strip. trailing spaces strip.   ",
+            "One sentence only without terminator",
+            "Alpha beta. \n\t Gamma delta. Epsilon!",            # mixed ws
+            "newline\nmid sentence. does not split? here.\n\n",
+        ],
+    })
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(f"create view documents as select * from "
+                f"'{os.path.join(d, 'documents.parquet')}'")
+
+    got_r = (q_doc_readability(d).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    exp_r = (con.execute(ORACLE_SQL["doc_readability"]).df()
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_r, exp_r, check_dtype=False)
+    # the doc ending '.\n' counts its final boundary: 1 + 2 matches
+    assert int(got_r.loc[0, "n_sent"]) == 3
+
+    got_s = (q_doc_summary(d).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    exp_s = (con.execute(ORACLE_SQL["doc_summary"]).df()
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+
+def test_compact_roundtrip_concurrent_runs(ray_session, tmp_path):
+    """Two concurrent q_io_compact_roundtrip runs against the SAME
+    sf_dir must both succeed with identical correct counts — the scratch
+    dirs are mkdtemp-per-call, not a shared name derived from sf_dir
+    (ADVICE r3 low: the old fixed names raced on rmtree)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ocr_ray.pipelines.queries import q_io_compact_roundtrip
+
+    d = str(tmp_path)
+    n = 3_000
+    pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        "n_chars": np.arange(n, dtype="int64") % 97,
+    }).to_parquet(os.path.join(d, "documents.parquet"))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(q_io_compact_roundtrip, d) for _ in range(2)]
+        results = [f.result(timeout=300) for f in futs]
+
+    exp_sum = int((np.arange(n) % 97).sum())
+    for res in results:
+        assert int(res.loc[0, "n_docs"]) == n
+        assert int(res.loc[0, "n_ids"]) == n
+        assert int(res.loc[0, "sum_chars"]) == exp_sum
+    # scratch cleaned up afterwards
+    import glob
+    assert glob.glob("/tmp/ocr_ray_compact_*") == []
+
+
+def test_profile_table_date_column(ray_session, tmp_path):
+    """DATE columns now profile: ISO min/max identical to DuckDB's
+    CAST(DATE AS VARCHAR), exact distinct, null handling (ADVICE r3
+    low — previously rejected with a misleading 'nested/binary')."""
+    import duckdb
+    import ray.data as rd
+
+    from ocr_ray.stages.validate import profile_table
+
+    d = str(tmp_path / "t.parquet")
+    df = pd.DataFrame({
+        "dt": pd.array(
+            [pd.Timestamp("2021-03-05").date(),
+             pd.Timestamp("1999-12-31").date(),
+             None,
+             pd.Timestamp("2021-03-05").date(),
+             pd.Timestamp("2030-01-01").date()],
+            dtype="object"),
+    })
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(
+        pa.table({"dt": pa.array(df["dt"], type=pa.date32())}), d)
+
+    got = profile_table(rd.read_parquet(d), columns=["dt"], n_partitions=2)
+    con = duckdb.connect()
+    exp = con.execute(
+        f"select count(*) n, count(*) - count(dt) n_null, "
+        f"count(distinct dt) n_distinct, "
+        f"cast(min(dt) as varchar) min_str, "
+        f"cast(max(dt) as varchar) max_str from '{d}'").df()
+    r = got.iloc[0]
+    assert (int(r["n"]), int(r["n_null"]), int(r["n_distinct"])) == (
+        int(exp.loc[0, "n"]), int(exp.loc[0, "n_null"]),
+        int(exp.loc[0, "n_distinct"]))
+    assert r["min_str"] == exp.loc[0, "min_str"] == "1999-12-31"
+    assert r["max_str"] == exp.loc[0, "max_str"] == "2030-01-01"
+
+
+def test_profile_table_decimal_rejected_accurately(ray_session, tmp_path):
+    """Decimal columns are still rejected, but the error names the
+    ACTUAL dtype family — no more 'nested/binary' for a scalar decimal
+    (ADVICE r3 low)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ocr_ray.stages.validate import profile_table
+
+    d = str(tmp_path / "t.parquet")
+    from decimal import Decimal
+    pq.write_table(pa.table({
+        "amt": pa.array([Decimal("1.50"), Decimal("2.25")],
+                        type=pa.decimal128(10, 2))}), d)
+    with pytest.raises(ValueError, match=r"amt.*decimal"):
+        profile_table(rd.read_parquet(d), columns=["amt"], n_partitions=2)
+
+
+def test_events_props_stats_all_nan_batch_slice(ray_session, tmp_path):
+    """A parquet fragment whose every props payload is malformed for a
+    type must not poison the global min/max: the +/-2^62 sentinels lose
+    to any real value in the cross-batch merge, and an all-NULL type
+    COALESCEs to 0 like the oracle (VERDICT r3 task #6)."""
+    import duckdb
+
+    from ocr_ray.pipelines.queries import ORACLE_SQL, q_events_props_stats
+
+    d = str(tmp_path)
+    ev_dir = os.path.join(d, "events.parquet")
+    os.makedirs(ev_dir)
+    # fragment 1: type 'click' all-malformed (its batch partial carries
+    # min=+2^62 / max=-2^62 sentinels), type 'broken' all-malformed too
+    f1 = pd.DataFrame({
+        "event_id": np.arange(100, dtype="int64"),
+        "event_type": ["click"] * 50 + ["broken"] * 50,
+        "props": ['{"other": 1}'] * 100,
+    })
+    # fragment 2: type 'click' with real values 5..54 — the global min
+    # (5) and max (54) must survive the merge with fragment 1's sentinels
+    f2 = pd.DataFrame({
+        "event_id": np.arange(100, 200, dtype="int64"),
+        "event_type": ["click"] * 50 + ["view"] * 50,
+        "props": ([f'{{"k": {v}}}' for v in range(5, 55)]
+                  + [f'{{"k": {v}}}' for v in range(1000, 1050)]),
+    })
+    f1.to_parquet(os.path.join(ev_dir, "part-0.parquet"))
+    f2.to_parquet(os.path.join(ev_dir, "part-1.parquet"))
+
+    got = (q_events_props_stats(d).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"create view events as select * from "
+                f"'{ev_dir}/*.parquet'")
+    exp = (con.execute(ORACLE_SQL["events_props_stats"]).df()
+           .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    r = got.set_index("event_type")
+    assert r.loc["click", "min_k"] == 5 and r.loc["click", "max_k"] == 54
+    assert r.loc["broken", "min_k"] == 0 and r.loc["broken", "max_k"] == 0
+    assert r.loc["view", "max_k"] == 1049
