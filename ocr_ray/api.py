@@ -792,6 +792,7 @@ def latest_per_key(
     key: str,
     order_cols: list,
     n_partitions: "int | None" = None,
+    on_tie: str = "raise",
 ) -> "rd.Dataset":
     """CDC / upsert compaction: last-write-wins row per key by
     ``order_cols`` — per-batch argmax partial, one key exchange, second
@@ -800,11 +801,27 @@ def latest_per_key(
     ``order_cols`` must be a TOTAL order per key for the winner to be
     deterministic across runs/partitionings: the sort is stable
     (mergesort), so rows tied on every order col resolve by arrival
-    order, which a distributed input does not fix.  Callers merging two
-    streams with equal order values (e.g. a change row carrying the same
-    version as its base row) must append an explicit precedence column —
-    see :func:`apply_upserts`."""
+    order, which a distributed input does not fix.  The contract is
+    ENFORCED, not just documented: with ``on_tie="raise"`` (default) the
+    per-batch partial keeps EVERY row tying its batch-max order tuple
+    (folding them to one there would hide a co-batched tie from the
+    exchange), and the post-exchange pass — where each key is fully
+    co-located — raises ValueError naming the offending keys iff the
+    GLOBAL winner's (key, *order_cols) tuple is duplicated.  A tie that
+    loses to a strictly greater tuple never raises, under any
+    partitioning; a winning tie always does.  Extra exchange traffic
+    exists only for pathological (tied) keys.  Callers who have proven
+    their order total (or accept arrival-order winners) pass
+    ``on_tie="allow"`` for the original single-row partial.  Callers
+    merging two streams with equal order values (e.g. a change row
+    carrying the same version as its base row) must append an explicit
+    precedence column — see :func:`apply_upserts`."""
     from ocr_ray.stages.join import exchange_map_partitions
+
+    if on_tie not in ("raise", "allow"):
+        raise ValueError(
+            f"latest_per_key: on_tie must be 'raise' or 'allow', "
+            f"got {on_tie!r}")
 
     def latest(b):
         if not len(b):
@@ -812,8 +829,43 @@ def latest_per_key(
         b = b.sort_values([key, *order_cols], kind="mergesort")
         return b.groupby(key, as_index=False).tail(1)
 
-    partial = ds.map_batches(latest, batch_format="pandas")
-    return exchange_map_partitions(partial, key, latest, n_partitions)
+    def keep_max_ties(b):
+        # all rows equal to their key's batch-max order tuple survive to
+        # the exchange (NaN == NaN, like SQL DISTINCT); NaN keys drop,
+        # matching the groupby(...).tail(1) path
+        if not len(b):
+            return b
+        b = b.sort_values([key, *order_cols], kind="mergesort")
+        g = b.groupby(key, sort=False)
+        m = g[key].transform("size").notna().to_numpy()  # non-NaN keys
+        for c in order_cols:
+            lastv = g[c].transform("last")
+            m &= (b[c].eq(lastv) | (b[c].isna() & lastv.isna())).to_numpy()
+        return b[m]
+
+    def latest_checked(b):
+        if not len(b):
+            return b
+        b = b.sort_values([key, *order_cols], kind="mergesort")
+        tied = b.duplicated(subset=[key, *order_cols], keep=False)
+        winner = ~b.duplicated(subset=[key], keep="last")
+        bad = (tied & winner).to_numpy()
+        if bad.any():
+            ks = b.loc[bad, key].unique()[:5].tolist()
+            raise ValueError(
+                f"latest_per_key: {int(bad.sum())} key(s) have multiple "
+                f"rows tied on ALL of order_cols={list(order_cols)} "
+                f"(e.g. {key}={ks}) — the winner would be arrival-order "
+                f"nondeterministic. Append a precedence column (see "
+                f"apply_upserts) or pass on_tie='allow'.")
+        return b.groupby(key, as_index=False).tail(1)
+
+    if on_tie == "allow":
+        partial = ds.map_batches(latest, batch_format="pandas")
+        return exchange_map_partitions(partial, key, latest, n_partitions)
+    partial = ds.map_batches(keep_max_ties, batch_format="pandas")
+    return exchange_map_partitions(partial, key, latest_checked,
+                                   n_partitions)
 
 
 def gram_matrix(

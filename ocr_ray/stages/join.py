@@ -121,15 +121,36 @@ def resolve_partitions(
     ``num_returns=1`` split tasks return a bare ObjectRef instead of a
     list, which the per-partition indexing cannot subscript (same rule
     as reassemble's sizing; the key hash still lands all rows of one key
-    together)."""
+    together).
+
+    Hitting the 256 clamp means the budget CANNOT be honored — each
+    partition will hold ~est/256 bytes regardless of ``budget_mb`` — so
+    a loud RuntimeWarning fires telling the caller to size
+    ``n_partitions`` themselves (the 100 TB case this auto-sizing is
+    explicitly not for).  The budget accepts fractional MiB so tests can
+    drive real pipelines into the clamp at small scale."""
     if explicit is not None:
         return max(2, explicit)
     if budget_mb is None:
-        budget_mb = int(os.environ.get(_BUDGET_ENV, "64"))
+        budget_mb = float(os.environ.get(_BUDGET_ENV, "64"))
+    budget_b = max(1, int(float(budget_mb) * (1 << 20)))
     est = _estimate_bytes(src)
     if est is None:
         return default
-    return max(_cpu_floor(), min(256, int(est // (budget_mb << 20)) + 1))
+    raw = int(est // budget_b) + 1
+    if raw > 256:
+        import warnings
+
+        warnings.warn(
+            f"resolve_partitions: ~{est / (1 << 20):.0f} MiB of exchange "
+            f"input needs {raw} partitions to honor the "
+            f"{float(budget_mb):g} MiB/partition budget, but auto-sizing "
+            f"clamps at 256 (~{est / 256 / (1 << 20):.0f} MiB per "
+            f"partition). Results are unaffected; to honor the memory "
+            f"budget pass n_partitions explicitly "
+            f"(total_bytes / per-worker heap budget).",
+            RuntimeWarning, stacklevel=2)
+    return max(_cpu_floor(), min(256, raw))
 
 
 def broadcast_join(

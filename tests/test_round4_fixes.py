@@ -120,14 +120,18 @@ def test_readability_summary_space_only_strip(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
 
 
-def test_compact_roundtrip_concurrent_runs(ray_session, tmp_path):
-    """Two concurrent q_io_compact_roundtrip runs against the SAME
-    sf_dir must both succeed with identical correct counts — the scratch
-    dirs are mkdtemp-per-call, not a shared name derived from sf_dir
-    (ADVICE r3 low: the old fixed names raced on rmtree)."""
-    from concurrent.futures import ThreadPoolExecutor
+def test_compact_roundtrip_unique_scratch(ray_session, tmp_path,
+                                          monkeypatch):
+    """q_io_compact_roundtrip runs against the SAME sf_dir must use a
+    FRESH mkdtemp scratch per call and remove it afterwards — the old
+    fixed names derived from sf_dir alone made two concurrent driver
+    processes rmtree each other's files (ADVICE r3 low).  (Thread-level
+    concurrency is not exercised here: concurrent ray.data IO calls from
+    two threads hit an unrelated fsspec lazy-import race inside Ray's
+    path resolution in this aiohttp-less environment.)"""
+    import tempfile
 
-    from ocr_ray.pipelines.queries import q_io_compact_roundtrip
+    from ocr_ray.pipelines import queries as q
 
     d = str(tmp_path)
     n = 3_000
@@ -136,18 +140,25 @@ def test_compact_roundtrip_concurrent_runs(ray_session, tmp_path):
         "n_chars": np.arange(n, dtype="int64") % 97,
     }).to_parquet(os.path.join(d, "documents.parquet"))
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        futs = [ex.submit(q_io_compact_roundtrip, d) for _ in range(2)]
-        results = [f.result(timeout=300) for f in futs]
+    made = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def spy_mkdtemp(*a, **kw):
+        p = real_mkdtemp(*a, **kw)
+        made.append(p)
+        return p
+
+    monkeypatch.setattr(tempfile, "mkdtemp", spy_mkdtemp)
+    results = [q.q_io_compact_roundtrip(d) for _ in range(2)]
 
     exp_sum = int((np.arange(n) % 97).sum())
     for res in results:
         assert int(res.loc[0, "n_docs"]) == n
         assert int(res.loc[0, "n_ids"]) == n
         assert int(res.loc[0, "sum_chars"]) == exp_sum
-    # scratch cleaned up afterwards
-    import glob
-    assert glob.glob("/tmp/ocr_ray_compact_*") == []
+    scratches = [p for p in made if "ocr_ray_compact_" in p]
+    assert len(scratches) == 2 and scratches[0] != scratches[1]
+    assert not any(os.path.exists(p) for p in scratches)  # cleaned up
 
 
 def test_profile_table_date_column(ray_session, tmp_path):
@@ -206,6 +217,160 @@ def test_profile_table_decimal_rejected_accurately(ray_session, tmp_path):
                         type=pa.decimal128(10, 2))}), d)
     with pytest.raises(ValueError, match=r"amt.*decimal"):
         profile_table(rd.read_parquet(d), columns=["amt"], n_partitions=2)
+
+
+def test_multimodal_real_decode_branch(ray_session):
+    """VERDICT r3 task #7: the real-codec branch is a working
+    import-guarded path, not a dead NotImplementedError.  Where PIL is
+    absent (this sandbox) both classes refuse real_decode loudly and the
+    stub contract holds; where PIL exists the same pipeline decodes a
+    real PNG end-to-end with true dimensions."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_ray.stages.multimodal import (DECODERS_AVAILABLE,
+                                           DecodeImageStub, ResizeImageStub)
+
+    # the stub contract is identical regardless of codec availability
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([b"notanimage"], pa.binary())})
+    out = (rd.from_arrow(t)
+           .map_batches(DecodeImageStub, batch_format="pyarrow",
+                        batch_size=1, concurrency=1).to_pandas())
+    assert {"image_meta", "content_hash", "features"} <= set(out.columns)
+    assert len(out["features"].iloc[0]) == 8
+
+    if not DECODERS_AVAILABLE:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            DecodeImageStub(real_decode=True)
+        with pytest.raises(NotImplementedError, match="PIL"):
+            ResizeImageStub(real_decode=True)
+        return
+
+    # real branch (runs only where PIL exists): a genuine 100x40 PNG
+    import io
+
+    from PIL import Image  # pragma: no cover - absent in the sandbox
+
+    buf = io.BytesIO()
+    Image.new("RGB", (100, 40), (200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([png], pa.binary())})
+    dec = (rd.from_arrow(t)
+           .map_batches(DecodeImageStub, batch_format="pyarrow",
+                        batch_size=1, concurrency=1,
+                        fn_constructor_kwargs={"real_decode": True})
+           .to_pandas())
+    meta = dec["image_meta"].iloc[0]
+    assert (meta["width"], meta["height"]) == (100, 40)
+    assert abs(sum(dec["features"].iloc[0]) - 1.0) < 1e-5  # histogram sums to 1
+    rs = (rd.from_arrow(t)
+          .map_batches(ResizeImageStub, batch_format="pyarrow",
+                       batch_size=1, concurrency=1,
+                       fn_constructor_kwargs={"max_dim": 50,
+                                              "real_decode": True})
+          .to_pandas())
+    assert (rs["width"].iloc[0], rs["scaled"].iloc[0]) == (50, True)
+    assert Image.open(io.BytesIO(rs["payload"].iloc[0])).width == 50
+
+
+def test_exchange_budget_clamp_realism(ray_session, monkeypatch):
+    """VERDICT r3 task #4: force OCR_RAY_EXCHANGE_BUDGET_MB so low that
+    auto-sized partition counts hit the 256 clamp on REAL pipelines (the
+    flagship conv assembly + the exchange-heavy events_latest), assert a
+    loud actionable RuntimeWarning fires, and assert results are
+    byte-identical to the default-budget run."""
+    import warnings as _w
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    qs = e.queries()
+
+    def run(name):
+        out = qs[name](sf)
+        out = out.to_pandas() if hasattr(out, "to_pandas") else out
+        keys = [c for c in ("user_id", "conv_id") if c in out.columns]
+        return out.sort_values(keys).reset_index(drop=True)
+
+    base_latest = run("events_latest")
+    base_convs = run("transcripts_convs")
+
+    monkeypatch.setenv("OCR_RAY_EXCHANGE_BUDGET_MB", "0.00001")
+    with pytest.warns(RuntimeWarning, match="clamps at 256"):
+        clamped_latest = run("events_latest")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # convs re-fires the same warning
+        clamped_convs = run("transcripts_convs")
+
+    pd.testing.assert_frame_equal(base_latest, clamped_latest)
+    pd.testing.assert_frame_equal(base_convs, clamped_convs)
+
+
+def _latest(ds, **kw):
+    from ocr_ray.api import latest_per_key
+
+    out = latest_per_key(ds, "k", ["ver"], **kw).to_pandas()
+    return out.sort_values("k").reset_index(drop=True)
+
+
+def test_latest_per_key_tie_guard(ray_session):
+    """VERDICT r3 task #3: a winner tied on the full (key, *order_cols)
+    tuple RAISES under every partitioning (co-batched ties included —
+    the partial forwards all batch-max ties to the exchange instead of
+    folding them); a tie that loses to a strictly greater tuple never
+    raises and resolves identically across 10 partitionings."""
+    import ray.data as rd
+
+    # key 1: tied winner (ver 5 twice). key 2: clean.
+    winner_tied = pd.DataFrame({
+        "k": np.array([1, 1, 1, 2, 2], dtype="int64"),
+        "ver": np.array([3, 5, 5, 1, 2], dtype="int64"),
+        "payload": ["a", "b", "c", "d", "e"],
+    })
+    # key 1: ver 5 twice but ver 7 wins outright. key 2: clean.
+    loser_tied = pd.DataFrame({
+        "k": np.array([1, 1, 1, 1, 2], dtype="int64"),
+        "ver": np.array([5, 5, 7, 3, 2], dtype="int64"),
+        "payload": ["a", "b", "WIN", "c", "d"],
+    })
+
+    for n_parts in range(1, 11):
+        ds = rd.from_pandas(winner_tied).repartition(n_parts)
+        with pytest.raises(Exception, match="tied on ALL"):
+            _latest(ds)
+
+        ds = rd.from_pandas(loser_tied).repartition(n_parts)
+        got = _latest(ds)
+        assert got["payload"].tolist() == ["WIN", "d"]
+        assert got["ver"].tolist() == [7, 2]
+
+    # on_tie='allow' restores the documented arrival-order behavior
+    got = _latest(rd.from_pandas(winner_tied).repartition(3),
+                  on_tie="allow")
+    assert got.loc[got["k"] == 1, "ver"].iloc[0] == 5  # SOME ver-5 row
+    with pytest.raises(ValueError, match="on_tie"):
+        _latest(rd.from_pandas(winner_tied), on_tie="bogus")
+
+
+def test_apply_upserts_duplicate_change_rows_raise(ray_session, tmp_path):
+    """Two change rows for one key carrying the same version are an
+    ambiguous CDC stream — apply_upserts now fails loud instead of
+    picking an arrival-order winner (VERDICT r3 task #3)."""
+    import ray.data as rd
+
+    from ocr_ray.api import apply_upserts
+
+    base = rd.from_pandas(pd.DataFrame({
+        "k": np.array([1], dtype="int64"),
+        "ver": np.array([1], dtype="int64"), "v": ["base"]}))
+    changes = rd.from_pandas(pd.DataFrame({
+        "k": np.array([1, 1], dtype="int64"),
+        "ver": np.array([2, 2], dtype="int64"), "v": ["c1", "c2"]}))
+    with pytest.raises(Exception, match="tied on ALL"):
+        apply_upserts(base, changes, key="k", order_cols=["ver"],
+                      out_dir=str(tmp_path / "out"))
 
 
 def test_events_props_stats_all_nan_batch_slice(ray_session, tmp_path):
