@@ -280,6 +280,46 @@ def bucket_pairs(
 MAX_BUCKET_IDS = int(os.environ.get("OCR_RAY_MAX_BUCKET_IDS", "20000"))
 
 
+def _pairs_vectorized(keys: List[np.ndarray],
+                      ids: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """(left, right) id arrays of all within-bucket combinations, given
+    rows ALREADY SORTED by (*keys, id) and deduplicated on (*keys, id).
+    Pure numpy O(rows + pairs): run detection on the key columns, then
+    one repeat/arange expansion — no per-bucket Python loop (the old
+    itertools.combinations walk was the hot kernel of every LSH pairs
+    exchange).  Pair order within a bucket is (smaller id, larger id),
+    identical to the sorted-combinations contract."""
+    n = len(ids)
+    if n < 2:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    change = np.zeros(n - 1, dtype=bool)
+    for k in keys:
+        change |= k[1:] != k[:-1]
+    starts = np.r_[0, np.flatnonzero(change) + 1]
+    run_len = np.diff(np.r_[starts, n])
+    if run_len.max() > MAX_BUCKET_IDS:
+        worst = int(run_len.max())
+        raise ValueError(
+            f"LSH bucket holds {worst} ids (> OCR_RAY_MAX_BUCKET_IDS="
+            f"{MAX_BUCKET_IDS}): a duplicate class this large emits "
+            f"~{worst * (worst - 1) // 2:.0e} pairs; run exact "
+            "dedup first to collapse identical-content classes")
+    # row i (local rank r in a bucket of size s) is the LEFT of s-1-r
+    # pairs whose rights are the next s-1-r rows
+    run_start = np.repeat(starts, run_len)
+    cnt = (run_start + np.repeat(run_len, run_len)
+           - np.arange(n, dtype=np.int64) - 1)
+    tot = int(cnt.sum())
+    if not tot:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    row_of_pair = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    block_start = np.repeat(np.cumsum(cnt) - cnt, cnt)
+    offs = np.arange(tot, dtype=np.int64) - block_start
+    return ids[row_of_pair], ids[row_of_pair + offs + 1]
+
+
 def _pairs_from_bucket_partition(g: pd.DataFrame, bucket_cols: List[str],
                                  id_col: str) -> pd.DataFrame:
     if not len(g) or any(c not in g.columns for c in (*bucket_cols, id_col)):
@@ -288,25 +328,12 @@ def _pairs_from_bucket_partition(g: pd.DataFrame, bucket_cols: List[str],
         # pair set of an empty corpus is empty, not a KeyError
         return pd.DataFrame({"left_id": pd.Series(dtype="int64"),
                              "right_id": pd.Series(dtype="int64")})
-    out_l: List = []
-    out_r: List = []
-    for _, bucket in g.groupby(bucket_cols, sort=False):
-        ids = sorted(bucket[id_col].unique())
-        if len(ids) > MAX_BUCKET_IDS:
-            raise ValueError(
-                f"LSH bucket holds {len(ids)} ids (> OCR_RAY_MAX_BUCKET_IDS="
-                f"{MAX_BUCKET_IDS}): a duplicate class this large emits "
-                f"~{len(ids) * (len(ids) - 1) // 2:.0e} pairs; run exact "
-                "dedup first to collapse identical-content classes")
-        for a, b in itertools.combinations(ids, 2):
-            out_l.append(a)
-            out_r.append(b)
-    return pd.DataFrame(
-        {
-            "left_id": pd.Series(out_l, dtype="int64"),
-            "right_id": pd.Series(out_r, dtype="int64"),
-        }
-    )
+    g = (g[[*bucket_cols, id_col]]
+         .drop_duplicates()
+         .sort_values([*bucket_cols, id_col], kind="mergesort"))
+    l, r = _pairs_vectorized([g[c].to_numpy() for c in bucket_cols],
+                             g[id_col].to_numpy(dtype="int64"))
+    return pd.DataFrame({"left_id": l, "right_id": r})
 
 
 # --------------------------------------------- task-pool hasher functions
@@ -332,9 +359,37 @@ def simhash_bands_batch(batch: pd.DataFrame, scheme: str = "poly", **kw) -> pd.D
 
 
 from ocr_ray.stages.join import (  # shared exchange helpers
+    _concat_pa,
     _concat_pd,
     resolve_partitions,
 )
+
+
+def _pairs_from_bucket_table(t, bucket_cols: List[str], id_col: str):
+    """Arrow-native sibling of :func:`_pairs_from_bucket_partition`:
+    sort + dedupe + vectorized pair expansion straight off the Arrow
+    partition — no pandas round-trip (bucket keys are fixed-width ints;
+    object-dtype conversion was pure overhead in the hot LSH exchange)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.table({"left_id": pa.array([], pa.int64()),
+                      "right_id": pa.array([], pa.int64())})
+    names = set(t.schema.names)
+    if not t.num_rows or any(c not in names for c in (*bucket_cols, id_col)):
+        return empty
+    t = (t.select([*bucket_cols, id_col])
+         .group_by([*bucket_cols, id_col]).aggregate([]))  # distinct rows
+    idx = pc.sort_indices(
+        t, sort_keys=[(c, "ascending") for c in (*bucket_cols, id_col)])
+    t = t.take(idx)
+    keys = [t.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+            for c in bucket_cols]
+    ids = (t.column(id_col).combine_chunks()
+           .to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+    l, r = _pairs_vectorized(keys, ids)
+    return pa.table({"left_id": pa.array(l, pa.int64()),
+                     "right_id": pa.array(r, pa.int64())})
 
 
 def _exchange(src, by, n_partitions: int) -> List[List]:
@@ -375,37 +430,42 @@ def minhash_dedup_pairs(
 
     @ray.remote(num_cpus=0)
     def pairs_task(*pieces):
-        g = _concat_pd(pieces)
-        out = _pairs_from_bucket_partition(g, ["band_id", "band_hash"], id_col)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # Arrow-native end-to-end: concat stays Arrow, pair expansion is
+        # the vectorized numpy kernel — no pandas round-trip in the
+        # hottest LSH exchange stage
+        return _pairs_from_bucket_table(
+            _concat_pa(pieces), ["band_id", "band_hash"], id_col)
 
     @ray.remote(num_cpus=0)
     def dedupe_attach_left(n_pairs: int, *pieces):
-        cands = _concat_pd(pieces[:n_pairs])
-        ldocs = _concat_pd(pieces[n_pairs:])
-        if not len(cands) or not len(ldocs):
+        cands = _concat_pa(pieces[:n_pairs])
+        ldocs = _concat_pa(pieces[n_pairs:])
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "_ltext": pa.array([], pa.string())})
+        if (not cands.num_rows or not ldocs.num_rows
+                or "left_id" not in cands.schema.names
+                or "left_id" not in ldocs.schema.names):
             # all-empty exchange side may carry the pre-map schema
             # (join._split_blocks): the join result is empty either way
-            return pa.Table.from_pandas(pd.DataFrame(
-                {"left_id": pd.Series(dtype="int64"),
-                 "right_id": pd.Series(dtype="int64"),
-                 "_ltext": pd.Series(dtype="object")}),
-                preserve_index=False)
-        cands = cands.drop_duplicates(["left_id", "right_id"])
-        out = cands.merge(ldocs, on="left_id", how="inner")
-        return pa.Table.from_pandas(out, preserve_index=False)
+            return empty
+        # group_by-with-no-aggs = DISTINCT; Table.join is Arrow's C++
+        # hash join — texts never widen to object dtype in this task
+        cands = cands.group_by(["left_id", "right_id"]).aggregate([])
+        return cands.join(ldocs, keys="left_id", join_type="inner")
 
     @ray.remote(num_cpus=0)
     def attach_right_verify(n_left: int, *pieces):
-        left = _concat_pd(pieces[:n_left])
-        rdocs = _concat_pd(pieces[n_left:])
-        if not len(left) or not len(rdocs):
-            return pa.Table.from_pandas(pd.DataFrame(
-                {"left_id": pd.Series(dtype="int64"),
-                 "right_id": pd.Series(dtype="int64"),
-                 "jaccard": pd.Series(dtype="float64")}),
-                preserve_index=False)
-        b = left.merge(rdocs, on="right_id", how="inner")
+        leftt = _concat_pa(pieces[:n_left])
+        rdocst = _concat_pa(pieces[n_left:])
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if (not leftt.num_rows or not rdocst.num_rows
+                or "right_id" not in leftt.schema.names
+                or "right_id" not in rdocst.schema.names):
+            return empty
+        b = leftt.join(rdocst, keys="right_id", join_type="inner")
         # one shingle set per DISTINCT text: ids recur across candidate
         # pairs, and on long documents (conversation-level dedup) set
         # construction dominates the verify without this memo
@@ -419,26 +479,29 @@ def minhash_dedup_pairs(
                 s = _sets.setdefault(t, shingle_set(t, shingle_k))
             return s
 
+        if not b.num_rows:
+            return empty
+        lts = b.column("_ltext").to_pylist()
+        rts = b.column("_rtext").to_pylist()
         jac = np.array(
-            [
-                jaccard_sets(_ss(lt), _ss(rt))
-                for lt, rt in zip(b["_ltext"], b["_rtext"])
-            ],
+            [jaccard_sets(_ss(lt), _ss(rt)) for lt, rt in zip(lts, rts)],
             dtype=np.float64,
-        ) if len(b) else np.array([], dtype=np.float64)
-        keep = jac >= threshold
-        out = pd.DataFrame(
-            {
-                "left_id": b["left_id"].to_numpy(dtype="int64")[keep]
-                if len(b) else pd.Series([], dtype="int64"),
-                "right_id": b["right_id"].to_numpy(dtype="int64")[keep]
-                if len(b) else pd.Series([], dtype="int64"),
-                # floor(x*1e6+0.5) == DuckDB round() ties-away; np.round
-                # is ties-to-even and diverges on dyadic ratios like 125/128
-                "jaccard": np.floor(jac[keep] * 1e6 + 0.5) / 1e6,
-            }
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        keep = jac >= threshold
+        lid = (b.column("left_id").combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64,
+                                                      copy=False)[keep])
+        rid = (b.column("right_id").combine_chunks()
+               .to_numpy(zero_copy_only=False).astype(np.int64,
+                                                      copy=False)[keep])
+        return pa.table({
+            "left_id": pa.array(lid, pa.int64()),
+            "right_id": pa.array(rid, pa.int64()),
+            # floor(x*1e6+0.5) == DuckDB round() ties-away; np.round
+            # is ties-to-even and diverges on dyadic ratios like 125/128
+            "jaccard": pa.array(np.floor(jac[keep] * 1e6 + 0.5) / 1e6,
+                                pa.float64()),
+        })
 
     # the (id, text) projection feeds THREE consumers (band explode +
     # both text-attach sides); materialize it once so the source is

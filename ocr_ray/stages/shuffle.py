@@ -56,6 +56,25 @@ def _empty_premap(g: pd.DataFrame, add: "dict[str, str]") -> pd.DataFrame:
             g[c] = pd.Series(dtype=dt)
     return g
 
+
+def _empty_premap_pa(t, add):
+    """Arrow sibling of :func:`_empty_premap` for pyarrow partition
+    kernels: zero-row table, pre-map schema tolerated."""
+    import pyarrow as pa
+
+    if "_bucket" in t.schema.names:
+        t = t.drop_columns(["_bucket"])
+    for c, ty in add.items():
+        if c not in t.schema.names:
+            t = t.append_column(c, pa.array([], ty))
+    return t
+
+
+def _col_i64(t, c: str) -> np.ndarray:
+    """Zero-copy-where-possible int64 view of an Arrow column."""
+    return (t.column(c).combine_chunks()
+            .to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+
 def deterministic_shuffle(
     ds: "object",
     id_col: str = "doc_id",
@@ -64,33 +83,41 @@ def deterministic_shuffle(
 ) -> "object":
     """Add ``shuffle_hash`` and ``pos`` (exact global rank under
     ``ORDER BY (shuffle_hash, id)``) to every row.  Carries all input
-    columns through, so downstream stages keep streaming."""
+    columns through, so downstream stages keep streaming.  Every kernel
+    is pyarrow-native (``batch_format="pyarrow"`` + the Arrow exchange
+    partition path): text payloads riding through never widen to
+    object-dtype pandas strings — the exchange moves Arrow-packed
+    buffers end-to-end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from ocr_ray.stages.join import exchange_map_partitions
 
     shift = np.uint64(SHUFFLE_BITS - int(n_buckets - 1).bit_length())
     n_buckets = 1 << int(int(n_buckets - 1).bit_length())
 
-    def with_key(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        h = shuffle_hash(b[id_col].to_numpy(dtype="int64"))
-        b["shuffle_hash"] = h
-        b["_bucket"] = (h.astype(np.uint64) >> shift).astype(np.int64)
-        return b
+    def with_key(t: "pa.Table") -> "pa.Table":
+        h = shuffle_hash(_col_i64(t, id_col))
+        t = t.append_column("shuffle_hash", pa.array(h, pa.int64()))
+        return t.append_column(
+            "_bucket",
+            pa.array((h.astype(np.uint64) >> shift).astype(np.int64),
+                     pa.int64()))
 
     # materialize ONCE: the keyed table feeds BOTH the count pass and the
     # exchange pass — a lazy input would re-execute the whole upstream
     # per pass (and a nondeterministic one would desynchronize offsets
     # from ranks, producing duplicate/skipped pos values)
-    keyed = ds.map_batches(with_key, batch_format="pandas").materialize()
+    keyed = ds.map_batches(with_key, batch_format="pyarrow").materialize()
 
     # pass 1: per-bucket counts -> prefix offsets (n_buckets rows, driver)
-    def count_buckets(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("_bucket").size()
-        return pd.DataFrame({"_bucket": g.index.to_numpy(dtype="int64"),
-                             "n": g.to_numpy(dtype="int64")})
+    def count_buckets(t: "pa.Table") -> "pa.Table":
+        vals, cnts = np.unique(_col_i64(t, "_bucket"), return_counts=True)
+        return pa.table({"_bucket": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
 
     counts_df = keyed.map_batches(count_buckets,
-                                  batch_format="pandas").to_pandas()
+                                  batch_format="pyarrow").to_pandas()
     if "_bucket" not in counts_df.columns:   # all-empty input (pre-map schema)
         counts_df = pd.DataFrame({"_bucket": pd.Series(dtype="int64"),
                                   "n": pd.Series(dtype="int64")})
@@ -100,20 +127,25 @@ def deterministic_shuffle(
     offsets = np.cumsum(offsets)
 
     # pass 2: exchange by bucket, rank locally, add the bucket offset
-    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return _empty_premap(g, {"shuffle_hash": "int64", "pos": "int64"})
-        g = g.sort_values(["_bucket", "shuffle_hash", id_col],
-                          kind="mergesort").reset_index(drop=True)
-        b = g["_bucket"].to_numpy(dtype="int64")
+    def rank_partition(t: "pa.Table") -> "pa.Table":
+        if not t.num_rows:
+            return _empty_premap_pa(t, {"shuffle_hash": pa.int64(),
+                                        "pos": pa.int64()})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("_bucket", "ascending"),
+                          ("shuffle_hash", "ascending"),
+                          (id_col, "ascending")]))
+        b = _col_i64(t, "_bucket")
         # rank within each bucket run = index - run start
         starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
         run_start = np.repeat(starts, np.diff(np.r_[starts, len(b)]))
-        g["pos"] = offsets[b] + (np.arange(len(b)) - run_start)
-        return g.drop(columns=["_bucket"])
+        pos = offsets[b] + (np.arange(len(b)) - run_start)
+        return (t.drop_columns(["_bucket"])
+                .append_column("pos", pa.array(pos, pa.int64())))
 
     return exchange_map_partitions(keyed, "_bucket", rank_partition,
-                                   n_partitions=n_partitions)
+                                   n_partitions=n_partitions,
+                                   batch_format="pyarrow")
 
 
 def deterministic_pack(
@@ -149,30 +181,42 @@ def deterministic_pack(
 
     if budget <= 0:
         raise ValueError(f"pack budget must be positive, got {budget}")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     shift = np.uint64(SHUFFLE_BITS - int(n_buckets - 1).bit_length())
     n_buckets = 1 << int(int(n_buckets - 1).bit_length())
 
-    def with_tokens(b: pd.DataFrame) -> pd.DataFrame:
-        ids = b[id_col].to_numpy(dtype="int64")
+    def with_tokens(t: "pa.Table") -> "pa.Table":
+        ids = _col_i64(t, id_col)
         h = shuffle_hash(ids)
-        n_tok = np.fromiter((len(t.split()) for t in b[text_col]),
-                            dtype=np.int64, count=len(b))
-        return pd.DataFrame({
-            id_col: ids, "n_tokens": n_tok, "shuffle_hash": h,
-            "_bucket": (h.astype(np.uint64) >> shift).astype(np.int64),
+        # token count = RE2 \S+ run count (== len(text.split()) on ASCII
+        # whitespace, and the SAME regex engine/class the DuckDB oracle's
+        # string_split_regex uses) — one C kernel, no per-row Python
+        n_tok = (pc.count_substring_regex(t.column(text_col), r"\S+")
+                 .combine_chunks().to_numpy(zero_copy_only=False)
+                 .astype(np.int64, copy=False))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "shuffle_hash": pa.array(h, pa.int64()),
+            "_bucket": pa.array(
+                (h.astype(np.uint64) >> shift).astype(np.int64), pa.int64()),
         })
 
     keyed = ds.map_batches(with_tokens,
-                           batch_format="pandas").materialize()  # two-pass consumer
+                           batch_format="pyarrow").materialize()  # two-pass consumer
 
     # pass 1: per-bucket token sums -> global token offsets (driver, tiny)
-    def sum_buckets(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("_bucket")["n_tokens"].sum()
-        return pd.DataFrame({"_bucket": g.index.to_numpy(dtype="int64"),
-                             "s": g.to_numpy(dtype="int64")})
+    def sum_buckets(t: "pa.Table") -> "pa.Table":
+        b = _col_i64(t, "_bucket")
+        vals, inv = np.unique(b, return_inverse=True)
+        s = np.bincount(inv, weights=_col_i64(t, "n_tokens")).astype(np.int64)
+        return pa.table({"_bucket": pa.array(vals, pa.int64()),
+                         "s": pa.array(s, pa.int64())})
 
     sums_df = keyed.map_batches(sum_buckets,
-                                batch_format="pandas").to_pandas()
+                                batch_format="pyarrow").to_pandas()
     if "_bucket" not in sums_df.columns:     # all-empty input (pre-map schema)
         sums_df = pd.DataFrame({"_bucket": pd.Series(dtype="int64"),
                                 "s": pd.Series(dtype="int64")})
@@ -181,28 +225,34 @@ def deterministic_pack(
     tok_offsets[sums.index.to_numpy(dtype="int64") + 1] = sums.to_numpy()
     tok_offsets = np.cumsum(tok_offsets)
 
-    def pack_partition(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
+    def pack_partition(t: "pa.Table") -> "pa.Table":
+        if not t.num_rows:
             # pre-map empty blocks may carry the raw input schema or no
             # columns at all — build the documented output schema outright
-            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
-                                 (id_col, "n_tokens", "shuffle_hash",
-                                  "start_offset", "bin")})
-        g = g.sort_values(["_bucket", "shuffle_hash", id_col],
-                          kind="mergesort").reset_index(drop=True)
-        b = g["_bucket"].to_numpy(dtype="int64")
-        n = g["n_tokens"].to_numpy(dtype="int64")
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             (id_col, "n_tokens", "shuffle_hash",
+                              "start_offset", "bin")})
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[("_bucket", "ascending"),
+                          ("shuffle_hash", "ascending"),
+                          (id_col, "ascending")]))
+        b = _col_i64(t, "_bucket")
+        n = _col_i64(t, "n_tokens")
         cum = np.cumsum(n)
         # per-bucket running offset: subtract the cumsum at each run start
         starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
-        base = np.repeat(cum[starts] - n[starts], np.diff(np.r_[starts, len(b)]))
+        base = np.repeat(cum[starts] - n[starts],
+                         np.diff(np.r_[starts, len(b)]))
         start_offset = tok_offsets[b] + (cum - n) - base
-        g["start_offset"] = start_offset
-        g["bin"] = start_offset // budget
-        return g.drop(columns=["_bucket"])
+        t = t.drop_columns(["_bucket"])
+        t = t.append_column("start_offset",
+                            pa.array(start_offset, pa.int64()))
+        return t.append_column("bin",
+                               pa.array(start_offset // budget, pa.int64()))
 
     return exchange_map_partitions(keyed, "_bucket", pack_partition,
-                                   n_partitions=n_partitions)
+                                   n_partitions=n_partitions,
+                                   batch_format="pyarrow")
 
 
 def grouped_rank(
