@@ -23,6 +23,20 @@ merges by ``n_partitions`` (stages size it ~2-4x cores), splits by
 upstream block count and their own short lifetime — so oversubscription
 is capped and transient, while the deadlock is impossible by
 construction.
+
+**Memory invariant — heavy merge tasks carry a ``memory=`` request.**
+Structural bounding is not enough at soak scale: a 12.8M-turn
+conversation dedup auto-sizes to 200+ partitions, and 200 concurrent
+num_cpus=0 merges each concatenating a few hundred MB of text OOM-killed
+the node (observed round 4).  Each apply/merge task therefore requests
+``~3x its estimated partition bytes`` from Ray's memory resource
+(:func:`exchange_task_memory`) — bookkeeping-only, so no enforcement
+overhead, but the scheduler now admits merges only while their summed
+heap estimate fits the node, and backpressure replaces the OOM killer.
+The deadlock analysis still holds: requests are capped well under the
+node total, so at least one merge is always admissible, and memory is
+the ONLY resource these tasks request.  ``OCR_RAY_EXCHANGE_TASK_MEMORY=0``
+disables the requests (micro-benchmarks, tiny fixtures).
 """
 
 from __future__ import annotations
@@ -192,16 +206,24 @@ def launch_splits(
         # callers' s[j] indexing would TypeError — resolve_partitions
         # floors at 2; a raw caller passing 1 is a bug, fail loudly
         raise ValueError("launch_splits requires n_partitions >= 2")
+    # split tasks get the same memory-resource admission as merges (the
+    # module-doc memory invariant): a split concats its bundle, converts
+    # the key column for hashing, and emits n_partitions sub-tables —
+    # observed at 0.5-2 GB heap each at soak scale, and hundreds launch
+    # concurrently with num_cpus=0, so unthrottled splits OOM the node
+    # even when merges are admitted correctly
+    mem = exchange_task_memory(src if not isinstance(src, list) else None,
+                               max(1, n_partitions))
+    opts = {"num_returns": n_partitions}
+    if mem:
+        opts["memory"] = mem
+    split = _split_blocks.options(**opts)
     if isinstance(src, list):
         # pre-made refs come from prior exchange rounds: already few and
         # partition-sized, no bundling needed
-        return [
-            _split_blocks.options(num_returns=n_partitions).remote(by, n_partitions, r)
-            for r in src
-        ]
+        return [split.remote(by, n_partitions, r) for r in src]
     return [
-        _split_blocks.options(num_returns=n_partitions).remote(
-            by, n_partitions, *refs)
+        split.remote(by, n_partitions, *refs)
         for refs in _iter_split_bundles(src, min_rows_per_split)
     ]
 
@@ -247,6 +269,45 @@ def _concat_pd(pieces) -> pd.DataFrame:
     # on the fuzzy-join exchange at sf0.1, where block bundling no longer
     # merges both legs into one split task)
     return _concat_tables(tables).to_pandas()
+
+
+def exchange_task_memory(src, n_partitions: int) -> Optional[int]:
+    """Per-merge-task ``memory=`` request in bytes.
+
+    Two components, take the max:
+
+    * ``3x the estimated per-partition input`` — concat copy + kernel
+      working set + output (``src`` may be a Dataset, sized via
+      :func:`_estimate_bytes`, or an int byte count the caller already
+      knows, e.g. a materialized side's ``size_bytes()``);
+    * ``memory_resource_total / cluster CPUs`` — an explicit concurrency
+      ceiling of ONE exchange task per core.  Byte estimates UNDERSTATE
+      pandas kernels (object-dtype strings run 3-6x the Arrow bytes),
+      and at soak scale 250 under-requested concurrent merges OOM-killed
+      the raylet; a 2-per-core floor still admitted ~1.4 GB requests
+      against ~2.1 GB observed split heaps and lost the raylet again.
+      The floor makes the admission limit independent of estimate
+      quality, and splits/merges are CPU-bound so >1x cores buys no
+      throughput anyway.
+
+    Clamped to <= 16 GB.  Returns None — no request — when neither
+    component can be computed or the ``OCR_RAY_EXCHANGE_TASK_MEMORY=0``
+    kill switch is set."""
+    if os.environ.get("OCR_RAY_EXCHANGE_TASK_MEMORY", "1") == "0":
+        return None
+    est = src if isinstance(src, int) else _estimate_bytes(src)
+    req = 0
+    if est:
+        req = max(3 * (est // max(1, n_partitions)), 256 << 20)
+    try:
+        if ray.is_initialized():
+            res = ray.cluster_resources()
+            mem_total = res.get("memory", 0)
+            cpus = max(1, int(res.get("CPU", 8)))
+            req = max(req, int(mem_total // cpus))
+    except Exception:
+        pass
+    return int(min(req, 16 << 30)) if req else None
 
 
 def _concat_pa(pieces):
@@ -299,6 +360,9 @@ def exchange_map_partitions(
     splits = launch_splits(ds, by, n_partitions)
     applier = (_apply_partition_arrow if batch_format == "pyarrow"
                else _apply_partition)
+    mem = exchange_task_memory(ds, n_partitions)
+    if mem:
+        applier = applier.options(memory=mem)
     return rd.from_arrow_refs(
         [
             applier.remote(fn, *[s[j] for s in splits])
