@@ -13,7 +13,9 @@ np.argsort tie order on heavily tied chunk sims — replica pytests; measured
 multimodal_transcribe (autoregressive generation — bit-exact replica
 pytest), transcripts_model_rescore / transcripts_dpo_pairs (model-scored
 transcript waves — replica pytests), embed_pca (eigendecomposition —
-integer-sufficient-statistics replica pytest), and
+integer-sufficient-statistics replica pytest), dedup_minhash_est
+(signature-estimated Jaccard — genuinely approximate; pair-set-agreement
+and estimator-error pytest vs the exact oracle-checked path), and
 transcripts_extract / transcripts_segments / transcripts_benchmark
 (synthesized inputs; generator-oracle parity is pytest-checked AND the
 per-turn equality invariant is driver-value-checked via

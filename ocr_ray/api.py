@@ -60,6 +60,7 @@ def dedup_pairs(
     threshold: float = 0.95,
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify: str = "exact",
 ) -> pd.DataFrame:
     """Near-duplicate pairs (left_id < right_id) by the chosen method.
 
@@ -68,6 +69,13 @@ def dedup_pairs(
     candidates verified by Hamming <= 9 over 62-bit SQL-replicable
     signatures (provably equal to the all-pairs filter; see
     stages/dedup.py:PolySimHasher).
+
+    ``verify`` (minhash only): ``"exact"`` ships texts to the verify
+    step; ``"estimate"`` ships 8*n_perm-byte signatures instead and
+    scores ``jaccard_est`` = matching-permutation fraction — the scale
+    path for candidate-heavy/self-similar corpora where exact verify's
+    O(pairs x text) attach traffic is the bottleneck (see
+    stages/dedup.py:minhash_dedup_pairs).
     """
     from ocr_ray.stages.dedup import (
         add_content_hash,
@@ -117,6 +125,7 @@ def dedup_pairs(
         return minhash_dedup_pairs(
             docs, shingle_k=3, threshold=threshold,
             text_col=text_col, id_col=id_col, n_partitions=None,
+            verify=verify,
         ).to_pandas()
     if method == "simhash":
         return simhash_dedup_pairs(

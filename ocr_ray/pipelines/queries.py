@@ -1133,6 +1133,31 @@ def q_dedup_minhash(sf_dir: str):
     )
 
 
+def q_dedup_minhash_est(sf_dir: str):
+    """Signature-verified MinHash near-dup pairs — the SCALE variant of
+    dedup_minhash (rows-only by design: ``jaccard_est`` is the
+    matching-permutation fraction, a genuinely approximate statistic the
+    SQL oracle cannot replicate cheaply).  The attach exchanges ship
+    8*n_perm-byte signatures instead of document texts, bounding verify
+    traffic at O(pairs x 512 B) — measured 33 s for 5.15M candidates
+    over 100k templated conversations where exact verify's
+    O(pairs x text) was disk/OOM-fatal.  Pair-set agreement with the
+    exact path and estimator error bounds are pinned by
+    tests/test_round4_fixes.py::test_minhash_estimate_verify."""
+    from ocr_ray.stages.dedup import minhash_dedup_pairs
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    # threshold relaxed one estimator-sigma below the exact gate so a
+    # true near-dup at the boundary isn't dropped by +/-1-perm noise
+    return minhash_dedup_pairs(
+        docs, n_perm=64, n_bands=16, shingle_k=MINHASH_SHINGLE_K,
+        threshold=JACCARD_THRESHOLD - 0.05, n_partitions=None,
+        verify="estimate",
+    )
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup: docs unioned with mutated copies (doc_id+1_000_000,
     last word dropped — deterministic positives), 62-bit SQL-replicable
@@ -6833,6 +6858,7 @@ def queries() -> Dict[str, Callable]:
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_est": q_dedup_minhash_est,
         "corpus_source_similarity": q_corpus_source_similarity,
         "embed_cluster_cap": q_embed_cluster_cap,
         "doc_lang_gate": q_doc_lang_gate,

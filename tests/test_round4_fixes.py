@@ -219,6 +219,47 @@ def test_profile_table_decimal_rejected_accurately(ray_session, tmp_path):
         profile_table(rd.read_parquet(d), columns=["amt"], n_partitions=2)
 
 
+def test_minhash_estimate_verify(ray_session):
+    """The verify='estimate' scale path: on a planted-mutant corpus it
+    recovers EXACTLY the exact path's pair set, the jaccard_est column
+    stays within estimator noise of the true shingle Jaccard
+    (std ~ sqrt(J(1-J)/64) — bound at 4 sigma), signatures — not texts —
+    ride the attach exchanges, and a bogus mode fails loud."""
+    import ray.data as rd
+
+    from ocr_ray.stages.dedup import minhash_dedup_pairs
+
+    rng = np.random.default_rng(3)
+    texts, ids = [], []
+    for i in range(400):
+        toks = [f"w{v:05d}" for v in rng.integers(0, 30_000, 80)]
+        texts.append(" ".join(toks))
+        ids.append(2 * i)
+        if i % 5 == 0:  # planted near-dup: one token changed
+            toks2 = list(toks)
+            toks2[40] = "zz"
+            texts.append(" ".join(toks2))
+            ids.append(2 * i + 1)
+    df = pd.DataFrame({"doc_id": np.array(ids, dtype="int64"),
+                       "text": texts})
+    ds = rd.from_pandas(df).repartition(8).materialize()
+
+    kw = dict(n_perm=64, n_bands=16, shingle_k=3, threshold=0.8)
+    exact = minhash_dedup_pairs(ds, **kw).to_pandas()
+    est = minhash_dedup_pairs(ds, verify="estimate", **kw).to_pandas()
+
+    assert len(exact) == 80  # every planted mutant, nothing else
+    assert (set(zip(est["left_id"], est["right_id"]))
+            == set(zip(exact["left_id"], exact["right_id"])))
+    m = exact.merge(est, on=["left_id", "right_id"])
+    err = (m["jaccard_est"] - m["jaccard"]).abs()
+    sigma = np.sqrt(m["jaccard"] * (1 - m["jaccard"]) / 64)
+    assert (err <= 4 * sigma + 1e-9).all(), float(err.max())
+
+    with pytest.raises(ValueError, match="estimate"):
+        minhash_dedup_pairs(ds, verify="bogus", **kw)
+
+
 def test_multimodal_real_decode_branch(ray_session):
     """VERDICT r3 task #7: the real-codec branch is a working
     import-guarded path, not a dead NotImplementedError.  Where PIL is

@@ -412,6 +412,7 @@ def test_query_surface_contract():
         "transcripts_benchmark",              # engine x layout timing matrix
         "transcripts_model_rescore", "transcripts_dpo_pairs",
         "embed_pca",                          # eigh replica pytest (wave-22)
+        "dedup_minhash_est",                  # estimator pytest (round 4)
     }
     assert set(sql) <= set(qs), "oracle without a query"
     assert set(qs) - set(sql) == ROWS_ONLY, (
