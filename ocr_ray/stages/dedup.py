@@ -780,13 +780,22 @@ def simhash_dedup_pairs(
         )
 
     P = n_partitions = resolve_partitions(sig_rows, n_partitions)
+    # same memory-aware merge admission as minhash (join.py module docs)
+    from ocr_ray.stages.join import exchange_task_memory
+
+    mem = exchange_task_memory(int(sig_rows.size_bytes() or 0), P)
+    pt, dal, arv = pairs_task, dedupe_attach_left, attach_right_verify
+    if mem:
+        pt = pt.options(memory=mem)
+        dal = dal.options(memory=mem)
+        arv = arv.options(memory=mem)
     bsplit = _exchange(sig_rows, ["band_id", "band_key"], P)
-    pair_refs = [pairs_task.remote(*[s[j] for s in bsplit]) for j in range(P)]
+    pair_refs = [pt.remote(*[s[j] for s in bsplit]) for j in range(P)]
 
     psplit = _exchange(pair_refs, "left_id", P)
     lsplit = _exchange(sig_rows.map_batches(as_left, batch_format="pandas"), "left_id", P)
     j1_refs = [
-        dedupe_attach_left.remote(
+        dal.remote(
             len(psplit), *[s[j] for s in psplit], *[s[j] for s in lsplit]
         )
         for j in range(P)
@@ -795,7 +804,7 @@ def simhash_dedup_pairs(
     j1split = _exchange(j1_refs, "right_id", P)
     rsplit = _exchange(sig_rows.map_batches(as_right, batch_format="pandas"), "right_id", P)
     out_refs = [
-        attach_right_verify.remote(
+        arv.remote(
             len(j1split), *[s[j] for s in j1split], *[s[j] for s in rsplit]
         )
         for j in range(P)
