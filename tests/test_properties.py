@@ -385,3 +385,42 @@ def test_snapshot_diff_matches_reference(ray_session, left, right):
             exp[int(r["k"])] = ("unchanged" if r["v_l"] == r["v_r"]
                                 else "changed")
     assert got == exp
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(  # (bucket_a, bucket_b, id) rows, duplicates allowed
+        st.tuples(st.integers(0, 4), st.integers(0, 6),
+                  st.integers(0, 30)),
+        max_size=60),
+)
+def test_pairs_vectorized_matches_combinations(rows):
+    """The round-4 vectorized LSH pair kernel == the itertools reference
+    for ANY bucket structure (multi-column keys, duplicate (bucket, id)
+    rows, singleton and empty buckets): same pair multiset, each pair
+    (smaller id, larger id), no cross-bucket pairs."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from ocr_ray.stages.dedup import _pairs_from_bucket_partition
+
+    g = pd.DataFrame(rows or [(0, 0, 0)],
+                     columns=["band_id", "band_hash", "doc_id"])
+    g["doc_id"] = g["doc_id"].astype("int64")
+    got = _pairs_from_bucket_partition(g, ["band_id", "band_hash"],
+                                       "doc_id")
+
+    exp_l, exp_r = [], []
+    for _, b in g.groupby(["band_id", "band_hash"], sort=False):
+        for a, c in itertools.combinations(sorted(b["doc_id"].unique()), 2):
+            exp_l.append(a)
+            exp_r.append(c)
+    exp = (pd.DataFrame({"left_id": pd.Series(exp_l, dtype="int64"),
+                         "right_id": pd.Series(exp_r, dtype="int64")})
+           .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.sort_values(["left_id", "right_id"]).reset_index(drop=True),
+        exp)
+    assert (got["left_id"] < got["right_id"]).all() if len(got) else True
