@@ -195,6 +195,173 @@ def _conv_turn_key(b):
     return b["conv_id"] + ":" + b["turn_idx"].astype("int64").map("{:06d}".format)
 
 
+def _conv_turn_key_pa(t):
+    """Arrow sibling of :func:`_conv_turn_key` — ``utf8_lpad`` zero-pads
+    to the identical 6 digits for the (non-negative, contract-gated)
+    turn indices."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    k = pc.binary_join_element_wise(
+        t.column("conv_id"),
+        pc.utf8_lpad(pc.cast(t.column("turn_idx"), pa.string()), 6, "0"),
+        ":")
+    return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+
+def _one_chunk(col):
+    """One contiguous Array from a (possibly chunked) table column —
+    required before ``dictionary_encode`` (per-chunk dictionaries are not
+    comparable) and before numpy zero-copy views."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+def _fmt_turns_pa(role, text):
+    """``[role] text`` per row — one Arrow varargs-concat kernel, no
+    object-dtype widening."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    f = pc.binary_join_element_wise("[", role, "] ", text, "")
+    return f.combine_chunks() if isinstance(f, pa.ChunkedArray) else f
+
+
+def _examples_pa(t, gate: bool = False, drop_empty: bool = False):
+    """Arrow-native SFT example kernel over one conv-co-located partition
+    (the pyarrow exchange sibling of the pandas ``_prompt_window`` path,
+    which remains as the property-test reference): sort by (conv_id,
+    turn_idx), optionally drop conversations with an adjacent same-role
+    dialogue repeat (the alternation gate), then emit one (prompt,
+    completion) row per assistant turn where prompt = up to 3 preceding
+    ``[role] clean`` turns joined by newlines.
+
+    Group-boundary logic runs on dictionary CODES (int32 numpy, zero
+    string materialization); the window shift is ``take`` on shifted
+    indices with group-start masking; the null-prefix parts join with
+    ``binary_join_element_wise(..., null_handling="skip")`` — exactly
+    DuckDB's ``concat_ws``.  ``p1`` is null-filled to "" first: pyarrow
+    16's skip-join DROPS a row whose every part is null (output shorter
+    than input!) rather than emitting "" — fill_null both restores the
+    pandas ``p1.fillna("")`` semantics and keeps the kernel
+    length-preserving."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int64()),
+        "prompt": pa.array([], pa.string()),
+        "completion": pa.array([], pa.string()),
+    })
+    if not t.num_rows:
+        return empty
+    t = t.take(pc.sort_indices(t, sort_keys=[("conv_id", "ascending"),
+                                             ("turn_idx", "ascending")]))
+    if gate:
+        conv = _one_chunk(t.column("conv_id"))
+        role = _one_chunk(t.column("role"))
+        cc = pc.dictionary_encode(conv).indices.to_numpy()
+        rc = pc.dictionary_encode(role).indices.to_numpy()
+        dmask = pc.is_in(role, value_set=pa.array(["user", "assistant"])
+                         ).to_numpy(zero_copy_only=False)
+        di = np.flatnonzero(dmask)
+        if di.size > 1:
+            same = (cc[di[1:]] == cc[di[:-1]]) & (rc[di[1:]] == rc[di[:-1]])
+            bad = np.unique(cc[di[1:][same]])
+            if bad.size:
+                t = t.filter(pa.array(~np.isin(cc, bad)))
+                if not t.num_rows:
+                    return empty
+    conv = _one_chunk(t.column("conv_id"))
+    role = _one_chunk(t.column("role"))
+    text = _one_chunk(t.column("clean_text"))
+    cc = pc.dictionary_encode(conv).indices.to_numpy()
+    n = t.num_rows
+    newg = np.ones(n, dtype=bool)
+    newg[1:] = cc[1:] != cc[:-1]
+    idx = np.arange(n, dtype=np.int64)
+    gstart = np.maximum.accumulate(np.where(newg, idx, 0))
+    fmt = _fmt_turns_pa(role, text)
+    parts = []
+    for k in (3, 2, 1):
+        src = idx - k
+        valid = src >= gstart
+        pk = fmt.take(pa.array(np.where(valid, src, 0), pa.int64()))
+        pk = pc.if_else(pa.array(valid), pk, pa.scalar(None, pa.string()))
+        parts.append(pk)
+    parts[-1] = pc.fill_null(parts[-1], "")
+    prompt = pc.binary_join_element_wise(*parts, "\n", null_handling="skip")
+    keep = pc.equal(role, "assistant")
+    if drop_empty:
+        keep = pc.and_(keep, pc.not_equal(text, ""))
+    out = pa.table({
+        "conv_id": conv,
+        "turn_idx": _one_chunk(pc.cast(t.column("turn_idx"), pa.int64())),
+        "prompt": prompt,
+        "completion": text,
+    })
+    return out.filter(keep)
+
+
+def _conv_texts_pa(t, with_mutants: bool = False, id_name: str = "doc_id"):
+    """Arrow-native conversation-text assembly over one conv-co-located
+    partition: ``[role] clean`` turns in (conv_id, turn_idx) order joined
+    by blank lines, one row per conversation with its int id parsed from
+    the ``conv-%08d`` string (regex-guarded against format drift — an
+    equivalent check to reconstructing the string, and it runs on the
+    partition's DISTINCT conv values only).  ``with_mutants`` adds a
+    second text per conversation missing its final turn, at id + 10M
+    (the convdedup planted-positive construction).  Strings stay
+    Arrow-packed end-to-end: per-conv join is ``group_by(...).aggregate
+    ([("_fmt", "list")])`` + ``binary_join`` — no object-dtype pandas."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.table({id_name: pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    if not t.num_rows:
+        return empty
+    t = t.take(pc.sort_indices(t, sort_keys=[("conv_id", "ascending"),
+                                             ("turn_idx", "ascending")]))
+    conv = _one_chunk(t.column("conv_id"))
+    uniq = pc.unique(conv)
+    if not pc.all(pc.match_substring_regex(uniq, r"^conv-\d{8}$")).as_py():
+        raise ValueError(
+            "conv_id format drifted from 'conv-%08d' — the int id "
+            "derivation (and, for mutants, the +10M id range; for "
+            "decontaminate, the split hashing) would mis-bucket")
+    fmt = _fmt_turns_pa(_one_chunk(t.column("role")),
+                        _one_chunk(t.column("clean_text")))
+    tb = pa.table({"conv_id": conv, "_fmt": fmt})
+
+    def agg(src, id_offset=0):
+        g = src.group_by("conv_id", use_threads=False).aggregate(
+            [("_fmt", "list")])
+        ids = pc.cast(pc.utf8_slice_codeunits(g.column("conv_id"), 5),
+                      pa.int64())
+        if id_offset:
+            ids = pc.add_checked(ids, pa.scalar(id_offset, pa.int64()))
+        return pa.table({id_name: _one_chunk(ids),
+                         "text": _one_chunk(
+                             pc.binary_join(g.column("_fmt_list"), "\n\n"))})
+
+    out = [agg(tb)]
+    if with_mutants:
+        cc = pc.dictionary_encode(conv).indices.to_numpy()
+        is_last = np.ones(len(cc), dtype=bool)
+        is_last[:-1] = cc[1:] != cc[:-1]
+        mt = tb.filter(pa.array(~is_last))
+        if mt.num_rows:
+            out.append(agg(mt, id_offset=10_000_000))
+    return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+
 def _q_transcripts_toolstats(sf_dir: str):
     """Per-tool usage statistics over the raw transcript table (the agent
     telemetry rollup): call count, distinct conversations touched, and the
@@ -297,37 +464,19 @@ def _q_transcripts_sft(sf_dir: str):
     assistant turn, prompt = up to the 3 preceding turns formatted
     ``[role] clean`` joined by newlines (the bounded context window),
     completion = the turn's cleaned text.  Runs the flagship extraction
-    pipeline, then ONE conv_id hash exchange; the context join is a
-    vectorized per-conv groupby-shift — no per-row Python loop, no
-    whole-conversation re-materialization."""
-    import pandas as pd
-
+    pipeline, then ONE conv_id hash exchange; the context join is the
+    Arrow-native :func:`_examples_pa` kernel (dictionary-code group
+    boundaries + take-shifted ``concat_ws`` — text never widens to
+    object-dtype pandas through the exchange)."""
     from ocr_ray.pipelines.extract import build_turn_pipeline
     from ocr_ray.stages.join import exchange_map_partitions
 
     turns = build_turn_pipeline(_transcripts_for(sf_dir)).select_columns(
         ["conv_id", "turn_idx", "role", "clean_text"]
     )
-
-    def examples(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame({
-                "conv_id": pd.Series([], dtype="object"),
-                "turn_idx": pd.Series([], dtype="int64"),
-                "prompt": pd.Series([], dtype="object"),
-                "completion": pd.Series([], dtype="object"),
-            })
-        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
-        prompt = _prompt_window(g)
-        keep = g["role"] == "assistant"
-        return pd.DataFrame({
-            "conv_id": g["conv_id"][keep],
-            "turn_idx": g["turn_idx"][keep].astype("int64"),
-            "prompt": prompt[keep],
-            "completion": g["clean_text"][keep],
-        })
-
-    return exchange_map_partitions(turns, "conv_id", examples, n_partitions=None)
+    return exchange_map_partitions(turns, "conv_id", _examples_pa,
+                                   n_partitions=None,
+                                   batch_format="pyarrow")
 
 
 def _q_transcripts_turn_dedup(sf_dir: str):
@@ -344,21 +493,36 @@ def _q_transcripts_turn_dedup(sf_dir: str):
 
     from ocr_ray.pipelines.extract import build_turn_pipeline
     from ocr_ray.stages.aggregate import hash_aggregate
-    from ocr_ray.stages.dedup import add_content_hash
 
     turns = build_turn_pipeline(_transcripts_for(sf_dir)).select_columns(
         ["conv_id", "turn_idx", "role", "clean_text"]
     )
 
-    def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[(b["role"] == "assistant") & (b["clean_text"] != "")]
-        b = add_content_hash(b.copy(), col="clean_text")
-        b["first_key"] = _conv_turn_key(b)
-        b["n_copies"] = 1
-        return b[["content_hash", "first_key", "n_copies"]]
+    def partial(t):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        mask = pc.and_(pc.equal(t.column("role"), "assistant"),
+                       pc.not_equal(t.column("clean_text"), ""))
+        t = t.filter(mask)
+        if not t.num_rows:
+            return pa.table({"content_hash": pa.array([], pa.string()),
+                             "first_key": pa.array([], pa.string()),
+                             "n_copies": pa.array([], pa.int64())})
+        # sha256 is inherently per-string; everything else stays Arrow
+        hashes = [hashlib.sha256(s.encode()).hexdigest()[:16]
+                  for s in t.column("clean_text").to_pylist()]
+        return pa.table({
+            "content_hash": pa.array(hashes, pa.string()),
+            "first_key": _conv_turn_key_pa(t),
+            "n_copies": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+        })
 
     agg = hash_aggregate(
-        turns.map_batches(partial, batch_format="pandas"),
+        turns.map_batches(partial, batch_format="pyarrow"),
         keys=["content_hash"],
         aggs={"first_key": "min", "n_copies": "sum"},
         n_partitions=None,
@@ -389,8 +553,6 @@ def _q_transcripts_convdedup(sf_dir: str):
     shallow bands is discarded by the exact verify step (precision is
     exact by construction; at production scale raise rows_per_band and
     the guaranteed-recall threshold together)."""
-    import pandas as pd
-
     from ocr_ray.pipelines.extract import build_turn_pipeline
     from ocr_ray.stages.dedup import minhash_dedup_pairs
     from ocr_ray.stages.join import exchange_map_partitions
@@ -399,33 +561,15 @@ def _q_transcripts_convdedup(sf_dir: str):
         ["conv_id", "turn_idx", "role", "clean_text"]
     )
 
-    def conv_texts(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame({"cid": pd.Series([], dtype="int64"),
-                                 "text": pd.Series([], dtype="object")})
-        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
-        g["_fmt"] = "[" + g["role"] + "] " + g["clean_text"]
-        base = g.groupby("conv_id")["_fmt"].agg("\n\n".join)
-        last = g.groupby("conv_id")["turn_idx"].transform("max")
-        mut = g[g["turn_idx"] != last]
-        mtxt = mut.groupby("conv_id")["_fmt"].agg("\n\n".join)
-        bids = base.index.to_series().str[5:].astype("int64").to_numpy()
-        # same loud round-trip guard as decontaminate's copy: a conv_id
-        # format drift would otherwise silently collide base ids with
-        # the +10M mutant id range
-        recon = pd.Series([f"conv-{int(i):08d}" for i in bids])
-        if not (recon.to_numpy() == base.index.to_numpy()).all():
-            raise ValueError(
-                "conv_id format drifted from 'conv-%08d' — convdedup id "
-                "derivation would collide base and mutant id ranges")
-        mids = mtxt.index.to_series().str[5:].astype("int64").to_numpy() + 10_000_000
-        return pd.concat(
-            [pd.DataFrame({"cid": bids, "text": base.to_numpy()}),
-             pd.DataFrame({"cid": mids, "text": mtxt.to_numpy()})],
-            ignore_index=True,
-        )
+    def conv_texts(t):
+        # Arrow-native assembly (regex round-trip guard inside — a
+        # conv_id format drift would silently collide base ids with the
+        # +10M mutant id range)
+        return _conv_texts_pa(t, with_mutants=True, id_name="cid")
 
-    both = exchange_map_partitions(turns, "conv_id", conv_texts, n_partitions=None)
+    both = exchange_map_partitions(turns, "conv_id", conv_texts,
+                                   n_partitions=None,
+                                   batch_format="pyarrow")
     return minhash_dedup_pairs(
         both, n_perm=64, n_bands=32, shingle_k=3, threshold=0.8,
         text_col="text", id_col="cid", n_partitions=None,
@@ -444,61 +588,56 @@ def _q_pipeline_sft(sf_dir: str):
     fused in one partition pass), then completion-hash (16-byte keys +
     ids move, never payloads twice).  The oracle chains the same steps
     as CTEs over the golden table."""
-    import pandas as pd
-
     from ocr_ray.pipelines.extract import build_turn_pipeline
-    from ocr_ray.stages.dedup import add_content_hash
     from ocr_ray.stages.join import exchange_map_partitions
 
     turns = build_turn_pipeline(_transcripts_for(sf_dir)).select_columns(
         ["conv_id", "turn_idx", "role", "clean_text"]
     )
 
-    def gated_examples(g: pd.DataFrame) -> pd.DataFrame:
-        """Alternation gate + SFT example build, fused: the exchange
-        already co-located every turn of a conversation."""
-        empty = pd.DataFrame({
-            "conv_id": pd.Series([], dtype="object"),
-            "turn_idx": pd.Series([], dtype="int64"),
-            "prompt": pd.Series([], dtype="object"),
-            "completion": pd.Series([], dtype="object"),
-        })
-        if not len(g):
-            return empty
-        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
-        d = g[g["role"].isin(["user", "assistant"])]
-        prev = d.groupby("conv_id")["role"].shift()
-        bad = set(d.loc[d["role"] == prev, "conv_id"])
-        g = g[~g["conv_id"].isin(bad)].copy()
-        if not len(g):
-            return empty
-        prompt = _prompt_window(g)
-        keep = (g["role"] == "assistant") & (g["clean_text"] != "")
-        return pd.DataFrame({
-            "conv_id": g["conv_id"][keep],
-            "turn_idx": g["turn_idx"][keep].astype("int64"),
-            "prompt": prompt[keep],
-            "completion": g["clean_text"][keep],
-        })
+    def gated_examples(t):
+        """Alternation gate + SFT example build, fused (the exchange
+        already co-located every turn of a conversation) — the Arrow
+        kernel end-to-end."""
+        return _examples_pa(t, gate=True, drop_empty=True)
 
     examples = exchange_map_partitions(turns, "conv_id", gated_examples,
-                                       n_partitions=None)
+                                       n_partitions=None,
+                                       batch_format="pyarrow")
 
-    def hashed(b: pd.DataFrame) -> pd.DataFrame:
-        b = add_content_hash(b.copy(), col="completion").rename(
-            columns={"content_hash": "_h"})
-        b["_key"] = _conv_turn_key(b)
-        return b
+    def hashed(t):
+        import hashlib
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return g.drop(columns=["_h", "_key"], errors="ignore")
-        g = g.loc[g.groupby("_h")["_key"].transform("min") == g["_key"]]
-        return g.drop(columns=["_h", "_key"])
+        import pyarrow as pa
+
+        if not t.num_rows:
+            if "completion" not in t.schema.names:  # pre-map empty block
+                return t
+            return (t.append_column("_h", pa.array([], pa.string()))
+                     .append_column("_key", pa.array([], pa.string())))
+        hashes = [hashlib.sha256(s.encode()).hexdigest()[:16]
+                  for s in t.column("completion").to_pylist()]
+        return (t.append_column("_h", pa.array(hashes, pa.string()))
+                 .append_column("_key", _conv_turn_key_pa(t)))
+
+    def keep_first(t):
+        import pyarrow.compute as pc
+
+        drop = [c for c in ("_h", "_key") if c in t.schema.names]
+        if not t.num_rows:
+            return t.drop_columns(drop)
+        # per-hash min key via group_by, then an Arrow hash-join back —
+        # prompt/completion strings stay Arrow-packed through the kernel
+        mins = t.group_by("_h", use_threads=False).aggregate(
+            [("_key", "min")])
+        j = t.join(mins, "_h")
+        j = j.filter(pc.equal(j.column("_key"), j.column("_key_min")))
+        return j.drop_columns(["_h", "_key", "_key_min"])
 
     return exchange_map_partitions(
-        examples.map_batches(hashed, batch_format="pandas"),
+        examples.map_batches(hashed, batch_format="pyarrow"),
         "_h", keep_first, n_partitions=None,
+        batch_format="pyarrow",
     )
 
 
@@ -733,7 +872,6 @@ def _q_transcripts_decontaminate(sf_dir: str):
     texts, then the shingle-hash exchange of
     stages/dedup.py:cross_split_contamination."""
     import numpy as np
-    import pandas as pd
 
     from ocr_ray.pipelines.extract import build_turn_pipeline
     from ocr_ray.stages.dedup import cross_split_contamination
@@ -744,26 +882,16 @@ def _q_transcripts_decontaminate(sf_dir: str):
         ["conv_id", "turn_idx", "role", "clean_text"]
     )
 
-    def conv_texts(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "text": pd.Series([], dtype="object")})
-        g = g.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
-        g["_fmt"] = "[" + g["role"] + "] " + g["clean_text"]
-        base = g.groupby("conv_id")["_fmt"].agg("\n\n".join)
-        ids = base.index.to_series().str[5:].astype("int64").to_numpy()
-        # split_of below re-derives conv_id strings from these ints; a
-        # silent round-trip mismatch would mis-bucket the leakage guard,
-        # so fail loudly if the id format ever drifts
-        recon = pd.Series([f"conv-{int(i):08d}" for i in ids])
-        if not (recon.to_numpy() == base.index.to_numpy()).all():
-            raise ValueError(
-                "conv_id format drifted from 'conv-%08d' — decontaminate's "
-                "id round-trip (and its split hashing) would mis-bucket")
-        return pd.DataFrame({"doc_id": ids, "text": base.to_numpy()})
+    def conv_texts(t):
+        # Arrow-native assembly; split_of below re-derives conv_id
+        # strings from the parsed ints, and the kernel's regex guard
+        # fails loudly if the id format ever drifts (a silent round-trip
+        # mismatch would mis-bucket the leakage guard)
+        return _conv_texts_pa(t, id_name="doc_id")
 
     convs = exchange_map_partitions(turns, "conv_id", conv_texts,
-                                    n_partitions=None)
+                                    n_partitions=None,
+                                    batch_format="pyarrow")
 
     def split_of(ids: np.ndarray):
         buckets = np.array([hash_token(f"conv-{int(i):08d}") % 100

@@ -841,15 +841,32 @@ def latest_per_key(
     def keep_max_ties(b):
         # all rows equal to their key's batch-max order tuple survive to
         # the exchange (NaN == NaN, like SQL DISTINCT); NaN keys drop,
-        # matching the groupby(...).tail(1) path
+        # matching the groupby(...).tail(1) path.  The batch-max tuple is
+        # the POSITIONALLY last row of each (contiguous, post-sort) key
+        # group — groupby.transform("last") skips NaN, so a key whose
+        # sorted-max order tuple contains a null would elect the max
+        # NON-null row here while the on_tie="allow" tail(1) path elects
+        # the NaN row: a silent winner divergence (round-4 advisory).
         if not len(b):
             return b
         b = b.sort_values([key, *order_cols], kind="mergesort")
-        g = b.groupby(key, sort=False)
-        m = g[key].transform("size").notna().to_numpy()  # non-NaN keys
+        kv = b[key].to_numpy()
+        n = len(b)
+        is_last = np.ones(n, dtype=bool)
+        with np.errstate(invalid="ignore"):
+            same = kv[:-1] == kv[1:]
+        # NaN keys compare unequal to themselves -> singleton groups;
+        # they are dropped below regardless
+        is_last[:-1] = ~np.asarray(same, dtype=bool)
+        ends = np.flatnonzero(is_last)
+        group_id = np.zeros(n, dtype=np.int64)
+        group_id[1:] = np.cumsum(is_last[:-1])
+        last_pos = ends[group_id]
+        m = pd.Series(b[key]).notna().to_numpy()
         for c in order_cols:
-            lastv = g[c].transform("last")
-            m &= (b[c].eq(lastv) | (b[c].isna() & lastv.isna())).to_numpy()
+            vs = b[c].reset_index(drop=True)
+            lastv = vs.iloc[last_pos].reset_index(drop=True)
+            m &= (vs.eq(lastv) | (vs.isna() & lastv.isna())).to_numpy()
         return b[m]
 
     def latest_checked(b):

@@ -54,7 +54,24 @@ def build_postings(
     frequency), ``tf_total`` (corpus occurrences) and ``postings`` (comma
     string of doc ids ascending).  Terms with ``2*df > max_df_base`` are
     dropped when ``max_df`` is given (pass ``2*max_df_allowed`` semantics:
-    the gate is ``2*df <= max_df`` so it stays integer-exact)."""
+    the gate is ``2*df <= max_df`` so it stays integer-exact).
+
+    ``max_df=None`` fires a plan-time RuntimeWarning: without the gate a
+    stop-word's postings row is O(corpus) — one comma-joined string that
+    :func:`conjunctive_lookup` later fetches WHOLE onto the driver.
+    Fine at test scale, a driver OOM at 100 TB; the warning names the
+    fix so the unbounded build stays available for small/oracle use."""
+    if max_df is None:
+        import warnings
+
+        warnings.warn(
+            "build_postings: max_df is None — postings rows are "
+            "unbounded (a stop-word term carries one comma-joined id "
+            "string spanning the whole corpus, and conjunctive_lookup "
+            "fetches matching rows onto the driver). Pass "
+            "max_df=2*max_allowed_df to bound rows before building an "
+            "index a lookup will probe at scale.",
+            RuntimeWarning, stacklevel=2)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         terms: List[str] = []
@@ -131,6 +148,16 @@ def conjunctive_lookup(postings: "rd.Dataset", terms: List[str]) -> List[int]:
     rows = postings.filter(expr=f"term in [{quoted}]").select_columns(
         ["term", "postings"]
     ).take_all()
+    fetched = sum(len(r["postings"]) for r in rows)
+    if fetched > 256 << 20:
+        import warnings
+
+        warnings.warn(
+            f"conjunctive_lookup: fetched {fetched >> 20} MiB of "
+            f"postings onto the driver for {len(rows)} term(s) — a "
+            f"query term is near-stop-word frequency. Build the index "
+            f"with max_df to keep lookups driver-bounded.",
+            RuntimeWarning, stacklevel=2)
     by_term = {r["term"]: r["postings"] for r in rows}
     if len(by_term) < len(set(terms)):
         return []  # some term absent (or max-df-pruned) -> empty AND

@@ -42,6 +42,7 @@ disables the requests (micro-benchmarks, tiny fixtures).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import List, Optional
 
 import numpy as np
@@ -290,9 +291,18 @@ def exchange_task_memory(src, n_partitions: int) -> Optional[int]:
       quality, and splits/merges are CPU-bound so >1x cores buys no
       throughput anyway.
 
-    Clamped to <= 16 GB.  Returns None — no request — when neither
-    component can be computed or the ``OCR_RAY_EXCHANGE_TASK_MEMORY=0``
-    kill switch is set."""
+    Clamped to <= 16 GB AND <= half the cluster's ``memory`` resource:
+    a request no node can satisfy does not backpressure, it pends the
+    task FOREVER (an explicit small ``n_partitions`` over a large input
+    can push ``3x est/P`` past node memory while staying under the
+    absolute cap) — silent hang, not admission control.  When the raw
+    request exceeds the node-capacity clamp a RuntimeWarning names the
+    fix (more partitions); the clamped request still serializes the
+    oversized merges one-at-a-time, which is the best the scheduler can
+    do for a partition that genuinely crowds the node.
+
+    Returns None — no request — when neither component can be computed
+    or the ``OCR_RAY_EXCHANGE_TASK_MEMORY=0`` kill switch is set."""
     if os.environ.get("OCR_RAY_EXCHANGE_TASK_MEMORY", "1") == "0":
         return None
     est = src if isinstance(src, int) else _estimate_bytes(src)
@@ -305,6 +315,20 @@ def exchange_task_memory(src, n_partitions: int) -> Optional[int]:
             mem_total = res.get("memory", 0)
             cpus = max(1, int(res.get("CPU", 8)))
             req = max(req, int(mem_total // cpus))
+            if mem_total:
+                node_cap = int(mem_total // 2)
+                if req > node_cap:
+                    warnings.warn(
+                        f"exchange_task_memory: per-task request "
+                        f"{req >> 20} MiB exceeds half the cluster "
+                        f"memory resource ({int(mem_total) >> 20} MiB) "
+                        f"and was clamped to stay schedulable — "
+                        f"partitions are too large for this node; "
+                        f"raise n_partitions (>= "
+                        f"{max(1, (3 * est) // max(1, node_cap))} for "
+                        f"this input) to honor the 3x heap budget.",
+                        RuntimeWarning, stacklevel=2)
+                    req = node_cap
     except Exception:
         pass
     return int(min(req, 16 << 30)) if req else None

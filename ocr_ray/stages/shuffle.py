@@ -192,7 +192,17 @@ def deterministic_pack(
         h = shuffle_hash(ids)
         # token count = RE2 \S+ run count (== len(text.split()) on ASCII
         # whitespace, and the SAME regex engine/class the DuckDB oracle's
-        # string_split_regex uses) — one C kernel, no per-row Python
+        # string_split_regex uses) — one C kernel, no per-row Python.
+        # Null text fails LOUD: count_substring_regex(null) -> null ->
+        # float NaN -> astype(int64) would silently mint INT64_MIN token
+        # counts and corrupt every downstream start_offset/bin (the old
+        # len(t.split()) path raised on None; keep that contract).
+        nulls = t.column(text_col).null_count
+        if nulls:
+            raise ValueError(
+                f"deterministic_pack: {nulls} null value(s) in text column "
+                f"{text_col!r} — token counts are undefined for null "
+                f"text; filter or fill nulls before packing")
         n_tok = (pc.count_substring_regex(t.column(text_col), r"\S+")
                  .combine_chunks().to_numpy(zero_copy_only=False)
                  .astype(np.int64, copy=False))
