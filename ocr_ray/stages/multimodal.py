@@ -1,10 +1,12 @@
 """Multimodal column plumbing (image/audio/video as opaque binary).
 
-Image decode/resize carry an import-guarded REAL branch
-(``real_decode=True``; requires PIL — see ``DECODERS_AVAILABLE``) next to
-the default deterministic stub used where codecs are absent, as in this
-build sandbox.  Audio/video kernels remain stubs (librosa/av absent
-everywhere we run).  Either way the Ray-side plumbing is real and
+Image decode/resize carry a REAL branch (``real_decode=True``) next to
+the default deterministic stub: ``codec="pil"`` is import-guarded (any
+format; loud refusal where PIL is absent, as in this build sandbox) and
+``codec="bmp"`` is a pure-numpy 24-bit BMP codec (functions/imagecodec.py)
+that is ALWAYS available, so the decode -> contrast -> median ->
+LANCZOS-cap chain runs and is pytest-pinned even without PIL.
+Audio/video kernels remain stubs (librosa/av absent everywhere we run).  Either way the Ray-side plumbing is real and
 tested — binary schema in/out, small batches for wide rows, actor-pool
 signature with per-actor setup, typed metadata struct output.
 
@@ -21,10 +23,22 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-# import-guarded real codec (VERDICT r3 task #7): where PIL exists the
-# real_decode=True branch WORKS; in this sandbox (no PIL/cv2/av) it still
-# fails loud with the actionable NotImplementedError and every pipeline
-# runs the deterministic stub
+# Codec registry (VERDICT r3 task #7 / r4 task #1).  Two entries:
+#
+# * "pil" — import-guarded; where PIL exists the full real_decode branch
+#   runs on any PIL-supported format.  Absent here, ``codec="pil"``
+#   keeps the loud actionable NotImplementedError.
+# * "bmp" — ALWAYS available: the pure-numpy 24-bit BMP codec
+#   (functions/imagecodec.py), so the real-decode chain (decode ->
+#   contrast 2.0 -> grayscale median-3 -> LANCZOS cap) executes under
+#   pytest even in codec-less sandboxes.
+#
+# ``codec="auto"`` (the default for ``real_decode=True``) picks "pil"
+# when importable, else "bmp".  The replicated preprocess chain covers
+# the reference's contrast + denoise steps
+# (ocr_app/core/image_processor.py:57-70); its third step, cv2-based
+# skew correction (:72-110), is intentionally NOT replicated (needs
+# cv2's Otsu/minAreaRect/warpAffine).
 try:  # pragma: no cover - PIL absent in the build sandbox
     from PIL import Image as _PILImage
 
@@ -33,36 +47,53 @@ except ImportError:
     _PILImage = None
     DECODERS_AVAILABLE = False
 
+DECODERS = ("bmp",) if not DECODERS_AVAILABLE else ("pil", "bmp")
+
+
+def _resolve_codec(codec: str, what: str) -> str:
+    if codec == "auto":
+        return "pil" if DECODERS_AVAILABLE else "bmp"
+    if codec == "pil" and not DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            f"image {what} with codec='pil' requires PIL which is not "
+            f"available; use codec='bmp' (pure-python, 24-bit BMP only) "
+            f"or real_decode=False for the deterministic stub")
+    if codec not in ("pil", "bmp"):
+        raise ValueError(f"unknown codec {codec!r}; available: "
+                         f"{', '.join(DECODERS)}")
+    return codec
+
 
 class DecodeImageStub:
     """Actor-pool stage: binary image -> (width, height, mode) metadata +
     a fixed-size feature vector.
 
-    Two branches behind ``real_decode`` (import-guarded, same output
-    schema — the Ray-side plumbing is identical either way):
+    Two branches behind ``real_decode`` (same output schema — the
+    Ray-side plumbing is identical either way):
 
     * ``real_decode=False`` (default, always available): deterministic
       pseudo-dimensions/features from the payload hash, so the schema and
       actor plumbing are exercised honestly without codecs.
-    * ``real_decode=True`` (requires PIL; raises ``NotImplementedError``
-      where it is absent): PIL decode with the reference's preprocessing
-      chain — contrast enhance 2.0 then grayscale median-3 denoise
-      (``ocr_app/core/image_processor.py:29-71``) — emitting the true
-      (width, height, mode) and an ``n_features``-bin normalized
-      grayscale histogram as the feature vector.  ``content_hash`` stays
-      the raw-payload hash in both branches (lineage must identify the
-      INPUT, not the decode).  Undecodable payloads emit null metadata
-      rather than killing the batch (the reference returns None per image
-      on decode failure, it does not abort the batch job).
+    * ``real_decode=True``: decode with the reference's replicated
+      preprocessing chain — contrast enhance 2.0 then grayscale median-3
+      denoise (``ocr_app/core/image_processor.py:57-70``; the cv2 skew
+      step at :72-110 is intentionally not replicated) — emitting the
+      true (width, height, mode) and an ``n_features``-bin normalized
+      grayscale histogram as the feature vector.  ``codec="pil"`` needs
+      PIL (any format); ``codec="bmp"`` is the always-available
+      pure-numpy 24-bit BMP path (functions/imagecodec.py) running the
+      same chain with Pillow-semantics numpy ops; ``codec="auto"``
+      prefers PIL.  ``content_hash`` stays the raw-payload hash in all
+      branches (lineage must identify the INPUT, not the decode).
+      Undecodable payloads emit null metadata rather than killing the
+      batch (the reference returns None per image on decode failure, it
+      does not abort the batch job).
     """
 
     def __init__(self, real_decode: bool = False, n_features: int = 8,
-                 preprocess: bool = True):
-        if real_decode and not DECODERS_AVAILABLE:
-            raise NotImplementedError(
-                "image decode requires PIL which is not available; "
-                "run with real_decode=False for the deterministic stub"
-            )
+                 preprocess: bool = True, codec: str = "auto"):
+        if real_decode:
+            self.codec = _resolve_codec(codec, "decode")
         if not 1 <= n_features <= 8:
             # the sha256 digest supplies 8 uint32 words; more would emit
             # short rows that crash the fixed_size_list build mid-pipeline
@@ -71,10 +102,34 @@ class DecodeImageStub:
         self.n_features = n_features
         self.preprocess = preprocess
 
-    def _decode_real(self, raw: bytes):  # pragma: no cover - needs PIL
-        """(width, height, mode, features) via PIL, or Nones on a payload
-        PIL cannot parse.  Mirrors image_processor.preprocess_image:
-        contrast enhance then median denoise before feature extraction."""
+    def _hist_feats(self, gray: "np.ndarray"):
+        g = np.asarray(gray, dtype=np.float32) / 255.0
+        hist, _ = np.histogram(g, bins=self.n_features, range=(0.0, 1.0))
+        return (hist / max(1, g.size)).astype(np.float32).tolist()
+
+    def _decode_real(self, raw: bytes):
+        """(width, height, mode, features), or Nones on a payload the
+        codec cannot parse.  Mirrors image_processor.preprocess_image's
+        contrast + denoise (the reference enhances contrast on the image
+        AS DECODED, no mode conversion first) before feature
+        extraction."""
+        if self.codec == "bmp":
+            from ocr_ray.functions import imagecodec as ic
+
+            try:
+                arr = ic.bmp_decode(raw)
+            except Exception:
+                return None, None, None, [0.0] * self.n_features
+            h, w = arr.shape[:2]
+            if self.preprocess:
+                arr = ic.contrast_enhance(arr, 2.0)
+                gray = ic.median3(ic.to_gray(arr))
+            else:
+                gray = ic.to_gray(arr)
+            return w, h, "RGB", self._hist_feats(gray)
+        return self._decode_real_pil(raw)
+
+    def _decode_real_pil(self, raw: bytes):  # pragma: no cover - needs PIL
         import io
 
         from PIL import ImageEnhance, ImageFilter
@@ -84,13 +139,10 @@ class DecodeImageStub:
                 im.load()
                 w, h, mode = im.width, im.height, im.mode
                 if self.preprocess:
-                    im = ImageEnhance.Contrast(im.convert("RGB")).enhance(2.0)
+                    im = ImageEnhance.Contrast(im).enhance(2.0)
                     im = im.convert("L").filter(ImageFilter.MedianFilter(3))
-                g = np.asarray(im.convert("L"), dtype=np.float32) / 255.0
-                hist, _ = np.histogram(g, bins=self.n_features,
-                                       range=(0.0, 1.0))
-                feats = (hist / max(1, g.size)).astype(np.float32).tolist()
-                return w, h, mode, feats
+                g = np.asarray(im.convert("L"), dtype=np.uint8)
+                return w, h, mode, self._hist_feats(g)
         except Exception:
             return None, None, None, [0.0] * self.n_features
 
@@ -101,7 +153,7 @@ class DecodeImageStub:
             raw = raw or b""
             digest = hashlib.sha256(raw).digest()
             hashes.append(digest[:8].hex())
-            if self.real_decode:  # pragma: no cover - needs PIL
+            if self.real_decode:
                 w, h, mode, fv = self._decode_real(raw)
                 widths.append(w)
                 heights.append(h)
@@ -133,25 +185,42 @@ class DecodeImageStub:
 class ResizeImageStub:
     """Image-resize plumbing: binary in -> binary out + resize metadata.
     The default fake 'resize' is a deterministic truncate/pad to a size
-    proportional to target area; ``real_decode=True`` (import-guarded,
-    requires PIL) swaps in the reference's dimension-cap resize —
-    LANCZOS down-scale so max(w, h) <= max_dim, re-encoded in the source
-    format (cap semantics per reference M6, performance.py:55-90) —
-    behind the IDENTICAL output schema."""
+    proportional to target area; ``real_decode=True`` swaps in the
+    reference's dimension-cap resize — LANCZOS down-scale so
+    max(w, h) <= max_dim, re-encoded in the source format (cap semantics
+    per reference M6, performance.py:55-90) — behind the IDENTICAL
+    output schema.  ``codec="pil"`` (any format, needs PIL) or
+    ``codec="bmp"`` (always available, pure-numpy 24-bit BMP via
+    functions/imagecodec.py); ``codec="auto"`` prefers PIL."""
 
-    def __init__(self, max_dim: int = 2048, real_decode: bool = False):
-        if real_decode and not DECODERS_AVAILABLE:
-            raise NotImplementedError(
-                "image resize requires PIL which is not available; "
-                "run with real_decode=False for the deterministic stub"
-            )
+    def __init__(self, max_dim: int = 2048, real_decode: bool = False,
+                 codec: str = "auto"):
+        if real_decode:
+            self.codec = _resolve_codec(codec, "resize")
         self.max_dim = max_dim
         self.real_decode = real_decode
 
-    def _resize_real(self, raw: bytes):  # pragma: no cover - needs PIL
-        """(payload, width, height, scaled) via PIL; an unparsable payload
-        passes through unscaled (reference returns the original on
-        failure rather than dropping the record)."""
+    def _resize_real(self, raw: bytes):
+        """(payload, width, height, scaled); an unparsable payload passes
+        through unscaled (reference returns the original on failure
+        rather than dropping the record)."""
+        if self.codec == "bmp":
+            from ocr_ray.functions import imagecodec as ic
+
+            try:
+                arr = ic.bmp_decode(raw)
+            except Exception:
+                return raw, None, None, False
+            h, w = arr.shape[:2]
+            factor = min(1.0, self.max_dim / max(w, h))
+            if factor >= 1.0:
+                return raw, w, h, False
+            nw = max(1, int(w * factor))
+            nh = max(1, int(h * factor))
+            return ic.bmp_encode(ic.lanczos_resize(arr, nw, nh)), nw, nh, True
+        return self._resize_real_pil(raw)
+
+    def _resize_real_pil(self, raw: bytes):  # pragma: no cover - needs PIL
         import io
 
         try:
@@ -175,7 +244,7 @@ class ResizeImageStub:
         out_payloads, out_w, out_h, scaled = [], [], [], []
         for raw in batch["payload"].to_pylist():
             raw = raw or b""
-            if self.real_decode:  # pragma: no cover - needs PIL
+            if self.real_decode:
                 p, nw, nh, sc = self._resize_real(raw)
                 out_payloads.append(p)
                 out_w.append(nw)

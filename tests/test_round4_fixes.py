@@ -282,10 +282,13 @@ def test_multimodal_real_decode_branch(ray_session):
     assert len(out["features"].iloc[0]) == 8
 
     if not DECODERS_AVAILABLE:
+        # codec="pil" keeps the loud refusal where PIL is absent;
+        # real_decode=True now auto-falls-back to the pure-python BMP
+        # codec (exercised by tests/test_imagecodec.py)
         with pytest.raises(NotImplementedError, match="PIL"):
-            DecodeImageStub(real_decode=True)
+            DecodeImageStub(real_decode=True, codec="pil")
         with pytest.raises(NotImplementedError, match="PIL"):
-            ResizeImageStub(real_decode=True)
+            ResizeImageStub(real_decode=True, codec="pil")
         return
 
     # real branch (runs only where PIL exists): a genuine 100x40 PNG
