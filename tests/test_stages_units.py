@@ -280,8 +280,11 @@ def test_multimodal_stub_schemas(ray_session):
     from ocr_ray.stages.multimodal import DECODERS_AVAILABLE
 
     if not DECODERS_AVAILABLE:
+        # real_decode=True now falls back to the always-available
+        # pure-python BMP codec; only codec="pil" keeps the loud refusal
         with pytest.raises(NotImplementedError):
-            DecodeImageStub(real_decode=True)
+            DecodeImageStub(real_decode=True, codec="pil")
+        assert DecodeImageStub(real_decode=True).codec == "bmp"
 
 
 def test_assemble_conversations_single_turn(ray_session):
