@@ -51,11 +51,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def run_checks(sf_dir: str, names=None) -> list[str]:
+def run_checks(sf_dir: str, names=None, records=None) -> list[str]:
     """Compare every queries() entry (the full __ray_entry__ surface,
     including the synthesized-transcript pipelines) against its oracle;
     returns failure messages (empty = all green).  Assumes a live Ray
-    session."""
+    session.  When ``records`` (a dict) is given, one machine-readable
+    entry per query is added: {"status": "value_match" | "rows_only" |
+    "fail", "rows": n, "oracle_rows": n | None, "err": str | None}."""
     import __ray_entry__ as entry_mod
     from ocr_ray.pipelines.queries import ORACLE_SQL as _BASE_SQL
 
@@ -70,6 +72,12 @@ def run_checks(sf_dir: str, names=None) -> list[str]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures: list[str] = []
+
+    def record(name, status, rows=None, oracle_rows=None, err=None):
+        if records is not None:
+            records[name] = {"status": status, "rows": rows,
+                             "oracle_rows": oracle_rows, "err": err}
+
     for name, fn in queries().items():
         if names is not None and name not in names:
             continue
@@ -78,15 +86,18 @@ def run_checks(sf_dir: str, names=None) -> list[str]:
         except Exception as e:
             failures.append(f"{name}: ray side raised {type(e).__name__}: {e}")
             print(f"FAIL {name}: ray side raised {type(e).__name__}: {e}")
+            record(name, "fail", err=f"ray side raised {type(e).__name__}: {e}")
             continue
         if name not in ORACLE_SQL:
             print(f"ok   {name}: rows-only ({len(got)} rows)")
+            record(name, "rows_only", rows=len(got))
             continue
         try:
             want = canon(con.execute(ORACLE_SQL[name]).df())
         except Exception as e:
             failures.append(f"{name}: oracle sql raised {e}")
             print(f"FAIL {name}: oracle sql raised {e}")
+            record(name, "fail", rows=len(got), err=f"oracle sql raised {e}")
             continue
         status = []
         if len(got) != len(want):
@@ -109,12 +120,15 @@ def run_checks(sf_dir: str, names=None) -> list[str]:
             msg = f"{name}: " + "; ".join(status)
             failures.append(msg)
             print("FAIL " + msg)
+            record(name, "fail", rows=len(got), oracle_rows=len(want),
+                   err="; ".join(status))
         else:
             print(f"ok   {name}: {len(got)} rows match oracle")
+            record(name, "value_match", rows=len(got), oracle_rows=len(want))
     return failures
 
 
-def main(sf_dir: str, names=None) -> int:
+def main(sf_dir: str, names=None, json_path=None) -> int:
     import ray
 
     if not ray.is_initialized():
@@ -122,7 +136,17 @@ def main(sf_dir: str, names=None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    failures = run_checks(sf_dir, names=names)
+    records = {} if json_path else None
+    failures = run_checks(sf_dir, names=names, records=records)
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(records),
+                       "n_fail": len(failures), "queries": records},
+                      f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}: {len(records)} queries, "
+              f"{len(failures)} failures")
     ray.shutdown()
     return 1 if failures else 0
 
@@ -130,9 +154,14 @@ def main(sf_dir: str, names=None) -> int:
 if __name__ == "__main__":
     args = sys.argv[1:]
     only = None
+    json_path = None
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
     sf = args[0] if args else "/root/testdata/sf0.01"
-    sys.exit(main(sf, names=only))
+    sys.exit(main(sf, names=only, json_path=json_path))
