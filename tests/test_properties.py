@@ -178,6 +178,65 @@ def test_sft_prompt_window_matches_naive(turns):
         assert prompt.iloc[i] == want
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),   # conv index
+              st.sampled_from(["user", "assistant", "system", "tool"]),
+              st.sampled_from(["", "one", "two words", "three word text"])),
+    min_size=1, max_size=24),
+    st.booleans(), st.booleans())
+def test_examples_pa_matches_pandas_reference(turns, gate, drop_empty):
+    """The Arrow SFT kernel (_examples_pa: dictionary-code group
+    boundaries, take-shifted concat_ws, optional fused alternation gate)
+    equals the pandas reference path on arbitrary multi-conversation
+    partitions, for every (gate, drop_empty) combination."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import __ray_entry__ as entry
+
+    df = pd.DataFrame({
+        "conv_id": [f"conv-{c:08d}" for c, _, _ in turns],
+        "role": [r for _, r, _ in turns],
+        "clean_text": [t for _, _, t in turns],
+    })
+    # turn_idx: position within its conversation (arrival order)
+    df["turn_idx"] = df.groupby("conv_id").cumcount().astype("int64")
+
+    # pandas reference: the retained _prompt_window path + explicit gate
+    g = df.sort_values(["conv_id", "turn_idx"], kind="stable").copy()
+    if gate:
+        d = g[g["role"].isin(["user", "assistant"])]
+        prev = d.groupby("conv_id")["role"].shift()
+        bad = set(d.loc[d["role"] == prev, "conv_id"])
+        g = g[~g["conv_id"].isin(bad)].copy()
+    if len(g):
+        prompt = entry._prompt_window(g)
+        keep = g["role"] == "assistant"
+        if drop_empty:
+            keep &= g["clean_text"] != ""
+        want = pd.DataFrame({
+            "conv_id": g["conv_id"][keep],
+            "turn_idx": g["turn_idx"][keep].astype("int64"),
+            "prompt": prompt[keep],
+            "completion": g["clean_text"][keep],
+        }).reset_index(drop=True)
+    else:
+        want = pd.DataFrame({"conv_id": pd.Series(dtype="object"),
+                             "turn_idx": pd.Series(dtype="int64"),
+                             "prompt": pd.Series(dtype="object"),
+                             "completion": pd.Series(dtype="object")})
+
+    # shuffle the input: the kernel must not depend on arrival order
+    got = entry._examples_pa(
+        pa.Table.from_pandas(df.sample(frac=1, random_state=1),
+                             preserve_index=False),
+        gate=gate, drop_empty=drop_empty).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        want.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
 # -------------------------------------------------- exchange join property
 _KEYS = st.integers(min_value=-3, max_value=6)
 
