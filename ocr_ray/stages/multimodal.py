@@ -91,16 +91,34 @@ class DecodeImageStub:
     """
 
     def __init__(self, real_decode: bool = False, n_features: int = 8,
-                 preprocess: bool = True, codec: str = "auto"):
+                 preprocess: bool = True, codec: str = "auto",
+                 enhance_contrast: bool = True, remove_noise: bool = True,
+                 correct_skew: bool = False):
         if real_decode:
             self.codec = _resolve_codec(codec, "decode")
         if not 1 <= n_features <= 8:
             # the sha256 digest supplies 8 uint32 words; more would emit
             # short rows that crash the fixed_size_list build mid-pipeline
             raise ValueError(f"n_features must be 1..8, got {n_features}")
+        if correct_skew:
+            # the reference's per-step toggles are mirrored
+            # (ocr.preprocessing.{enhance_contrast,remove_noise,
+            # correct_skew}, settings-driven in preprocess_image), but the
+            # skew step itself (image_processor.py:72-110) needs cv2's
+            # Otsu + minAreaRect + warpAffine — refuse loudly rather than
+            # silently skip a step the caller asked for.  NOTE the
+            # reference DEFAULTS this step on; this engine defaults it
+            # off and documents the divergence.
+            raise NotImplementedError(
+                "correct_skew requires cv2 (Otsu threshold + minAreaRect "
+                "+ warpAffine), which is not replicated; only the "
+                "enhance_contrast and remove_noise steps of the reference "
+                "preprocess chain are available")
         self.real_decode = real_decode
         self.n_features = n_features
         self.preprocess = preprocess
+        self.enhance_contrast = enhance_contrast
+        self.remove_noise = remove_noise
 
     def _hist_feats(self, gray: "np.ndarray"):
         g = np.asarray(gray, dtype=np.float32) / 255.0
@@ -121,11 +139,11 @@ class DecodeImageStub:
             except Exception:
                 return None, None, None, [0.0] * self.n_features
             h, w = arr.shape[:2]
-            if self.preprocess:
+            if self.preprocess and self.enhance_contrast:
                 arr = ic.contrast_enhance(arr, 2.0)
-                gray = ic.median3(ic.to_gray(arr))
-            else:
-                gray = ic.to_gray(arr)
+            gray = ic.to_gray(arr)
+            if self.preprocess and self.remove_noise:
+                gray = ic.median3(gray)
             return w, h, "RGB", self._hist_feats(gray)
         return self._decode_real_pil(raw)
 
@@ -138,8 +156,9 @@ class DecodeImageStub:
             with _PILImage.open(io.BytesIO(raw)) as im:
                 im.load()
                 w, h, mode = im.width, im.height, im.mode
-                if self.preprocess:
+                if self.preprocess and self.enhance_contrast:
                     im = ImageEnhance.Contrast(im).enhance(2.0)
+                if self.preprocess and self.remove_noise:
                     im = im.convert("L").filter(ImageFilter.MedianFilter(3))
                 g = np.asarray(im.convert("L"), dtype=np.uint8)
                 return w, h, mode, self._hist_feats(g)

@@ -198,6 +198,38 @@ class TestRealDecodeBranchExecutes:
         assert out["payload"].iloc[2] == b"junk"
         assert out["width"].iloc[2] is None or np.isnan(out["width"].iloc[2])
 
+    def test_per_step_toggles_mirror_reference_settings(self):
+        """The reference drives preprocess_image with per-step settings
+        (ocr.preprocessing.{enhance_contrast,remove_noise,correct_skew});
+        the stub mirrors the toggles: each enabled step changes the
+        features, and the unreplicated skew step refuses loudly instead
+        of silently skipping."""
+        from ocr_ray.stages.multimodal import DecodeImageStub
+
+        arr = np.tile(np.linspace(96, 160, 8, dtype=np.uint8)
+                      .reshape(1, 8, 1), (8, 1, 3))
+        arr[3, 3] = 255  # salt pixel for the median to act on
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "payload": pa.array([ic.bmp_encode(arr)], pa.binary())})
+
+        def feats(**kw):
+            out = DecodeImageStub(real_decode=True, codec="bmp", **kw)(t)
+            return np.asarray(out.column("features")[0].as_py())
+
+        both = feats()
+        no_contrast = feats(enhance_contrast=False)
+        no_noise = feats(remove_noise=False)
+        neither = feats(enhance_contrast=False, remove_noise=False)
+        assert not np.allclose(both, no_contrast)
+        assert not np.allclose(both, no_noise)
+        assert not np.allclose(neither, both)
+        # preprocess=False is the master off switch regardless of toggles
+        assert np.allclose(feats(preprocess=False), neither)
+
+        with pytest.raises(NotImplementedError, match="cv2"):
+            DecodeImageStub(real_decode=True, codec="bmp",
+                            correct_skew=True)
+
     def test_codec_dispatch(self):
         from ocr_ray.stages.multimodal import (DECODERS, DECODERS_AVAILABLE,
                                                DecodeImageStub,
