@@ -549,16 +549,19 @@ def build_index(
     text_col: str = "text",
     max_df: int | None = None,
     n_partitions: "int | None" = None,
+    warn_unbounded: bool = True,
 ) -> "rd.Dataset":
     """Term-partitioned inverted index (stages/index.py:build_postings):
     one row per term with df, tf_total and the ascending doc-id postings
     list.  Pass ``max_df`` (gate: 2*df <= max_df) to drop stop-term giants
-    before they skew a partition."""
+    before they skew a partition; ``max_df=None`` warns (unbounded rows)
+    unless acknowledged with ``warn_unbounded=False``."""
     from ocr_ray.stages.index import build_postings
 
     return build_postings(
         docs, id_col=id_col, text_col=text_col,
         max_df=max_df, n_partitions=n_partitions,
+        warn_unbounded=warn_unbounded,
     )
 
 
@@ -850,14 +853,15 @@ def latest_per_key(
         if not len(b):
             return b
         b = b.sort_values([key, *order_cols], kind="mergesort")
-        kv = b[key].to_numpy()
         n = len(b)
+        ks = b[key].reset_index(drop=True)
+        # pandas .eq + fillna(False) instead of a raw numpy != — a
+        # nullable-extension key (Int64/string with pd.NA) would make
+        # `kv[:-1] == kv[1:]` yield pd.NA and crash the bool cast; NA/NaN
+        # keys become singleton groups either way and are dropped below
+        same = ks.eq(ks.shift()).fillna(False).to_numpy(dtype=bool)
         is_last = np.ones(n, dtype=bool)
-        with np.errstate(invalid="ignore"):
-            same = kv[:-1] == kv[1:]
-        # NaN keys compare unequal to themselves -> singleton groups;
-        # they are dropped below regardless
-        is_last[:-1] = ~np.asarray(same, dtype=bool)
+        is_last[:-1] = ~same[1:]
         ends = np.flatnonzero(is_last)
         group_id = np.zeros(n, dtype=np.int64)
         group_id[1:] = np.cumsum(is_last[:-1])

@@ -138,21 +138,37 @@ def _lanczos(x: np.ndarray, a: float = 3.0) -> np.ndarray:
 
 
 def _resample_1d(img: np.ndarray, out_size: int) -> np.ndarray:
-    """Resample along axis 0 with Pillow's window placement, as one
-    (out x in) weight-matrix contraction; per-pass round + clip to uint8
-    like Pillow's two-pass pipeline."""
+    """Resample along axis 0 with Pillow's window placement (center
+    ``(i + 0.5) * scale``, support ``3 * filterscale``), WINDOWED like
+    Pillow's own coefficient loop: weights exist only for the ~6 *
+    filterscale input taps under each output pixel's window, and the
+    contraction accumulates one tap at a time — O(taps) temporaries,
+    never the dense (out x in) matrix (which is ~GB-scale transient per
+    image on large scans).  Per-pass round + clip to uint8 like
+    Pillow's two-pass pipeline."""
     in_size = img.shape[0]
     scale = in_size / out_size
     filterscale = max(scale, 1.0)
     support = 3.0 * filterscale
-    centers = (np.arange(out_size) + 0.5) * scale  # (out,)
-    xs = np.arange(in_size) + 0.5                  # (in,)
-    w = _lanczos((xs[None, :] - centers[:, None]) / filterscale)
-    w[np.abs(xs[None, :] - centers[:, None]) > support] = 0.0
+    centers = (np.arange(out_size) + 0.5) * scale           # (out,)
+    xmin = np.maximum(np.floor(centers - support).astype(np.int64), 0)
+    xmax = np.minimum(np.ceil(centers + support).astype(np.int64) + 1,
+                      in_size)                              # exclusive
+    taps = int((xmax - xmin).max())
+    idx = xmin[:, None] + np.arange(taps)[None, :]          # (out, taps)
+    valid = idx < xmax[:, None]
+    idx = np.minimum(idx, in_size - 1)
+    off = (idx + 0.5 - centers[:, None]) / filterscale
+    w = _lanczos(off) * valid
+    w[np.abs(idx + 0.5 - centers[:, None]) > support] = 0.0
     norm = w.sum(axis=1, keepdims=True)
     norm[norm == 0.0] = 1.0
-    w /= norm
-    out = np.tensordot(w, img.astype(np.float64), axes=(1, 0))
+    w = (w / norm).astype(np.float32)
+    img_f = img.astype(np.float32)
+    extra = (slice(None),) + (None,) * (img.ndim - 1)
+    out = np.zeros((out_size,) + img.shape[1:], dtype=np.float32)
+    for k in range(taps):
+        out += w[:, k][extra] * img_f[idx[:, k]]
     return np.clip(np.floor(out + 0.5), 0.0, 255.0).astype(np.uint8)
 
 

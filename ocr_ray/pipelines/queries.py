@@ -968,7 +968,11 @@ def q_doc_postings(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    out = build_postings(ds, n_partitions=8).to_pandas()
+    # warn_unbounded=False: the gate is disabled DELIBERATELY here (see
+    # docstring) — acknowledge instead of emitting the misuse warning on
+    # every oracle/bench run
+    out = build_postings(ds, n_partitions=8,
+                         warn_unbounded=False).to_pandas()
     return out.sort_values("term").reset_index(drop=True)
 
 
@@ -982,7 +986,7 @@ def q_index_lookup(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    post = build_postings(ds, n_partitions=8)
+    post = build_postings(ds, n_partitions=8, warn_unbounded=False)
     ids = conjunctive_lookup(post, INDEX_LOOKUP_TERMS)
     return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
 

@@ -41,6 +41,10 @@ import re
 
 _TERM = re.compile(r"[a-z0-9]+")
 
+# driver-fetch budget for conjunctive_lookup's postings rows; the guard
+# raises BEFORE take_all so a near-stop-word term cannot OOM the driver
+LOOKUP_FETCH_CAP_BYTES = 256 << 20
+
 
 def build_postings(
     ds: "rd.Dataset",
@@ -49,6 +53,7 @@ def build_postings(
     text_col: str = "text",
     n_partitions: "int | None" = None,
     max_df: Optional[int] = None,
+    warn_unbounded: bool = True,
 ) -> "rd.Dataset":
     """Inverted index: one row per surviving term with ``df`` (document
     frequency), ``tf_total`` (corpus occurrences) and ``postings`` (comma
@@ -58,10 +63,14 @@ def build_postings(
 
     ``max_df=None`` fires a plan-time RuntimeWarning: without the gate a
     stop-word's postings row is O(corpus) — one comma-joined string that
-    :func:`conjunctive_lookup` later fetches WHOLE onto the driver.
-    Fine at test scale, a driver OOM at 100 TB; the warning names the
-    fix so the unbounded build stays available for small/oracle use."""
-    if max_df is None:
+    :func:`conjunctive_lookup` later fetches onto the driver.  Fine at
+    test scale, a driver OOM at 100 TB; the warning names the fix so
+    the unbounded build stays available for small/oracle use.  Callers
+    that disable the gate DELIBERATELY (e.g. the oracle query surface,
+    where any useful gate would empty the small test tables)
+    acknowledge with ``warn_unbounded=False`` instead of suppressing
+    the category globally."""
+    if max_df is None and warn_unbounded:
         import warnings
 
         warnings.warn(
@@ -70,7 +79,8 @@ def build_postings(
             "string spanning the whole corpus, and conjunctive_lookup "
             "fetches matching rows onto the driver). Pass "
             "max_df=2*max_allowed_df to bound rows before building an "
-            "index a lookup will probe at scale.",
+            "index a lookup will probe at scale, or acknowledge with "
+            "warn_unbounded=False.",
             RuntimeWarning, stacklevel=2)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -145,19 +155,31 @@ def conjunctive_lookup(postings: "rd.Dataset", terms: List[str]) -> List[int]:
            for t in terms):
         return []
     quoted = ", ".join("'" + t + "'" for t in terms)
-    rows = postings.filter(expr=f"term in [{quoted}]").select_columns(
+    probe = postings.filter(expr=f"term in [{quoted}]").select_columns(
         ["term", "postings"]
-    ).take_all()
-    fetched = sum(len(r["postings"]) for r in rows)
-    if fetched > 256 << 20:
-        import warnings
+    ).materialize()  # probed twice: size pre-pass, then the row fetch
+    # size the fetch BEFORE pulling strings to the driver: a near-stop-
+    # word term's postings row is O(corpus), and a post-hoc check would
+    # run only after take_all() already OOMed the driver.  Only the
+    # per-batch byte totals (one int per block) leave the workers here.
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-        warnings.warn(
-            f"conjunctive_lookup: fetched {fetched >> 20} MiB of "
-            f"postings onto the driver for {len(rows)} term(s) — a "
-            f"query term is near-stop-word frequency. Build the index "
-            f"with max_df to keep lookups driver-bounded.",
-            RuntimeWarning, stacklevel=2)
+    def batch_bytes(t: "pa.Table") -> "pa.Table":
+        if "postings" not in t.schema.names or not t.num_rows:
+            return pa.table({"nb": pa.array([0], pa.int64())})
+        nb = pc.sum(pc.binary_length(t.column("postings"))).as_py() or 0
+        return pa.table({"nb": pa.array([int(nb)], pa.int64())})
+
+    fetched = int(probe.map_batches(batch_bytes,
+                                    batch_format="pyarrow").sum("nb") or 0)
+    if fetched > LOOKUP_FETCH_CAP_BYTES:
+        raise RuntimeError(
+            f"conjunctive_lookup: the query terms' postings total "
+            f"{fetched >> 20} MiB — a term is near-stop-word frequency "
+            f"and fetching it would risk a driver OOM. Build the index "
+            f"with max_df to keep lookups driver-bounded.")
+    rows = probe.take_all()
     by_term = {r["term"]: r["postings"] for r in rows}
     if len(by_term) < len(set(terms)):
         return []  # some term absent (or max-df-pruned) -> empty AND

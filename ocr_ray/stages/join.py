@@ -309,6 +309,8 @@ def exchange_task_memory(src, n_partitions: int) -> Optional[int]:
     req = 0
     if est:
         req = max(3 * (est // max(1, n_partitions)), 256 << 20)
+    clamped_from = None
+    mem_total = 0
     try:
         if ray.is_initialized():
             res = ray.cluster_resources()
@@ -318,19 +320,25 @@ def exchange_task_memory(src, n_partitions: int) -> Optional[int]:
             if mem_total:
                 node_cap = int(mem_total // 2)
                 if req > node_cap:
-                    warnings.warn(
-                        f"exchange_task_memory: per-task request "
-                        f"{req >> 20} MiB exceeds half the cluster "
-                        f"memory resource ({int(mem_total) >> 20} MiB) "
-                        f"and was clamped to stay schedulable — "
-                        f"partitions are too large for this node; "
-                        f"raise n_partitions (>= "
-                        f"{max(1, (3 * est) // max(1, node_cap))} for "
-                        f"this input) to honor the 3x heap budget.",
-                        RuntimeWarning, stacklevel=2)
-                    req = node_cap
+                    # clamp FIRST — the warn below must not be able to
+                    # skip it (warnings promoted to errors would land in
+                    # a blanket except and return the unsatisfiable
+                    # request, resurrecting the forever-pend)
+                    clamped_from, req = req, node_cap
     except Exception:
         pass
+    if clamped_from is not None:
+        # ceil division: the suggested count must actually bring
+        # 3x est / n under node_cap, not leave it one partition short
+        want_n = -(-3 * est // max(1, req)) if est else "total_bytes/cap"
+        warnings.warn(
+            f"exchange_task_memory: per-task request "
+            f"{clamped_from >> 20} MiB exceeds half the cluster "
+            f"memory resource ({int(mem_total) >> 20} MiB) and was "
+            f"clamped to stay schedulable — partitions are too large "
+            f"for this node; raise n_partitions (>= {want_n} for this "
+            f"input) to honor the 3x heap budget.",
+            RuntimeWarning, stacklevel=2)
     return int(min(req, 16 << 30)) if req else None
 
 

@@ -157,6 +157,11 @@ class DecodeImageStub:
                 im.load()
                 w, h, mode = im.width, im.height, im.mode
                 if self.preprocess and self.enhance_contrast:
+                    # on the image AS DECODED, like the reference's
+                    # _enhance_contrast — which means mode-P/I/F inputs
+                    # blend indices or raise exactly as they do there
+                    # (the except below maps that to null metadata);
+                    # converting to RGB first would silently diverge
                     im = ImageEnhance.Contrast(im).enhance(2.0)
                 if self.preprocess and self.remove_noise:
                     im = im.convert("L").filter(ImageFilter.MedianFilter(3))

@@ -132,6 +132,34 @@ class TestPostingsGuard:
         assert any("max_df" in str(x.message) for x in w
                    if issubclass(x.category, RuntimeWarning))
 
+    def test_warn_unbounded_false_acknowledges(self):
+        """Internal callers that disable the gate deliberately (the
+        oracle query surface) acknowledge instead of warning."""
+        from ocr_ray.stages.index import build_postings
+
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2], "text": ["a b", "b c"]}))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            build_postings(ds, warn_unbounded=False)
+        assert not any("max_df" in str(x.message) for x in w)
+
+    def test_lookup_fetch_cap_raises_before_take_all(self, monkeypatch):
+        """The driver-fetch guard sizes the postings BEFORE pulling them:
+        past the cap it raises (a post-hoc warn would fire only after the
+        OOM it exists to prevent)."""
+        import ocr_ray.stages.index as idx
+
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["apple pie", "apple tart", "apple crumble"]}))
+        post = idx.build_postings(ds, warn_unbounded=False).materialize()
+        monkeypatch.setattr(idx, "LOOKUP_FETCH_CAP_BYTES", 2)
+        with pytest.raises(RuntimeError, match="near-stop-word"):
+            idx.conjunctive_lookup(post, ["apple"])
+        monkeypatch.setattr(idx, "LOOKUP_FETCH_CAP_BYTES", 256 << 20)
+        assert idx.conjunctive_lookup(post, ["apple"]) == [1, 2, 3]
+
     def test_build_postings_with_max_df_silent_and_lookup_works(self):
         from ocr_ray.stages.index import build_postings, conjunctive_lookup
 
