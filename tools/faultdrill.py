@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Worker-kill fault drill: prove the flagship pipeline loses no data
+when Ray workers die mid-run.
+
+The kill-9 resume test (tests/test_kill_resume.py) covers DRIVER death +
+checkpoint resume; this drill covers the other failure class a 256-node
+cluster sees weekly: individual WORKER processes dying mid-task (OOM
+killer, preemption, hardware).  Ray's task retry + Ray Data's
+restartable actor pools are supposed to make that invisible — this
+records evidence that they actually do for this build's pipelines.
+
+Protocol:
+  1. control run: flagship extraction over N convs -> parquet, no faults;
+  2. fault run: same input -> fresh output dir, while a killer thread
+     SIGKILLs ``SOAK_KILLS`` random ray:: WORKER processes (never the
+     raylet/GCS/driver) spread across the run;
+  3. read both outputs and compare as (conv_id, turn_idx)-sorted frames —
+     byte-equal or the drill FAILS loudly (duplicate rows from a replayed
+     write task would show here, not just missing rows).
+
+Usage: python tools/faultdrill.py  [FAULT_CONVS=100000] [FAULT_KILLS=3]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_CONVS = int(os.environ.get("FAULT_CONVS", "100000"))
+N_KILLS = int(os.environ.get("FAULT_KILLS", "3"))
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _worker_pids() -> list[int]:
+    """PIDs of Ray WORKER processes only — the ps comm for an executing
+    worker is rewritten to ``ray::<TaskName>``; raylet / gcs_server /
+    the plasma store / the driver never carry that prefix."""
+    out = subprocess.run(["ps", "-eo", "pid=,comm="], capture_output=True,
+                         text=True, timeout=10).stdout
+    pids = []
+    for line in out.splitlines():
+        parts = line.split(None, 1)
+        if len(parts) == 2 and parts[1].startswith("ray::"):
+            pids.append(int(parts[0]))
+    return pids
+
+
+class Killer(threading.Thread):
+    """SIGKILL ``n`` busy workers, spaced ``gap_s`` apart, starting after
+    ``delay_s`` (so the pipeline is genuinely mid-flight)."""
+
+    def __init__(self, n: int, delay_s: float = 3.0, gap_s: float = 2.0):
+        super().__init__(daemon=True)
+        self.n = n
+        self.delay_s = delay_s
+        self.gap_s = gap_s
+        self.killed: list[int] = []
+
+    def run(self):
+        time.sleep(self.delay_s)
+        import random
+
+        rng = random.Random(42)
+        deadline = time.time() + 120
+        while len(self.killed) < self.n and time.time() < deadline:
+            pids = [p for p in _worker_pids() if p not in self.killed]
+            if pids:
+                pid = rng.choice(pids)
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                    self.killed.append(pid)
+                except ProcessLookupError:
+                    pass
+            time.sleep(self.gap_s)
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import pandas as pd
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from ocr_ray.pipelines.extract import build_turn_pipeline
+    from ocr_ray.sources.transcripts import generate_transcripts
+
+    root = f"/tmp/graft_bench_transcripts/c{N_CONVS}"
+    generate_transcripts(root, n_convs=N_CONVS, seed=42, n_shards=64,
+                         with_oracle=False, parallel=True)
+    tdir = os.path.join(root, "transcripts")
+
+    def run(out_dir: str, kills: int) -> "tuple[float, list[int]]":
+        shutil.rmtree(out_dir, ignore_errors=True)
+        killer = Killer(kills) if kills else None
+        t0 = time.perf_counter()
+        if killer:
+            killer.start()
+        build_turn_pipeline(tdir).write_parquet(out_dir,
+                                                min_rows_per_file=20_000)
+        sec = time.perf_counter() - t0
+        if killer:
+            killer.join(timeout=1)
+        return sec, (killer.killed if killer else [])
+
+    ctl_dir = f"/tmp/graft_fault/ctl-{NCPU}"
+    flt_dir = f"/tmp/graft_fault/flt-{NCPU}"
+    ctl_sec, _ = run(ctl_dir, 0)
+    flt_sec, killed = run(flt_dir, N_KILLS)
+
+    # full-frame equality, not just counts: a replayed write task that
+    # double-committed would surface as duplicate rows here
+    def frame(d: str) -> "pd.DataFrame":
+        df = pd.read_parquet(d)
+        return (df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+                .reset_index(drop=True)[sorted(df.columns)])
+
+    a, b = frame(ctl_dir), frame(flt_dir)
+    equal = a.equals(b)
+    result = {
+        "metric": "worker-kill fault drill (flagship extraction)",
+        "n_convs": N_CONVS, "num_cpus": NCPU,
+        "rows": int(len(a)),
+        "workers_killed": len(killed),
+        "control_sec": round(ctl_sec, 2),
+        "fault_sec": round(flt_sec, 2),
+        "outputs_identical": bool(equal),
+    }
+    print(json.dumps(result), flush=True)
+    shutil.rmtree(ctl_dir, ignore_errors=True)
+    shutil.rmtree(flt_dir, ignore_errors=True)
+    ray.shutdown()
+    if not equal or len(killed) < N_KILLS:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
