@@ -12,14 +12,18 @@ records evidence that they actually do for this build's pipelines.
 Protocol:
   1. control run: flagship extraction over N convs -> parquet, no faults;
   2. fault run: same input -> fresh output dir, while a killer thread
-     SIGKILLs ``SOAK_KILLS`` random ray:: WORKER processes (never the
+     SIGKILLs ``FAULT_KILLS`` random ray:: WORKER processes (never the
      raylet/GCS/driver) spread across the run;
   3. read both outputs and compare as (conv_id, turn_idx)-sorted frames —
      byte-equal or the drill FAILS loudly (duplicate rows from a replayed
      write task would show here, not just missing rows).
 
-Usage: python tools/faultdrill.py  [FAULT_CONVS=100000] [FAULT_KILLS=3]
-Prints one JSON line.
+Runs twice: the map-only flagship (task + actor-pool retry) and the
+conversation-assembly EXCHANGE pipeline (raw num_cpus=0 split/merge
+tasks + a materialize barrier — lineage reconstruction must replay lost
+split outputs for the merges).  Usage:
+python tools/faultdrill.py  [FAULT_CONVS=100000] [FAULT_KILLS=3]
+Prints one JSON line per phase.
 """
 
 from __future__ import annotations
@@ -102,47 +106,55 @@ def main() -> None:
                          with_oracle=False, parallel=True)
     tdir = os.path.join(root, "transcripts")
 
-    def run(out_dir: str, kills: int) -> "tuple[float, list[int]]":
+    def run(out_dir: str, kills: int, build) -> "tuple[float, list[int]]":
         shutil.rmtree(out_dir, ignore_errors=True)
         killer = Killer(kills) if kills else None
         t0 = time.perf_counter()
         if killer:
             killer.start()
-        build_turn_pipeline(tdir).write_parquet(out_dir,
-                                                min_rows_per_file=20_000)
+        build().write_parquet(out_dir, min_rows_per_file=20_000)
         sec = time.perf_counter() - t0
         if killer:
             killer.join(timeout=1)
         return sec, (killer.killed if killer else [])
 
-    ctl_dir = f"/tmp/graft_fault/ctl-{NCPU}"
-    flt_dir = f"/tmp/graft_fault/flt-{NCPU}"
-    ctl_sec, _ = run(ctl_dir, 0)
-    flt_sec, killed = run(flt_dir, N_KILLS)
-
     # full-frame equality, not just counts: a replayed write task that
     # double-committed would surface as duplicate rows here
-    def frame(d: str) -> "pd.DataFrame":
+    def frame(d: str, sort_cols) -> "pd.DataFrame":
         df = pd.read_parquet(d)
-        return (df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        return (df.sort_values(sort_cols, kind="mergesort")
                 .reset_index(drop=True)[sorted(df.columns)])
 
-    a, b = frame(ctl_dir), frame(flt_dir)
-    equal = a.equals(b)
-    result = {
-        "metric": "worker-kill fault drill (flagship extraction)",
-        "n_convs": N_CONVS, "num_cpus": NCPU,
-        "rows": int(len(a)),
-        "workers_killed": len(killed),
-        "control_sec": round(ctl_sec, 2),
-        "fault_sec": round(flt_sec, 2),
-        "outputs_identical": bool(equal),
-    }
-    print(json.dumps(result), flush=True)
-    shutil.rmtree(ctl_dir, ignore_errors=True)
-    shutil.rmtree(flt_dir, ignore_errors=True)
+    def drill(metric: str, build, sort_cols) -> bool:
+        ctl_dir = f"/tmp/graft_fault/ctl-{NCPU}"
+        flt_dir = f"/tmp/graft_fault/flt-{NCPU}"
+        ctl_sec, _ = run(ctl_dir, 0, build)
+        flt_sec, killed = run(flt_dir, N_KILLS, build)
+        a, b = frame(ctl_dir, sort_cols), frame(flt_dir, sort_cols)
+        equal = a.equals(b)
+        print(json.dumps({
+            "metric": f"worker-kill fault drill ({metric})",
+            "n_convs": N_CONVS, "num_cpus": NCPU,
+            "rows": int(len(a)),
+            "workers_killed": len(killed),
+            "control_sec": round(ctl_sec, 2),
+            "fault_sec": round(flt_sec, 2),
+            "outputs_identical": bool(equal),
+        }), flush=True)
+        shutil.rmtree(ctl_dir, ignore_errors=True)
+        shutil.rmtree(flt_dir, ignore_errors=True)
+        return equal and len(killed) >= N_KILLS
+
+    from ocr_ray.stages.reassemble import assemble_conversations
+
+    ok1 = drill("flagship extraction, map-only",
+                lambda: build_turn_pipeline(tdir),
+                ["conv_id", "turn_idx"])
+    ok2 = drill("conversation assembly, raw-task exchange",
+                lambda: assemble_conversations(build_turn_pipeline(tdir)),
+                ["conv_id"])
     ray.shutdown()
-    if not equal or len(killed) < N_KILLS:
+    if not (ok1 and ok2):
         sys.exit(1)
 
 
