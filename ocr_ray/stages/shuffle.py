@@ -71,8 +71,18 @@ def _empty_premap_pa(t, add):
 
 
 def _col_i64(t, c: str) -> np.ndarray:
-    """Zero-copy-where-possible int64 view of an Arrow column."""
-    return (t.column(c).combine_chunks()
+    """Zero-copy-where-possible int64 view of an Arrow column.  Null
+    values fail LOUD: the null -> float NaN -> astype(int64) cast would
+    silently mint INT64_MIN (a numpy RuntimeWarning at best), poisoning
+    shuffle hashes / positions / token sums downstream — same contract
+    as the null-text guard in :func:`deterministic_pack`."""
+    col = t.column(c)
+    if col.null_count:
+        raise ValueError(
+            f"{col.null_count} null value(s) in column {c!r} — shuffle "
+            f"keys and counters are undefined for null; filter or fill "
+            f"nulls first")
+    return (col.combine_chunks()
             .to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
 
 def deterministic_shuffle(

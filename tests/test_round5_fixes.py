@@ -107,6 +107,21 @@ class TestPackNullTextFailsLoud:
         with pytest.raises(Exception, match="null"):
             deterministic_pack(ds, budget=4).to_pandas()
 
+    def test_null_id_raises_in_shuffle_and_pack(self):
+        """Null doc_id has the same silent-INT64_MIN hazard as null text
+        (hash/position poisoning instead of bin corruption) — both
+        stages fail loud via the shared _col_i64 guard."""
+        from ocr_ray.stages.shuffle import (deterministic_pack,
+                                            deterministic_shuffle)
+
+        df = pd.DataFrame({"doc_id": pd.array([1, None, 3],
+                                              dtype="Int64"),
+                           "text": ["a", "b", "c"]})
+        with pytest.raises(Exception, match="null"):
+            deterministic_shuffle(rd.from_pandas(df)).to_pandas()
+        with pytest.raises(Exception, match="null"):
+            deterministic_pack(rd.from_pandas(df), budget=4).to_pandas()
+
     def test_non_null_unchanged(self):
         from ocr_ray.stages.shuffle import deterministic_pack
 
