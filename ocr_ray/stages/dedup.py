@@ -160,6 +160,20 @@ def _batch_shingle_hashes(texts, k: int) -> Tuple[List[np.ndarray], np.ndarray]:
 
 
 # ---------------------------------------------------------------- minhash/LSH
+def _require_non_null(batch: "pd.DataFrame", cols) -> None:
+    """Loud dedup input contract: a null id rides float NaN through the
+    band tables and casts to INT64_MIN in the pair kernels (silent
+    corruption); a null text dies as a cryptic AttributeError inside a
+    worker.  Same contract as shuffle's _col_i64 guard."""
+    for c in cols:
+        n = int(batch[c].isna().sum())
+        if n:
+            raise ValueError(
+                f"{n} null value(s) in column {c!r} — dedup signatures "
+                f"and pair ids are undefined for null; filter or fill "
+                f"nulls before deduplication")
+
+
 class MinHasher:
     """n_perm universal hashes h_i(x) = (a_i * x + b_i) mod p over shingle
     hashes; signature = per-permutation minimum.  Stateful setup (the random
@@ -210,6 +224,7 @@ class MinHasher:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Explode each row into n_bands (band_id, band_hash) bucket rows."""
+        _require_non_null(batch, (self.id_col, self.text_col))
         texts = list(batch[self.text_col])
         per_row, _ = _batch_shingle_hashes(texts, self.shingle_k)
         n = len(texts)
@@ -354,6 +369,7 @@ class MinHashSigner(MinHasher):
     band pass, so band collisions and estimates agree)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _require_non_null(batch, (self.id_col, self.text_col))
         texts = list(batch[self.text_col])
         per_row, _ = _batch_shingle_hashes(texts, self.shingle_k)
         sigs = np.empty((len(texts), self.n_perm), dtype=np.uint64)
@@ -852,6 +868,7 @@ class SimHasher:
         return SimHasher._sig_from_shingles(shingle_hashes(th, shingle_k))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _require_non_null(batch, (self.id_col, self.text_col))
         texts = list(batch[self.text_col])
         per_row, _ = _batch_shingle_hashes(texts, self.shingle_k)
         n = len(texts)
@@ -1453,6 +1470,7 @@ class PolySimHasher:
                     << np.arange(POLY_SIG_BITS)).sum())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        _require_non_null(batch, (self.id_col, self.text_col))
         n = len(batch)
         sigs = np.fromiter(
             (self.signature_of(t) for t in batch[self.text_col]),

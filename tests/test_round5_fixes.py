@@ -122,6 +122,24 @@ class TestPackNullTextFailsLoud:
         with pytest.raises(Exception, match="null"):
             deterministic_pack(rd.from_pandas(df), budget=4).to_pandas()
 
+    def test_null_id_or_text_raises_in_dedup(self):
+        """Same hazard class in the dedup family: null ids ride float
+        NaN into the band tables and cast to INT64_MIN in the pair
+        kernels; all four hasher stages fail loud instead."""
+        from ocr_ray.stages.dedup import minhash_dedup_pairs, \
+            simhash_dedup_pairs
+
+        bad_id = pd.DataFrame({"doc_id": pd.array([1, None], dtype="Int64"),
+                               "text": ["a b c", "a b d"]})
+        bad_txt = pd.DataFrame({"doc_id": [1, 2],
+                                "text": ["a b c", None]})
+        for df in (bad_id, bad_txt):
+            with pytest.raises(Exception, match="null"):
+                minhash_dedup_pairs(rd.from_pandas(df), n_perm=8,
+                                    n_bands=4, threshold=0.5).to_pandas()
+            with pytest.raises(Exception, match="null"):
+                simhash_dedup_pairs(rd.from_pandas(df)).to_pandas()
+
     def test_non_null_unchanged(self):
         from ocr_ray.stages.shuffle import deterministic_pack
 
