@@ -60,22 +60,33 @@ def _worker_pids() -> list[int]:
 
 class Killer(threading.Thread):
     """SIGKILL ``n`` busy workers, spaced ``gap_s`` apart, starting after
-    ``delay_s`` (so the pipeline is genuinely mid-flight)."""
+    ``delay_s`` (so the pipeline is genuinely mid-flight).  ``stop()``
+    is set when the drilled run completes: a straggling killer must not
+    leak kills into the NEXT (control) run — that would fault-inject the
+    baseline it is compared against.  Cadence via FAULT_KILL_DELAY /
+    FAULT_KILL_GAP so short small-scale runs still land their kills."""
 
-    def __init__(self, n: int, delay_s: float = 3.0, gap_s: float = 2.0):
+    def __init__(self, n: int,
+                 delay_s: float = float(os.environ.get("FAULT_KILL_DELAY",
+                                                       "3.0")),
+                 gap_s: float = float(os.environ.get("FAULT_KILL_GAP",
+                                                     "2.0"))):
         super().__init__(daemon=True)
         self.n = n
         self.delay_s = delay_s
         self.gap_s = gap_s
+        self.stop = threading.Event()
         self.killed: list[int] = []
 
     def run(self):
-        time.sleep(self.delay_s)
+        if self.stop.wait(self.delay_s):
+            return
         import random
 
         rng = random.Random(42)
         deadline = time.time() + 120
-        while len(self.killed) < self.n and time.time() < deadline:
+        while (len(self.killed) < self.n and time.time() < deadline
+               and not self.stop.is_set()):
             pids = [p for p in _worker_pids() if p not in self.killed]
             if pids:
                 pid = rng.choice(pids)
@@ -84,7 +95,8 @@ class Killer(threading.Thread):
                     self.killed.append(pid)
                 except ProcessLookupError:
                     pass
-            time.sleep(self.gap_s)
+            if self.stop.wait(self.gap_s):
+                return
 
 
 def main() -> None:
@@ -115,7 +127,8 @@ def main() -> None:
         build().write_parquet(out_dir, min_rows_per_file=20_000)
         sec = time.perf_counter() - t0
         if killer:
-            killer.join(timeout=1)
+            killer.stop.set()
+            killer.join(timeout=5)
         return sec, (killer.killed if killer else [])
 
     # full-frame equality, not just counts: a replayed write task that
