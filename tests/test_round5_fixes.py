@@ -335,6 +335,42 @@ class TestArrowSftKernels:
         with pytest.raises(ValueError, match="drifted"):
             entry._conv_texts_pa(bad)
 
+    def test_arrow_kernels_partitioning_invariant(self, ray_session,
+                                                  monkeypatch):
+        """The Arrow exchange kernels must produce byte-identical output
+        under ANY partition count: force the exchange auto-sizer into
+        maximal (256-clamped) partitioning and compare the two SFT
+        composites plus the convdedup pair set against the default-budget
+        run — the co-location assumption (_examples_pa / _conv_texts_pa
+        see every turn of a conversation) is what the key hash must
+        deliver regardless of partition count."""
+        import warnings as _w
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        qs = e.queries()
+
+        def run(name, keys):
+            out = qs[name](sf)
+            out = out.to_pandas() if hasattr(out, "to_pandas") else out
+            return out.sort_values(keys).reset_index(drop=True)
+
+        base_sft = run("transcripts_sft", ["conv_id", "turn_idx"])
+        base_psft = run("pipeline_sft", ["conv_id", "turn_idx"])
+        base_dd = run("transcripts_convdedup", ["left_id", "right_id"])
+
+        monkeypatch.setenv("OCR_RAY_EXCHANGE_BUDGET_MB", "0.00001")
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")  # the 256-clamp warning re-fires
+            pd.testing.assert_frame_equal(
+                base_sft, run("transcripts_sft", ["conv_id", "turn_idx"]))
+            pd.testing.assert_frame_equal(
+                base_psft, run("pipeline_sft", ["conv_id", "turn_idx"]))
+            pd.testing.assert_frame_equal(
+                base_dd, run("transcripts_convdedup",
+                             ["left_id", "right_id"]))
+
     def test_conv_turn_key_pa_matches_pandas(self):
         import __ray_entry__ as entry
 
