@@ -48,15 +48,8 @@ def main(argv: "list[str] | None" = None) -> int:
                     help="rows to print when --out is absent")
     args = ap.parse_args(argv)
 
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
+    # list / name validation need only imports, not a Ray cluster —
+    # `--list` and the typo path stay instant
     qs = _surface()
     if args.list:
         for n in sorted(qs):
@@ -71,15 +64,37 @@ def main(argv: "list[str] | None" = None) -> int:
         hint = f" (did you mean: {', '.join(close)}?)" if close else ""
         ap.error(f"unknown query {args.name!r}{hint}; see --list")
 
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
     res = qs[args.name](args.sf_dir)
 
     import ray.data as rd
 
-    if isinstance(res, rd.Dataset) and args.out and args.format == "parquet":
-        # Dataset result -> distributed parquet write, never a driver
-        # materialization (the 100 TB path)
-        res.write_parquet(args.out)
-        print(f"wrote dataset to {args.out}/ (parquet)")
+    if isinstance(res, rd.Dataset):
+        # a Dataset result may be arbitrarily large: NEVER fully
+        # materialize it on the driver.  --out parquet = distributed
+        # write (the 100 TB path); headless = count + a limited head;
+        # csv/jsonl would be a driver-side single file, so refuse.
+        if args.out and args.format == "parquet":
+            res.write_parquet(args.out)
+            print(f"wrote dataset to {args.out}/ (parquet)")
+            return 0
+        if args.out:
+            ap.error(
+                f"--format {args.format} writes one driver-side file; a "
+                f"Dataset result may not fit the driver. Use --format "
+                f"parquet (distributed write).")
+        n = res.count()
+        head = res.limit(args.head).to_pandas()
+        print(f"{args.name}: {n} rows x {len(head.columns)} cols")
+        print(head.to_string(index=False))
         return 0
 
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
@@ -94,8 +109,7 @@ def main(argv: "list[str] | None" = None) -> int:
         print(f"wrote {len(df)} rows to {args.out} ({args.format})")
     else:
         print(f"{args.name}: {len(df)} rows x {len(df.columns)} cols")
-        with_head = df.head(args.head)
-        print(with_head.to_string(index=False))
+        print(df.head(args.head).to_string(index=False))
     return 0
 
 

@@ -932,6 +932,7 @@ def cross_split_contamination(
     hasher = PolySimHasher(shingle_k=shingle_k)
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
+        _require_non_null(b, (id_col, text_col))
         ids = b[id_col].to_numpy(dtype="int64")
         is_train, label = split_of(ids)
         hs, out_id, out_tr, out_lb = [], [], [], []
@@ -1124,6 +1125,7 @@ def shingle_novelty(
     hasher = PolySimHasher(shingle_k=shingle_k)
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
+        _require_non_null(b, (id_col, text_col))
         ids = b[id_col].to_numpy(dtype="int64")
         hs, out_id = [], []
         for i, t in enumerate(b[text_col]):
@@ -1521,6 +1523,7 @@ def incremental_containment(
     hasher = PolySimHasher(shingle_k=shingle_k)
 
     def explode_shard(b: pd.DataFrame) -> pd.DataFrame:
+        _require_non_null(b, (id_col, text_col))
         ids = b[id_col].to_numpy(dtype="int64")
         hs, out_id = [], []
         for i, t in enumerate(b[text_col]):
@@ -1536,6 +1539,7 @@ def incremental_containment(
         )
 
     def explode_corpus(b: pd.DataFrame) -> pd.DataFrame:
+        _require_non_null(b, (text_col,))
         hs = [hasher.features(t) for t in b[text_col]]
         hs = [f for f in hs if f.size]
         if not hs:

@@ -45,15 +45,18 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
 def _worker_pids() -> list[int]:
-    """PIDs of Ray WORKER processes only — the ps comm for an executing
-    worker is rewritten to ``ray::<TaskName>``; raylet / gcs_server /
-    the plasma store / the driver never carry that prefix."""
+    """PIDs of BUSY Ray worker processes — the ps comm of a worker
+    EXECUTING a task is rewritten to ``ray::<TaskName>``; idle workers
+    read ``ray::IDLE`` (killing one injects no fault into the drilled
+    pipeline, so they are excluded), and raylet / gcs_server / plasma /
+    the driver never carry the prefix."""
     out = subprocess.run(["ps", "-eo", "pid=,comm="], capture_output=True,
                          text=True, timeout=10).stdout
     pids = []
     for line in out.splitlines():
         parts = line.split(None, 1)
-        if len(parts) == 2 and parts[1].startswith("ray::"):
+        if (len(parts) == 2 and parts[1].startswith("ray::")
+                and parts[1].strip() != "ray::IDLE"):
             pids.append(int(parts[0]))
     return pids
 
@@ -66,15 +69,16 @@ class Killer(threading.Thread):
     baseline it is compared against.  Cadence via FAULT_KILL_DELAY /
     FAULT_KILL_GAP so short small-scale runs still land their kills."""
 
-    def __init__(self, n: int,
-                 delay_s: float = float(os.environ.get("FAULT_KILL_DELAY",
-                                                       "3.0")),
-                 gap_s: float = float(os.environ.get("FAULT_KILL_GAP",
-                                                     "2.0"))):
+    def __init__(self, n: int, exclude=()):
         super().__init__(daemon=True)
         self.n = n
-        self.delay_s = delay_s
-        self.gap_s = gap_s
+        # env read per instance, not in a default-arg frozen at import
+        self.delay_s = float(os.environ.get("FAULT_KILL_DELAY", "3.0"))
+        self.gap_s = float(os.environ.get("FAULT_KILL_GAP", "2.0"))
+        # workers that existed BEFORE this drill's ray.init belong to
+        # OTHER sessions on the box (e.g. the pytest host session) —
+        # never kill those, and never count them as injected faults
+        self.exclude = set(exclude)
         self.stop = threading.Event()
         self.killed: list[int] = []
 
@@ -87,9 +91,15 @@ class Killer(threading.Thread):
         deadline = time.time() + 120
         while (len(self.killed) < self.n and time.time() < deadline
                and not self.stop.is_set()):
-            pids = [p for p in _worker_pids() if p not in self.killed]
+            pids = [p for p in _worker_pids()
+                    if p not in self.killed and p not in self.exclude]
             if pids:
                 pid = rng.choice(pids)
+                # recheck AFTER the ps scan: stop may have been set
+                # while ps ran, and a late kill would fault-inject the
+                # NEXT phase's control run
+                if self.stop.is_set():
+                    return
                 try:
                     os.kill(pid, signal.SIGKILL)
                     self.killed.append(pid)
@@ -102,6 +112,7 @@ class Killer(threading.Thread):
 def main() -> None:
     import ray
 
+    foreign = set(_worker_pids())  # other sessions' busy workers
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import pandas as pd
@@ -120,7 +131,7 @@ def main() -> None:
 
     def run(out_dir: str, kills: int, build) -> "tuple[float, list[int]]":
         shutil.rmtree(out_dir, ignore_errors=True)
-        killer = Killer(kills) if kills else None
+        killer = Killer(kills, exclude=foreign) if kills else None
         t0 = time.perf_counter()
         if killer:
             killer.start()
@@ -139,8 +150,13 @@ def main() -> None:
                 .reset_index(drop=True)[sorted(df.columns)])
 
     def drill(metric: str, build, sort_cols) -> bool:
-        ctl_dir = f"/tmp/graft_fault/ctl-{NCPU}"
-        flt_dir = f"/tmp/graft_fault/flt-{NCPU}"
+        import tempfile
+
+        # per-drill dirs: fixed paths collided when two drills (e.g. the
+        # pytest gate + a manual run) shared a CPU count
+        base = tempfile.mkdtemp(prefix=f"graft_fault_{NCPU}_")
+        ctl_dir = os.path.join(base, "ctl")
+        flt_dir = os.path.join(base, "flt")
         ctl_sec, _ = run(ctl_dir, 0, build)
         flt_sec, killed = run(flt_dir, N_KILLS, build)
         a, b = frame(ctl_dir, sort_cols), frame(flt_dir, sort_cols)
@@ -154,8 +170,14 @@ def main() -> None:
             "fault_sec": round(flt_sec, 2),
             "outputs_identical": bool(equal),
         }), flush=True)
-        shutil.rmtree(ctl_dir, ignore_errors=True)
-        shutil.rmtree(flt_dir, ignore_errors=True)
+        if equal:
+            shutil.rmtree(base, ignore_errors=True)
+        else:
+            # keep the evidence: a real lost/duplicated-row bug is the
+            # event this drill exists to catch — the frames must remain
+            # diffable, not vanish with the failure
+            print(f"MISMATCH — outputs kept for diffing: {ctl_dir} vs "
+                  f"{flt_dir}", flush=True)
         return equal and len(killed) >= N_KILLS
 
     from ocr_ray.stages.reassemble import assemble_conversations
