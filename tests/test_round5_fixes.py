@@ -67,7 +67,7 @@ class TestLatestPerKeyNaNWinner:
 
 # ---------------------------------------------------------------- advisory 2
 class TestExchangeTaskMemoryNodeClamp:
-    def test_request_clamped_to_half_node_memory(self):
+    def test_request_clamped_to_half_node_memory(self, ray_session):
         """An explicit tiny n_partitions over a huge estimated input must
         NOT produce an unsatisfiable memory request (the task would pend
         forever) — clamp to half the cluster memory resource + warn."""
@@ -85,7 +85,7 @@ class TestExchangeTaskMemoryNodeClamp:
         assert any("clamped" in str(x.message) for x in w
                    if issubclass(x.category, RuntimeWarning))
 
-    def test_normal_request_unclamped_and_silent(self):
+    def test_normal_request_unclamped_and_silent(self, ray_session):
         from ocr_ray.stages.join import exchange_task_memory
 
         with warnings.catch_warnings(record=True) as w:
