@@ -1117,6 +1117,29 @@ def join_skewed(
                      n_partitions=n_partitions)
 
 
+def join_adaptive(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    right_on: "str | None" = None,
+    how: str = "inner",
+    left_key_source: "rd.Dataset | None" = None,
+    n_partitions: "int | None" = None,
+    min_hot_rows: int = 50_000_000,
+) -> "rd.Dataset":
+    """AQE-style join dispatch (stages/join.py:adaptive_join): one
+    Misra-Gries hot-key probe, then plain exchange below the measured
+    skew crossover and salt-and-replicate above it (or whenever the
+    heaviest key's estimated bytes exceed a worker's heap budget —
+    where salting is mandatory, not just faster)."""
+    from ocr_ray.stages.join import adaptive_join
+
+    return adaptive_join(left, right, on=on, right_on=right_on, how=how,
+                         left_key_source=left_key_source,
+                         n_partitions=n_partitions,
+                         min_hot_rows=min_hot_rows)
+
+
 def join_selective(
     left: "rd.Dataset",
     right: "rd.Dataset",

@@ -977,6 +977,46 @@ def _split_blocks_skew(by, n_partitions: int, hot, side: str, *parts):
     return out if n_partitions > 1 else out[0]
 
 
+def _detect_hot_keys(key_source, on: str, k: int,
+                     n_partitions: Optional[int]):
+    """Misra-Gries hot-key detection over one key-column scan: per-batch
+    MG summaries union-summed through a bounded exchange.  Returns
+    ``(hot, max_lb, total)`` — the PROVABLE superset of keys with
+    frequency > N/k (lb*k*(k+1) > N; see aggregate.heavy_hitters), the
+    largest summed lower bound (>= the true count of the heaviest key
+    minus MG compression), and the row count N.  Shared by
+    :func:`skew_join` (needs ``hot``) and :func:`adaptive_join` (needs
+    the absolute mass to place the dispatch against the measured
+    crossover)."""
+    # row count N for the hot threshold: metadata-only for parquet reads
+    # and materialized datasets (the supported key_source shapes —
+    # a transformed lazy source would execute here AND in the MG pass)
+    total = int(key_source.count())
+
+    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = b[on].value_counts()
+        if len(c) > k:
+            cut = int(c.iloc[k])  # value_counts sorts descending
+            c = (c - cut)[c > cut]
+        return pd.DataFrame({"_key": c.index,
+                             "lb": c.to_numpy().astype("int64")})
+
+    from ocr_ray.stages.aggregate import hash_aggregate
+
+    summed = hash_aggregate(
+        key_source.map_batches(mg_partial, batch_format="pandas"),
+        keys=["_key"], aggs={"lb": "sum"},
+        n_partitions=n_partitions,
+    ).to_pandas()
+    if not len(summed) or "_key" not in summed.columns:
+        # uniform keys: every per-batch MG compress cancels to empty (and
+        # an all-empty Dataset's to_pandas() drops columns) — no hot keys
+        return frozenset(), 0, total
+    lbs = summed["lb"].astype("int64")
+    hot = frozenset(summed.loc[lbs * k * (k + 1) > total, "_key"].tolist())
+    return hot, int(lbs.max()), total
+
+
 def skew_join(
     left: "rd.Dataset",
     right: "rd.Dataset",
@@ -986,6 +1026,7 @@ def skew_join(
     how: str = "inner",
     k: int = 64,
     left_key_source: Optional["rd.Dataset"] = None,
+    precomputed_hot: Optional[frozenset] = None,
 ) -> "rd.Dataset":
     """Skew-aware equi-join — ONE scan of each side, no materialize of
     the big side, no straggler reduce task.
@@ -1024,34 +1065,10 @@ def skew_join(
         left = left.materialize()
         left_key_source = left
 
-    # row count N for the hot threshold: metadata-only for parquet reads
-    # and materialized datasets (the supported left_key_source shapes —
-    # a transformed lazy source would execute here AND in the MG pass)
-    total = int(left_key_source.count())
-
-    def mg_partial(b: pd.DataFrame) -> pd.DataFrame:
-        c = b[on].value_counts()
-        if len(c) > k:
-            cut = int(c.iloc[k])  # value_counts sorts descending
-            c = (c - cut)[c > cut]
-        return pd.DataFrame({"_key": c.index,
-                             "lb": c.to_numpy().astype("int64")})
-
-    from ocr_ray.stages.aggregate import hash_aggregate
-
-    summed = hash_aggregate(
-        left_key_source.map_batches(mg_partial, batch_format="pandas"),
-        keys=["_key"], aggs={"lb": "sum"},
-        n_partitions=n_partitions,
-    ).to_pandas()
-    if not len(summed) or "_key" not in summed.columns:
-        # uniform keys: every per-batch MG compress cancels to empty (and
-        # an all-empty Dataset's to_pandas() drops columns) — no hot keys
-        hot = frozenset()
+    if precomputed_hot is not None:
+        hot = precomputed_hot  # adaptive_join already ran the probe
     else:
-        hot = frozenset(summed.loc[
-            summed["lb"].astype("int64") * k * (k + 1) > total, "_key"
-        ].tolist())
+        hot, _, _ = _detect_hot_keys(left_key_source, on, k, n_partitions)
 
     if not hot:
         return exchange_join(left, right, on=on, right_on=ron,
@@ -1080,6 +1097,81 @@ def skew_join(
         for j in range(n_partitions)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def _adaptive_choice(max_lb: int, bytes_per_row: float,
+                     heap_budget: int, min_hot_rows: int) -> str:
+    """Pure dispatch rule for :func:`adaptive_join` (unit-testable):
+
+    * ``"skew"`` when the heaviest key's estimated bytes exceed the
+      per-worker heap budget — salt-and-replicate is then MANDATORY
+      (the mega-partition would not fit one merge task), or when its
+      row count crosses ``min_hot_rows``, the measured single-node
+      latency crossover (plain exchange wins below ~50M hot rows at
+      40% skew on 32 cores — BENCH/BASELINE.md round-5 crossover
+      curve; the crossover moves earlier on wider clusters, so pass a
+      smaller threshold there);
+    * ``"exchange"`` otherwise — below the crossover the plain
+      exchange's lower fixed cost wins even against heavy skew."""
+    if bytes_per_row and max_lb * bytes_per_row > heap_budget:
+        return "skew"
+    if max_lb >= min_hot_rows:
+        return "skew"
+    return "exchange"
+
+
+def adaptive_join(
+    left: "rd.Dataset",
+    right: "rd.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    n_partitions: Optional[int] = None,
+    how: str = "inner",
+    k: int = 64,
+    left_key_source: Optional["rd.Dataset"] = None,
+    min_hot_rows: int = 50_000_000,
+) -> "rd.Dataset":
+    """AQE-style skew dispatch: run the Misra-Gries hot-key probe ONCE,
+    then pick the join strategy from the heaviest key's ABSOLUTE mass —
+    :func:`skew_join`'s own gate is relative (frequency > N/k), which
+    salts a 40%-mass key even when the whole input is small enough that
+    the plain exchange's lower fixed cost wins (measured: the plain
+    exchange beats salt-and-replicate below ~50M hot-key rows on one
+    32-core node; above, skew_join wins 1.59-1.86x and becomes
+    MANDATORY once the hot partition outgrows a worker's heap).
+
+    The probe's hot set is reused by the skew path (no second scan);
+    the exchange path costs one extra key-column scan over what a
+    direct :func:`exchange_join` call would — the price of not knowing
+    the skew in advance."""
+    if left_key_source is None:
+        left = left.materialize()
+        left_key_source = left
+    hot, max_lb, total = _detect_hot_keys(left_key_source, on, k,
+                                          n_partitions)
+
+    bytes_per_row = 0.0
+    est = _estimate_bytes(left)
+    if est and total:
+        bytes_per_row = est / total
+    heap_budget = 4 << 30
+    try:
+        if ray.is_initialized():
+            res = ray.cluster_resources()
+            cpus = max(1, int(res.get("CPU", 8)))
+            heap_budget = int(res.get("memory", 32 << 30) // (2 * cpus))
+    except Exception:
+        pass
+
+    choice = _adaptive_choice(max_lb, bytes_per_row, heap_budget,
+                              min_hot_rows)
+    if choice == "exchange" or not hot:
+        return exchange_join(left, right, on=on, right_on=right_on,
+                             n_partitions=n_partitions, how=how)
+    return skew_join(left, right, on=on, right_on=right_on,
+                     n_partitions=n_partitions, how=how, k=k,
+                     left_key_source=left_key_source,
+                     precomputed_hot=hot)
 
 
 def _iter_split_bundles(src, min_rows_per_split: int = 32768):
