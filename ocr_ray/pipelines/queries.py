@@ -2059,6 +2059,41 @@ def q_events_enriched(sf_dir: str):
     return out[["event_id", "user_id", "user_total"]]
 
 
+def q_events_enriched_adaptive(sf_dir: str):
+    """The same per-user enrichment through the ADAPTIVE join
+    (stages/join.py:adaptive_join): one Misra-Gries probe, then plain
+    exchange below the measured skew crossover (the case here — oracle
+    tables are far under 50M hot rows) and salt-and-replicate above it
+    or when the hot partition would not fit a worker's heap.  Join
+    semantics are strategy-independent, so the oracle is the same
+    window count as events_enriched; the skew arm's equality is pinned
+    by tests/test_adaptive_join.py."""
+    from ocr_ray.stages.aggregate import hash_aggregate
+    from ocr_ray.stages.join import adaptive_join
+
+    keys = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id"])
+
+    def cnt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(user_total=np.int64(1))
+        return b.groupby("user_id", as_index=False)[["user_total"]].sum()
+
+    totals = hash_aggregate(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id"])
+        .map_batches(cnt, batch_format="pandas"),
+        keys=["user_id"], aggs={"user_total": "sum"}, n_partitions=None,
+    )
+
+    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=["event_id", "user_id"])
+    out = adaptive_join(events, totals, on="user_id", n_partitions=None,
+                        k=16, left_key_source=keys).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    out["user_total"] = out["user_total"].astype("int64")
+    return out[["event_id", "user_id", "user_total"]]
+
+
 def _nation_trade_edges(sf_dir: str, with_weight: bool):
     """Shared edge build for the nation trade graph (pagerank/triangles):
     one big-big exchange join (lineitem x orders on orderkey) with the two
@@ -6838,6 +6873,7 @@ def queries() -> Dict[str, Callable]:
         "corpus_heavy_hitters": q_corpus_heavy_hitters,
         "doc_sample_weighted": q_doc_sample_weighted,
         "events_enriched": q_events_enriched,
+        "events_enriched_adaptive": q_events_enriched_adaptive,
         "doc_sample_per_source": q_doc_sample_per_source,
         "lineitems_top_customers": q_lineitems_top_customers,
         "events_dedup": q_events_dedup,
@@ -7516,6 +7552,11 @@ SELECT term, n FROM c, tot WHERE n * 64 > total
 ORDER BY n DESC, term
 """,
     "events_enriched": """
+SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
+       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
+FROM events
+""",
+    "events_enriched_adaptive": """
 SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
 FROM events
