@@ -2025,16 +2025,12 @@ def q_doc_sample_per_source(sf_dir: str):
             .reset_index(drop=True)[["source", "doc_id", "h"]])
 
 
-def q_events_enriched(sf_dir: str):
-    """Row-level enrichment with a per-key aggregate through the
-    SKEW-AWARE join (stages/join.py:skew_join): per-user totals reduce
-    over a user_id-only pruned scan, then the full event stream joins
-    them with Misra-Gries hot-key detection + salt-and-replicate — hot
-    users scatter across all merge tasks instead of serializing one.
-    On web-scale event logs a single bot/service account routinely holds
-    percent-level row share; this is the join that survives it."""
+def _events_enriched_impl(sf_dir: str, join_fn, **join_kw):
+    """Shared body of events_enriched / events_enriched_adaptive: the
+    two queries differ ONLY in the join strategy (salt-and-replicate vs
+    adaptive dispatch); one impl keeps the enrichment shape (partial
+    agg, pruned key scan, dtype casts) from drifting between them."""
     from ocr_ray.stages.aggregate import hash_aggregate
-    from ocr_ray.stages.join import skew_join
 
     keys = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                            columns=["user_id"])
@@ -2052,11 +2048,24 @@ def q_events_enriched(sf_dir: str):
 
     events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                              columns=["event_id", "user_id"])
-    out = skew_join(events, totals, on="user_id", n_partitions=None,
-                    k=16, left_key_source=keys).to_pandas()
+    out = join_fn(events, totals, on="user_id", n_partitions=None,
+                  k=16, left_key_source=keys, **join_kw).to_pandas()
     out["event_id"] = out["event_id"].astype("int64")
     out["user_total"] = out["user_total"].astype("int64")
     return out[["event_id", "user_id", "user_total"]]
+
+
+def q_events_enriched(sf_dir: str):
+    """Row-level enrichment with a per-key aggregate through the
+    SKEW-AWARE join (stages/join.py:skew_join): per-user totals reduce
+    over a user_id-only pruned scan, then the full event stream joins
+    them with Misra-Gries hot-key detection + salt-and-replicate — hot
+    users scatter across all merge tasks instead of serializing one.
+    On web-scale event logs a single bot/service account routinely holds
+    percent-level row share; this is the join that survives it."""
+    from ocr_ray.stages.join import skew_join
+
+    return _events_enriched_impl(sf_dir, skew_join)
 
 
 def q_events_enriched_adaptive(sf_dir: str):
@@ -2068,30 +2077,9 @@ def q_events_enriched_adaptive(sf_dir: str):
     semantics are strategy-independent, so the oracle is the same
     window count as events_enriched; the skew arm's equality is pinned
     by tests/test_adaptive_join.py."""
-    from ocr_ray.stages.aggregate import hash_aggregate
     from ocr_ray.stages.join import adaptive_join
 
-    keys = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                           columns=["user_id"])
-
-    def cnt(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(user_total=np.int64(1))
-        return b.groupby("user_id", as_index=False)[["user_total"]].sum()
-
-    totals = hash_aggregate(
-        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                        columns=["user_id"])
-        .map_batches(cnt, batch_format="pandas"),
-        keys=["user_id"], aggs={"user_total": "sum"}, n_partitions=None,
-    )
-
-    events = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                             columns=["event_id", "user_id"])
-    out = adaptive_join(events, totals, on="user_id", n_partitions=None,
-                        k=16, left_key_source=keys).to_pandas()
-    out["event_id"] = out["event_id"].astype("int64")
-    out["user_total"] = out["user_total"].astype("int64")
-    return out[["event_id", "user_id", "user_total"]]
+    return _events_enriched_impl(sf_dir, adaptive_join)
 
 
 def _nation_trade_edges(sf_dir: str, with_weight: bool):
@@ -7551,12 +7539,9 @@ c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term)
 SELECT term, n FROM c, tot WHERE n * 64 > total
 ORDER BY n DESC, term
 """,
+    # events_enriched_adaptive reuses this exact string below (join
+    # strategy cannot change join semantics)
     "events_enriched": """
-SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
-       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
-FROM events
-""",
-    "events_enriched_adaptive": """
 SELECT CAST(event_id AS BIGINT) AS event_id, user_id,
        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
 FROM events
@@ -9514,6 +9499,10 @@ SELECT CAST(3 AS BIGINT) AS step, left_s, right_s, cnt FROM t3
 # chained composite oracle: the exact-integer k-means assignment CTE
 # (identical to embed_kmeans) feeding term counting + grouped top-3 —
 # appended post-dict so it can embed the embed_kmeans SQL verbatim
+# single-sourced: the adaptive dispatcher cannot change join semantics,
+# so its oracle IS events_enriched's oracle
+ORACLE_SQL["events_enriched_adaptive"] = ORACLE_SQL["events_enriched"]
+
 ORACLE_SQL["embed_topics"] = f"""
 WITH assign AS ({ORACLE_SQL['embed_kmeans']}),
 tok AS (SELECT doc_id,

@@ -294,12 +294,15 @@ def exchange_task_memory(src, n_partitions: int) -> Optional[int]:
     SMALL-partition exemption: the flat per-core floor over-serializes
     tiny exchanges — a 10 MB bench partition carrying a ~2.8 GB request
     schedules in ~cpu-count waves, measured +0.3-0.4 s of wave latency
-    per exchange across the query sweep.  When the 3x estimate is under
-    a QUARTER of the floor, the request is ``max(2 * 3x_est, 512 MB)``
-    instead: 6x the Arrow bytes covers the worst observed pandas
+    per exchange across the query sweep.  When the estimate is EXACT
+    (an int byte count from the caller, or a materialized dataset's
+    ``size_bytes()`` — lazy leaf-read estimates understate expanding
+    transforms and never qualify) AND the 3x estimate is under a
+    QUARTER of the floor, the request is ``max(2 * 3x_est, 512 MB)``
+    instead: 6x the true Arrow bytes covers the worst observed pandas
     widening, so the request still bounds the real heap, while the
-    soak-OOM regime (large partitions, where underestimation is the
-    danger) keeps the estimate-independent floor unchanged.
+    soak-OOM regime (large or uncertain partitions) keeps the
+    estimate-independent floor unchanged.
 
     Clamped to <= 16 GB AND <= half the cluster's ``memory`` resource:
     a request no node can satisfy does not backpressure, it pends the
@@ -315,6 +318,20 @@ def exchange_task_memory(src, n_partitions: int) -> Optional[int]:
     or the ``OCR_RAY_EXCHANGE_TASK_MEMORY=0`` kill switch is set."""
     if os.environ.get("OCR_RAY_EXCHANGE_TASK_MEMORY", "1") == "0":
         return None
+    # estimate provenance matters for the exemption below: an int src or
+    # a materialized dataset reports EXACT bytes; a lazy source's
+    # estimate is the leaf read's size, which UNDERSTATES expanding
+    # transforms (a flat_map explode between read and exchange) — the
+    # exact regime the floor exists for, so only exact estimates may
+    # bypass it
+    exact_est = isinstance(src, int)
+    if not exact_est:
+        try:
+            from ray.data.dataset import MaterializedDataset
+
+            exact_est = isinstance(src, MaterializedDataset)
+        except Exception:
+            pass
     est = src if isinstance(src, int) else _estimate_bytes(src)
     req = 0
     est_pp3 = 0
@@ -329,11 +346,12 @@ def exchange_task_memory(src, n_partitions: int) -> Optional[int]:
             mem_total = res.get("memory", 0)
             cpus = max(1, int(res.get("CPU", 8)))
             floor = int(mem_total // cpus)
-            if est and est_pp3 < floor // 4:
-                # small, well-estimated partition: 2x the 3x budget
+            if est and exact_est and est_pp3 < floor // 4:
+                # small EXACTLY-sized partition: 2x the 3x budget
                 # (>= 512 MB — a touch of absolute margin over the
                 # 256 MB base floor) instead of the per-core floor;
-                # see the small-partition exemption in the docstring
+                # see the small-partition exemption in the docstring.
+                # Lazy (leaf-read) estimates never take this branch.
                 req = max(2 * est_pp3, 512 << 20)
             else:
                 req = max(req, floor)
@@ -1143,7 +1161,19 @@ def adaptive_join(
     The probe's hot set is reused by the skew path (no second scan);
     the exchange path costs one extra key-column scan over what a
     direct :func:`exchange_join` call would — the price of not knowing
-    the skew in advance."""
+    the skew in advance.
+
+    ``how`` is validated UPFRONT to the skew arm's 'inner'|'left':
+    accepting semi/anti here would make the join's supported semantics
+    DATA-DEPENDENT (fine below the crossover, ValueError the day skew
+    appears) — callers who need those hows use exchange_join, whose
+    straggler risk they then accept explicitly."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"adaptive_join supports how='inner'|'left' (the skew arm's "
+            f"constraint; got {how!r}) — a data-dependent dispatch must "
+            f"not widen its accepted semantics beyond its narrowest arm. "
+            f"Use exchange_join for semi/anti/right joins.")
     if left_key_source is None:
         left = left.materialize()
         left_key_source = left

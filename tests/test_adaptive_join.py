@@ -103,3 +103,39 @@ class TestAdaptiveJoinEndToEnd:
         lds, rds = self._sides(n=5000)
         out = api.join_adaptive(lds, rds, on="k").to_pandas()
         assert len(out) == 5000
+
+    def test_unsupported_how_raises_upfront(self, ray_session):
+        """how='semi' must fail at PLAN time, not the day skew appears:
+        a data-dependent dispatch cannot accept semantics only one of
+        its arms supports."""
+        from ocr_ray.stages.join import adaptive_join
+
+        lds, rds = self._sides(n=1000)
+        with pytest.raises(ValueError, match="inner"):
+            adaptive_join(lds, rds, on="k", how="semi")
+
+
+class TestExemptionProvenance:
+    def test_lazy_estimate_keeps_the_floor(self, ray_session):
+        """A lazy source's leaf-read estimate understates expanding
+        transforms — only EXACT estimates (int src / materialized
+        dataset) may bypass the per-core admission floor."""
+        import ray
+
+        from ocr_ray.stages.join import exchange_task_memory
+
+        res = ray.cluster_resources()
+        floor = int(res["memory"] // max(1, int(res["CPU"])))
+
+        lazy = rd.range(1000)  # tiny leaf estimate, NOT materialized
+        req_lazy = exchange_task_memory(lazy, 8)
+        # the 4-CPU test session's floor can exceed the 16 GB absolute cap
+        assert req_lazy is not None and req_lazy >= min(floor, 16 << 30)
+
+        req_exact = exchange_task_memory(10 << 20, 8)  # 10 MB known bytes
+        assert req_exact is not None and req_exact < floor
+        assert req_exact == 512 << 20
+
+        mat = rd.range(1000).materialize()
+        req_mat = exchange_task_memory(mat, 8)
+        assert req_mat is not None and req_mat < floor
